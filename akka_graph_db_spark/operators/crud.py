@@ -1,0 +1,198 @@
+"""Mutations as copy-on-write snapshot transforms (SURVEY.md §2.1).
+
+The reference mutates a Neo4j store in place; the Spark-native equivalent is
+a pure function ``PropertyGraph -> PropertyGraph`` per mutation batch —
+anti-join for deletes, union for inserts, join + map-merge for updates.
+Batches, not single rows, are the API: a one-row mutation is just a
+degenerate batch. `store.py` persists snapshots as versioned
+label-partitioned parquet.
+
+Canonical semantics preserved (remote backend of the reference):
+
+- removeNode CASCADES to incident edges (`DETACH DELETE`,
+  `Neo4jGraph.scala:408`) — NOT the embedded backend's silent no-op.
+- removeNodes(label=None, data) matches all labels (`:415-431`), not the
+  embedded "DEFAULT"-label bug (`:689`).
+- update merges the property map; a JSON ``null`` value DELETES the key
+  (`SET n += {...}` + `:486-487`).
+- addEdge requires both endpoints to exist (`:188-194` MATCHes them first);
+  here that's a left-semi join of the new edges against current nodes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from akka_graph_db_spark.model import (
+    EDGE_CORE_COLS,
+    NODE_CORE_COLS,
+    PropertyGraph,
+    encode_py_value,
+)
+from akka_graph_db_spark.operators.scan import apply_filters, ids_df
+
+
+def _py_props_to_map(props: Mapping | None, keep_nulls: bool = False):
+    pairs = []
+    for k, v in (props or {}).items():
+        frag = "null" if v is None else encode_py_value(v)
+        if frag is None and not keep_nulls:
+            continue
+        pairs.append((k, frag))
+    return pairs
+
+
+def _rows_to_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# -- inserts ----------------------------------------------------------------
+
+def add_nodes(
+    g: PropertyGraph,
+    new_nodes: DataFrame | Sequence[tuple[int, str, Mapping]],
+) -> PropertyGraph:
+    """Append nodes. Input: DataFrame(id,label,props MAP<STRING,STRING>) or
+    [(id, label, {key: py_value})] driver-side rows. `Neo4jGraph.scala:156-176`.
+    """
+    spark = g.nodes.sparkSession
+    if not isinstance(new_nodes, DataFrame):
+        rows = [
+            (int(i), lbl, dict(_py_props_to_map(p)))
+            for (i, lbl, p) in new_nodes
+        ]
+        new_nodes = _rows_to_df(
+            spark, rows, "id bigint, label string, props map<string,string>"
+        )
+    return g.with_nodes(
+        g.nodes.select(*NODE_CORE_COLS).unionByName(
+            new_nodes.select(*NODE_CORE_COLS)
+        )
+    )
+
+
+def add_edges(
+    g: PropertyGraph,
+    new_edges: DataFrame | Sequence[tuple[int, str, int, int, Mapping]],
+    validate_endpoints: bool = True,
+) -> PropertyGraph:
+    """Append directed labeled edges; rows whose endpoints are absent are
+    dropped (the reference's MATCH-first contract, `Neo4jGraph.scala:188-194`).
+    """
+    spark = g.edges.sparkSession
+    if not isinstance(new_edges, DataFrame):
+        rows = [
+            (int(i), lbl, int(s), int(d), dict(_py_props_to_map(p)))
+            for (i, lbl, s, d, p) in new_edges
+        ]
+        new_edges = _rows_to_df(
+            spark,
+            rows,
+            "id bigint, label string, src bigint, dst bigint,"
+            " props map<string,string>",
+        )
+    new_edges = new_edges.select(*EDGE_CORE_COLS)
+    if validate_endpoints:
+        node_ids = g.nodes.select("id")
+        new_edges = new_edges.join(
+            node_ids, new_edges["src"] == node_ids["id"], "left_semi"
+        )
+        new_edges = new_edges.join(
+            node_ids, new_edges["dst"] == node_ids["id"], "left_semi"
+        )
+    return g.with_edges(
+        g.edges.select(*EDGE_CORE_COLS).unionByName(new_edges)
+    )
+
+
+# -- updates ----------------------------------------------------------------
+
+def _merge_props(current, changes):
+    """Union-merge two JSON-fragment maps; change wins; ``"null"`` fragment
+    deletes the key (`Neo4jGraph.scala:486-487`)."""
+    merged = F.map_zip_with(current, changes, lambda _, v1, v2: F.coalesce(v2, v1))
+    return F.map_filter(merged, lambda _, v: v != F.lit("null"))
+
+
+def update_nodes(
+    g: PropertyGraph,
+    changes: DataFrame | Mapping[int, Mapping],
+) -> PropertyGraph:
+    """Merge-update node property maps (`SET n += {...}`,
+    `Neo4jGraph.scala:442-467`). ``changes``: DataFrame(id, changes
+    MAP<STRING,STRING> of JSON fragments) or {id: {key: py_value_or_None}}
+    (None → delete key)."""
+    return g.with_nodes(_apply_update(g.nodes, g.nodes.sparkSession, changes))
+
+
+def update_edges(
+    g: PropertyGraph,
+    changes: DataFrame | Mapping[int, Mapping],
+) -> PropertyGraph:
+    """Same merge/null-delete semantics on edges (`Neo4jGraph.scala:469-490`)."""
+    return g.with_edges(_apply_update(g.edges, g.edges.sparkSession, changes))
+
+
+def _apply_update(df: DataFrame, spark, changes):
+    if not isinstance(changes, DataFrame):
+        rows = [
+            (int(i), dict(_py_props_to_map(ch, keep_nulls=True)))
+            for i, ch in changes.items()
+        ]
+        changes = _rows_to_df(spark, rows, "id bigint, changes map<string,string>")
+    ch = changes.select(
+        F.col("id").alias("_cid"), F.col("changes").alias("_changes")
+    )
+    out = df.join(F.broadcast(ch), df["id"] == ch["_cid"], "left")
+    return out.withColumn(
+        "props",
+        F.when(F.col("_cid").isNull(), F.col("props")).otherwise(
+            _merge_props(F.col("props"), F.col("_changes"))
+        ),
+    ).drop("_cid", "_changes")
+
+
+# -- deletes ----------------------------------------------------------------
+
+def remove_nodes_by_id(g: PropertyGraph, node_ids) -> PropertyGraph:
+    """Delete nodes by id, CASCADING to all incident edges
+    (`DETACH DELETE`, `Neo4jGraph.scala:406-413`)."""
+    victims = ids_df(g, node_ids).select(F.col("id").alias("_vid"))
+    victims = F.broadcast(victims)
+    nodes = g.nodes.join(
+        victims, g.nodes["id"] == victims["_vid"], "left_anti"
+    )
+    edges = g.edges.join(
+        victims, g.edges["src"] == victims["_vid"], "left_anti"
+    )
+    edges = edges.join(victims, edges["dst"] == victims["_vid"], "left_anti")
+    return PropertyGraph(nodes=nodes, edges=edges)
+
+
+def remove_nodes(
+    g: PropertyGraph, label: str | None = None, data: Mapping | None = None
+) -> PropertyGraph:
+    """Bulk cascading delete by label/property predicate
+    (`Neo4jGraph.scala:415-431`); ``label=None`` matches every label."""
+    victims = apply_filters(g.nodes, label, data).select("id")
+    return remove_nodes_by_id(g, victims)
+
+
+def remove_edges_by_id(g: PropertyGraph, edge_ids) -> PropertyGraph:
+    """Delete edges by id (`Neo4jGraph.scala:433-440`)."""
+    victims = ids_df(g, edge_ids).select(F.col("id").alias("_vid"))
+    edges = g.edges.join(
+        F.broadcast(victims), g.edges["id"] == victims["_vid"], "left_anti"
+    )
+    return g.with_edges(edges)
+
+
+def remove_edges(
+    g: PropertyGraph, label: str | None = None, data: Mapping | None = None
+) -> PropertyGraph:
+    """Bulk edge delete by predicate (batch generalization of removeEdge)."""
+    victims = apply_filters(g.edges, label, data).select("id")
+    return remove_edges_by_id(g, victims)

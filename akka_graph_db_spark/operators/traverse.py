@@ -1,0 +1,183 @@
+"""Topology operators: 1-hop egress/ingress and variable-length paths
+(SURVEY.md §2.4).
+
+- getEgressEdges / getIngressEdges (`Neo4jGraph.scala:334-368, 370-404`):
+  batch-first — the argument is a *frontier* of node ids, not one node, so a
+  million-source expansion is one Catalyst-planned join instead of a million
+  point queries. Canonical semantics: edge label AND edge-property filters
+  both apply (the embedded backend drops edgeData, a flagged divergence).
+
+- paths_to (`Neo4jGraph.scala:492-520`): the reference's Cypher is
+  ``path = (start)-[:L*]-(end)`` — variable-length, UNDIRECTED, unbounded,
+  with an optional all-path-nodes label filter. Unbounded enumeration is
+  unshippable at scale, so we take the SURVEY.md #14 design: a driver-side
+  BFS (Pregel-style frontier join per superstep) with an explicit
+  ``max_depth`` and per-path VERTEX uniqueness (strictly stronger than
+  Cypher's relationship-uniqueness; documented deviation — it is the variant
+  that stays polynomial on dense graphs).
+
+Scale behavior: the frontier⋈edges join is the classic supernode-skew spot —
+we persist + count the frontier each superstep (needed for the empty-frontier
+early exit anyway) and broadcast it while it stays small; past the broadcast
+threshold we fall back to a shuffle join with AQE skew handling. Lineage is
+truncated with localCheckpoint every few supersteps so plans don't grow
+exponentially with depth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from akka_graph_db_spark.model import PropertyGraph
+from akka_graph_db_spark.operators.scan import apply_filters, ids_df
+
+_BROADCAST_FRONTIER_MAX = 200_000  # rows; beyond this let AQE pick the join
+_CHECKPOINT_EVERY = 3  # supersteps between lineage truncations
+
+
+def egress_edges(
+    g: PropertyGraph,
+    node_ids: Iterable[int] | DataFrame,
+    edge_label: str | None = None,
+    edge_data: Mapping | None = None,
+    hydrate: bool = True,
+) -> DataFrame:
+    """Out-edges of a frontier of nodes; far endpoint (dst) hydrated."""
+    return _one_hop(g, node_ids, edge_label, edge_data, hydrate, out=True)
+
+
+def ingress_edges(
+    g: PropertyGraph,
+    node_ids: Iterable[int] | DataFrame,
+    edge_label: str | None = None,
+    edge_data: Mapping | None = None,
+    hydrate: bool = True,
+) -> DataFrame:
+    """In-edges of a frontier of nodes; far endpoint (src) hydrated."""
+    return _one_hop(g, node_ids, edge_label, edge_data, hydrate, out=False)
+
+
+def _one_hop(g, node_ids, edge_label, edge_data, hydrate, out):
+    near, far = ("src", "dst") if out else ("dst", "src")
+    frontier = ids_df(g, node_ids).withColumnRenamed("id", "_fid")
+    e = apply_filters(g.edges, edge_label, edge_data)
+    joined = e.join(
+        F.broadcast(frontier), e[near] == frontier["_fid"], "inner"
+    ).drop("_fid")
+    if not hydrate:
+        return joined
+    n = g.nodes.select(
+        F.col("id").alias("_nid"),
+        F.col("label").alias("other_label"),
+        F.col("props").alias("other_props"),
+    )
+    return joined.join(n, joined[far] == n["_nid"], "left").drop("_nid")
+
+
+def paths_to(
+    g: PropertyGraph,
+    start_id: int,
+    end_id: int,
+    node_labels: Sequence[str] = (),
+    edge_labels: Sequence[str] = (),
+    max_depth: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Enumerate simple paths start→end (≥1 hop), undirected by default.
+
+    Returns ``(depth INT, node_path ARRAY<BIGINT>, edge_path ARRAY<BIGINT>)``
+    — the start-node + ordered-edge-list shape of the reference's Path
+    (`Neo4jGraph.scala:85-94`). ``node_labels`` non-empty restricts EVERY
+    node on the path (endpoints included) to those labels, matching the
+    Cypher ``ALL(x IN NODES(path) ...)`` filter; empty means unfiltered (the
+    embedded backend's empty-rejects-everything bug is NOT reproduced).
+    ``edge_labels`` non-empty restricts traversed edge types.
+    """
+    spark = g.nodes.sparkSession
+    start_id, end_id = int(start_id), int(end_id)
+
+    if directed:
+        rel = g.edges.select(
+            F.col("src").alias("a"), F.col("dst").alias("b"), "id", "label"
+        )
+    else:
+        rel = g.undirected_edges()
+    if edge_labels:
+        rel = rel.where(F.col("label").isin(list(edge_labels)))
+    rel = rel.select("a", "b", F.col("id").alias("eid"))
+
+    if node_labels:
+        allowed = g.nodes.where(F.col("label").isin(list(node_labels))).select(
+            F.col("id").alias("_aid")
+        )
+        # Interior/terminal nodes checked during expansion; start checked here.
+        start_ok = (
+            g.nodes.where(
+                (F.col("id") == start_id)
+                & F.col("label").isin(list(node_labels))
+            ).count()
+            > 0
+        )
+        if not start_ok:
+            return spark.createDataFrame(
+                [], "depth int, node_path array<bigint>, edge_path array<bigint>"
+            )
+        rel = rel.join(allowed, rel["b"] == allowed["_aid"], "left_semi")
+
+    frontier = spark.createDataFrame(
+        [(start_id, [start_id], [])],
+        "cur bigint, node_path array<bigint>, edge_path array<bigint>",
+    )
+    results: list[DataFrame] = []
+    persisted: list[DataFrame] = []
+    try:
+        for depth in range(1, max_depth + 1):
+            stepped = (
+                frontier.join(rel, frontier["cur"] == rel["a"], "inner")
+                .where(~F.array_contains(F.col("node_path"), F.col("b")))
+                .select(
+                    F.col("b").alias("cur"),
+                    F.concat(F.col("node_path"), F.array(F.col("b"))).alias(
+                        "node_path"
+                    ),
+                    F.concat(F.col("edge_path"), F.array(F.col("eid"))).alias(
+                        "edge_path"
+                    ),
+                )
+            )
+            if depth % _CHECKPOINT_EVERY == 0:
+                stepped = stepped.localCheckpoint(eager=True)
+                n_alive = stepped.count()
+            else:
+                stepped = stepped.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(stepped)
+                n_alive = stepped.count()
+
+            hits = stepped.where(F.col("cur") == end_id).select(
+                F.lit(depth).alias("depth"), "node_path", "edge_path"
+            )
+            results.append(hits)
+            if n_alive == 0:
+                break
+            nxt = stepped.where(F.col("cur") != end_id)
+            if n_alive <= _BROADCAST_FRONTIER_MAX:
+                nxt = F.broadcast(nxt)
+            frontier = nxt
+
+        if not results:
+            return spark.createDataFrame(
+                [], "depth int, node_path array<bigint>, edge_path array<bigint>"
+            )
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        # Materialize before unpersisting the supersteps backing it.
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        for df in persisted:
+            df.unpersist()
