@@ -93,15 +93,16 @@ def prop_str(props: Column | str, key: str) -> Column:
 
 
 def prop_double(props: Column | str, key: str) -> Column:
-    return prop_get(props, key).cast("double")
+    # try_cast: a non-numeric fragment decodes to NULL, not an ANSI error
+    return prop_get(props, key).try_cast("double")
 
 
 def prop_long(props: Column | str, key: str) -> Column:
-    return prop_get(props, key).cast("bigint")
+    return prop_get(props, key).try_cast("bigint")
 
 
 def prop_bool(props: Column | str, key: str) -> Column:
-    return prop_get(props, key).cast("boolean")
+    return prop_get(props, key).try_cast("boolean")
 
 
 def prop_timestamp(props: Column | str, key: str) -> Column:

@@ -110,10 +110,31 @@ def add_edges(
 
 # -- updates ----------------------------------------------------------------
 
+def _empty_map():
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+
+# Mutation sets below this row count are safe to broadcast; larger batches
+# (bulk updates/deletes near table size) must shuffle — let AQE pick.
+_BROADCAST_MUTATION_MAX = 100_000
+
+
+def _maybe_broadcast(df: DataFrame, known_rows: int | None) -> DataFrame:
+    """Broadcast-hint only when the row count is KNOWN small (driver-side
+    input). DataFrame-valued mutation sets of unknown size are left to AQE —
+    an unconditional hint on a 100M-row victim set would OOM the driver."""
+    if known_rows is not None and known_rows <= _BROADCAST_MUTATION_MAX:
+        return F.broadcast(df)
+    return df
+
+
 def _merge_props(current, changes):
     """Union-merge two JSON-fragment maps; change wins; ``"null"`` fragment
-    deletes the key (`Neo4jGraph.scala:486-487`)."""
-    merged = F.map_zip_with(current, changes, lambda _, v1, v2: F.coalesce(v2, v1))
+    deletes the key (`Neo4jGraph.scala:486-487`). NULL current map (a node
+    ingested with props=NULL) merges as empty, not NULL-propagates."""
+    cur = F.coalesce(current, _empty_map())
+    merged = F.map_zip_with(cur, changes, lambda _, v1, v2: F.coalesce(v2, v1))
     return F.map_filter(merged, lambda _, v: v != F.lit("null"))
 
 
@@ -137,16 +158,23 @@ def update_edges(
 
 
 def _apply_update(df: DataFrame, spark, changes):
+    known_rows = None
     if not isinstance(changes, DataFrame):
         rows = [
             (int(i), dict(_py_props_to_map(ch, keep_nulls=True)))
             for i, ch in changes.items()
         ]
+        known_rows = len(rows)
         changes = _rows_to_df(spark, rows, "id bigint, changes map<string,string>")
-    ch = changes.select(
-        F.col("id").alias("_cid"), F.col("changes").alias("_changes")
+    ch = _maybe_broadcast(
+        changes.select(
+            F.col("id").alias("_cid"), F.col("changes").alias("_changes")
+        ),
+        known_rows,
     )
-    out = df.join(F.broadcast(ch), df["id"] == ch["_cid"], "left")
+    core = [c for c in df.columns if c in EDGE_CORE_COLS]
+    df = df.select(*core)  # promoted columns would go stale post-merge
+    out = df.join(ch, df["id"] == ch["_cid"], "left")
     return out.withColumn(
         "props",
         F.when(F.col("_cid").isNull(), F.col("props")).otherwise(
@@ -160,8 +188,11 @@ def _apply_update(df: DataFrame, spark, changes):
 def remove_nodes_by_id(g: PropertyGraph, node_ids) -> PropertyGraph:
     """Delete nodes by id, CASCADING to all incident edges
     (`DETACH DELETE`, `Neo4jGraph.scala:406-413`)."""
+    known = None if isinstance(node_ids, DataFrame) else len(list(node_ids))
+    if known is not None:
+        node_ids = list(node_ids)
     victims = ids_df(g, node_ids).select(F.col("id").alias("_vid"))
-    victims = F.broadcast(victims)
+    victims = _maybe_broadcast(victims, known)
     nodes = g.nodes.join(
         victims, g.nodes["id"] == victims["_vid"], "left_anti"
     )
@@ -183,9 +214,14 @@ def remove_nodes(
 
 def remove_edges_by_id(g: PropertyGraph, edge_ids) -> PropertyGraph:
     """Delete edges by id (`Neo4jGraph.scala:433-440`)."""
+    known = None if isinstance(edge_ids, DataFrame) else len(list(edge_ids))
+    if known is not None:
+        edge_ids = list(edge_ids)
     victims = ids_df(g, edge_ids).select(F.col("id").alias("_vid"))
     edges = g.edges.join(
-        F.broadcast(victims), g.edges["id"] == victims["_vid"], "left_anti"
+        _maybe_broadcast(victims, known),
+        g.edges["id"] == victims["_vid"],
+        "left_anti",
     )
     return g.with_edges(edges)
 

@@ -22,21 +22,49 @@ from collections.abc import Iterable, Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from akka_graph_db_spark.model import PropertyGraph, prop_get
+from akka_graph_db_spark.model import PropertyGraph, encode_py_value, prop_raw
 
 NON_PROMOTABLE = {"id", "label", "src", "dst", "props"}
 
+_NUMERIC_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
 
 def _prop_eq(df: DataFrame, key: str, value) -> Column:
-    """Equality predicate on a property, preferring a promoted column."""
+    """TYPED equality predicate on a property, preferring a promoted column.
+
+    Canonical semantics (reference renders typed Cypher literals,
+    `Neo4jGraph.scala:121-141`): cross-type equality NEVER matches — a stored
+    string ``"12"`` does not match a numeric query ``12``, and ``"true"``
+    does not match ``True``. On the JSON-fragment tier this falls out of
+    comparing raw fragments: a quoted fragment can't equal an unquoted one,
+    and ``cast('"12"' AS DOUBLE)`` is NULL in Spark, so the numeric
+    double-compare is already quote-safe.
+    """
     if key in df.columns and key not in NON_PROMOTABLE:
+        dt = dict(df.dtypes).get(key, "")
+        base = dt.split("(")[0]
+        if isinstance(value, bool):
+            return F.col(key) == F.lit(value) if base == "boolean" else F.lit(False)
+        if isinstance(value, (int, float)):
+            if base in _NUMERIC_DTYPES or base == "decimal":
+                return F.col(key).cast("double") == F.lit(float(value))
+            return F.lit(False)
+        if isinstance(value, str):
+            if base == "string":
+                return F.col(key) == F.lit(value)
+            if base in ("timestamp", "date"):  # stored quoted in props tier
+                return F.col(key) == F.lit(value).try_cast(dt)
+            return F.lit(False)
         return F.col(key) == F.lit(value)
-    got = prop_get(F.col("props"), key)
+    raw = prop_raw(F.col("props"), key)
     if isinstance(value, bool):
-        return got == F.lit("true" if value else "false")
+        return raw == F.lit("true" if value else "false")
     if isinstance(value, (int, float)):
-        return got.cast("double") == F.lit(float(value))
-    return got == F.lit(value)
+        # quoted fragments try_cast to NULL -> never match a number (typed eq)
+        return raw.try_cast("double") == F.lit(float(value))
+    if isinstance(value, str):
+        return raw == F.lit(encode_py_value(value))
+    return raw == F.lit(encode_py_value(value))
 
 
 def apply_filters(

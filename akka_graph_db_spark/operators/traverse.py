@@ -63,11 +63,17 @@ def ingress_edges(
 
 def _one_hop(g, node_ids, edge_label, edge_data, hydrate, out):
     near, far = ("src", "dst") if out else ("dst", "src")
+    known = None if isinstance(node_ids, DataFrame) else len(list(node_ids))
+    if known is not None:
+        node_ids = list(node_ids)
     frontier = ids_df(g, node_ids).withColumnRenamed("id", "_fid")
+    # Broadcast only when the frontier is KNOWN small (driver-side id list).
+    # A caller-supplied DataFrame frontier of unknown size is left to AQE —
+    # the unconditional hint would OOM the driver on a 100M-row frontier.
+    if known is not None and known <= _BROADCAST_FRONTIER_MAX:
+        frontier = F.broadcast(frontier)
     e = apply_filters(g.edges, edge_label, edge_data)
-    joined = e.join(
-        F.broadcast(frontier), e[near] == frontier["_fid"], "inner"
-    ).drop("_fid")
+    joined = e.join(frontier, e[near] == frontier["_fid"], "inner").drop("_fid")
     if not hydrate:
         return joined
     n = g.nodes.select(

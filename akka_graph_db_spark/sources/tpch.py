@@ -49,7 +49,24 @@ LOCATED_IN_CUST_BASE = 110_000_000
 LOCATED_IN_SUPP_BASE = 120_000_000
 PLACED_BASE = 130_000_000
 CONTAINS_BASE = 200_000_000  # + l_orderkey * 8 + l_linenumber  (linenumber ≤ 7)
-SUPPLIED_BY_BASE = 300_000_000  # + l_partkey * 1000 + l_suppkey (suppkey < 1000)
+# supplied_by packs (partkey, suppkey) as partkey * 2^20 + suppkey: collision-
+# free while suppkey < 2^20 (TPC-H suppliers = 10k x SF -> holds to SF ~100).
+# All other bands stay below 3.1e8, so supplied_by ids (>= 3e8) never clash.
+SUPPLIED_BY_BASE = 300_000_000
+SUPPLIED_BY_SHIFT = 1_048_576  # 2^20
+
+# Band-capacity limits the packing relies on; validate_id_ranges() enforces
+# them loudly instead of corrupting ids silently (one max() aggregate per
+# table — fully pushed down, cheap even at 100 TB).
+_KEY_LIMITS = {
+    "region": ("r_regionkey", NATION_BASE - REGION_BASE),
+    "nation": ("n_nationkey", CUSTOMER_BASE - NATION_BASE),
+    "customer": ("c_custkey", SUPPLIER_BASE - CUSTOMER_BASE),
+    "supplier": ("s_suppkey", min(PART_BASE - SUPPLIER_BASE, SUPPLIED_BY_SHIFT)),
+    "part": ("p_partkey", ORDER_BASE - PART_BASE),
+    "orders": ("o_orderkey", (CONTAINS_BASE - PLACED_BASE)),
+    "lineitem": ("l_orderkey", (SUPPLIED_BY_BASE - CONTAINS_BASE) // 8),
+}
 
 TPCH_TABLES = (
     "region",
@@ -70,8 +87,75 @@ def _b(col: str) -> F.Column:
     return F.col(col).cast("bigint")
 
 
-def graph_from_tpch(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+# Two-tier property layout (SURVEY.md §1.4): hot property keys are PROMOTED
+# to typed top-level columns at ingest so equality predicates on them reach
+# the parquet scan (PushedFilters) instead of evaluating post-scan on JSON
+# fragments. Labels that lack a key carry a typed NULL literal, which
+# constant-folds the predicate to false on that branch -> the whole
+# non-matching parquet scan is pruned. `props` remains the full-fidelity
+# source of truth.
+PROMOTED_NODE_SCHEMA = {
+    "name": "string",
+    "acctbal": "double",
+    "mktsegment": "string",
+    "brand": "string",
+    "type": "string",
+    "size": "bigint",
+    "retailprice": "double",
+    "status": "string",
+    "totalprice": "double",
+    "orderdate": "timestamp",
+    "priority": "string",
+}
+PROMOTED_EDGE_SCHEMA = {
+    "orderdate": "timestamp",
+    "totalprice": "double",
+    "quantity": "double",
+    "extendedprice": "double",
+    "discount": "double",
+    "tax": "double",
+    "returnflag": "string",
+    "linestatus": "string",
+    "shipdate": "timestamp",
+}
+
+
+def _promoted(schema: dict[str, str], present: dict[str, F.Column]):
+    return [
+        (present[k] if k in present else F.lit(None).cast(t)).alias(k)
+        for k, t in schema.items()
+    ]
+
+
+def validate_id_ranges(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Assert every natural key fits its id band (ADVICE r1: fail loudly
+    instead of silently corrupting packed ids). One pushed-down max() per
+    table; returns the observed maxima."""
+    observed: dict[str, int] = {}
+    for table, (key, limit) in _KEY_LIMITS.items():
+        df = read_table(spark, sf_dir, table)
+        row = df.select(F.max(F.col(key).cast("bigint")).alias("m")).collect()[0]
+        m = row["m"] or 0
+        observed[key] = m
+        if m >= limit:
+            raise ValueError(
+                f"id-band overflow: max({key})={m} >= band capacity {limit}; "
+                "switch to the label_code<<48 packing documented above"
+            )
+    ln = read_table(spark, sf_dir, "lineitem")
+    ml = ln.select(F.max("l_linenumber").alias("m")).collect()[0]["m"] or 0
+    observed["l_linenumber"] = ml
+    if ml >= 8:
+        raise ValueError(f"id-band overflow: max(l_linenumber)={ml} >= 8")
+    return observed
+
+
+def graph_from_tpch(
+    spark: SparkSession, sf_dir: str, promote: bool = True, validate: bool = False
+) -> PropertyGraph:
     """Build the (lazy) graph over a testdata scale-factor directory."""
+    if validate:
+        validate_id_ranges(spark, sf_dir)
     region = read_table(spark, sf_dir, "region")
     nation = read_table(spark, sf_dir, "nation")
     customer = read_table(spark, sf_dir, "customer")
@@ -80,63 +164,111 @@ def graph_from_tpch(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
 
+    def node_branch(df, id_col, label, props, promoted_present):
+        cols = [id_col.alias("id"), F.lit(label).alias("label"), props.alias("props")]
+        if promote:
+            cols += _promoted(PROMOTED_NODE_SCHEMA, promoted_present)
+        return df.select(*cols)
+
+    def edge_branch(df, id_col, label, src, dst, props, promoted_present):
+        cols = [
+            id_col.alias("id"),
+            F.lit(label).alias("label"),
+            src.alias("src"),
+            dst.alias("dst"),
+            props.alias("props"),
+        ]
+        if promote:
+            cols += _promoted(PROMOTED_EDGE_SCHEMA, promoted_present)
+        return df.select(*cols)
+
     nodes = (
-        region.select(
-            (_b("r_regionkey") + REGION_BASE).alias("id"),
-            F.lit("region").alias("label"),
-            props_map(("name", json_string(F.col("r_name")))).alias("props"),
+        node_branch(
+            region,
+            _b("r_regionkey") + REGION_BASE,
+            "region",
+            props_map(("name", json_string(F.col("r_name")))),
+            {"name": F.col("r_name")},
         )
         .unionByName(
-            nation.select(
-                (_b("n_nationkey") + NATION_BASE).alias("id"),
-                F.lit("nation").alias("label"),
-                props_map(("name", json_string(F.col("n_name")))).alias("props"),
+            node_branch(
+                nation,
+                _b("n_nationkey") + NATION_BASE,
+                "nation",
+                props_map(("name", json_string(F.col("n_name")))),
+                {"name": F.col("n_name")},
             )
         )
         .unionByName(
-            customer.select(
-                (_b("c_custkey") + CUSTOMER_BASE).alias("id"),
-                F.lit("customer").alias("label"),
+            node_branch(
+                customer,
+                _b("c_custkey") + CUSTOMER_BASE,
+                "customer",
                 props_map(
                     ("name", json_string(F.col("c_name"))),
                     ("acctbal", json_number(F.col("c_acctbal"))),
                     ("mktsegment", json_string(F.col("c_mktsegment"))),
-                ).alias("props"),
+                ),
+                {
+                    "name": F.col("c_name"),
+                    "acctbal": F.col("c_acctbal").cast("double"),
+                    "mktsegment": F.col("c_mktsegment"),
+                },
             )
         )
         .unionByName(
-            supplier.select(
-                (_b("s_suppkey") + SUPPLIER_BASE).alias("id"),
-                F.lit("supplier").alias("label"),
+            node_branch(
+                supplier,
+                _b("s_suppkey") + SUPPLIER_BASE,
+                "supplier",
                 props_map(
                     ("name", json_string(F.col("s_name"))),
                     ("acctbal", json_number(F.col("s_acctbal"))),
-                ).alias("props"),
+                ),
+                {
+                    "name": F.col("s_name"),
+                    "acctbal": F.col("s_acctbal").cast("double"),
+                },
             )
         )
         .unionByName(
-            part.select(
-                (_b("p_partkey") + PART_BASE).alias("id"),
-                F.lit("part").alias("label"),
+            node_branch(
+                part,
+                _b("p_partkey") + PART_BASE,
+                "part",
                 props_map(
                     ("name", json_string(F.col("p_name"))),
                     ("brand", json_string(F.col("p_brand"))),
                     ("type", json_string(F.col("p_type"))),
                     ("size", json_number(F.col("p_size"))),
                     ("retailprice", json_number(F.col("p_retailprice"))),
-                ).alias("props"),
+                ),
+                {
+                    "name": F.col("p_name"),
+                    "brand": F.col("p_brand"),
+                    "type": F.col("p_type"),
+                    "size": F.col("p_size").cast("bigint"),
+                    "retailprice": F.col("p_retailprice").cast("double"),
+                },
             )
         )
         .unionByName(
-            orders.select(
-                (_b("o_orderkey") + ORDER_BASE).alias("id"),
-                F.lit("order").alias("label"),
+            node_branch(
+                orders,
+                _b("o_orderkey") + ORDER_BASE,
+                "order",
                 props_map(
                     ("status", json_string(F.col("o_orderstatus"))),
                     ("totalprice", json_number(F.col("o_totalprice"))),
                     ("orderdate", json_timestamp(F.col("o_orderdate"))),
                     ("priority", json_string(F.col("o_orderpriority"))),
-                ).alias("props"),
+                ),
+                {
+                    "status": F.col("o_orderstatus"),
+                    "totalprice": F.col("o_totalprice").cast("double"),
+                    "orderdate": F.col("o_orderdate"),
+                    "priority": F.col("o_orderpriority"),
+                },
             )
         )
     )
@@ -144,51 +276,61 @@ def graph_from_tpch(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     empty_props = props_map()
 
     edges = (
-        nation.select(
-            (_b("n_nationkey") + IN_REGION_BASE).alias("id"),
-            F.lit("in_region").alias("label"),
-            (_b("n_nationkey") + NATION_BASE).alias("src"),
-            (_b("n_regionkey") + REGION_BASE).alias("dst"),
-            empty_props.alias("props"),
+        edge_branch(
+            nation,
+            _b("n_nationkey") + IN_REGION_BASE,
+            "in_region",
+            _b("n_nationkey") + NATION_BASE,
+            _b("n_regionkey") + REGION_BASE,
+            empty_props,
+            {},
         )
         .unionByName(
-            customer.select(
-                (_b("c_custkey") + LOCATED_IN_CUST_BASE).alias("id"),
-                F.lit("located_in").alias("label"),
-                (_b("c_custkey") + CUSTOMER_BASE).alias("src"),
-                (_b("c_nationkey") + NATION_BASE).alias("dst"),
-                empty_props.alias("props"),
+            edge_branch(
+                customer,
+                _b("c_custkey") + LOCATED_IN_CUST_BASE,
+                "located_in",
+                _b("c_custkey") + CUSTOMER_BASE,
+                _b("c_nationkey") + NATION_BASE,
+                empty_props,
+                {},
             )
         )
         .unionByName(
-            supplier.select(
-                (_b("s_suppkey") + LOCATED_IN_SUPP_BASE).alias("id"),
-                F.lit("located_in").alias("label"),
-                (_b("s_suppkey") + SUPPLIER_BASE).alias("src"),
-                (_b("s_nationkey") + NATION_BASE).alias("dst"),
-                empty_props.alias("props"),
+            edge_branch(
+                supplier,
+                _b("s_suppkey") + LOCATED_IN_SUPP_BASE,
+                "located_in",
+                _b("s_suppkey") + SUPPLIER_BASE,
+                _b("s_nationkey") + NATION_BASE,
+                empty_props,
+                {},
             )
         )
         .unionByName(
-            orders.select(
-                (_b("o_orderkey") + PLACED_BASE).alias("id"),
-                F.lit("placed").alias("label"),
-                (_b("o_custkey") + CUSTOMER_BASE).alias("src"),
-                (_b("o_orderkey") + ORDER_BASE).alias("dst"),
+            edge_branch(
+                orders,
+                _b("o_orderkey") + PLACED_BASE,
+                "placed",
+                _b("o_custkey") + CUSTOMER_BASE,
+                _b("o_orderkey") + ORDER_BASE,
                 props_map(
                     ("orderdate", json_timestamp(F.col("o_orderdate"))),
                     ("totalprice", json_number(F.col("o_totalprice"))),
-                ).alias("props"),
+                ),
+                {
+                    "orderdate": F.col("o_orderdate"),
+                    "totalprice": F.col("o_totalprice").cast("double"),
+                },
             )
         )
         .unionByName(
-            lineitem.select(
-                (_b("l_orderkey") * 8 + _b("l_linenumber") + CONTAINS_BASE).alias(
-                    "id"
-                ),
-                F.lit("contains").alias("label"),
-                (_b("l_orderkey") + ORDER_BASE).alias("src"),
-                (_b("l_partkey") + PART_BASE).alias("dst"),
+            edge_branch(
+                lineitem,
+                _b("l_orderkey") * 8 + _b("l_linenumber") + CONTAINS_BASE,
+                "contains",
+                _b("l_orderkey") + ORDER_BASE,
+                _b("l_partkey") + PART_BASE,
                 props_map(
                     ("quantity", json_number(F.col("l_quantity"))),
                     ("extendedprice", json_number(F.col("l_extendedprice"))),
@@ -197,20 +339,29 @@ def graph_from_tpch(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                     ("returnflag", json_string(F.col("l_returnflag"))),
                     ("linestatus", json_string(F.col("l_linestatus"))),
                     ("shipdate", json_timestamp(F.col("l_shipdate"))),
-                ).alias("props"),
+                ),
+                {
+                    "quantity": F.col("l_quantity").cast("double"),
+                    "extendedprice": F.col("l_extendedprice").cast("double"),
+                    "discount": F.col("l_discount").cast("double"),
+                    "tax": F.col("l_tax").cast("double"),
+                    "returnflag": F.col("l_returnflag"),
+                    "linestatus": F.col("l_linestatus"),
+                    "shipdate": F.col("l_shipdate"),
+                },
             )
         )
         .unionByName(
-            lineitem.select("l_partkey", "l_suppkey")
-            .distinct()
-            .select(
-                (_b("l_partkey") * 1000 + _b("l_suppkey") + SUPPLIED_BY_BASE).alias(
-                    "id"
-                ),
-                F.lit("supplied_by").alias("label"),
-                (_b("l_partkey") + PART_BASE).alias("src"),
-                (_b("l_suppkey") + SUPPLIER_BASE).alias("dst"),
-                empty_props.alias("props"),
+            edge_branch(
+                lineitem.select("l_partkey", "l_suppkey").distinct(),
+                _b("l_partkey") * SUPPLIED_BY_SHIFT
+                + _b("l_suppkey")
+                + SUPPLIED_BY_BASE,
+                "supplied_by",
+                _b("l_partkey") + PART_BASE,
+                _b("l_suppkey") + SUPPLIER_BASE,
+                empty_props,
+                {},
             )
         )
     )
@@ -263,7 +414,8 @@ edges_v AS (
          l_orderkey + {ORDER_BASE}, l_partkey + {PART_BASE}
   FROM lineitem
   UNION ALL
-  SELECT l_partkey * 1000 + l_suppkey + {SUPPLIED_BY_BASE}, 'supplied_by',
+  SELECT l_partkey * {SUPPLIED_BY_SHIFT} + l_suppkey + {SUPPLIED_BY_BASE},
+         'supplied_by',
          l_partkey + {PART_BASE}, l_suppkey + {SUPPLIER_BASE}
   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
 )
