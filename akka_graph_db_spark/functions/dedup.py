@@ -1,0 +1,315 @@
+"""Deduplication operators (SURVEY.md §2.9): exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: NO all-pairs anywhere. Every near-dup operator first narrows
+to candidate pairs through a bucket equi-join (LSH bands / SimHash chunks /
+explicit bucket columns), then verifies candidates exactly. The bucket join
+shuffles on the band hash — uniformly distributed by construction — and the
+verify step touches only candidates, so cost scales with the number of
+near-duplicates, not with N².
+
+All hashes are ``xxhash64`` with explicit integer seeds → deterministic
+across runs/partitions/cluster sizes (no RNG anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from akka_graph_db_spark.functions.text import shingles, tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest id per distinct text. Hash-groupBy on sha2(text) —
+    one shuffle keyed by digest, never by the full text bytes."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+def minhash_signature(
+    text: Column, num_perm: int = 64, shingle_n: int = 3
+) -> Column:
+    """MinHash signature (array<bigint>, length ``num_perm``) over
+    ``shingle_n``-token shingles. Permutation i = xxhash64 seeded by i."""
+    sh = F.array_distinct(shingles(tokens(text), shingle_n))
+
+    def perm_min(i: int) -> Column:
+        # NB: capture i via closure, not a lambda default — PySpark counts
+        # lambda parameters (defaults included) to build the JVM lambda.
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+
+    return F.array(*[perm_min(i) for i in range(num_perm)])
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (a_id < b_id): docs sharing ≥1 band bucket.
+
+    shingle → minhash → band → bucket-join: each doc explodes to ``bands``
+    (band_idx, band_hash) rows; a self-equi-join on those keys yields
+    candidates. With r = num_perm/bands rows per band, the match curve is
+    the classic (1-(1-s^r)^b).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(sig, i * r + 1, r))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(
+        F.col("_id").alias("a_id"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("_id").alias("b_id"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens))
+    union = F.size(a_tokens) + F.size(b_tokens) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by EXACT shingle-set Jaccard
+    ≥ threshold. Returns (a_id, b_id, jaccard_sim)."""
+    cands = minhash_candidates(df, text_col, id_col, num_perm, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias(
+            "_sh"
+        ),
+    )
+    a = sh.select(F.col("_sid").alias("a_id"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_sid").alias("b_id"), F.col("_sh").alias("_shb"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cols: tuple[str, ...] = ("lang", "source"),
+    threshold: float = 0.8,
+    use_shingles: int | None = None,
+) -> DataFrame:
+    """EXACT within-bucket n-gram/token Jaccard pairs (a_id < b_id).
+
+    The oracle-checkable exact variant: pairs are bounded by explicit bucket
+    columns (lang, source, ...) instead of LSH — use when a natural
+    partition exists; use :func:`minhash_dedup_pairs` when it doesn't.
+    ``use_shingles=n`` compares n-token shingle sets; default compares
+    distinct-token sets.
+    """
+    tok = tokens(F.col(text_col))
+    items = (
+        F.array_distinct(shingles(tok, use_shingles))
+        if use_shingles
+        else F.array_distinct(tok)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), *bucket_cols, items.alias("_items")
+    )
+    a = base.select(
+        F.col("_id").alias("a_id"), *bucket_cols, F.col("_items").alias("_ia")
+    )
+    b = base.select(
+        F.col("_id").alias("b_id"), *bucket_cols, F.col("_items").alias("_ib")
+    )
+    return (
+        a.join(b, list(bucket_cols), "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            jaccard(F.col("_ia"), F.col("_ib")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, n_bits: int = 64) -> Column:
+    """SimHash of the token multiset: bit i of the result is the sign of the
+    per-bit vote sum over token hashes. Pure expressions; deterministic."""
+    tok = tokens(text)
+    hashes = F.transform(tok, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        out = out.bitwiseOR(
+            F.when(
+                bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: chunk-bucket join (pigeonhole — any pair
+    within ``max_hamming`` ≤ n_chunks-1 bit flips shares ≥1 identical
+    chunk), then exact Hamming verify. Returns (a_id, b_id, hamming)."""
+    chunk_bits = n_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        simhash(F.col(text_col), n_bits).alias("_sim"),
+    )
+    chunks = sh.select(
+        "_id",
+        "_sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_sim"), i * chunk_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col("_id").alias("a_id"),
+        F.col("_sim").alias("_sima"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("_id").alias("b_id"),
+        F.col("_sim").alias("_simb"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"], "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            hamming64(F.col("_sima"), F.col("_simb")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (delegates bucketing to similarity.lsh)
+# --------------------------------------------------------------------------
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 12,
+) -> DataFrame:
+    """Near-identical embedding pairs: random-hyperplane LSH bucket join +
+    exact cosine ≥ threshold. Returns (a_id, b_id, cosine_sim)."""
+    from akka_graph_db_spark.functions.similarity import (
+        cosine,
+        hyperplane_signature,
+        unit_vector,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        unit_vector(F.col(vec_col)).alias("_u"),
+    ).withColumn("_sig", hyperplane_signature(F.col("_u"), planes))
+    a = base.select(
+        F.col("_id").alias("a_id"), F.col("_u").alias("_ua"), "_sig"
+    )
+    b = base.select(
+        F.col("_id").alias("b_id"), F.col("_u").alias("_ub"), "_sig"
+    )
+    return (
+        a.join(b, "_sig", "inner")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine(F.col("_ua"), F.col("_ub"), assume_unit=True).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

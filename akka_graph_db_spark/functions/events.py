@@ -1,0 +1,100 @@
+"""Windowed aggregation over the event stream (SURVEY.md §2.9).
+
+These operators are written against a *batch or streaming* events DataFrame
+(event_id, ts TIMESTAMP, user_id, event_type, value DOUBLE, props JSON
+string) — the same expressions run under Structured Streaming by swapping
+``spark.read`` for ``spark.readStream`` and adding ``with_watermark``;
+the batch form is what the DuckDB oracle checks.
+
+Money-style sums go through DECIMAL so results are order-independent and
+hash-stable (float addition is not associative; a shuffled parallel sum of
+doubles differs run-to-run in the last ulp — exact decimal arithmetic
+removes the flake at equal cost here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,2)"
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound for streaming use (no-op semantics on batch frames
+    other than marking the column)."""
+    return events.withWatermark("ts", delay)
+
+
+def _win_agg(df: DataFrame, win, extra_keys: list[str]):
+    return (
+        df.groupBy(win.alias("w"), *extra_keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            *extra_keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def tumbling(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type:
+    (window_start, event_type, n_events, sum_value)."""
+    return _win_agg(events, F.window("ts", duration), ["event_type"])
+
+
+def sliding(
+    events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts/sums per event_type; each event lands in
+    duration/slide windows."""
+    return _win_agg(events, F.window("ts", duration, slide), ["event_type"])
+
+
+def session(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-based): (user_id, session_start,
+    n_events, sum_value). A session extends while consecutive events are
+    within ``gap``; equivalent to the classic gaps-and-islands SQL."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def json_prop(events: DataFrame, key: str = "k") -> DataFrame:
+    """Extract a typed value from the JSON props column — the multimodal/
+    dynamic-props pattern on the event fixture: (event_id, <key> BIGINT)."""
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), f"$.{key}")
+        .try_cast("bigint")
+        .alias(key),
+    )
+
+
+def type_value_stats(events: DataFrame) -> DataFrame:
+    """Per-type global stats (n, exact sum, min/max) — hash-stable."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over an embedding column (SURVEY.md §2.9).
+
+Two paths:
+
+- :func:`topk_bruteforce` — exact cosine top-k: one scan of the corpus per
+  query batch, queries broadcast. The CORRECTNESS baseline, and the right
+  plan whenever |queries| is small (the corpus is scanned once regardless).
+- :func:`lsh_topk` — random-hyperplane LSH buckets: corpus and queries hash
+  to sign-pattern buckets; only same-bucket candidates score. The SCALE
+  path: the corpus scan is replaced by a bucket equi-join (shuffle keyed by
+  signature), trading recall for cost. Recall is tested in
+  tests/test_llm.py against the brute-force oracle.
+
+All math is double-precision JVM expressions (zip_with + aggregate) — no
+Python UDFs; hyperplanes are hash-derived (deterministic, no RNG).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def unit_vector(a: Column) -> Column:
+    """L2-normalized copy (doubles); zero vectors stay zero."""
+    d = as_double(a)
+    n = norm(d)
+    return F.when(n > 0, F.transform(d, lambda x: x / n)).otherwise(d)
+
+
+def cosine(a: Column, b: Column, assume_unit: bool = False) -> Column:
+    if assume_unit:
+        return dot(a, b)
+    da, db = as_double(a), as_double(b)
+    na, nb = norm(da), norm(db)
+    return F.when((na > 0) & (nb > 0), dot(da, db) / (na * nb)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, rank, cosine_sim).
+
+    The query side is broadcast (it must be small — that is what makes
+    brute force viable: one corpus scan total). Ties broken by neighbor id
+    for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector(F.col(vec_col)).alias("_cu"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_vector(F.col(vec_col)).alias("_qu"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("_qu"), F.col("_cu")).alias("cosine_sim"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def _plane_weight(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) from sha256 — stable
+    across runs and cluster layouts (no RNG; SNIPPETS-style hash trick)."""
+    h = hashlib.sha256(f"lsh:{table}:{plane}:{dim}".encode()).digest()
+    v = int.from_bytes(h[:8], "big")
+    return (v / 2**63) - 1.0
+
+
+def hyperplane_signature(
+    unit_vec: Column, planes: int, dim: int = 64, table: int = 0
+) -> Column:
+    """Sign-pattern bucket id (bigint) from ``planes`` hash-derived
+    hyperplanes. Same signature ⇔ same side of every plane."""
+    sig = F.lit(0).cast("bigint")
+    for p in range(planes):
+        w = F.array(
+            *[F.lit(_plane_weight(table, p, d)) for d in range(dim)]
+        )
+        proj = dot(unit_vec, w)
+        sig = sig.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    Each of ``tables`` independent hash tables contributes same-bucket
+    candidates; candidates score exactly; top-k per query over the union.
+    Returns (query_id, neighbor_id, rank, cosine_sim). Larger ``tables``
+    → higher recall, more candidates; larger ``planes`` → smaller buckets.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_vector(F.col(vec_col)).alias("_cu"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_vector(F.col(vec_col)).alias("_qu"),
+    )
+    c_sigs = c.select(
+        "neighbor_id",
+        "_cu",
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_signature(F.col("_cu"), planes, dim, t)
+                    for t in range(tables)
+                ]
+            )
+        ).alias("_tbl", "_sig"),
+    )
+    q_sigs = q.select(
+        "query_id",
+        "_qu",
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_signature(F.col("_qu"), planes, dim, t)
+                    for t in range(tables)
+                ]
+            )
+        ).alias("_tbl", "_sig"),
+    )
+    cands = (
+        c_sigs.join(q_sigs, ["_tbl", "_sig"], "inner")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("_qu"), F.col("_cu")).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

@@ -1,0 +1,163 @@
+"""Text analysis operators over a documents table (SURVEY.md §2.9).
+
+All JVM-side expressions (split/regexp/aggregate) — the hot path never
+leaves Tungsten. Designed against the driver's ``documents`` fixture
+(doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer + a BPE-ish fallback regex that splits punctuation
+# off words (used by token_count_bpe for an upper-bound token estimate).
+_WS = r"\s+"
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, _WS), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token estimate: words, digit runs and punctuation each count;
+    long words cost ceil(len/4) subword units (the ~4-chars-per-token rule
+    of thumb). Deterministic, pure expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(c, F.lit(_BPE_ISH), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.ceil(F.length(p) / 4.0).cast("bigint"),
+    )
+
+
+def shingles(tok: Column, n: int) -> Column:
+    """n-gram shingles (space-joined) from a token array; documents shorter
+    than n tokens produce their single full-text shingle."""
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tok)))
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+# Tiny built-in stopword profiles for the language-ID heuristic. These are
+# public common-word lists; the heuristic is an n-gram/stopword-overlap
+# scorer, not a trained model (the container has no ML deps — SURVEY §2.9).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans"],
+    "zh": ["de", "shi", "bu", "wo", "zai", "you", "le", "ren", "ta"],
+}
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append deterministic quality features: n_tokens, mean_token_len,
+    punct_ratio, stopword_ratio, upper_ratio, quality_score in [0,1]."""
+    t = F.col(text_col)
+    tok = tokens(t)
+    n_tok = F.size(tok)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_sw = F.size(F.filter(tok, lambda x: F.array_contains(sw, x)))
+    out = (
+        df.withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(0.0),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, punct / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.when(n_chars > 0, upper / n_chars).otherwise(0.0),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, n_sw / n_tok).otherwise(0.0),
+        )
+    )
+    # Heuristic quality: long enough, low punctuation, some stopwords.
+    score = (
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-profile overlap argmax (deterministic;
+    ties broken by language code order). Appends ``lang_pred``."""
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    scored = None
+    for code in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        s = F.size(F.array_intersect(tok, sw))
+        entry = F.struct(s.alias("score"), F.lit(code).alias("code"))
+        scored = entry if scored is None else F.when(
+            entry["score"] > scored["score"], entry
+        ).otherwise(scored)
+    return df.withColumn("lang_pred", scored["code"])
+
+
+def text_stats(
+    df: DataFrame, group_cols: tuple[str, ...] = ("lang", "source")
+) -> DataFrame:
+    """Per-group corpus stats — the groupBy/agg rollup a pipeline dashboards.
+    All sums exact (counts/bigint), so oracle-hash-stable."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(token_count(F.col("text"))).alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Append deterministic document fingerprints:
+
+    - ``content_hash``: xxhash64 of the exact text (exact-dup key)
+    - ``min_shingle_hash``: min over 5-token-shingle hashes (a 1-permutation
+      MinHash — robust to local edits, the winnowing-lite fingerprint)
+    """
+    t = F.col(text_col)
+    sh = shingles(tokens(t), shingle_n)
+    return df.withColumn("content_hash", F.xxhash64(t)).withColumn(
+        "min_shingle_hash",
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
+    )

@@ -1,0 +1,310 @@
+"""Graph analytics pack (SURVEY.md §2.8): degrees, connected components,
+PageRank, triangle counting, motif (fixed-length pattern) matching.
+
+These are the sanctioned extension surface beyond the reference's 14
+operators (the reference has no analytics at all — `/root/reference/` is an
+OLTP-style CRUD/traversal adapter; SURVEY.md §2.7/§2.8). The north star is
+GraphX-class analytics re-expressed in pure DataFrame form: every iterative
+algorithm is a driver-side superstep loop where each superstep is one
+Catalyst-planned join + aggregation (the Pregel pattern of GraphX's
+aggregateMessages, without the RDD API).
+
+Scale design notes (100 TB):
+
+- Messages are (dst, value) rows; the superstep is join(edges, state) →
+  groupBy(dst).agg(...) — both shuffle on node id, so successive supersteps
+  reuse the same hash partitioning; AQE coalesces and handles supernode
+  skew.
+- Lineage is truncated with ``localCheckpoint`` every few supersteps (plans
+  otherwise grow exponentially with iteration count). On a real cluster use
+  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
+  fault-tolerant truncation; localCheckpoint is the single-node-friendly
+  variant.
+- Convergence checks are one small aggregate per superstep — the same
+  action that materializes the persisted state, so no extra pass.
+- Connected components uses min-id propagation; on graphs with huge
+  diameter switch to the two-phase large-star/small-star algorithm
+  (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+  harness below is the propagation core both share.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from akka_graph_db_spark.model import PropertyGraph
+
+_CHECKPOINT_EVERY = 3
+
+
+def _edge_pairs(
+    g: PropertyGraph, edge_labels: Sequence[str] | None, directed: bool
+) -> DataFrame:
+    e = g.edges
+    if edge_labels:
+        e = e.where(F.col("label").isin(list(edge_labels)))
+    fwd = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    if directed:
+        return fwd
+    rev = e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    return fwd.unionByName(rev)
+
+
+def degrees(
+    g: PropertyGraph, edge_labels: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-node (id, out_degree, in_degree, degree). Nodes with no edges
+    appear with zeros. One shuffle per side + a join on id."""
+    e = g.edges
+    if edge_labels:
+        e = e.where(F.col("label").isin(list(edge_labels)))
+    out_d = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        g.nodes.select("id")
+        .join(out_d, "id", "left")
+        .join(in_d, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (
+                F.coalesce("out_degree", F.lit(0))
+                + F.coalesce("in_degree", F.lit(0))
+            ).alias("degree"),
+        )
+    )
+
+
+def connected_components(
+    g: PropertyGraph,
+    edge_labels: Sequence[str] | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Undirected connected components by min-id label propagation.
+
+    Returns (id, component) where component = min node id in the component.
+    Iterates until a fixpoint (no node's label shrinks) or ``max_iter``.
+    Cost per superstep: one shuffle join + one groupBy — both partitioned by
+    node id, so the exchange is reused across supersteps.
+    """
+    edges = _edge_pairs(g, edge_labels, directed=False)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    state = g.nodes.select("id", F.col("id").alias("component")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for it in range(max_iter):
+            msgs = (
+                edges.join(state, edges["a"] == state["id"], "inner")
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min("component").alias("msg"))
+            )
+            new_state = (
+                state.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("msg", F.col("component"))
+                    ).alias("component"),
+                    (F.coalesce("msg", F.col("component")) < F.col("component"))
+                    .cast("int")
+                    .alias("_chg"),
+                )
+            )
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                new_state = new_state.localCheckpoint(eager=True)
+            else:
+                new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            changed = new_state.agg(F.sum("_chg")).collect()[0][0] or 0
+            old = state
+            state = new_state.drop("_chg")
+            old.unpersist()
+            if changed == 0:
+                break
+        # Materialize the result before releasing the edge cache it reads.
+        out = state.localCheckpoint(eager=True)
+        return out
+    finally:
+        edges.unpersist()
+        state.unpersist()
+
+
+def pagerank(
+    g: PropertyGraph,
+    edge_labels: Sequence[str] | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank with fixed iteration count (deterministic), directed edges.
+
+    Returns (id, rank); ranks sum to ~N (GraphX convention: initial rank 1.0
+    per node, dangling mass redistributed uniformly). Each superstep is one
+    join + one groupBy, both on node id.
+    """
+    edges = _edge_pairs(g, edge_labels, directed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out_deg = edges.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    nodes = (
+        g.nodes.select("id")
+        .join(out_deg, "id", "left")
+        .select("id", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        return g.nodes.select("id", F.lit(0.0).alias("rank"))
+    state = nodes.select("id", "out_degree", F.lit(1.0).alias("rank"))
+    try:
+        for it in range(n_iter):
+            contribs = (
+                edges.join(state, edges["a"] == state["id"], "inner")
+                .where(F.col("out_degree") > 0)
+                .select(
+                    F.col("b").alias("id"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("recv"))
+            )
+            dangling = (
+                state.where(F.col("out_degree") == 0)
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            base = (1.0 - damping) + damping * dangling / n
+            state = (
+                nodes.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    "out_degree",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                state = state.localCheckpoint(eager=True)
+        out = state.select("id", "rank").localCheckpoint(eager=True)
+        return out
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
+
+
+def canonical_undirected(edge_pairs: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (a, b) with a < b (self-loops dropped) —
+    the canonical input shape for triangle/motif counting."""
+    return (
+        edge_pairs.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(
+    edge_pairs: DataFrame,
+) -> DataFrame:
+    """Global triangle count over an (a, b) edge-pair DataFrame.
+
+    Canonicalizes to a<b, then counts oriented wedges closed by a third
+    edge: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a<b<c — each triangle counted
+    exactly once. Two shuffle joins; at scale, pre-partition the canonical
+    edge list by the join key and let AQE handle skew (degree-based
+    orientation — pointing edges from low- to high-degree endpoints —
+    is the classic refinement when supernodes dominate; the a<b surrogate
+    ordering below is its id-based approximation).
+    Returns a 1-row DataFrame (n_triangles BIGINT).
+    """
+    e = canonical_undirected(edge_pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+        wedges = e1.join(e2, e1["y"] == e2["y2"], "inner").select("x", "y", "z")
+        e3 = e.select(F.col("a").alias("x2"), F.col("b").alias("z2"))
+        tri = wedges.join(
+            e3, (wedges["x"] == e3["x2"]) & (wedges["z"] == e3["z2"]), "inner"
+        )
+        return tri.agg(F.count(F.lit(1)).alias("n_triangles")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        e.unpersist()
+
+
+def node_triangle_counts(edge_pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts (id, n_triangles)."""
+    e = canonical_undirected(edge_pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+        wedges = e1.join(e2, e1["y"] == e2["y2"], "inner").select("x", "y", "z")
+        e3 = e.select(F.col("a").alias("x2"), F.col("b").alias("z2"))
+        tri = wedges.join(
+            e3, (wedges["x"] == e3["x2"]) & (wedges["z"] == e3["z2"]), "inner"
+        ).select("x", "y", "z")
+        per_node = (
+            tri.select(F.col("x").alias("id"))
+            .unionByName(tri.select(F.col("y").alias("id")))
+            .unionByName(tri.select(F.col("z").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        return per_node.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+def match_path(
+    g: PropertyGraph, edge_labels: Sequence[str], directed: bool = True
+) -> DataFrame:
+    """Fixed-length motif chain: match n0-[L1]->n1-[L2]->n2-... and return
+    one row per bound path with columns n0, e1, n1, e2, n2, ...
+
+    The generalization of pathsTo's fixed-length case (SURVEY.md §2.8
+    "motif matching = chain of edge-edge joins"); Catalyst reorders and
+    broadcasts the per-label edge scans as appropriate. Vertex-uniqueness is
+    NOT enforced (motif semantics, like Cypher MATCH on distinct
+    relationships); add a post-filter if simple paths are required.
+    """
+    if not edge_labels:
+        raise ValueError("edge_labels must be non-empty")
+
+    def hop(label: str, i: int) -> DataFrame:
+        e = g.edges.where(F.col("label") == label)
+        sel = e.select(
+            F.col("src").alias(f"n{i - 1}"),
+            F.col("id").alias(f"e{i}"),
+            F.col("dst").alias(f"n{i}"),
+        )
+        if not directed:
+            rev = e.select(
+                F.col("dst").alias(f"n{i - 1}"),
+                F.col("id").alias(f"e{i}"),
+                F.col("src").alias(f"n{i}"),
+            )
+            sel = sel.unionByName(rev)
+        return sel
+
+    out = hop(edge_labels[0], 1)
+    for i, lbl in enumerate(edge_labels[1:], start=2):
+        out = out.join(hop(lbl, i), f"n{i - 1}", "inner")
+    cols: list[str] = ["n0"]
+    for i in range(1, len(edge_labels) + 1):
+        cols += [f"e{i}", f"n{i}"]
+    return out.select(*cols)

@@ -1,0 +1,40 @@
+"""Readers for the LLM-pipeline fixtures: documents, embeddings, events.
+
+The ``events`` parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which
+Spark's vectorized parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]).
+The shim reads nanos as raw longs (``spark.sql.legacy.parquet.nanosAsLong``)
+and converts to a microsecond TIMESTAMP by truncation — exactly what the
+DuckDB oracle does when it casts ns→us, so both sides see identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ``ts`` as a proper (microsecond) TIMESTAMP column."""
+    prev = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is not None:
+            spark.conf.set(_NANOS_CONF, prev)
+    # ts arrives as bigint nanoseconds; truncate to micros (oracle-identical)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
+        )
+    return df

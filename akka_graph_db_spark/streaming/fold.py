@@ -1,0 +1,158 @@
+"""Mutation-log stream → graph-snapshot fold (SURVEY.md §2.6).
+
+The reference's concurrency surface is an actor mailbox: mutation command
+messages (`NodeCreator`/`NodeUpdater`, `MainActor.scala:6-8`) submitted
+fire-and-forget and applied asynchronously (`MainActor.scala:20-29`; the
+worker actors were never implemented). The Spark-native equivalent is a
+mutation LOG consumed by Structured Streaming: ``readStream`` over the log,
+``foreachBatch`` folding each micro-batch into the next copy-on-write
+snapshot via the batch CRUD operators — same async-submission semantics,
+but with exactly-once micro-batch boundaries instead of per-message
+interleaving.
+
+Log schema (one row per command)::
+
+    seq BIGINT          -- total order within and across batches
+    op STRING           -- add | update | remove
+    kind STRING         -- node | edge
+    id BIGINT
+    label STRING        -- add only
+    src BIGINT, dst BIGINT  -- edge add only
+    props MAP<STRING,STRING>  -- JSON fragments; "null" value deletes key
+
+Within a micro-batch, commands apply in ``seq`` order grouped by (op, kind)
+runs — a batch that interleaves ops on the SAME id is split into ordered
+sub-batches, so add→update→remove of one id inside one micro-batch lands
+correctly.
+
+At scale: each fold step is the same anti-join/union/merge plan as batch
+CRUD; snapshots should be persisted every K batches via ``store.py`` so
+lineage doesn't grow unboundedly across micro-batches (the streaming
+equivalent of the Pregel checkpoint cadence).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from akka_graph_db_spark.model import PropertyGraph
+from akka_graph_db_spark.operators import crud
+
+MUTATION_SCHEMA = (
+    "seq bigint, op string, kind string, id bigint, label string, "
+    "src bigint, dst bigint, props map<string,string>"
+)
+
+
+def apply_mutation_batch(g: PropertyGraph, batch: DataFrame) -> PropertyGraph:
+    """Fold one (micro-)batch of mutation commands into a new snapshot.
+
+    Commands are grouped into maximal runs of equal (op, kind) in ``seq``
+    order; each run applies as one vectorized CRUD call. The run split is
+    driver-side but touches only the distinct run keys (a tiny collect of
+    run boundaries), not the command rows themselves.
+    """
+    runs = (
+        batch.select("seq", "op", "kind")
+        .withColumn(
+            "_run",
+            F.sum(
+                (
+                    (F.lag("op").over(_seq_w()) != F.col("op"))
+                    | (F.lag("kind").over(_seq_w()) != F.col("kind"))
+                )
+                .cast("int")
+            ).over(_seq_w_rows()),
+        )
+        .groupBy("_run", "op", "kind")
+        .agg(F.min("seq").alias("_from"), F.max("seq").alias("_to"))
+        .orderBy("_from")
+        .collect()
+    )
+    for r in runs:
+        cmds = batch.where(
+            (F.col("seq") >= r["_from"]) & (F.col("seq") <= r["_to"])
+        )
+        g = _apply_run(g, r["op"], r["kind"], cmds)
+    return g
+
+
+def _seq_w():
+    from pyspark.sql import Window
+
+    return Window.orderBy("seq")
+
+
+def _seq_w_rows():
+    from pyspark.sql import Window
+
+    return (
+        Window.orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def _apply_run(
+    g: PropertyGraph, op: str, kind: str, cmds: DataFrame
+) -> PropertyGraph:
+    if op == "add" and kind == "node":
+        return crud.add_nodes(g, cmds.select("id", "label", "props"))
+    if op == "add" and kind == "edge":
+        return crud.add_edges(
+            g, cmds.select("id", "label", "src", "dst", "props")
+        )
+    if op == "update" and kind == "node":
+        return crud.update_nodes(
+            g, cmds.select("id", F.col("props").alias("changes"))
+        )
+    if op == "update" and kind == "edge":
+        return crud.update_edges(
+            g, cmds.select("id", F.col("props").alias("changes"))
+        )
+    if op == "remove" and kind == "node":
+        return crud.remove_nodes_by_id(g, cmds.select("id"))
+    if op == "remove" and kind == "edge":
+        return crud.remove_edges_by_id(g, cmds.select("id"))
+    raise ValueError(f"unknown mutation op/kind: {op}/{kind}")
+
+
+@dataclass
+class StreamingGraphFold:
+    """Holds the evolving snapshot across micro-batches; attach `step` to
+    ``writeStream.foreachBatch``.
+
+    ``checkpoint_every``: localCheckpoint the snapshot every K batches to
+    truncate cross-batch lineage (swap for store.save_snapshot on a real
+    cluster for durable, restart-safe folds).
+    """
+
+    graph: PropertyGraph
+    checkpoint_every: int = 5
+    batches_applied: int = field(default=0)
+
+    def step(self, batch: DataFrame, batch_id: int) -> None:
+        g = apply_mutation_batch(self.graph, batch.orderBy("seq"))
+        self.batches_applied += 1
+        if self.checkpoint_every and (
+            self.batches_applied % self.checkpoint_every == 0
+        ):
+            g = PropertyGraph(
+                g.nodes.localCheckpoint(eager=True),
+                g.edges.localCheckpoint(eager=True),
+            )
+        self.graph = g
+
+    def run(self, mutation_stream: DataFrame, checkpoint_dir: str):
+        """Consume an entire available stream (Trigger.AvailableNow) and
+        return the final snapshot — the batch-testable entry point."""
+        q = (
+            mutation_stream.writeStream.foreachBatch(self.step)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.graph
