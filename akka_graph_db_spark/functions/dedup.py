@@ -41,19 +41,34 @@ def exact_dedup(
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
 
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(
     text: Column, num_perm: int = 64, shingle_n: int = 3
 ) -> Column:
     """MinHash signature (array<bigint>, length ``num_perm``) over
-    ``shingle_n``-token shingles. Permutation i = xxhash64 seeded by i."""
+    ``shingle_n``-token shingles. Permutation i = xxhash64 seeded by i.
+
+    ONE aggregate pass over the shingles updating all ``num_perm`` mins via
+    zip_with — not ``num_perm`` separate array_min scans, which Catalyst's
+    projection collapse would otherwise duplicate into every consumer of
+    the signature (observed: 16 band hashes x 64 scans re-tokenizing the
+    document 1024x)."""
     sh = F.array_distinct(shingles(tokens(text), shingle_n))
-
-    def perm_min(i: int) -> Column:
-        # NB: capture i via closure, not a lambda default — PySpark counts
-        # lambda parameters (defaults included) to build the JVM lambda.
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-
-    return F.array(*[perm_min(i) for i in range(num_perm)])
+    init = F.expr(
+        f"array_repeat(cast({_MAX_LONG} as bigint), {num_perm})"
+    )
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(perms, lambda i: F.xxhash64(i, s)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_candidates(
@@ -74,13 +89,27 @@ def minhash_candidates(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_n)
-    banded = df.select(
-        F.col(id_col).alias("_id"),
+    # Materialize signatures before fan-out: each doc's signature feeds
+    # `bands` band hashes and the self-join's two sides — without the
+    # barrier, projection collapse would recompute the shingle pass for
+    # every consumer. Tiny frame: num_perm longs per doc. Repartition first
+    # so signature computation parallelizes even from a one-file source.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(npart, F.col("_id"))
+        .select(
+            "_id",
+            minhash_signature(F.col("_t"), num_perm, shingle_n).alias("_sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    banded = sigs.select(
+        "_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(F.slice(sig, i * r + 1, r))
+                    F.xxhash64(F.slice(F.col("_sig"), i * r + 1, r))
                     for i in range(bands)
                 ]
             )
@@ -188,28 +217,40 @@ def ngram_jaccard_pairs(
 
 def simhash(text: Column, n_bits: int = 64) -> Column:
     """SimHash of the token multiset: bit i of the result is the sign of the
-    per-bit vote sum over token hashes. Pure expressions; deterministic."""
+    per-bit vote sum over token hashes. Deterministic pure expressions —
+    and a SINGLE aggregate pass updating all ``n_bits`` vote counters via
+    zip_with (not n_bits separate scans; see minhash_signature note)."""
     tok = tokens(text)
-    hashes = F.transform(tok, lambda t: F.xxhash64(t))
-
-    def bit_vote(i: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-
-    out = F.lit(0).cast("bigint")
-    for i in range(n_bits):
-        out = out.bitwiseOR(
-            F.when(
-                bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-    return out
+    # literal bit-mask array (bit 63 = sign bit in two's complement)
+    pows = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint")
+            for i in range(n_bits)
+        ]
+    )
+    votes = F.aggregate(
+        tok,
+        F.expr(f"array_repeat(0, {n_bits})"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                pows,
+                lambda p: F.when(
+                    F.xxhash64(t).bitwiseAND(p) != 0, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # fold votes -> 64-bit word: OR of the masks whose vote is positive
+    bits = F.zip_with(
+        votes,
+        pows,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, b: acc.bitwiseOR(b)
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -229,9 +270,13 @@ def simhash_dedup_pairs(
     chunk), then exact Hamming verify. Returns (a_id, b_id, hamming)."""
     chunk_bits = n_bits // n_chunks
     mask = (1 << chunk_bits) - 1
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        simhash(F.col(text_col), n_bits).alias("_sim"),
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    # materialize: the simhash feeds n_chunks bucket keys + both join sides
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(npart, F.col("_id"))
+        .select("_id", simhash(F.col("_t"), n_bits).alias("_sim"))
+        .localCheckpoint(eager=True)
     )
     chunks = sh.select(
         "_id",

@@ -32,9 +32,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set(_NANOS_CONF, prev)
-    # ts arrives as bigint nanoseconds; truncate to micros (oracle-identical)
+    # ts arrives as bigint nanoseconds; truncate to micros with INTEGER
+    # division (a double division of ~1.7e18 ns loses the last microsecond
+    # to float rounding — observed off-by-one vs the DuckDB oracle).
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("bigint"))
-        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

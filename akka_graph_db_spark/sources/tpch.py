@@ -25,6 +25,7 @@ label-partitioned layout for repeated workloads.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from akka_graph_db_spark.model import (
@@ -48,12 +49,33 @@ IN_REGION_BASE = 100_000_000
 LOCATED_IN_CUST_BASE = 110_000_000
 LOCATED_IN_SUPP_BASE = 120_000_000
 PLACED_BASE = 130_000_000
-CONTAINS_BASE = 200_000_000  # + l_orderkey * 8 + l_linenumber  (linenumber ≤ 7)
+# contains: the driver's synthetic lineitem does NOT have unique
+# (l_orderkey, l_linenumber) pairs (unlike true TPC-H), so the edge id is
+# l_orderkey * 32 + (per-order row_number - 1): deterministic, SQL-
+# reproducible (the oracle recomputes the same ROW_NUMBER), and the window
+# is partitioned by l_orderkey — tiny per-order groups, no global shuffle.
+CONTAINS_BASE = 1_000_000_000
+CONTAINS_SHIFT = 32  # max lines per order (observed 17; true TPC-H 7)
 # supplied_by packs (partkey, suppkey) as partkey * 2^20 + suppkey: collision-
 # free while suppkey < 2^20 (TPC-H suppliers = 10k x SF -> holds to SF ~100).
-# All other bands stay below 3.1e8, so supplied_by ids (>= 3e8) never clash.
-SUPPLIED_BY_BASE = 300_000_000
+SUPPLIED_BY_BASE = 1_000_000_000_000
 SUPPLIED_BY_SHIFT = 1_048_576  # 2^20
+
+# Stable order for the per-order lineitem row_number (full rows are unique,
+# so this ordering is total; identical rows would swap identical ids).
+_LINEITEM_ORDER = (
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+_LINEITEM_ORDER_SQL = ", ".join(_LINEITEM_ORDER)
 
 # Band-capacity limits the packing relies on; validate_id_ranges() enforces
 # them loudly instead of corrupting ids silently (one max() aggregate per
@@ -65,7 +87,10 @@ _KEY_LIMITS = {
     "supplier": ("s_suppkey", min(PART_BASE - SUPPLIER_BASE, SUPPLIED_BY_SHIFT)),
     "part": ("p_partkey", ORDER_BASE - PART_BASE),
     "orders": ("o_orderkey", (CONTAINS_BASE - PLACED_BASE)),
-    "lineitem": ("l_orderkey", (SUPPLIED_BY_BASE - CONTAINS_BASE) // 8),
+    "lineitem": (
+        "l_orderkey",
+        (SUPPLIED_BY_BASE - CONTAINS_BASE) // CONTAINS_SHIFT,
+    ),
 }
 
 TPCH_TABLES = (
@@ -143,10 +168,18 @@ def validate_id_ranges(spark: SparkSession, sf_dir: str) -> dict[str, int]:
                 "switch to the label_code<<48 packing documented above"
             )
     ln = read_table(spark, sf_dir, "lineitem")
-    ml = ln.select(F.max("l_linenumber").alias("m")).collect()[0]["m"] or 0
-    observed["l_linenumber"] = ml
-    if ml >= 8:
-        raise ValueError(f"id-band overflow: max(l_linenumber)={ml} >= 8")
+    ml = (
+        ln.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]["m"]
+        or 0
+    )
+    observed["max_lines_per_order"] = ml
+    if ml > CONTAINS_SHIFT:
+        raise ValueError(
+            f"id-band overflow: {ml} lines in one order > {CONTAINS_SHIFT}"
+        )
     return observed
 
 
@@ -326,8 +359,16 @@ def graph_from_tpch(
         )
         .unionByName(
             edge_branch(
-                lineitem,
-                _b("l_orderkey") * 8 + _b("l_linenumber") + CONTAINS_BASE,
+                lineitem.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        W.partitionBy("l_orderkey").orderBy(*_LINEITEM_ORDER)
+                    ),
+                ),
+                _b("l_orderkey") * CONTAINS_SHIFT
+                + F.col("_rn").cast("bigint")
+                - 1
+                + CONTAINS_BASE,
                 "contains",
                 _b("l_orderkey") + ORDER_BASE,
                 _b("l_partkey") + PART_BASE,
@@ -410,9 +451,10 @@ edges_v AS (
          o_custkey + {CUSTOMER_BASE}, o_orderkey + {ORDER_BASE}
   FROM orders
   UNION ALL
-  SELECT l_orderkey * 8 + l_linenumber + {CONTAINS_BASE}, 'contains',
+  SELECT l_orderkey * {CONTAINS_SHIFT} + rn - 1 + {CONTAINS_BASE}, 'contains',
          l_orderkey + {ORDER_BASE}, l_partkey + {PART_BASE}
-  FROM lineitem
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          ORDER BY {_LINEITEM_ORDER_SQL}) AS rn FROM lineitem)
   UNION ALL
   SELECT l_partkey * {SUPPLIED_BY_SHIFT} + l_suppkey + {SUPPLIED_BY_BASE},
          'supplied_by',

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed through the same ``__spark_entry__.queries()``
+callables the correctness gate checks — benchmarking the verified plans,
+not specially-tuned variants. Timing includes plan + execution (count()),
+excluding only session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "egress_edges",           # scan + frontier join + agg (Phase-1 slice)
+    "get_nodes_filtered",     # pushdown scan
+    "get_edges_filtered",     # edge scan + JSON predicate
+    "ingress_edges",          # reverse frontier join
+    "paths_to",               # iterative BFS
+    "degrees",                # two shuffles + join
+    "connected_components_geo",  # iterative superstep loop
+    "pagerank_top20",         # 10 supersteps
+    "triangles_coorder",      # 2 shuffle joins on derived graph
+    "motif_supply_chain",     # 4-hop join chain
+    "dedup_exact",            # hash groupBy
+    "dedup_minhash",          # 64-perm signatures + band join
+    "similarity_topk",        # corpus scan x 5 queries
+    "text_stats",             # tokenize + agg
+    "multimodal_meta",        # Arrow mapInPandas
+    "events_tumbling",        # window agg
+    "events_session",         # session window
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from akka_graph_db_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # report, don't abort the whole bench
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""§2.8 analytics on the micro-graph (known closed-form answers)."""
+
+import pyspark.sql.functions as F
+
+from akka_graph_db_spark.operators import analytics
+
+
+def test_degrees(micro):
+    d = {r["id"]: r for r in analytics.degrees(micro).collect()}
+    assert d[6]["out_degree"] == 5 and d[6]["in_degree"] == 0
+    assert d[7]["degree"] == 0  # island
+    assert d[1]["out_degree"] == 5  # 100,102,103,104,105
+    assert d[1]["in_degree"] == 3  # 101, 102(self), 107
+
+
+def test_connected_components(micro):
+    cc = {r["id"]: r["component"] for r in
+          analytics.connected_components(micro).collect()}
+    main = {1, 2, 3, 4, 5, 6, 8, 9, 10}
+    # node 10 has no edges -> its own component; island too
+    assert cc[7] == 7
+    assert cc[10] == 10
+    connected = main - {10}
+    assert {cc[i] for i in connected} == {1}
+
+
+def test_triangle_count(micro):
+    pairs = micro.edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    n = analytics.triangle_count(pairs).collect()[0]["n_triangles"]
+    assert n == 9  # enumerated by hand in conftest docstring graph
+
+
+def test_node_triangle_counts(micro):
+    pairs = micro.edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    per = {r["id"]: r["n_triangles"] for r in
+           analytics.node_triangle_counts(pairs).collect()}
+    assert per[6] == 7  # hub participates in 7 of the 9
+
+
+def test_pagerank_invariants(micro):
+    pr = analytics.pagerank(micro, n_iter=10)
+    rows = {r["id"]: r["rank"] for r in pr.collect()}
+    n = len(rows)
+    assert abs(sum(rows.values()) - n) < 1e-6  # mass conserved
+    assert all(v > 0 for v in rows.values())
+    # nodes receiving hub links outrank the hub itself (hub has no in-edges)
+    assert rows[2] > rows[6]
+
+
+def test_match_path(micro):
+    chains = analytics.match_path(micro, ["lives_in", "road"])
+    got = sorted((r["n0"], r["n1"], r["n2"]) for r in chains.collect())
+    assert got == [(1, 4, 5), (2, 5, 9), (3, 4, 5)]
+
+
+def test_match_path_undirected_superset(micro):
+    directed = analytics.match_path(micro, ["road"]).count()
+    undirected = analytics.match_path(
+        micro, ["road"], directed=False
+    ).count()
+    assert undirected == 2 * directed

@@ -1,0 +1,29 @@
+"""Driver-contract sanity: entry() runs, queries()/oracle_sql() agree.
+
+The full oracle-differential run is tools/check_correctness.py (and the
+driver itself); here we smoke the contract shape cheaply.
+"""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"customer_id", "n_orders", "total_spent"}
+
+
+def test_contract_shapes(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)  # every oracle has a query
+    # the 14 reference operators all have ORACLE-CHECKED entries
+    for must in (
+        "get_node", "get_nodes_filtered", "get_nodes_all_labels",
+        "get_edge", "get_edges_filtered", "egress_edges", "ingress_edges",
+        "paths_to", "add_nodes", "add_edges_validated", "update_node_merge",
+        "update_edge_merge", "remove_node_cascade",
+        "remove_nodes_predicate", "remove_edges_predicate",
+    ):
+        assert must in qs and must in oracles, must

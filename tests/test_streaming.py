@@ -1,0 +1,55 @@
+"""§2.6: streaming mutation fold == batch-applied CRUD."""
+
+import os
+import tempfile
+
+from akka_graph_db_spark.operators import crud
+from akka_graph_db_spark.streaming.fold import (
+    MUTATION_SCHEMA,
+    StreamingGraphFold,
+    apply_mutation_batch,
+)
+from conftest import ids
+
+LOG = [
+    (1, "add", "node", 50, "t", None, None, {"v": '"a"'}),
+    (2, "add", "node", 51, "t", None, None, {"v": '"b"'}),
+    (3, "add", "edge", 60, "te", 50, 51, {}),
+    (4, "update", "node", 50, None, None, None, {"v": '"a2"'}),
+    (5, "remove", "node", 51, None, None, None, None),
+    (6, "add", "node", 52, "t", None, None, {}),
+]
+
+
+def expected(micro):
+    g = crud.add_nodes(micro, [(50, "t", {"v": "a"}), (51, "t", {"v": "b"})])
+    g = crud.add_edges(g, [(60, "te", 50, 51, {})])
+    g = crud.update_nodes(g, {50: {"v": "a2"}})
+    g = crud.remove_nodes_by_id(g, [51])  # cascades to edge 60
+    g = crud.add_nodes(g, [(52, "t", {})])
+    return g
+
+
+def test_batch_fold_matches_crud(spark, micro):
+    batch = spark.createDataFrame(LOG, MUTATION_SCHEMA)
+    folded = apply_mutation_batch(micro, batch)
+    exp = expected(micro)
+    assert ids(folded.nodes) == ids(exp.nodes)
+    assert ids(folded.edges) == ids(exp.edges)
+    assert 60 not in ids(folded.edges)  # cascade inside the fold
+
+
+def test_streaming_fold_matches_batch(spark, micro):
+    tmp = tempfile.mkdtemp(prefix="fold_")
+    log_dir = os.path.join(tmp, "log")
+    # 3 micro-batch files in seq order (one file per repartition slice
+    # would interleave; availableNow processes files deterministically and
+    # the fold orders by seq inside each batch)
+    spark.createDataFrame(LOG, MUTATION_SCHEMA).coalesce(1).write.json(log_dir)
+    stream = spark.readStream.schema(MUTATION_SCHEMA).json(log_dir)
+    fold = StreamingGraphFold(micro, checkpoint_every=1)
+    final = fold.run(stream, os.path.join(tmp, "ckpt"))
+    exp = expected(micro)
+    assert ids(final.nodes) == ids(exp.nodes)
+    assert ids(final.edges) == ids(exp.edges)
+    assert fold.batches_applied >= 1
