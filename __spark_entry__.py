@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from akka_graph_db_spark.functions import dedup, events as ev
@@ -178,23 +178,14 @@ def q_paths_to(spark, sf_dir):
     """pathsTo (Neo4jGraph.scala:492-520) as bounded directed BFS: customer 1
     → its region, depth ≤ 4; exactly the located_in→in_region chain."""
     g = _g(spark, sf_dir)
-    row = (
-        g.edges.where(
-            (F.col("label") == "located_in")
-            & (F.col("src") == CUSTOMER_BASE + 1)
-        )
-        .select(F.col("dst").alias("nation_id"))
-        .collect()[0]
+    # one driver lookup: customer 1 -> nation -> region in a single plan
+    li = g.edges.where(
+        (F.col("label") == "located_in") & (F.col("src") == CUSTOMER_BASE + 1)
+    ).select(F.col("dst").alias("nation_id"))
+    ir = g.edges.where(F.col("label") == "in_region").select(
+        F.col("src").alias("nation_id"), F.col("dst").alias("region_id")
     )
-    region_row = (
-        g.edges.where(
-            (F.col("label") == "in_region")
-            & (F.col("src") == row["nation_id"])
-        )
-        .select("dst")
-        .collect()[0]
-    )
-    end_id = region_row["dst"]
+    end_id = li.join(ir, "nation_id").collect()[0]["region_id"]
     p = traverse.paths_to(
         g, CUSTOMER_BASE + 1, end_id, max_depth=4, directed=True
     )
@@ -365,10 +356,11 @@ def q_pagerank_top20(spark, sf_dir):
     the driver records a rows-only check, invariants tested in pytest)."""
     g = _g(spark, sf_dir)
     pr = analytics.pagerank(g, n_iter=10)
-    w = Window.orderBy(F.col("rank").desc(), F.col("id"))
+    # orderBy+limit = TakeOrdered (per-partition top-k then merge) — not a
+    # single-partition global window
     return (
-        pr.withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= 20)
+        pr.orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
         .select("id", F.round("rank", 6).alias("rank"))
     )
 
@@ -458,6 +450,18 @@ def q_similarity_lsh(spark, sf_dir):
     emb = read_embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, q, k=10, planes=8, tables=6).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-flat approximate top-10 (centroid-bucket pruning — the
+    billion-vector scale path; rows-only, recall asserted in pytest)."""
+    emb = read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, q, k=10, n_centroids=16, n_probe=6
+    ).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
     )
 
@@ -626,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

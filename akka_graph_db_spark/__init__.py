@@ -19,7 +19,8 @@ copy-on-write snapshots; traversal is a driver-side frontier-join loop
 (Pregel pattern); everything else is a single Catalyst plan.
 """
 
+from akka_graph_db_spark.api import GraphDB
 from akka_graph_db_spark.model import PropertyGraph
 from akka_graph_db_spark.session import get_spark
 
-__all__ = ["PropertyGraph", "get_spark"]
+__all__ = ["GraphDB", "PropertyGraph", "get_spark"]

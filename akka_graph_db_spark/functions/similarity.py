@@ -126,6 +126,119 @@ def hyperplane_signature(
     return sig
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF-flat coarse quantization: centroid c = the unit vector of the
+    corpus row with the c-th smallest id (deterministic seed pick — a fixed
+    Lloyd refinement could follow, but the seed quantizer is already a
+    partition function, which is all IVF needs for bucketing). Returns the
+    corpus with a ``centroid`` column + the driver-side centroid list.
+
+    Scale shape: the centroid set is tiny (driver-collectable by
+    construction); assignment is one broadcast-free scan computing
+    n_centroids dots per row; the assigned corpus is then bucketable /
+    partitionable by ``centroid`` for pruning at query time.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col), unit_vector(F.col(vec_col)).alias("_u"))
+        .collect()
+    )
+    centroids = [(i, list(r["_u"])) for i, r in enumerate(seeds)]
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        unit_vector(F.col(vec_col)).alias("_u"),
+    )
+    sims = F.array(
+        *[
+            dot(F.col("_u"), F.array(*[F.lit(x) for x in vec]))
+            for _, vec in centroids
+        ]
+    )
+    # argmax via array_position(max) - 1 (sims are distinct w.p. 1)
+    assigned = c.withColumn(
+        "centroid",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+    ).drop("_u")
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only corpus rows in the ``n_probe``
+    centroids nearest to each query. Returns (query_id, neighbor_id, rank,
+    cosine_sim). Recall/cost knob: n_probe/n_centroids. The corpus scan is
+    replaced by a centroid-bucket equi-join — the IVF pruning that makes
+    billion-vector search tractable."""
+    assigned, centroids = ivf_assignments(corpus, n_centroids, vec_col, id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_vector(F.col(vec_col)).alias("_qu"),
+    )
+    qsims = F.array(
+        *[
+            dot(F.col("_qu"), F.array(*[F.lit(x) for x in vec]))
+            for _, vec in centroids
+        ]
+    )
+    # indices of the n_probe largest centroid sims
+    probes = F.slice(
+        F.reverse(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        qsims,
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda s, i: F.struct(
+                            s.alias("s"), i.alias("i")
+                        ),
+                    )
+                ),
+                lambda st: st["i"],
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q_probed = q.select(
+        "query_id", "_qu", F.explode(probes).alias("centroid")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        "centroid",
+        unit_vector(F.col(vec_col)).alias("_cu"),
+    )
+    cands = c.join(F.broadcast(q_probed), "centroid", "inner").select(
+        "query_id",
+        "neighbor_id",
+        dot(F.col("_qu"), F.col("_cu")).alias("cosine_sim"),
+    )
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -166,6 +166,7 @@ def pagerank(
     if n == 0:
         return g.nodes.select("id", F.lit(0.0).alias("rank"))
     state = nodes.select("id", "out_degree", F.lit(1.0).alias("rank"))
+    persisted: list[DataFrame] = []
     try:
         for it in range(n_iter):
             contribs = (
@@ -178,31 +179,45 @@ def pagerank(
                 .groupBy("id")
                 .agg(F.sum("contrib").alias("recv"))
             )
-            dangling = (
-                state.where(F.col("out_degree") == 0)
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
+            # dangling mass folded INTO the plan (1-row agg, broadcast
+            # cross join) — no driver collect per iteration; the only
+            # actions are the periodic checkpoint materializations
+            dangling = state.where(F.col("out_degree") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
             )
-            base = (1.0 - damping) + damping * dangling / n
             state = (
                 nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
                 .select(
                     "id",
                     "out_degree",
                     (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("recv", F.lit(0.0))
+                            + F.col("_dang") / n
+                        )
                     ).alias("rank"),
                 )
             )
+            # lazy persist: each state feeds TWO consumers next iteration
+            # (contribs + dangling) — without the cache the checkpoint
+            # action would recompute the chain 2^k times
+            state = state.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(state)
             if (it + 1) % _CHECKPOINT_EVERY == 0:
                 state = state.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
         out = state.select("id", "rank").localCheckpoint(eager=True)
         return out
     finally:
         edges.unpersist()
         nodes.unpersist()
+        for df in persisted:
+            df.unpersist()
 
 
 def canonical_undirected(edge_pairs: DataFrame) -> DataFrame:

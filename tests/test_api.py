@@ -1,0 +1,40 @@
+"""Facade parity: the reference's interactive call pattern end-to-end."""
+
+from akka_graph_db_spark.api import GraphDB
+
+
+def test_reference_workflow(spark):
+    db = GraphDB.empty(spark)
+    a = db.add_node("person", {"name": "ann"})
+    b = db.add_node("person", {"name": "ben"})
+    c = db.add_node("city", {"name": "oslo"})
+    e1 = db.add_edge("knows", a, b, {"since": 2019})
+    db.add_edge("lives_in", a, c)
+
+    assert db.get_node(b)["label"] == "person"
+    assert db.get_nodes("person").count() == 2
+    assert db.get_edges("knows", {"since": 2019}).count() == 1
+
+    edge = db.get_edge(e1)
+    assert edge["src_label"] == "person" and edge["dst_label"] == "person"
+
+    db.update_node(a, {"name": None, "age": 40})
+    row = db.get_node(a)
+    assert "name" not in row["props"] and row["props"]["age"] == "40"
+
+    out = db.get_egress_edges(a)
+    assert out.count() == 2
+
+    p = db.paths_to(b, c, max_depth=2)
+    assert p.count() == 1  # ben -knows- ann -lives_in- oslo (undirected)
+
+    db.remove_node(a)  # cascades: both edges vanish
+    assert db.get_edges().count() == 0
+    assert db.get_nodes().count() == 2
+
+
+def test_auto_ids_monotonic(spark):
+    db = GraphDB.empty(spark)
+    i1 = db.add_node("t")
+    i2 = db.add_node("t")
+    assert i2 == i1 + 1

@@ -94,6 +94,23 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            emb, q, k=5, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_embedding_dedup_finds_duplicates(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
     dup = emb.select(
