@@ -102,9 +102,24 @@ def get_edges(
 
 
 def get_edge(g: PropertyGraph, edge_id: int, hydrate: bool = True) -> DataFrame:
-    """Point edge lookup, endpoints hydrated. `Neo4jGraph.scala:259-293`."""
+    """Point edge lookup, endpoints hydrated. `Neo4jGraph.scala:259-293`.
+
+    Point-lookup plan note: hydration first RESOLVES the edge's (src, dst)
+    with a tiny collect, then filters nodes by those two ids — so both node
+    scans get an id equality pushed to parquet (row-group skipping) instead
+    of streaming the full nodes table through two broadcast joins. The
+    reference's getEdge is likewise an eager point read (returns Option[E]).
+    Batch hydration (``get_edges(hydrate=True)``) stays fully lazy.
+    """
     e = g.edges.where(F.col("id") == F.lit(int(edge_id)))
-    return hydrate_endpoints(g, e) if hydrate else e
+    if not hydrate:
+        return e
+    rows = e.select("src", "dst").limit(1).collect()
+    if not rows:
+        return hydrate_endpoints(g, e)  # empty result, keep schema
+    src, dst = rows[0]["src"], rows[0]["dst"]
+    pruned = g.with_nodes(g.nodes.where(F.col("id").isin([src, dst])))
+    return hydrate_endpoints(pruned, e)
 
 
 def hydrate_endpoints(g: PropertyGraph, edges: DataFrame) -> DataFrame:
