@@ -399,6 +399,84 @@ def q_motif_supply_chain(spark, sf_dir):
 
 
 # ===========================================================================
+# §2.7 relational surface (free from Spark — windows, rollup, set ops,
+# top-k; the reference has none of these, SURVEY.md §2.7, so Spark
+# semantics are adopted wholesale and oracle-checked)
+# ===========================================================================
+
+def q_window_rank_customers(spark, sf_dir):
+    """Top-3 customers by total spent per nation — window function over the
+    placed/located_in graph."""
+    from pyspark.sql import Window
+
+    g = _g(spark, sf_dir)
+    spent = (
+        g.edges.where(F.col("label") == "placed")
+        .groupBy(F.col("src").alias("customer_id"))
+        .agg(
+            F.sum(F.col("totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_spent")
+        )
+    )
+    loc = g.edges.where(
+        (F.col("label") == "located_in")
+        & (F.col("src") >= CUSTOMER_BASE)
+        & (F.col("src") < 3_000_000)
+    ).select(F.col("src").alias("customer_id"), F.col("dst").alias("nation_id"))
+    w = Window.partitionBy("nation_id").orderBy(
+        F.col("total_spent").desc(), F.col("customer_id")
+    )
+    return (
+        spent.join(loc, "customer_id")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("nation_id", "customer_id", "total_spent", "rnk")
+    )
+
+
+def q_rollup_order_stats(spark, sf_dir):
+    """ROLLUP (status, priority) over order nodes — grouping-set totals."""
+    g = _g(spark, sf_dir)
+    orders = g.nodes.where(F.col("label") == "order")
+    return orders.rollup("status", "priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def q_set_ops_customers(spark, sf_dir):
+    """Set operations: (BUILDING ∪ MACHINERY) ∖ MACHINERY over node-id
+    sets — union/except on graph scans (≡ BUILDING; checked exactly)."""
+    g = _g(spark, sf_dir)
+    building = scan.get_nodes(
+        g, "customer", {"mktsegment": "BUILDING"}
+    ).select("id")
+    machinery = scan.get_nodes(
+        g, "customer", {"mktsegment": "MACHINERY"}
+    ).select("id")
+    return (
+        building.union(machinery)
+        .distinct()
+        .exceptAll(machinery)
+        .select(F.col("id").alias("customer_id"))
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """Global top-10 orders by totalprice (TakeOrdered, tie-broken by id)."""
+    g = _g(spark, sf_dir)
+    return (
+        g.nodes.where(F.col("label") == "order")
+        .orderBy(F.col("totalprice").desc(), F.col("id"))
+        .limit(10)
+        .select("id", "totalprice", "status")
+    )
+
+
+# ===========================================================================
 # §2.9 LLM pack
 # ===========================================================================
 
@@ -624,6 +702,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top20": q_pagerank_top20,
         "triangles_coorder": q_triangles_coorder,
         "motif_supply_chain": q_motif_supply_chain,
+        "window_rank_customers": q_window_rank_customers,
+        "rollup_order_stats": q_rollup_order_stats,
+        "set_ops_customers": q_set_ops_customers,
+        "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
@@ -827,6 +909,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "window_rank_customers": f"""
+            WITH spent AS (
+              SELECT o_custkey + {CUSTOMER_BASE} AS customer_id,
+                     {sums.format(col="o_totalprice")} AS total_spent
+              FROM orders GROUP BY 1
+            ),
+            loc AS (
+              SELECT c_custkey + {CUSTOMER_BASE} AS customer_id,
+                     c_nationkey + {NATION_BASE} AS nation_id
+              FROM customer
+            )
+            SELECT nation_id, customer_id, total_spent,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (
+              SELECT l.nation_id, s.customer_id, s.total_spent,
+                     ROW_NUMBER() OVER (PARTITION BY l.nation_id
+                       ORDER BY s.total_spent DESC, s.customer_id) AS rnk
+              FROM spent s JOIN loc l ON s.customer_id = l.customer_id
+            ) WHERE rnk <= 3
+        """,
+        "rollup_order_stats": f"""
+            SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                   COUNT(*) AS n_orders,
+                   {sums.format(col="o_totalprice")} AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "set_ops_customers": f"""
+            SELECT c_custkey + {CUSTOMER_BASE} AS customer_id
+            FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            EXCEPT
+            SELECT c_custkey + {CUSTOMER_BASE}
+            FROM customer WHERE c_mktsegment = 'MACHINERY'
+        """,
+        "topk_orders": f"""
+            SELECT o_orderkey + {ORDER_BASE} AS id,
+                   o_totalprice AS totalprice, o_orderstatus AS status
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

@@ -1,0 +1,104 @@
+"""Property-based tests (SURVEY.md §5.3) — randomized small graphs, seeded
+by hypothesis; few examples because every example is a Spark job."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from akka_graph_db_spark.model import PropertyGraph, prop_str
+from akka_graph_db_spark.operators import crud, scan, traverse
+
+NODE_IDS = list(range(1, 7))
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(NODE_IDS), st.sampled_from(NODE_IDS)
+    ),
+    min_size=0,
+    max_size=10,
+    unique=True,
+)
+
+_SPARK = {}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bind_session(spark):
+    _SPARK["s"] = spark
+
+
+def build(spark, edge_pairs):
+    g = PropertyGraph(
+        nodes=spark.createDataFrame(
+            [], "id bigint, label string, props map<string,string>"
+        ),
+        edges=spark.createDataFrame(
+            [],
+            "id bigint, label string, src bigint, dst bigint,"
+            " props map<string,string>",
+        ),
+    )
+    g = crud.add_nodes(g, [(i, "n", {"k": f"v{i}"}) for i in NODE_IDS])
+    g = crud.add_edges(
+        g,
+        [
+            (100 + i, "e", a, b, {})
+            for i, (a, b) in enumerate(edge_pairs)
+        ],
+    )
+    return PropertyGraph(
+        g.nodes.localCheckpoint(eager=True),
+        g.edges.localCheckpoint(eager=True),
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_pairs=edges_strategy)
+def test_add_then_remove_roundtrip(edge_pairs):
+    spark = _SPARK["s"]
+    g = build(spark, edge_pairs)
+    g2 = crud.add_nodes(g, [(99, "tmp", {})])
+    g2 = crud.add_edges(g2, [(999, "tmp_e", 99, 1, {})])
+    g3 = crud.remove_nodes_by_id(g2, [99])  # cascades to 999
+    assert sorted(r["id"] for r in g3.nodes.collect()) == sorted(
+        r["id"] for r in g.nodes.collect()
+    )
+    assert sorted(r["id"] for r in g3.edges.collect()) == sorted(
+        r["id"] for r in g.edges.collect()
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_pairs=edges_strategy)
+def test_paths_shape_invariants(edge_pairs):
+    spark = _SPARK["s"]
+    g = build(spark, edge_pairs)
+    adj = {}
+    for a, b in edge_pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = traverse.paths_to(g, 1, 5, max_depth=3).collect()
+    for r in rows:
+        p = r["node_path"]
+        assert p[0] == 1 and p[-1] == 5
+        assert len(set(p)) == len(p)  # vertex-unique
+        assert len(p) - 1 == r["depth"] <= 3
+        for x, y in zip(p, p[1:]):  # edge-connected (undirected)
+            assert y in adj.get(x, set())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    key=st.sampled_from(["k", "new"]),
+    value=st.one_of(st.none(), st.integers(-5, 5), st.text("ab", max_size=3)),
+)
+def test_update_none_never_leaves_key(key, value):
+    spark = _SPARK["s"]
+    g = build(spark, [(1, 2)])
+    g2 = crud.update_nodes(g, {1: {key: value}})
+    props = scan.get_node(g2, 1).collect()[0]["props"]
+    if value is None:
+        assert key not in props
+    else:
+        assert key in props
+
+
