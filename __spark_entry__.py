@@ -495,6 +495,14 @@ def q_dedup_minhash(spark, sf_dir):
     ).select("a_id", "b_id")
 
 
+def q_dedup_minhash_keep(spark, sf_dir):
+    """Cluster-representative near-dup dedup (the scale path: star
+    candidates + connected components — no quadratic pair emission;
+    rows-only, cluster collapse asserted in pytest)."""
+    docs = read_documents(spark, sf_dir)
+    return dedup.minhash_dedup_keep(docs, threshold=0.9)
+
+
 def q_dedup_jaccard(spark, sf_dir):
     """Exact within-bucket (lang, source) token-set Jaccard ≥ 0.8 pairs."""
     docs = read_documents(spark, sf_dir)
@@ -708,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "similarity_topk": q_similarity_topk,

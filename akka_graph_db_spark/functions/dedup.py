@@ -211,6 +211,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_dedup_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SCALABLE near-dup dedup: one kept representative per near-dup
+    cluster — returns (doc_id) of survivors.
+
+    The all-pairs form (:func:`minhash_dedup_pairs`) is inherently
+    quadratic in cluster size (a 1 400-doc duplicate cluster alone emits
+    ~1M pairs); pipelines that *deduplicate* never need the pairs. Here
+    each LSH band bucket contributes only STAR edges (bucket-min ↔ member):
+    O(docs × bands) candidates total, independent of cluster size. Star
+    edges are exact-verified (Jaccard ≥ threshold), then connected
+    components over the surviving edges pick min-id per cluster —
+    single-linkage through bucket representatives, the standard
+    LSH + union-find dedup approximation.
+    """
+    from akka_graph_db_spark.operators.analytics import (
+        connected_components_from_pairs,
+    )
+
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(npart, F.col("_id"))
+        .select(
+            "_id",
+            F.col("_t"),
+            minhash_signature(F.col("_t"), num_perm, shingle_n).alias("_sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    banded = base.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice(F.col("_sig"), i * r + 1, r))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    reps = banded.groupBy("band_idx", "band_hash").agg(
+        F.min("_id").alias("a")
+    )
+    star = (
+        banded.join(reps, ["band_idx", "band_hash"], "inner")
+        .where(F.col("_id") != F.col("a"))
+        .select("a", F.col("_id").alias("b"))
+        .distinct()
+    )
+    sh = base.select(
+        "_id",
+        F.array_distinct(shingles(tokens(F.col("_t")), shingle_n)).alias(
+            "_sh"
+        ),
+    )
+    sa = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    verified = (
+        star.join(sa, "a")
+        .join(sb, "b")
+        .where(jaccard(F.col("_sha"), F.col("_shb")) >= threshold)
+        .select("a", "b")
+    )
+    comp = connected_components_from_pairs(
+        base.select(F.col("_id").alias("id")), verified
+    )
+    return comp.groupBy("component").agg(
+        F.min("id").alias(id_col)
+    ).select(id_col)
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -96,9 +96,24 @@ def connected_components(
     Cost per superstep: one shuffle join + one groupBy — both partitioned by
     node id, so the exchange is reused across supersteps.
     """
-    edges = _edge_pairs(g, edge_labels, directed=False)
+    return connected_components_from_pairs(
+        g.nodes.select("id"),
+        _edge_pairs(g, edge_labels, directed=False),
+        max_iter,
+    )
+
+
+def connected_components_from_pairs(
+    vertices: DataFrame, pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Min-id propagation over a raw (a, b) pair frame + (id) vertex frame
+    — the harness behind :func:`connected_components`, reusable for derived
+    graphs (e.g. near-duplicate clusters)."""
+    edges = pairs.select("a", "b").unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    state = g.nodes.select("id", F.col("id").alias("component")).persist(
+    state = vertices.select("id", F.col("id").alias("component")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     try:

@@ -31,7 +31,8 @@ HEADLINE = [
     "triangles_coorder",      # 2 shuffle joins on derived graph
     "motif_supply_chain",     # 4-hop join chain
     "dedup_exact",            # hash groupBy
-    "dedup_minhash",          # 64-perm signatures + band join
+    "dedup_minhash",          # 64-perm signatures + band join (all pairs)
+    "dedup_minhash_keep",     # cluster-keep dedup (star + CC, scale path)
     "similarity_topk",        # corpus scan x 5 queries
     "text_stats",             # tokenize + agg
     "multimodal_meta",        # Arrow mapInPandas

@@ -44,6 +44,17 @@ def test_minhash_finds_identical_and_near(docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_minhash_keep_collapses_clusters(docs):
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_keep(
+            docs, threshold=0.9, num_perm=32, bands=16, shingle_n=1
+        ).collect()
+    )
+    # docs 1,2,6 share one token set -> one survivor (min id); 3,4,5 unique
+    assert kept == [1, 3, 4, 5]
+
+
 def test_token_jaccard_order_insensitive(docs):
     # doc 6 is doc 1 with shuffled word order: token-set jaccard = 1.0
     pairs = {
