@@ -200,6 +200,53 @@ def q_paths_to(spark, sf_dir):
     )
 
 
+def q_paths_to_undirected(spark, sf_dir):
+    """pathsTo in the reference's UNDIRECTED form (Cypher `-[:L*]-`,
+    Neo4jGraph.scala:504): nation 0 → the smallest co-located nation,
+    depth ≤ 2 — exactly the nation→region←nation route."""
+    g = _g(spark, sf_dir)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    a = nat.where(F.col("n_nationkey") == 0).select(
+        F.col("n_regionkey").alias("rk")
+    )
+    end_key = (
+        nat.join(a, nat["n_regionkey"] == a["rk"])
+        .where(F.col("n_nationkey") != 0)
+        .agg(F.min("n_nationkey").alias("m"))
+        .collect()[0]["m"]
+    )
+    p = traverse.paths_to(
+        g,
+        NATION_BASE + 0,
+        NATION_BASE + int(end_key),
+        max_depth=2,
+        directed=False,
+        edge_labels=["in_region"],
+    )
+    return p.select(
+        F.col("depth").cast("int").alias("depth"),
+        F.array_join(
+            F.transform(F.col("node_path"), lambda x: x.cast("string")), ","
+        ).alias("node_path_str"),
+    )
+
+
+def q_get_nodes_unlabeled_prop(spark, sf_dir):
+    """getNodes(label=None, {name: 'ASIA'}): a property predicate spanning
+    ALL labels (region matches; every other label is scanned-and-missed or
+    pruned via its promoted column)."""
+    g = _g(spark, sf_dir)
+    return scan.get_nodes(g, None, {"name": "ASIA"}).select("id", "label")
+
+
+def q_get_edges_hydrated(spark, sf_dir):
+    """Batch getEdges with endpoint hydration (the RETURN e,a,b shape,
+    Neo4jGraph.scala:295-332) — lazy two-join form over a whole label."""
+    g = _g(spark, sf_dir)
+    e = scan.get_edges(g, "in_region", hydrate=True)
+    return e.select("id", "src", "dst", "src_label", "dst_label")
+
+
 # ===========================================================================
 # Reference operators (SURVEY.md §2.1) — mutations, checked as
 # mutate-then-scan so the oracle can verify the post-state relationally
@@ -697,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "egress_edges": q_egress_edges,
         "ingress_edges": q_ingress_edges,
         "paths_to": q_paths_to,
+        "paths_to_undirected": q_paths_to_undirected,
+        "get_nodes_unlabeled_prop": q_get_nodes_unlabeled_prop,
+        "get_edges_hydrated": q_get_edges_hydrated,
         "add_nodes": q_add_nodes,
         "add_edges_validated": q_add_edges_validated,
         "update_node_merge": q_update_node_merge,
@@ -814,6 +864,65 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(node_path, ',') AS node_path_str,
                    array_to_string(edge_path, ',') AS edge_path_str
             FROM p WHERE cur = (SELECT end_id FROM ep) AND depth >= 1
+        """,
+        "paths_to_undirected": f"""
+            WITH RECURSIVE e AS (
+              SELECT n_nationkey + {NATION_BASE} AS a,
+                     n_regionkey + {REGION_BASE} AS b,
+                     n_nationkey + 100000000 AS id
+              FROM nation
+              UNION ALL
+              SELECT n_regionkey + {REGION_BASE},
+                     n_nationkey + {NATION_BASE},
+                     n_nationkey + 100000000
+              FROM nation
+            ),
+            p AS (
+              SELECT CAST({NATION_BASE} AS BIGINT) AS cur,
+                     [CAST({NATION_BASE} AS BIGINT)] AS node_path, 0 AS depth
+              UNION ALL
+              SELECT e.b, list_append(p.node_path, e.b), p.depth + 1
+              FROM p JOIN e ON p.cur = e.a
+              WHERE p.depth < 2
+                AND NOT list_contains(p.node_path, e.b)
+                AND p.cur <> (SELECT MIN(n2.n_nationkey) + {NATION_BASE}
+                              FROM nation n1 JOIN nation n2
+                                ON n1.n_regionkey = n2.n_regionkey
+                               AND n2.n_nationkey <> 0
+                              WHERE n1.n_nationkey = 0)
+            )
+            SELECT CAST(depth AS INTEGER) AS depth,
+                   array_to_string(node_path, ',') AS node_path_str
+            FROM p
+            WHERE cur = (SELECT MIN(n2.n_nationkey) + {NATION_BASE}
+                         FROM nation n1 JOIN nation n2
+                           ON n1.n_regionkey = n2.n_regionkey
+                          AND n2.n_nationkey <> 0
+                         WHERE n1.n_nationkey = 0)
+              AND depth >= 1
+        """,
+        "get_nodes_unlabeled_prop": f"""
+            SELECT r_regionkey + {REGION_BASE} AS id, 'region' AS label
+            FROM region WHERE r_name = 'ASIA'
+            UNION ALL
+            SELECT n_nationkey + {NATION_BASE}, 'nation'
+            FROM nation WHERE n_name = 'ASIA'
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE}, 'customer'
+            FROM customer WHERE c_name = 'ASIA'
+            UNION ALL
+            SELECT s_suppkey + 3000000, 'supplier'
+            FROM supplier WHERE s_name = 'ASIA'
+            UNION ALL
+            SELECT p_partkey + 4000000, 'part'
+            FROM part WHERE p_name = 'ASIA'
+        """,
+        "get_edges_hydrated": f"""
+            SELECT n_nationkey + 100000000 AS id,
+                   n_nationkey + {NATION_BASE} AS src,
+                   n_regionkey + {REGION_BASE} AS dst,
+                   'nation' AS src_label, 'region' AS dst_label
+            FROM nation
         """,
         "add_nodes": """
             SELECT * FROM (VALUES
