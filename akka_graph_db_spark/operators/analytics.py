@@ -153,6 +153,105 @@ def connected_components_from_pairs(
         state.unpersist()
 
 
+def connected_components_two_phase(
+    vertices: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds instead of O(diameter), the right harness when the
+    graph has long chains (min-propagation needs one superstep per hop).
+
+    large-star: every neighbor v > u of u links to m = min(N(u) ∪ {u});
+    small-star: every neighbor v ≤ u links to m likewise. At the fixpoint
+    the edge set is a star forest rooted at component minima.
+    Returns (id, component); singletons map to themselves.
+    """
+    e = (
+        pairs.select("a", "b")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_sig = None
+    try:
+        for it in range(max_iter):
+            # large-star: group by u over undirected neighborhood
+            und = e.select("u", "v").unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            m = und.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            large = (
+                und.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(
+                    F.col("v").alias("u2"), F.col("m").alias("v2")
+                )
+            )
+            e1 = (
+                large.where(F.col("u2") != F.col("v2"))
+                .select(
+                    F.greatest("u2", "v2").alias("u"),
+                    F.least("u2", "v2").alias("v"),
+                )
+                .distinct()
+            )
+            # small-star on the large-star output
+            und1 = e1.select("u", "v").unionByName(
+                e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            m1 = und1.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            small = (
+                und1.join(m1, "u")
+                .where(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("u2"), F.col("m").alias("v2"))
+                .unionByName(
+                    m1.select(F.col("u").alias("u2"), F.col("m").alias("v2"))
+                )
+            )
+            e_new = (
+                small.where(F.col("u2") != F.col("v2"))
+                .select(
+                    F.greatest("u2", "v2").alias("u"),
+                    F.least("u2", "v2").alias("v"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            sig = e_new.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0)
+                ).alias("s"),
+            ).collect()[0]
+            sig = (sig["n"], sig["s"])
+            old = e
+            e = e_new.persist(StorageLevel.MEMORY_AND_DISK)
+            old.unpersist()
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        # star forest: every u points at its component min v
+        comp = e.groupBy(F.col("u").alias("id")).agg(
+            F.min("v").alias("component")
+        )
+        roots_and_singletons = vertices.select("id").join(
+            comp, "id", "left_anti"
+        ).select("id", F.col("id").alias("component"))
+        out = comp.unionByName(roots_and_singletons).localCheckpoint(
+            eager=True
+        )
+        return out
+    finally:
+        e.unpersist()
+
+
 def pagerank(
     g: PropertyGraph,
     edge_labels: Sequence[str] | None = None,

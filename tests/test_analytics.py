@@ -24,6 +24,41 @@ def test_connected_components(micro):
     assert {cc[i] for i in connected} == {1}
 
 
+def test_two_phase_cc_long_chain(spark):
+    # a 40-node path: min-propagation needs ~40 supersteps, two-phase ~log n
+    verts = spark.createDataFrame([(i,) for i in range(1, 41)], "id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "a bigint, b bigint"
+    )
+    cc = {
+        r["id"]: r["component"]
+        for r in analytics.connected_components_two_phase(
+            verts, pairs
+        ).collect()
+    }
+    assert set(cc.values()) == {1}
+
+
+def test_two_phase_cc_matches_propagation(micro):
+    pairs = micro.edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    verts = micro.nodes.select("id")
+    a = {
+        r["id"]: r["component"]
+        for r in analytics.connected_components_from_pairs(
+            verts, pairs
+        ).collect()
+    }
+    b = {
+        r["id"]: r["component"]
+        for r in analytics.connected_components_two_phase(
+            verts, pairs
+        ).collect()
+    }
+    assert a == b
+
+
 def test_triangle_count(micro):
     pairs = micro.edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
