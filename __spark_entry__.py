@@ -656,14 +656,17 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_events_tumbling(spark, sf_dir):
+    ensure_query_conf(spark)  # UTC session TZ for window-start rendering
     return ev.tumbling(read_events(spark, sf_dir), "1 hour")
 
 
 def q_events_sliding(spark, sf_dir):
+    ensure_query_conf(spark)
     return ev.sliding(read_events(spark, sf_dir), "1 hour", "30 minutes")
 
 
 def q_events_session(spark, sf_dir):
+    ensure_query_conf(spark)
     return ev.session(read_events(spark, sf_dir), "10 minutes")
 
 

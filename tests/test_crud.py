@@ -94,6 +94,19 @@ def test_number_precision_roundtrip(micro):
     assert row["km"] == 9727.5
 
 
+def test_update_after_promotion_falls_back_to_props(spark):
+    # the promoted graph loses its typed columns after a mutation (they'd be
+    # stale) — subsequent predicates must still work via the props tier
+    from akka_graph_db_spark.sources.tpch import graph_from_tpch
+
+    g = graph_from_tpch(spark, "/root/testdata/sf0.001", promote=True)
+    before = scan.get_nodes(g, "customer", {"mktsegment": "BUILDING"}).count()
+    g2 = crud.update_nodes(g, {2_000_001: {"note": "x"}})
+    assert "mktsegment" not in g2.nodes.columns
+    after = scan.get_nodes(g2, "customer", {"mktsegment": "BUILDING"}).count()
+    assert after == before
+
+
 def test_remove_edges_by_predicate(micro):
     g2 = crud.remove_edges(micro, "knows", {"w": 1})
     assert 104 not in ids(g2.edges)
