@@ -623,6 +623,17 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_text_tokens(spark, sf_dir):
+    """Token counting both ways (SURVEY §2.9): whitespace tokens and the
+    BPE-ish estimate (words/digits/punct pieces at ~4 chars per subword)."""
+    docs = read_documents(spark, sf_dir).where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        textf.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        textf.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     docs = read_documents(spark, sf_dir)
     return (
@@ -777,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
@@ -1138,6 +1150,16 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(toks) AS DOUBLE)
                         ELSE 0.0 END AS stopword_ratio
             FROM t
+        """,
+        "text_tokens": f"""
+            SELECT doc_id,
+                   CAST(len({_TOK}) AS BIGINT) AS n_ws_tokens,
+                   CAST(list_sum(list_transform(
+                     regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                     p -> CAST(ceil(strlen(p) / 4.0) AS BIGINT)
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents WHERE doc_id < 100
         """,
         "lang_id": f"""
             WITH t AS (SELECT doc_id,
