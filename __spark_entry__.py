@@ -727,7 +727,7 @@ def q_streaming_fold(spark, sf_dir):
         log_dir
     )
     stream = spark.readStream.schema(MUTATION_SCHEMA).json(log_dir)
-    fold = StreamingGraphFold(g, checkpoint_every=0)
+    fold = StreamingGraphFold(g)
     final = fold.run(stream, os.path.join(tmp, "ckpt"))
     probes = final.nodes.where(F.col("label") == "stream_probe")
     return probes.select(

@@ -350,6 +350,13 @@ def simhash_dedup_pairs(
     """Near-dup pairs by SimHash: chunk-bucket join (pigeonhole — any pair
     within ``max_hamming`` ≤ n_chunks-1 bit flips shares ≥1 identical
     chunk), then exact Hamming verify. Returns (a_id, b_id, hamming)."""
+    if n_bits % n_chunks != 0:
+        raise ValueError("n_bits must be divisible by n_chunks")
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole completeness requires max_hamming <= n_chunks-1 "
+            f"({max_hamming} > {n_chunks - 1}); raise n_chunks"
+        )
     chunk_bits = n_bits // n_chunks
     mask = (1 << chunk_bits) - 1
     npart = df.sparkSession.sparkContext.defaultParallelism
@@ -415,13 +422,15 @@ def embedding_dedup_pairs(
     from akka_graph_db_spark.functions.similarity import (
         cosine,
         hyperplane_signature,
+        infer_dim,
         unit_vector,
     )
 
+    dim = infer_dim(df, vec_col)
     base = df.select(
         F.col(id_col).alias("_id"),
         unit_vector(F.col(vec_col)).alias("_u"),
-    ).withColumn("_sig", hyperplane_signature(F.col("_u"), planes))
+    ).withColumn("_sig", hyperplane_signature(F.col("_u"), planes, dim))
     a = base.select(
         F.col("_id").alias("a_id"), F.col("_u").alias("_ua"), "_sig"
     )

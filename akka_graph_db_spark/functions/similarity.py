@@ -107,11 +107,22 @@ def _plane_weight(table: int, plane: int, dim: int) -> float:
     return (v / 2**63) - 1.0
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first row (one tiny action). Hash
+    planes MUST match the data's true dim: zip_with pads a mismatch with
+    NULLs, which would silently collapse every vector into bucket 0."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or not row["d"] or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col}")
+    return int(row["d"])
+
+
 def hyperplane_signature(
     unit_vec: Column, planes: int, dim: int = 64, table: int = 0
 ) -> Column:
     """Sign-pattern bucket id (bigint) from ``planes`` hash-derived
-    hyperplanes. Same signature ⇔ same side of every plane."""
+    hyperplanes. Same signature ⇔ same side of every plane. ``dim`` must
+    equal the true vector length — use :func:`infer_dim`."""
     sig = F.lit(0).cast("bigint")
     for p in range(planes):
         w = F.array(
@@ -247,7 +258,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     planes: int = 8,
     tables: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH.
@@ -256,7 +267,10 @@ def lsh_topk(
     candidates; candidates score exactly; top-k per query over the union.
     Returns (query_id, neighbor_id, rank, cosine_sim). Larger ``tables``
     → higher recall, more candidates; larger ``planes`` → smaller buckets.
+    ``dim`` defaults to the corpus's actual dimensionality.
     """
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         unit_vector(F.col(vec_col)).alias("_cu"),

@@ -96,9 +96,11 @@ def connected_components(
     Cost per superstep: one shuffle join + one groupBy — both partitioned by
     node id, so the exchange is reused across supersteps.
     """
+    # pass DIRECTED pairs: the harness symmetrizes once itself (passing the
+    # already-symmetrized undirected set would double every message row)
     return connected_components_from_pairs(
         g.nodes.select("id"),
-        _edge_pairs(g, edge_labels, directed=False),
+        _edge_pairs(g, edge_labels, directed=True),
         max_iter,
     )
 

@@ -157,6 +157,13 @@ def update_edges(
     return g.with_edges(_apply_update(g.edges, g.edges.sparkSession, changes))
 
 
+def merge_keep_nulls(acc, ch):
+    """Map merge where the change side wins but ``"null"`` delete-markers
+    are KEPT (they must still delete at the final merge)."""
+    a = F.coalesce(acc, _empty_map())
+    return F.map_zip_with(a, ch, lambda _, v1, v2: F.coalesce(v2, v1))
+
+
 def _apply_update(df: DataFrame, spark, changes):
     known_rows = None
     if not isinstance(changes, DataFrame):
@@ -166,6 +173,19 @@ def _apply_update(df: DataFrame, spark, changes):
         ]
         known_rows = len(rows)
         changes = _rows_to_df(spark, rows, "id bigint, changes map<string,string>")
+    else:
+        # Collapse duplicate ids BEFORE the join — a changes-set with the
+        # same id twice would otherwise emit the node twice, corrupting the
+        # unique-id invariant. Relative order of duplicate rows is
+        # unspecified here (DataFrames are unordered); callers that care
+        # (streaming fold) pre-merge in seq order.
+        changes = changes.groupBy("id").agg(
+            F.aggregate(
+                F.collect_list("changes"),
+                _empty_map(),
+                merge_keep_nulls,
+            ).alias("changes")
+        )
     ch = _maybe_broadcast(
         changes.select(
             F.col("id").alias("_cid"), F.col("changes").alias("_changes")

@@ -22,7 +22,12 @@ from collections.abc import Iterable, Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from akka_graph_db_spark.model import PropertyGraph, encode_py_value, prop_raw
+from akka_graph_db_spark.model import (
+    _TS_FMT,
+    PropertyGraph,
+    encode_py_value,
+    prop_raw,
+)
 
 NON_PROMOTABLE = {"id", "label", "src", "dst", "props"}
 
@@ -63,7 +68,17 @@ def _prop_eq(df: DataFrame, key: str, value) -> Column:
         # quoted fragments try_cast to NULL -> never match a number (typed eq)
         return raw.try_cast("double") == F.lit(float(value))
     if isinstance(value, str):
-        return raw == F.lit(encode_py_value(value))
+        # exact string match, OR the timestamp-rendered form: a timestamp
+        # prop is stored as a quoted microsecond string, so the query
+        # "1996-01-02 00:00:00" must match it the same way it matches a
+        # promoted TIMESTAMP column (tier-consistent semantics)
+        ts = F.lit(value).try_cast("timestamp")
+        ts_frag = F.concat(
+            F.lit('"'), F.date_format(ts, _TS_FMT), F.lit('"')
+        )
+        return (raw == F.lit(encode_py_value(value))) | (
+            ts.isNotNull() & (raw == ts_frag)
+        )
     return raw == F.lit(encode_py_value(value))
 
 

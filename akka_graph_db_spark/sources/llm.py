@@ -32,6 +32,8 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set(_NANOS_CONF, prev)
+        else:
+            spark.conf.unset(_NANOS_CONF)  # don't leak the legacy flag
     # ts arrives as bigint nanoseconds; truncate to micros with INTEGER
     # division (a double division of ~1.7e18 ns loses the last microsecond
     # to float rounding — observed off-by-one vs the DuckDB oracle).

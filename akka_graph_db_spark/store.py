@@ -40,7 +40,19 @@ from akka_graph_db_spark.model import (
 _V_RE = re.compile(r"^v=(\d+)$")
 
 
+def _require_local(root: str) -> None:
+    # the version log is discovered via os.listdir; a remote URI would
+    # silently look empty and clobber/fail on the second save — fail loudly.
+    # (Cluster deployments: list versions through the Hadoop FileSystem API
+    # instead; the v=<N>/_SUCCESS layout itself is filesystem-agnostic.)
+    if "://" in root:
+        raise NotImplementedError(
+            f"store versioning currently requires a local path, got {root}"
+        )
+
+
 def list_versions(root: str) -> list[int]:
+    _require_local(root)
     if not os.path.isdir(root):
         return []
     out = []

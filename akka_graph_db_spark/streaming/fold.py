@@ -60,11 +60,13 @@ def apply_mutation_batch(g: PropertyGraph, batch: DataFrame) -> PropertyGraph:
         .withColumn(
             "_run",
             F.sum(
-                (
-                    (F.lag("op").over(_seq_w()) != F.col("op"))
-                    | (F.lag("kind").over(_seq_w()) != F.col("kind"))
+                F.coalesce(
+                    (
+                        (F.lag("op").over(_seq_w()) != F.col("op"))
+                        | (F.lag("kind").over(_seq_w()) != F.col("kind"))
+                    ).cast("int"),
+                    F.lit(0),  # NULL lag on the first row is NOT a break
                 )
-                .cast("int")
             ).over(_seq_w_rows()),
         )
         .groupBy("_run", "op", "kind")
@@ -104,14 +106,25 @@ def _apply_run(
         return crud.add_edges(
             g, cmds.select("id", "label", "src", "dst", "props")
         )
-    if op == "update" and kind == "node":
-        return crud.update_nodes(
-            g, cmds.select("id", F.col("props").alias("changes"))
+    if op == "update" and kind in ("node", "edge"):
+        # pre-merge duplicate ids IN SEQ ORDER (delete-markers kept), so a
+        # run updating the same id twice lands deterministically
+        merged = cmds.groupBy("id").agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("seq", "props")),
+                    # explicit comparator: structs holding maps have no
+                    # default ordering
+                    lambda l, r: F.when(l["seq"] < r["seq"], -1)
+                    .when(l["seq"] > r["seq"], 1)
+                    .otherwise(0),
+                ),
+                crud._empty_map(),
+                lambda acc, s: crud.merge_keep_nulls(acc, s["props"]),
+            ).alias("changes")
         )
-    if op == "update" and kind == "edge":
-        return crud.update_edges(
-            g, cmds.select("id", F.col("props").alias("changes"))
-        )
+        fn = crud.update_nodes if kind == "node" else crud.update_edges
+        return fn(g, merged)
     if op == "remove" and kind == "node":
         return crud.remove_nodes_by_id(g, cmds.select("id"))
     if op == "remove" and kind == "edge":
@@ -124,26 +137,25 @@ class StreamingGraphFold:
     """Holds the evolving snapshot across micro-batches; attach `step` to
     ``writeStream.foreachBatch``.
 
-    ``checkpoint_every``: localCheckpoint the snapshot every K batches to
-    truncate cross-batch lineage (swap for store.save_snapshot on a real
-    cluster for durable, restart-safe folds).
+    Every step MATERIALIZES the new snapshot (localCheckpoint) before the
+    callback returns: a foreachBatch DataFrame is only valid inside its
+    callback, so deferring evaluation would re-read expired micro-batches
+    (fine for file sources, wrong or crashing for Kafka/rate). This also
+    truncates cross-batch lineage as a side effect. On a real cluster swap
+    the localCheckpoint for store.save_snapshot for durable, restart-safe
+    folds.
     """
 
     graph: PropertyGraph
-    checkpoint_every: int = 5
     batches_applied: int = field(default=0)
 
     def step(self, batch: DataFrame, batch_id: int) -> None:
         g = apply_mutation_batch(self.graph, batch.orderBy("seq"))
+        self.graph = PropertyGraph(
+            g.nodes.localCheckpoint(eager=True),
+            g.edges.localCheckpoint(eager=True),
+        )
         self.batches_applied += 1
-        if self.checkpoint_every and (
-            self.batches_applied % self.checkpoint_every == 0
-        ):
-            g = PropertyGraph(
-                g.nodes.localCheckpoint(eager=True),
-                g.edges.localCheckpoint(eager=True),
-            )
-        self.graph = g
 
     def run(self, mutation_stream: DataFrame, checkpoint_dir: str):
         """Consume an entire available stream (Trigger.AvailableNow) and

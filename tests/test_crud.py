@@ -94,6 +94,32 @@ def test_number_precision_roundtrip(micro):
     assert row["km"] == 9727.5
 
 
+def test_duplicate_id_dataframe_update_keeps_unique_rows(spark, micro):
+    changes = spark.createDataFrame(
+        [(1, {"a": '"x"'}), (1, {"b": '"y"'})],
+        "id bigint, changes map<string,string>",
+    )
+    g2 = crud.update_nodes(micro, changes)
+    rows = g2.nodes.where("id = 1").collect()
+    assert len(rows) == 1
+    assert rows[0]["props"]["a"] == '"x"' and rows[0]["props"]["b"] == '"y"'
+
+
+def test_timestamp_string_query_consistent_across_tiers(spark):
+    from akka_graph_db_spark.sources.tpch import graph_from_tpch
+
+    g = graph_from_tpch(spark, "/root/testdata/sf0.001", promote=True)
+    ts = (
+        g.edges.where("label = 'placed'")
+        .select("orderdate")
+        .first()["orderdate"]
+    )
+    q = ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+    promoted = scan.get_edges(g, "placed", {"orderdate": q}).count()
+    props_tier = scan.get_edges(g.core(), "placed", {"orderdate": q}).count()
+    assert promoted == props_tier > 0
+
+
 def test_update_after_promotion_falls_back_to_props(spark):
     # the promoted graph loses its typed columns after a mutation (they'd be
     # stale) — subsequent predicates must still work via the props tier

@@ -39,6 +39,19 @@ def test_batch_fold_matches_crud(spark, micro):
     assert 60 not in ids(folded.edges)  # cascade inside the fold
 
 
+def test_same_id_updated_twice_in_one_batch(spark, micro):
+    log = [
+        (1, "add", "node", 50, "t", None, None, {"v": '"a"'}),
+        (2, "update", "node", 50, None, None, None, {"v": '"b"'}),
+        (3, "update", "node", 50, None, None, None, {"w": '"c"'}),
+    ]
+    batch = spark.createDataFrame(log, MUTATION_SCHEMA)
+    folded = apply_mutation_batch(micro, batch)
+    rows = folded.nodes.where("id = 50").collect()
+    assert len(rows) == 1  # no duplicate-row corruption
+    assert rows[0]["props"] == {"v": '"b"', "w": '"c"'}  # both updates land
+
+
 def test_streaming_fold_matches_batch(spark, micro):
     tmp = tempfile.mkdtemp(prefix="fold_")
     log_dir = os.path.join(tmp, "log")
@@ -47,7 +60,7 @@ def test_streaming_fold_matches_batch(spark, micro):
     # the fold orders by seq inside each batch)
     spark.createDataFrame(LOG, MUTATION_SCHEMA).coalesce(1).write.json(log_dir)
     stream = spark.readStream.schema(MUTATION_SCHEMA).json(log_dir)
-    fold = StreamingGraphFold(micro, checkpoint_every=1)
+    fold = StreamingGraphFold(micro)
     final = fold.run(stream, os.path.join(tmp, "ckpt"))
     exp = expected(micro)
     assert ids(final.nodes) == ids(exp.nodes)
