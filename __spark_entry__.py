@@ -398,6 +398,20 @@ def q_connected_components_geo(spark, sf_dir):
     return cc.join(geo, "id", "left_semi").select("id", "component")
 
 
+def q_connected_components_two_phase_geo(spark, sf_dir):
+    """Same geography components via the O(log n) large-star/small-star
+    algorithm — must agree with the propagation variant AND the relational
+    oracle (components = the region's node id)."""
+    g = _g(spark, sf_dir)
+    e = g.edges.where(F.col("label").isin("in_region", "located_in"))
+    pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    geo = g.nodes.where(
+        F.col("label").isin("region", "nation", "customer", "supplier")
+    ).select("id")
+    cc = analytics.connected_components_two_phase(geo, pairs)
+    return cc.select("id", "component")
+
+
 def q_pagerank_top20(spark, sf_dir):
     """PageRank (no oracle: iterative float fixpoint isn't SQL-expressible;
     the driver records a rows-only check, invariants tested in pytest)."""
@@ -771,6 +785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "degrees": q_degrees,
         "connected_components_geo": q_connected_components_geo,
+        "connected_components_two_phase_geo": (
+            q_connected_components_two_phase_geo
+        ),
         "pagerank_top20": q_pagerank_top20,
         "triangles_coorder": q_triangles_coorder,
         "motif_supply_chain": q_motif_supply_chain,
@@ -1007,6 +1024,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ig ON n.id = ig.id
         """,
         "connected_components_geo": f"""
+            SELECT r_regionkey + {REGION_BASE} AS id,
+                   r_regionkey + {REGION_BASE} AS component FROM region
+            UNION ALL
+            SELECT n_nationkey + {NATION_BASE},
+                   n_regionkey + {REGION_BASE} FROM nation
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE}, n_regionkey + {REGION_BASE}
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT s_suppkey + 3000000, n_regionkey + {REGION_BASE}
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "connected_components_two_phase_geo": f"""
             SELECT r_regionkey + {REGION_BASE} AS id,
                    r_regionkey + {REGION_BASE} AS component FROM region
             UNION ALL

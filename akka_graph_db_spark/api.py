@@ -214,3 +214,12 @@ class GraphDB:
 
     def match_path(self, edge_labels, directed: bool = True) -> DataFrame:
         return analytics.match_path(self.graph, edge_labels, directed)
+
+    def triangle_count(self, edge_labels=None) -> int:
+        from pyspark.sql import functions as F
+
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.triangle_count(pairs).collect()[0]["n_triangles"]
