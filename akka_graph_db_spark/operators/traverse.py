@@ -134,6 +134,10 @@ def paths_to(
             )
         rel = rel.join(allowed, rel["b"] == allowed["_aid"], "left_semi")
 
+    # one materialization instead of re-deriving the edge view (scans + any
+    # ingest-time windows + label semi-joins) at EVERY superstep below
+    rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+
     frontier = spark.createDataFrame(
         [(start_id, [start_id], [])],
         "cur bigint, node_path array<bigint>, edge_path array<bigint>",
@@ -185,5 +189,6 @@ def paths_to(
         out = out.localCheckpoint(eager=True)
         return out
     finally:
+        rel.unpersist()
         for df in persisted:
             df.unpersist()
