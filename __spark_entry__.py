@@ -74,6 +74,23 @@ def _g(spark: SparkSession, sf_dir: str):
     return graph_from_tpch(spark, sf_dir)
 
 
+# Shared by the propagation AND two-phase CC queries: components over the
+# geography subgraph = the region's node id, recomputed relationally.
+_CC_GEO_ORACLE = f"""
+    SELECT r_regionkey + {REGION_BASE} AS id,
+           r_regionkey + {REGION_BASE} AS component FROM region
+    UNION ALL
+    SELECT n_nationkey + {NATION_BASE},
+           n_regionkey + {REGION_BASE} FROM nation
+    UNION ALL
+    SELECT c_custkey + {CUSTOMER_BASE}, n_regionkey + {REGION_BASE}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT s_suppkey + 3000000, n_regionkey + {REGION_BASE}
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
 def _ts_str(c, fmt: str = "yyyy-MM-dd HH:mm:ss.SSSSSS"):
     return F.date_format(c, fmt)
 
@@ -1023,32 +1040,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN od ON n.id = od.id
             LEFT JOIN ig ON n.id = ig.id
         """,
-        "connected_components_geo": f"""
-            SELECT r_regionkey + {REGION_BASE} AS id,
-                   r_regionkey + {REGION_BASE} AS component FROM region
-            UNION ALL
-            SELECT n_nationkey + {NATION_BASE},
-                   n_regionkey + {REGION_BASE} FROM nation
-            UNION ALL
-            SELECT c_custkey + {CUSTOMER_BASE}, n_regionkey + {REGION_BASE}
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            UNION ALL
-            SELECT s_suppkey + 3000000, n_regionkey + {REGION_BASE}
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        """,
-        "connected_components_two_phase_geo": f"""
-            SELECT r_regionkey + {REGION_BASE} AS id,
-                   r_regionkey + {REGION_BASE} AS component FROM region
-            UNION ALL
-            SELECT n_nationkey + {NATION_BASE},
-                   n_regionkey + {REGION_BASE} FROM nation
-            UNION ALL
-            SELECT c_custkey + {CUSTOMER_BASE}, n_regionkey + {REGION_BASE}
-            FROM customer JOIN nation ON c_nationkey = n_nationkey
-            UNION ALL
-            SELECT s_suppkey + 3000000, n_regionkey + {REGION_BASE}
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        """,
+        "connected_components_geo": _CC_GEO_ORACLE,
+        "connected_components_two_phase_geo": _CC_GEO_ORACLE,
         "triangles_coorder": """
             WITH pairs AS (
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

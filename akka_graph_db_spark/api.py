@@ -216,8 +216,6 @@ class GraphDB:
         return analytics.match_path(self.graph, edge_labels, directed)
 
     def triangle_count(self, edge_labels=None) -> int:
-        from pyspark.sql import functions as F
-
         e = self.graph.edges
         if edge_labels:
             e = e.where(F.col("label").isin(list(edge_labels)))

@@ -8,8 +8,11 @@ shuffles on the band hash — uniformly distributed by construction — and the
 verify step touches only candidates, so cost scales with the number of
 near-duplicates, not with N².
 
-All hashes are ``xxhash64`` with explicit integer seeds → deterministic
-across runs/partitions/cluster sizes (no RNG anywhere).
+All hashing is seed-explicit and deterministic across runs/partitions/
+cluster sizes (no RNG anywhere). Two MinHash hash families exist: the
+expression path uses ``xxhash64`` (JVM-side), the Arrow path uses
+blake2b + a splitmix64 permutation family (numpy-vectorized); SimHash and
+banding always use ``xxhash64``.
 """
 
 from __future__ import annotations
@@ -85,10 +88,15 @@ def minhash_signatures_arrow(
     cost of the Arrow transfer. Returns (_id BIGINT, _sig ARRAY<BIGINT>).
 
     Hash family differs from :func:`minhash_signature` (expression path);
-    either feeds the SAME banding/verification downstream — candidates are
-    exact-verified, so final results are hash-identical across paths.
-    Tokenization matches functions.text.tokens() for ASCII corpora
-    (lowercase, whitespace split, empties dropped).
+    either feeds the SAME banding/verification downstream. Exact
+    verification removes all FALSE POSITIVES, so every emitted pair is a
+    true near-dup on both paths — but banding false NEGATIVES are
+    family-dependent: a pair barely above the threshold (miss probability
+    (1-s^r)^b, ~1e-2 at s=0.8 with 64/16) may be found by one family and
+    missed by the other. Pin ``arrow=`` explicitly where run-to-run pair
+    stability across code versions matters. Tokenization matches
+    functions.text.tokens() for ASCII corpora (lowercase, whitespace
+    split, empties dropped).
     """
 
     def _sigs(batches):
@@ -331,6 +339,7 @@ def minhash_dedup_keep(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 1,
+    arrow: bool = True,
 ) -> DataFrame:
     """SCALABLE near-dup dedup: one kept representative per near-dup
     cluster — returns (doc_id) of survivors.
@@ -352,7 +361,7 @@ def minhash_dedup_keep(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    base = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow=True)
+    base = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
     banded = base.select(
         "_id",
         F.posexplode(
@@ -373,6 +382,10 @@ def minhash_dedup_keep(
         .select("a", F.col("_id").alias("b"))
         .distinct()
     )
+    # Verification re-scans the source for shingles (second columnar read)
+    # rather than carrying full text through the signature checkpoint —
+    # duplicating the corpus into checkpoint storage costs more at scale
+    # than a compressed parquet re-read.
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
