@@ -161,22 +161,39 @@ def ivf_assignments(
         .collect()
     )
     centroids = [(i, list(r["_u"])) for i, r in enumerate(seeds)]
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        unit_vector(F.col(vec_col)).alias("_u"),
+
+    # Assignment is numpy-vectorized via mapInPandas: a (batch x dim) @
+    # (dim x n_centroids) matmul per Arrow batch — Spark doesn't codegen
+    # higher-order-function lambdas, so the zip_with/aggregate dot products
+    # would run interpreted (observed ~10x slower at 50k x 16 x 64).
+    cmat = [vec for _, vec in centroids]
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64).T  # dim x n_centroids
+        for pdf in batches:
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.linalg.norm(V, axis=1)
+            norms[norms == 0] = 1.0
+            U = V / norms[:, None]
+            cent = np.argmax(U @ C, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "centroid": cent,
+                }
+            )
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        _assign,
+        schema=f"{id_col} bigint, {vec_col} {vec_type}, centroid int",
     )
-    sims = F.array(
-        *[
-            dot(F.col("_u"), F.array(*[F.lit(x) for x in vec]))
-            for _, vec in centroids
-        ]
-    )
-    # argmax via array_position(max) - 1 (sims are distinct w.p. 1)
-    assigned = c.withColumn(
-        "centroid",
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
-    ).drop("_u")
     return assigned, centroids
 
 

@@ -27,6 +27,7 @@ HEADLINE = [
     "paths_to",               # iterative BFS
     "degrees",                # two shuffles + join
     "connected_components_geo",  # iterative superstep loop
+    "connected_components_two_phase_geo",  # O(log n) star rounds
     "pagerank_top20",         # 10 supersteps
     "triangles_coorder",      # 2 shuffle joins on derived graph
     "motif_supply_chain",     # 4-hop join chain
@@ -34,6 +35,8 @@ HEADLINE = [
     "dedup_minhash",          # 64-perm signatures + band join (all pairs)
     "dedup_minhash_keep",     # cluster-keep dedup (star + CC, scale path)
     "similarity_topk",        # corpus scan x 5 queries
+    "similarity_ivf",         # centroid-bucket pruned ANN
+    "window_rank_customers",  # partitioned window rank
     "text_stats",             # tokenize + agg
     "multimodal_meta",        # Arrow mapInPandas
     "events_tumbling",        # window agg
