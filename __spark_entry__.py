@@ -1147,8 +1147,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": f"""
             SELECT lang, source, COUNT(*) AS n_docs,
-                   SUM(n_chars) AS sum_chars,
-                   SUM(len({_TOK})) AS sum_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(len({_TOK})) AS BIGINT) AS sum_tokens,
                    MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
             FROM documents GROUP BY lang, source
         """,

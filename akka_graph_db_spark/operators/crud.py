@@ -208,9 +208,10 @@ def _apply_update(df: DataFrame, spark, changes):
 def remove_nodes_by_id(g: PropertyGraph, node_ids) -> PropertyGraph:
     """Delete nodes by id, CASCADING to all incident edges
     (`DETACH DELETE`, `Neo4jGraph.scala:406-413`)."""
-    known = None if isinstance(node_ids, DataFrame) else len(list(node_ids))
-    if known is not None:
-        node_ids = list(node_ids)
+    known = None
+    if not isinstance(node_ids, DataFrame):
+        node_ids = list(node_ids)  # materialize once: input may be a one-shot generator
+        known = len(node_ids)
     victims = ids_df(g, node_ids).select(F.col("id").alias("_vid"))
     victims = _maybe_broadcast(victims, known)
     nodes = g.nodes.join(
@@ -234,9 +235,10 @@ def remove_nodes(
 
 def remove_edges_by_id(g: PropertyGraph, edge_ids) -> PropertyGraph:
     """Delete edges by id (`Neo4jGraph.scala:433-440`)."""
-    known = None if isinstance(edge_ids, DataFrame) else len(list(edge_ids))
-    if known is not None:
-        edge_ids = list(edge_ids)
+    known = None
+    if not isinstance(edge_ids, DataFrame):
+        edge_ids = list(edge_ids)  # materialize once: input may be a one-shot generator
+        known = len(edge_ids)
     victims = ids_df(g, edge_ids).select(F.col("id").alias("_vid"))
     edges = g.edges.join(
         _maybe_broadcast(victims, known),

@@ -63,9 +63,10 @@ def ingress_edges(
 
 def _one_hop(g, node_ids, edge_label, edge_data, hydrate, out):
     near, far = ("src", "dst") if out else ("dst", "src")
-    known = None if isinstance(node_ids, DataFrame) else len(list(node_ids))
-    if known is not None:
-        node_ids = list(node_ids)
+    known = None
+    if not isinstance(node_ids, DataFrame):
+        node_ids = list(node_ids)  # materialize once: input may be a one-shot generator
+        known = len(node_ids)
     frontier = ids_df(g, node_ids).withColumnRenamed("id", "_fid")
     # Broadcast only when the frontier is KNOWN small (driver-side id list).
     # A caller-supplied DataFrame frontier of unknown size is left to AQE —

@@ -18,15 +18,21 @@ Layout::
   defaults to the latest. No manifest file is needed: the directory listing
   IS the version log (atomicity relies on parquet job commit, which writes
   _SUCCESS last — incomplete versions are ignored).
-- At 100 TB this is the layout you'd bucket: pass ``bucket_by_id=n`` to
-  also bucket/sort by ``id`` for data-skipping point lookups (uses
-  ``writeTo``-style bucketing via sortWithinPartitions, cheap approximation
-  that keeps row groups id-clustered so min/max row-group stats prune).
+- The version log is discovered through the Hadoop FileSystem API, so any
+  filesystem Spark can reach works: ``file://``, ``hdfs://``, ``s3a://``,
+  ``gs://``, or a bare local path. This is the 100 TB story — the layout
+  lives on object storage and the driver only ever lists one directory
+  level (O(versions), not O(files)).
+- Loads use an explicit schema, never inference, so an EMPTY nodes or edges
+  frame (fresh graph, post-bulk-delete) round-trips instead of dying with
+  UNABLE_TO_INFER_SCHEMA on a parts-less directory.
+- At 100 TB this is the layout you'd bucket: pass ``sort_by_id`` (default)
+  to keep row groups id-clustered so min/max row-group stats prune point
+  lookups.
 """
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import SparkSession
@@ -39,30 +45,55 @@ from akka_graph_db_spark.model import (
 
 _V_RE = re.compile(r"^v=(\d+)$")
 
-
-def _require_local(root: str) -> None:
-    # the version log is discovered via os.listdir; a remote URI would
-    # silently look empty and clobber/fail on the second save — fail loudly.
-    # (Cluster deployments: list versions through the Hadoop FileSystem API
-    # instead; the v=<N>/_SUCCESS layout itself is filesystem-agnostic.)
-    if "://" in root:
-        raise NotImplementedError(
-            f"store versioning currently requires a local path, got {root}"
-        )
+# Explicit core schemas (label is the filesystem partition column; it is
+# part of the read schema so empty snapshots still produce typed frames).
+NODE_SCHEMA = "id bigint, label string, props map<string,string>"
+EDGE_SCHEMA = "id bigint, src bigint, dst bigint, label string, props map<string,string>"
 
 
-def list_versions(root: str) -> list[int]:
-    _require_local(root)
-    if not os.path.isdir(root):
+def _active_spark(spark: SparkSession | None) -> SparkSession:
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for snapshot-store listing")
+    return spark
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """Hadoop FileSystem + Path for ``path_str`` (resolves the scheme, so
+    bare local paths, file://, hdfs://, s3a:// all work)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _join(root: str, *parts: str) -> str:
+    return "/".join([root.rstrip("/"), *parts])
+
+
+def list_versions(root: str, spark: SparkSession | None = None) -> list[int]:
+    """Complete snapshot versions under ``root`` (ascending).
+
+    A version counts as complete only when BOTH the nodes and edges jobs
+    committed (their _SUCCESS markers exist) — a crashed writer leaves an
+    ignorable partial directory, never a half-readable version.
+    """
+    spark = _active_spark(spark)
+    fs, jroot = _fs_and_path(spark, root)
+    if not fs.exists(jroot):
         return []
+    Path = spark._jvm.org.apache.hadoop.fs.Path
     out = []
-    for name in os.listdir(root):
+    for status in fs.listStatus(jroot):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
         m = _V_RE.match(name)
         if not m:
             continue
-        vdir = os.path.join(root, name)
-        if os.path.exists(os.path.join(vdir, "nodes", "_SUCCESS")) and os.path.exists(
-            os.path.join(vdir, "edges", "_SUCCESS")
+        vpath = status.getPath()
+        if fs.exists(Path(vpath, "nodes/_SUCCESS")) and fs.exists(
+            Path(vpath, "edges/_SUCCESS")
         ):
             out.append(int(m.group(1)))
     return sorted(out)
@@ -80,34 +111,48 @@ def save_snapshot(
     reload re-promotes if desired). ``sort_by_id`` clusters row groups by id
     for min/max data skipping on point lookups.
     """
-    versions = list_versions(root)
+    spark = g.nodes.sparkSession
+    versions = list_versions(root, spark)
     if version is None:
         version = (versions[-1] + 1) if versions else 0
     elif version in versions:
         raise ValueError(f"version {version} already exists under {root}")
-    vdir = os.path.join(root, f"v={version}")
+    vdir = _join(root, f"v={version}")
     nodes = g.nodes.select(*NODE_CORE_COLS)
     edges = g.edges.select(*EDGE_CORE_COLS)
     if sort_by_id:
         nodes = nodes.sortWithinPartitions("id")
         edges = edges.sortWithinPartitions("id")
-    nodes.write.partitionBy("label").parquet(os.path.join(vdir, "nodes"))
-    edges.write.partitionBy("label").parquet(os.path.join(vdir, "edges"))
+    nodes.write.partitionBy("label").parquet(_join(vdir, "nodes"))
+    edges.write.partitionBy("label").parquet(_join(vdir, "edges"))
     return version
 
 
 def load_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> PropertyGraph:
-    """Load a snapshot (latest by default) as a PropertyGraph."""
-    versions = list_versions(root)
+    """Load a snapshot (latest by default) as a PropertyGraph.
+
+    Reads with the explicit core schema: no footer inference pass (one less
+    S3 listing storm at scale) and an empty nodes/edges directory (only
+    _SUCCESS, no parts) loads as a typed empty frame instead of failing.
+    """
+    versions = list_versions(root, spark)
     if not versions:
         raise FileNotFoundError(f"no complete snapshot versions under {root}")
     if version is None:
         version = versions[-1]
     elif version not in versions:
         raise FileNotFoundError(f"version {version} not found under {root}")
-    vdir = os.path.join(root, f"v={version}")
-    nodes = spark.read.parquet(os.path.join(vdir, "nodes")).select(*NODE_CORE_COLS)
-    edges = spark.read.parquet(os.path.join(vdir, "edges")).select(*EDGE_CORE_COLS)
+    vdir = _join(root, f"v={version}")
+    nodes = (
+        spark.read.schema(NODE_SCHEMA)
+        .parquet(_join(vdir, "nodes"))
+        .select(*NODE_CORE_COLS)
+    )
+    edges = (
+        spark.read.schema(EDGE_SCHEMA)
+        .parquet(_join(vdir, "edges"))
+        .select(*EDGE_CORE_COLS)
+    )
     return PropertyGraph(nodes=nodes, edges=edges)

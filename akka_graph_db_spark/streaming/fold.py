@@ -54,6 +54,16 @@ def apply_mutation_batch(g: PropertyGraph, batch: DataFrame) -> PropertyGraph:
     order; each run applies as one vectorized CRUD call. The run split is
     driver-side but touches only the distinct run keys (a tiny collect of
     run boundaries), not the command rows themselves.
+
+    Cost bound (ADVICE r2): the run detection is a global ``Window.orderBy
+    ("seq")`` — a single-task sort over the micro-batch's (seq, op, kind)
+    triples — and each run re-filters the batch frame, so a batch with R
+    runs does R passes over it. Both are O(batch), fine for micro-batch
+    sizes (≤ a few hundred thousand commands); a pathological feed that
+    alternates (op, kind) per command degenerates to R ≈ N and should be
+    pre-compacted upstream (e.g. one (op, kind) topic-partition each, or a
+    producer-side group-by), which is how a log compactor would ship this
+    at scale anyway.
     """
     runs = (
         batch.select("seq", "op", "kind")

@@ -137,3 +137,11 @@ def test_remove_edges_by_predicate(micro):
     g2 = crud.remove_edges(micro, "knows", {"w": 1})
     assert 104 not in ids(g2.edges)
     assert 103 in ids(g2.edges)  # the parallel twin without w survives
+
+
+def test_generator_ids_materialized_once(spark, micro):
+    # ADVICE r2: a one-shot iterable must not be exhausted by the size probe.
+    g = crud.remove_nodes_by_id(micro, (i for i in [7]))
+    assert 7 not in ids(g.nodes)
+    g2 = crud.remove_edges_by_id(micro, (i for i in [114]))
+    assert 114 not in ids(g2.edges)

@@ -86,3 +86,11 @@ def test_parallel_edges_give_distinct_paths(micro):
         tuple(r["edge_path"]) for r in p.select("edge_path").collect()
     )
     assert (103,) in eps and (104,) in eps
+
+
+def test_generator_frontier_materialized_once(spark, micro):
+    # ADVICE r2: generator frontier must yield the same result as a list.
+    from akka_graph_db_spark.operators import traverse
+    out = traverse.egress_edges(micro, (i for i in [1]), hydrate=False)
+    assert ids(out) == ids(traverse.egress_edges(micro, [1], hydrate=False))
+    assert len(ids(out)) > 0
