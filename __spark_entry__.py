@@ -95,6 +95,62 @@ def _ts_str(c, fmt: str = "yyyy-MM-dd HH:mm:ss.SSSSSS"):
     return F.date_format(c, fmt)
 
 
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank as unrolled DuckDB CTEs (VERDICT r2 #2).
+
+    Mirrors `analytics.pagerank` exactly: initial rank 1.0, per-iteration
+    dangling-mass redistribution, rank' = (1-d) + d*(recv + dang/n).
+    Float-literal constants are emitted via repr() so DuckDB parses the
+    SAME doubles Python handed Spark (1.0-0.85 != 0.15 in binary).
+    Top-20 is selected on FULL-precision rank (then rounded for output),
+    matching the Spark side's orderBy-then-round.
+    """
+    # AS MATERIALIZED is load-bearing: each r{k} is referenced twice
+    # (contribs + dangling), so plain CTEs would inline EXPONENTIALLY —
+    # 2^10 copies of the parquet-union scan blows the fd limit.
+    base = 1.0 - damping
+    ctes = [
+        """pr_edges AS MATERIALIZED (SELECT src, dst FROM edges_v)""",
+        """pr_nodes AS MATERIALIZED (
+            SELECT n.id, COALESCE(od.c, 0) AS out_degree
+            FROM nodes_v n
+            LEFT JOIN (SELECT src, COUNT(*) AS c FROM pr_edges GROUP BY 1) od
+              ON n.id = od.src
+        )""",
+        "pr_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM pr_nodes)",
+        """r0 AS MATERIALIZED (
+            SELECT id, out_degree, CAST(1.0 AS DOUBLE) AS rank
+            FROM pr_nodes)""",
+    ]
+    for k in range(n_iter):
+        ctes.append(f"""r{k + 1} AS MATERIALIZED (
+            SELECT n.id, n.out_degree,
+                   {base!r} + {damping!r} *
+                     (COALESCE(c.recv, 0) + d.dang / pr_n.n) AS rank
+            FROM pr_nodes n
+            CROSS JOIN pr_n
+            CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS dang
+                        FROM r{k} WHERE out_degree = 0) d
+            LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.rank / r.out_degree) AS recv
+                FROM pr_edges e JOIN r{k} r ON e.src = r.id
+                WHERE r.out_degree > 0
+                GROUP BY e.dst
+            ) c ON n.id = c.id
+        )""")
+    return (
+        _GRAPH_WITH
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id, ROUND(rank, 6) AS rank FROM (
+            SELECT id, rank FROM r{n_iter}
+            ORDER BY rank DESC, id LIMIT 20
+        )
+        """
+    )
+
+
 # ===========================================================================
 # Reference operators (SURVEY.md §2.1-2.4) — scans & lookups
 # ===========================================================================
@@ -430,8 +486,8 @@ def q_connected_components_two_phase_geo(spark, sf_dir):
 
 
 def q_pagerank_top20(spark, sf_dir):
-    """PageRank (no oracle: iterative float fixpoint isn't SQL-expressible;
-    the driver records a rows-only check, invariants tested in pytest)."""
+    """PageRank, fixed 10 iterations — oracled against an unrolled DuckDB
+    CTE chain with identical dangling-mass math (see _pagerank_oracle)."""
     g = _g(spark, sf_dir)
     pr = analytics.pagerank(g, n_iter=10)
     # orderBy+limit = TakeOrdered (per-partition top-k then merge) — not a
@@ -1042,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "connected_components_geo": _CC_GEO_ORACLE,
         "connected_components_two_phase_geo": _CC_GEO_ORACLE,
+        "pagerank_top20": _pagerank_oracle(n_iter=10, damping=0.85),
         "triangles_coorder": """
             WITH pairs AS (
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
