@@ -631,10 +631,23 @@ def q_dedup_minhash(spark, sf_dir):
 
 def q_dedup_minhash_keep(spark, sf_dir):
     """Cluster-representative near-dup dedup (the scale path: star
-    candidates + connected components — no quadratic pair emission;
-    rows-only, cluster collapse asserted in pytest)."""
+    candidates + connected components — no quadratic pair emission).
+    Oracled against DuckDB: exact all-pairs Jaccard ≥ 0.9 → recursive-CTE
+    transitive closure → min-id per component. Pairs-linkage components are
+    exact w.r.t. the candidate set, and LSH recall is 100% here
+    (dedup_minhash matches the same exact pair set), so equality holds."""
     docs = read_documents(spark, sf_dir)
-    return dedup.minhash_dedup_keep(docs, threshold=0.9)
+    return dedup.minhash_dedup_keep(docs, threshold=0.9, linkage="pairs")
+
+
+def q_dedup_minhash_keep_star(spark, sf_dir):
+    """Star-linkage keep (O(docs × bands) candidates — the adversarial-
+    cluster-scale path). Rows-only BY DESIGN: star components are an
+    approximation that can split clusters whose members only verify
+    against each other, not the bucket rep, so an exact-closure oracle
+    would (correctly) mismatch; collapse behavior is pytest-asserted."""
+    docs = read_documents(spark, sf_dir)
+    return dedup.minhash_dedup_keep(docs, threshold=0.9, linkage="star")
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -646,12 +659,31 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dups, Hamming ≤ 3 via 4-chunk pigeonhole buckets
-    (complete for ≤3 flips). xxhash64-based → rows-only driver check;
-    exactness vs brute force is tested in pytest."""
+    """SimHash near-dups, Hamming ≤ 3 via 4-chunk pigeonhole buckets.
+    Pigeonhole is COMPLETE for ≤ n_chunks-1 flips, so the bucketed result
+    equals exact all-pairs — oracled against a full DuckDB SimHash rebuild
+    (md5 hash family == md5_number_upper, see functions/hashing.py)."""
     docs = read_documents(spark, sf_dir)
-    return dedup.simhash_dedup_pairs(docs, max_hamming=3).select(
-        "a_id", "b_id", "hamming"
+    return dedup.simhash_dedup_pairs(
+        docs, max_hamming=3, hash_family="md5"
+    ).select("a_id", "b_id", "hamming")
+
+
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: hyperplane-LSH bucket join + exact
+    cosine ≥ 0.95 verify. The natural corpus has no near-dups (max pairwise
+    cosine ≈ 0.51), so the query PLANTS exact copies of vec_id < 10 at
+    id+100000 — identical unit vectors share every hyperplane signature,
+    making LSH recall exactly 100% and the result deterministic, so the
+    exact all-pairs SQL oracle applies (the cosine verify guarantees
+    precision; the plant guarantees recall)."""
+    emb = read_embeddings(spark, sf_dir)
+    planted = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    e2 = emb.select("vec_id", "embedding").unionByName(planted)
+    return dedup.embedding_dedup_pairs(e2, threshold=0.95).select(
+        "a_id", "b_id"
     )
 
 
@@ -731,10 +763,10 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """xxhash64 fingerprints (rows-only: DuckDB lacks xxhash64; determinism
-    and collision behavior tested in pytest)."""
+    """Document fingerprints (content hash + 1-perm min-shingle hash),
+    md5 hash family — value-level oracle via DuckDB md5_number_upper."""
     docs = read_documents(spark, sf_dir)
-    return textf.fingerprint(docs).select(
+    return textf.fingerprint(docs, hash_family="md5").select(
         "doc_id", "content_hash", "min_shingle_hash"
     )
 
@@ -779,9 +811,10 @@ def q_events_type_stats(spark, sf_dir):
 def q_streaming_fold(spark, sf_dir):
     """§2.6 actor-mailbox fold: a 3-batch mutation log (adds → updates →
     removes) consumed via Structured Streaming foreachBatch; returns the
-    final snapshot's per-label node counts + a surviving-props check.
-    Rows-only (streaming fold isn't single-statement SQL); batch-vs-stream
-    equivalence is asserted in pytest."""
+    surviving probe nodes/edges with their final prop values. Oracled:
+    the same fixed mutation log is folded RELATIONALLY in DuckDB (adds ⟕
+    last-update ▷ removes, cascade included) — batch-vs-stream equivalence
+    as SQL, per VERDICT r2 #3."""
     import os
     import tempfile
 
@@ -871,8 +904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_keep": q_dedup_minhash_keep,
+        "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "embedding_dedup_pairs": q_embedding_dedup,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -1185,6 +1220,144 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / (len(a.toks) + len(b.toks)
                      - len(list_intersect(a.toks, b.toks))) >= 0.8
+        """,
+        # Exact all-pairs Jaccard >= 0.9 -> symmetric transitive closure
+        # (recursive CTE) -> min-id per component: the ground truth the
+        # LSH-star + connected-components keep path must reproduce when
+        # candidate recall is 100% (it is: dedup_minhash matches the same
+        # exact pair set).
+        "dedup_minhash_keep": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id,
+                               list_distinct({_TOK}) AS toks FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.9
+            ),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            )
+            SELECT DISTINCT component AS doc_id FROM (
+              SELECT d.doc_id,
+                     LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id))
+                       AS component
+              FROM t d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            )
+        """,
+        # Full SimHash rebuild in SQL: md5_number_upper == the engine's md5
+        # hash family (functions/hashing.py), per-bit vote over the token
+        # MULTISET, then exact all-pairs Hamming <= 3 — equal to the
+        # engine's chunk-bucketed result because 4-chunk pigeonhole is
+        # complete for <= 3 flips.
+        "dedup_simhash": f"""
+            WITH th AS MATERIALIZED (
+              SELECT doc_id, md5_number_upper(t.t) AS h
+              FROM documents, unnest({_TOK}) AS t(t)
+            ),
+            votes AS (
+              SELECT doc_id, b.bit,
+                     SUM(CASE WHEN (h >> b.bit) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+              GROUP BY doc_id, b.bit
+            ),
+            sig0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN v > 0
+                                   THEN CAST(1 AS UBIGINT) << bit
+                                   ELSE CAST(0 AS UBIGINT) END)
+                          AS UBIGINT) AS s
+              FROM votes GROUP BY doc_id
+            ),
+            sig AS MATERIALIZED (
+              SELECT d.doc_id, COALESCE(s0.s, CAST(0 AS UBIGINT)) AS s
+              FROM documents d LEFT JOIN sig0 s0 ON d.doc_id = s0.doc_id
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 3
+        """,
+        # Exact all-pairs cosine over the corpus + the planted copies. The
+        # LSH path's exact-verify guarantees precision; identical planted
+        # vectors guarantee recall — so bucketed == exact here.
+        "embedding_dedup_pairs": """
+            WITH e2 AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 10
+            )
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.95
+        """,
+        # md5_63 == md5_number_upper with the sign bit masked, so MIN agrees
+        # between Spark's signed BIGINT and DuckDB's UBIGINT.
+        "fingerprint": f"""
+            WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(toks) >= 5 THEN
+                       list_transform(range(1, len(toks) - 3),
+                         i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+                     ELSE [array_to_string(toks, ' ')] END AS shingles
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(md5_number_upper(text) & 9223372036854775807
+                        AS BIGINT) AS content_hash,
+                   CAST(list_aggregate(
+                          list_transform(shingles,
+                            s -> md5_number_upper(s) & 9223372036854775807),
+                          'min') AS BIGINT) AS min_shingle_hash
+            FROM sh
+        """,
+        # The fold's fixed mutation log re-applied RELATIONALLY: adds,
+        # last-update-wins merge, node removes cascading to incident edges —
+        # the batch-CRUD truth of the streamed fold (VERDICT r2 #3). The
+        # log literal mirrors q_streaming_fold's; seq order is add < update
+        # < remove there, which the join encoding assumes.
+        "streaming_fold": """
+            WITH log(seq, op, kind, id, label, src, dst, v) AS (VALUES
+              (1, 'add', 'node', 95000001, 'stream_probe', NULL, NULL, '1'),
+              (2, 'add', 'node', 95000002, 'stream_probe', NULL, NULL, '2'),
+              (3, 'add', 'node', 95000003, 'stream_probe', NULL, NULL, '3'),
+              (4, 'add', 'edge', 96000001, 'stream_edge',
+                 95000001, 95000002, NULL),
+              (5, 'update', 'node', 95000001, NULL, NULL, NULL, '10'),
+              (6, 'remove', 'node', 95000003, NULL, NULL, NULL, NULL)
+            ),
+            removed AS (SELECT id FROM log
+                        WHERE op = 'remove' AND kind = 'node'),
+            upd AS (
+              SELECT id, v FROM (
+                SELECT id, v, ROW_NUMBER() OVER (PARTITION BY id
+                                                 ORDER BY seq DESC) AS rn
+                FROM log WHERE op = 'update' AND kind = 'node'
+              ) WHERE rn = 1
+            )
+            SELECT CAST(a.id AS BIGINT) AS id, COALESCE(u.v, a.v) AS v
+            FROM log a LEFT JOIN upd u ON a.id = u.id
+            WHERE a.op = 'add' AND a.kind = 'node'
+              AND a.id NOT IN (SELECT id FROM removed)
+            UNION ALL
+            SELECT CAST(e.id AS BIGINT) AS id, 'edge' AS v
+            FROM log e
+            WHERE e.op = 'add' AND e.kind = 'edge'
+              AND e.src NOT IN (SELECT id FROM removed)
+              AND e.dst NOT IN (SELECT id FROM removed)
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -340,24 +340,45 @@ def minhash_dedup_keep(
     bands: int = 16,
     shingle_n: int = 1,
     arrow: bool = True,
+    linkage: str = "pairs",
 ) -> DataFrame:
-    """SCALABLE near-dup dedup: one kept representative per near-dup
+    """Near-dup dedup: one kept representative (min id) per near-dup
     cluster — returns (doc_id) of survivors.
 
-    The all-pairs form (:func:`minhash_dedup_pairs`) is inherently
-    quadratic in cluster size (a 1 400-doc duplicate cluster alone emits
-    ~1M pairs); pipelines that *deduplicate* never need the pairs. Here
-    each LSH band bucket contributes only STAR edges (bucket-min ↔ member):
-    O(docs × bands) candidates total, independent of cluster size. Star
-    edges are exact-verified (Jaccard ≥ threshold), then connected
-    components over the surviving edges pick min-id per cluster —
-    single-linkage through bucket representatives, the standard
-    LSH + union-find dedup approximation.
+    Two linkage strategies over the LSH candidate graph:
+
+    - ``linkage="pairs"`` (default): connected components over ALL
+      exact-verified same-bucket pairs (:func:`minhash_dedup_pairs`).
+      EXACT single-linkage w.r.t. the candidate set — when LSH recall is
+      100% this equals components over the true near-dup graph, which is
+      what the DuckDB closure oracle checks. Candidate count is quadratic
+      per bucket, so run exact dedup first (collapse identical texts) to
+      bound bucket sizes.
+    - ``linkage="star"``: each band bucket contributes only STAR edges
+      (bucket-min ↔ member): O(docs × bands) candidates, independent of
+      cluster size — the adversarial-scale path (a 1 400-doc duplicate
+      cluster emits ~1M pairs under "pairs" but only ~22k star edges).
+      APPROXIMATE: a same-bucket true pair (m1, m2) is lost when neither
+      verifies against the bucket rep, so star components can be finer
+      than the exact ones (r2 measured 291 vs 257 survivors at sf0.001).
     """
     from akka_graph_db_spark.operators.analytics import (
         connected_components_from_pairs,
     )
 
+    if linkage == "pairs":
+        verified = minhash_dedup_pairs(
+            df, text_col, id_col, threshold, num_perm, bands, shingle_n,
+            arrow,
+        ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+        comp = connected_components_from_pairs(
+            df.select(F.col(id_col).alias("id")), verified
+        )
+        return comp.groupBy("component").agg(
+            F.min("id").alias(id_col)
+        ).select(id_col)
+    if linkage != "star":
+        raise ValueError(f"unknown linkage: {linkage!r}")
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
@@ -412,12 +433,24 @@ def minhash_dedup_keep(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(text: Column, n_bits: int = 64) -> Column:
+def simhash(
+    text: Column, n_bits: int = 64, hash_family: str = "xxhash64"
+) -> Column:
     """SimHash of the token multiset: bit i of the result is the sign of the
     per-bit vote sum over token hashes. Deterministic pure expressions —
     and a SINGLE aggregate pass updating all ``n_bits`` vote counters via
-    zip_with (not n_bits separate scans; see minhash_signature note)."""
-    tok = tokens(text)
+    zip_with (not n_bits separate scans; see minhash_signature note).
+
+    Tokens are hashed ONCE into an array before the vote fold (not per bit).
+    ``hash_family="md5"`` makes the hash DuckDB-reproducible
+    (``hashing.md5_64`` == ``md5_number_upper``), enabling an exact
+    all-pairs SQL oracle; the default stays xxhash64 for hot paths.
+    """
+    from akka_graph_db_spark.functions.hashing import token_hash
+
+    tok_hashes = F.transform(
+        tokens(text), lambda t: token_hash(t, hash_family)
+    )
     # literal bit-mask array (bit 63 = sign bit in two's complement)
     pows = F.array(
         *[
@@ -426,14 +459,14 @@ def simhash(text: Column, n_bits: int = 64) -> Column:
         ]
     )
     votes = F.aggregate(
-        tok,
+        tok_hashes,
         F.expr(f"array_repeat(0, {n_bits})"),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 pows,
                 lambda p: F.when(
-                    F.xxhash64(t).bitwiseAND(p) != 0, F.lit(1)
+                    h.bitwiseAND(p) != 0, F.lit(1)
                 ).otherwise(F.lit(-1)),
             ),
             lambda a, b: a + b,
@@ -461,6 +494,7 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     n_bits: int = 64,
     n_chunks: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: chunk-bucket join (pigeonhole — any pair
     within ``max_hamming`` ≤ n_chunks-1 bit flips shares ≥1 identical
@@ -479,7 +513,9 @@ def simhash_dedup_pairs(
     sh = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .repartition(npart, F.col("_id"))
-        .select("_id", simhash(F.col("_t"), n_bits).alias("_sim"))
+        .select(
+            "_id", simhash(F.col("_t"), n_bits, hash_family).alias("_sim")
+        )
         .localCheckpoint(eager=True)
     )
     chunks = sh.select(

@@ -148,16 +148,33 @@ def fingerprint(
     df: DataFrame,
     text_col: str = "text",
     shingle_n: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Append deterministic document fingerprints:
 
-    - ``content_hash``: xxhash64 of the exact text (exact-dup key)
+    - ``content_hash``: 64-bit hash of the exact text (exact-dup key)
     - ``min_shingle_hash``: min over 5-token-shingle hashes (a 1-permutation
       MinHash — robust to local edits, the winnowing-lite fingerprint)
+
+    ``hash_family="xxhash64"`` (default) is the fast path;
+    ``hash_family="md5"`` uses the sign-masked MD5 hash that DuckDB can
+    reproduce (``hashing.md5_63``), making the result oracle-verifiable —
+    the min is order-sensitive, so the md5 family masks the sign bit to keep
+    Spark's signed and DuckDB's unsigned orderings identical.
     """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
     t = F.col(text_col)
     sh = shingles(tokens(t), shingle_n)
-    return df.withColumn("content_hash", F.xxhash64(t)).withColumn(
+    if hash_family == "xxhash64":
+        h = F.xxhash64
+    elif hash_family == "md5":
+        h = md5_63
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return df.withColumn("content_hash", h(t)).withColumn(
         "min_shingle_hash",
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
+        # wrapped: builtins like xxhash64 are varargs, which HOF arity
+        # introspection rejects if passed bare
+        F.array_min(F.transform(sh, lambda s: h(s))),
     )

@@ -215,3 +215,64 @@ def test_quality_features_ranges(docs):
     for r in rows:
         assert 0.0 <= r["quality_score"] <= 1.0
         assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_md5_hash_family_matches_reference_bytes(spark):
+    # Pin the cross-engine contract: md5_64 == little-endian uint64 of the
+    # first 8 MD5 digest bytes (what DuckDB's md5_number_upper returns).
+    import struct
+
+    from akka_graph_db_spark.functions.hashing import md5_63, md5_64
+
+    words = ["abc", "", "ünïcode", "hello world"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    rows = df.select(
+        "s", md5_64(F.col("s")).alias("h64"), md5_63(F.col("s")).alias("h63")
+    ).collect()
+    for r in rows:
+        u = struct.unpack("<Q", hashlib.md5(r["s"].encode()).digest()[:8])[0]
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        assert r["h64"] == signed
+        assert r["h63"] == (u & 0x7FFFFFFFFFFFFFFF)
+
+
+def test_simhash_md5_family_matches_bruteforce(docs):
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.simhash_dedup_pairs(
+            docs, max_hamming=3, hash_family="md5"
+        ).collect()
+    }
+    sigs = {
+        r["_id"]: r["s"]
+        for r in docs.select(
+            F.col("doc_id").alias("_id"),
+            dedup.simhash(F.col("text"), 64, "md5").alias("s"),
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == want
+
+
+def test_keep_star_refines_pairs_linkage(docs):
+    # Star components partition each pairs-linkage component, so every
+    # pairs-survivor (component min) is also a star-survivor.
+    pairs_keep = {
+        r["doc_id"]
+        for r in dedup.minhash_dedup_keep(
+            docs, threshold=0.9, linkage="pairs"
+        ).collect()
+    }
+    star_keep = {
+        r["doc_id"]
+        for r in dedup.minhash_dedup_keep(
+            docs, threshold=0.9, linkage="star"
+        ).collect()
+    }
+    assert pairs_keep <= star_keep
