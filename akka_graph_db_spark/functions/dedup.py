@@ -197,30 +197,12 @@ def _signatures(
     return sigs.localCheckpoint(eager=True)
 
 
-def minhash_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    arrow: bool = True,
+def _banded_candidates(
+    sigs: DataFrame, num_perm: int, bands: int
 ) -> DataFrame:
-    """LSH candidate pairs (a_id < b_id): docs sharing ≥1 band bucket.
-
-    shingle → minhash → band → bucket-join: each doc explodes to ``bands``
-    (band_idx, band_hash) rows; a self-equi-join on those keys yields
-    candidates. With r = num_perm/bands rows per band, the match curve is
-    the classic (1-(1-s^r)^b).
-    """
-    if num_perm % bands != 0:
-        raise ValueError("num_perm must be divisible by bands")
+    """Candidate pairs (a_id < b_id) from a materialized (_id, _sig)
+    signature frame: band-hash explode + self-equi-join on the bucket key."""
     r = num_perm // bands
-    # Materialize signatures before fan-out: each doc's signature feeds
-    # `bands` band hashes and the self-join's two sides — without the
-    # barrier, projection collapse would recompute the shingle pass for
-    # every consumer. Tiny frame: num_perm longs per doc.
-    sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
     banded = sigs.select(
         "_id",
         F.posexplode(
@@ -246,6 +228,57 @@ def minhash_candidates(
     )
 
 
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    arrow: bool = True,
+) -> DataFrame:
+    """LSH candidate pairs (a_id < b_id): docs sharing ≥1 band bucket.
+
+    shingle → minhash → band → bucket-join: each doc explodes to ``bands``
+    (band_idx, band_hash) rows; a self-equi-join on those keys yields
+    candidates. With r = num_perm/bands rows per band, the match curve is
+    the classic (1-(1-s^r)^b).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    # Materialize signatures before fan-out: each doc's signature feeds
+    # `bands` band hashes and the self-join's two sides — without the
+    # barrier, projection collapse would recompute the shingle pass for
+    # every consumer. Tiny frame: num_perm longs per doc.
+    sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
+    return _banded_candidates(sigs, num_perm, bands)
+
+
+def _shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    hashed: bool = True,
+) -> DataFrame:
+    """(_sid, _sh, _n): distinct shingle set per doc + its cardinality.
+
+    ``hashed=True`` stores xxhash64 of each shingle instead of the string:
+    set semantics (and so exact Jaccard) are preserved up to 64-bit hash
+    collisions (P ≈ |corpus vocab|²/2⁶⁵ — ~1e-11 at 100k distinct
+    shingles), while the verify join shuffles 8-byte longs instead of
+    whole shingle strings and intersects on long equality.
+    """
+    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    return df.select(
+        F.col(id_col).alias("_sid"),
+        sh.alias("_sh"),
+        F.size(sh).alias("_n"),
+    )
+
+
 def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a_tokens, b_tokens))
@@ -262,18 +295,88 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     arrow: bool = True,
+    est_margin: float | str | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by EXACT shingle-set Jaccard
-    ≥ threshold. Returns (a_id, b_id, jaccard_sim)."""
-    cands = minhash_candidates(
-        df, text_col, id_col, num_perm, bands, shingle_n, arrow
+    ≥ threshold. Returns (a_id, b_id, jaccard_sim).
+
+    Candidate prefilters run BEFORE the exact-verify intersection
+    (VERDICT r2 #4 — at sf0.1 the band join emits 9.7M candidates of which
+    only ~10% verify):
+
+    - **size ratio** (always on, deterministically safe): J(A,B) ≥ t
+      implies min(|A|,|B|)/max(|A|,|B|) ≥ t, so pairs failing it cannot
+      verify. Kills ~63% of the sub-threshold candidates at sf0.1.
+    - **signature-estimated Jaccard** (``est_margin``, probabilistically
+      safe): matching-position fraction of the already-materialized
+      signatures estimates J with sd = sqrt(t(1-t)/num_perm); candidates
+      with est < t − est_margin are dropped in integer domain.
+      ``"auto"`` = 4 sd (~3e-5 per-pair miss at t=0.9/64 perms; measured
+      min est over true pairs at sf0.01/sf0.1 is 0.78-0.80 vs the 0.75
+      cutoff). DEFAULT OFF: with hashed shingle sets the verify is cheap
+      enough that carrying 512-byte signature arrays through the
+      candidate join costs more than it saves (measured sf0.1: 7.0s
+      size-only vs 21.3s with est) — enable it for corpora where
+      near-dups share their length distribution with non-dups, where the
+      size filter stops discriminating.
+
+    The verify join intersects xxhash64-hashed shingle sets (longs, not
+    strings — see :func:`_shingle_sets`): exact Jaccard up to 64-bit
+    collisions (~1e-11 at corpus scale).
+    """
+    import math
+
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
+    cands = _banded_candidates(sigs, num_perm, bands)
+
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    use_est = est_margin is not None
+    min_match = 0
+    if use_est:
+        if est_margin == "auto":
+            est_margin = 4.0 * math.sqrt(
+                threshold * (1.0 - threshold) / num_perm
+            )
+        # integer-domain compare: keep if matching positions >= ceil(
+        # (t - margin) * num_perm) — no float-boundary ambiguity
+        min_match = math.ceil((threshold - est_margin) * num_perm)
+        use_est = min_match > 0
+
+    # one slim prefilter join per side: sizes (+ signatures when est is on)
+    slim = sh.select("_sid", "_n")
+    if use_est:
+        slim = slim.join(
+            sigs.select(F.col("_id").alias("_sid"), "_sig"), "_sid"
+        )
+    slim_a = slim.select(
+        F.col("_sid").alias("a_id"),
+        F.col("_n").alias("_na"),
+        *([F.col("_sig").alias("_siga")] if use_est else []),
     )
-    sh = df.select(
-        F.col(id_col).alias("_sid"),
-        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias(
-            "_sh"
-        ),
+    slim_b = slim.select(
+        F.col("_sid").alias("b_id"),
+        F.col("_n").alias("_nb"),
+        *([F.col("_sig").alias("_sigb")] if use_est else []),
     )
+    cond = F.least("_na", "_nb") >= F.lit(threshold) * F.greatest(
+        "_na", "_nb"
+    )
+    if use_est:
+        matches = F.aggregate(
+            F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        cond = cond & (matches >= F.lit(int(min_match)))
+    cands = (
+        cands.join(slim_a, "a_id")
+        .join(slim_b, "b_id")
+        .where(cond)
+        .select("a_id", "b_id")
+    )
+
     a = sh.select(F.col("_sid").alias("a_id"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_sid").alias("b_id"), F.col("_sh").alias("_shb"))
     return (
@@ -406,15 +509,11 @@ def minhash_dedup_keep(
     # Verification re-scans the source for shingles (second columnar read)
     # rather than carrying full text through the signature checkpoint —
     # duplicating the corpus into checkpoint storage costs more at scale
-    # than a compressed parquet re-read.
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            shingles(tokens(F.col(text_col)), shingle_n)
-        ).alias("_sh"),
-    )
-    sa = sh.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
-    sb = sh.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    # than a compressed parquet re-read. Hashed shingle sets (longs) keep
+    # the join payload small; see _shingle_sets.
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    sa = sh.select(F.col("_sid").alias("a"), F.col("_sh").alias("_sha"))
+    sb = sh.select(F.col("_sid").alias("b"), F.col("_sh").alias("_shb"))
     verified = (
         star.join(sa, "a")
         .join(sb, "b")

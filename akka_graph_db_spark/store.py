@@ -104,13 +104,20 @@ def save_snapshot(
     root: str,
     version: int | None = None,
     sort_by_id: bool = True,
+    columns: str = "core",
 ) -> int:
     """Persist a snapshot; returns the version written.
 
-    Core columns only (promoted columns are an ingest-time optimization;
-    reload re-promotes if desired). ``sort_by_id`` clusters row groups by id
-    for min/max data skipping on point lookups.
+    ``columns="core"`` writes the uniform core schema only (promoted
+    columns are an ingest-time optimization; reload re-promotes if
+    desired). ``columns="all"`` also persists promoted columns, so
+    reloaded scans keep parquet predicate pushdown on them — the
+    ingest-once layout the per-query lazy derivation can't offer (load
+    such snapshots with ``schema="infer"``). ``sort_by_id`` clusters row
+    groups by id for min/max data skipping on point lookups.
     """
+    if columns not in ("core", "all"):
+        raise ValueError(f"columns must be 'core' or 'all', got {columns!r}")
     spark = g.nodes.sparkSession
     versions = list_versions(root, spark)
     if version is None:
@@ -118,8 +125,11 @@ def save_snapshot(
     elif version in versions:
         raise ValueError(f"version {version} already exists under {root}")
     vdir = _join(root, f"v={version}")
-    nodes = g.nodes.select(*NODE_CORE_COLS)
-    edges = g.edges.select(*EDGE_CORE_COLS)
+    if columns == "core":
+        nodes = g.nodes.select(*NODE_CORE_COLS)
+        edges = g.edges.select(*EDGE_CORE_COLS)
+    else:
+        nodes, edges = g.nodes, g.edges
     if sort_by_id:
         nodes = nodes.sortWithinPartitions("id")
         edges = edges.sortWithinPartitions("id")
@@ -129,14 +139,23 @@ def save_snapshot(
 
 
 def load_snapshot(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    schema: str = "core",
 ) -> PropertyGraph:
     """Load a snapshot (latest by default) as a PropertyGraph.
 
-    Reads with the explicit core schema: no footer inference pass (one less
-    S3 listing storm at scale) and an empty nodes/edges directory (only
-    _SUCCESS, no parts) loads as a typed empty frame instead of failing.
+    ``schema="core"`` (default) reads with the explicit core schema: no
+    footer inference pass (one less S3 listing storm at scale) and an
+    empty nodes/edges directory (only _SUCCESS, no parts) loads as a
+    typed empty frame instead of failing. ``schema="infer"`` keeps every
+    persisted column (for ``columns="all"`` snapshots), falling back to
+    the core schema when a side is empty; columns are reordered so the
+    core columns lead.
     """
+    if schema not in ("core", "infer"):
+        raise ValueError(f"schema must be 'core' or 'infer', got {schema!r}")
     versions = list_versions(root, spark)
     if not versions:
         raise FileNotFoundError(f"no complete snapshot versions under {root}")
@@ -145,14 +164,20 @@ def load_snapshot(
     elif version not in versions:
         raise FileNotFoundError(f"version {version} not found under {root}")
     vdir = _join(root, f"v={version}")
-    nodes = (
-        spark.read.schema(NODE_SCHEMA)
-        .parquet(_join(vdir, "nodes"))
-        .select(*NODE_CORE_COLS)
+
+    def _read(path: str, core_schema: str, core_cols: tuple[str, ...]):
+        if schema == "infer":
+            try:
+                df = spark.read.parquet(path)
+                extras = [c for c in df.columns if c not in core_cols]
+                return df.select(*core_cols, *extras)
+            except Exception:  # empty directory: nothing to infer from
+                pass
+        return (
+            spark.read.schema(core_schema).parquet(path).select(*core_cols)
+        )
+
+    return PropertyGraph(
+        nodes=_read(_join(vdir, "nodes"), NODE_SCHEMA, NODE_CORE_COLS),
+        edges=_read(_join(vdir, "edges"), EDGE_SCHEMA, EDGE_CORE_COLS),
     )
-    edges = (
-        spark.read.schema(EDGE_SCHEMA)
-        .parquet(_join(vdir, "edges"))
-        .select(*EDGE_CORE_COLS)
-    )
-    return PropertyGraph(nodes=nodes, edges=edges)

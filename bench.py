@@ -33,7 +33,8 @@ HEADLINE = [
     "motif_supply_chain",     # 4-hop join chain
     "dedup_exact",            # hash groupBy
     "dedup_minhash",          # 64-perm signatures + band join (all pairs)
-    "dedup_minhash_keep",     # cluster-keep dedup (star + CC, scale path)
+    "dedup_minhash_keep",     # cluster-keep dedup (verified pairs + CC)
+    "dedup_minhash_keep_star",  # star-linkage keep (adversarial-scale path)
     "similarity_topk",        # corpus scan x 5 queries
     "similarity_ivf",         # centroid-bucket pruned ANN
     "window_rank_customers",  # partitioned window rank

@@ -76,6 +76,24 @@ def test_node_triangle_counts(micro):
     assert per[6] == 7  # hub participates in 7 of the 9
 
 
+def test_triangle_star_no_wedge_blowup(spark):
+    # one hub with 10k spokes + a single closing edge: with id-order
+    # orientation the hub (lowest id) would center ~50M wedges; degree
+    # orientation points every spoke at the hub, so only the one genuine
+    # triangle's wedge survives. Must complete fast and count exactly 1.
+    spokes = [(0, i) for i in range(1, 10_001)]
+    pairs = spark.createDataFrame(
+        spokes + [(1, 2)], "a bigint, b bigint"
+    )
+    n = analytics.triangle_count(pairs).collect()[0]["n_triangles"]
+    assert n == 1
+    per = {
+        r["id"]: r["n_triangles"]
+        for r in analytics.node_triangle_counts(pairs).collect()
+    }
+    assert per == {0: 1, 1: 1, 2: 1}
+
+
 def test_pagerank_invariants(micro):
     pr = analytics.pagerank(micro, n_iter=10)
     rows = {r["id"]: r["rank"] for r in pr.collect()}
