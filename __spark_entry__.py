@@ -798,6 +798,72 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_asof_purchase_click(spark, sf_dir):
+    """As-of join (most-recent-prior match): each purchase event picks up
+    the user's latest click at-or-before its timestamp. Spark side is the
+    scalable union-merge + running-last() window (ONE shuffle on user_id,
+    no inequality join — functions/asof.py); the oracle is the quadratic
+    LEFT JOIN + QUALIFY formulation. Right side deduped per (user, ts) by
+    max event_id so equal-timestamp ties are deterministic; timestamps
+    compared as epoch micros."""
+    from akka_graph_db_spark.functions import asof
+
+    ev_df = read_events(spark, sf_dir)
+    purchases = ev_df.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev_df.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = asof.latest_per_key_ts(clicks, ["user_id"], "ts", "event_id")
+    j = asof.asof_join_backward(
+        purchases,
+        clicks,
+        "ts",
+        ["user_id"],
+        ["event_id", "value"],
+        suffix="_click",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        F.unix_micros(F.col("ts_click")).alias("click_ts_us"),
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("value_click").alias("click_value"),
+    )
+
+
+def q_doc_split_hash(spark, sf_dir):
+    """Deterministic train/val split by key hash (reproducible across
+    runs, engines, and appends — unlike random sampling). md5 family so
+    DuckDB reproduces the exact membership."""
+    docs = read_documents(spark, sf_dir)
+    return textf.hash_split(docs, "doc_id", 90, hash_family="md5").select(
+        "doc_id", "split"
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: type-token ratio + top-bigram
+    fraction per doc, computed as one fold over the sorted shingle array
+    (no explode/shuffle — embarrassingly parallel)."""
+    docs = read_documents(spark, sf_dir)
+    return textf.repetition_features(docs).select(
+        "doc_id", "distinct_token_ratio", "top_bigram_ratio"
+    )
+
+
+def q_quality_topk(spark, sf_dir):
+    """Best-3 documents per (lang, source) by heuristic quality score —
+    the per-domain curation step; one window rank over grouped scores."""
+    docs = read_documents(spark, sf_dir)
+    return textf.quality_topk(docs, k=3).select(
+        "doc_id", "lang", "source", "quality_score"
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload metadata via Arrow-batched mapInPandas — the
     multimodal plumbing (schema/batching) verified against the oracle's
@@ -1052,6 +1118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_fold": q_streaming_fold,
         "streaming_dedup": q_streaming_dedup,
         "streaming_running_totals": q_streaming_running_totals,
+        "asof_purchase_click": q_asof_purchase_click,
+        "doc_split_hash": q_doc_split_hash,
+        "text_repetition": q_text_repetition,
+        "quality_topk": q_quality_topk,
     }
 
 
@@ -1640,5 +1710,97 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT)) AS DOUBLE) / 100.0
                        AS lifetime_value
             FROM events GROUP BY user_id
+        """,
+        # the quadratic reference formulation of the as-of join the engine
+        # computes with a union-merge + running-last window (one shuffle)
+        "asof_purchase_click": """
+            WITH p AS (SELECT event_id, ts, user_id, value
+                       FROM events WHERE event_type = 'purchase'),
+            c0 AS (SELECT user_id, ts, event_id, value
+                   FROM events WHERE event_type = 'click'),
+            c AS (
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM c0) WHERE rn = 1
+            )
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+                   epoch_us(c.ts) AS click_ts_us,
+                   c.event_id AS click_event_id, c.value AS click_value
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.event_id
+                ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) = 1
+        """,
+        # md5_63 (sign-masked md5_number_upper) % 100 < 90 — identical
+        # membership in both engines
+        "doc_split_hash": """
+            SELECT doc_id,
+                   CASE WHEN (md5_number_upper(CAST(doc_id AS VARCHAR))
+                              & 9223372036854775807) % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        """,
+        "text_repetition": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            bi AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM t),
+            cnt AS (SELECT doc_id, b, COUNT(*) AS c
+                    FROM bi, UNNEST(sh) AS u(b) GROUP BY 1, 2),
+            top AS (SELECT doc_id,
+                           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                             AS tb
+                    FROM cnt GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CASE WHEN len(t.toks) > 0
+                        THEN CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                             / len(t.toks)
+                        ELSE 0.0 END AS distinct_token_ratio,
+                   top.tb AS top_bigram_ratio
+            FROM t JOIN top ON t.doc_id = top.doc_id
+        """,
+        # mirrors quality_features' score formula term-for-term (left-assoc
+        # float adds — IEEE ops are bit-reproducible across both engines)
+        "quality_topk": f"""
+            WITH t AS (
+              SELECT doc_id, lang, source, text, {_TOK} AS toks,
+                     len(text) AS nc FROM documents
+            ),
+            f AS (
+              SELECT doc_id, lang, source,
+                     len(toks) AS n_tokens,
+                     CASE WHEN nc > 0
+                          THEN len(regexp_replace(text, '[A-Za-z0-9\\s]',
+                                                  '', 'g'))
+                               / CAST(nc AS DOUBLE)
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, x -> list_contains(
+                                 ['the','a','of','and','to','in','is',
+                                  'that','it','for'], x)))
+                               / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS stopword_ratio
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, lang, source,
+                     LEAST(n_tokens / 50.0, 1.0) * 0.4
+                     + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+                     + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+                       AS quality_score
+              FROM f
+            )
+            SELECT doc_id, lang, source, quality_score FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY lang, source
+                  ORDER BY quality_score DESC, doc_id) AS rn
+              FROM s
+            ) WHERE rn <= 3
         """,
     }

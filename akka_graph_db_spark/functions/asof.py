@@ -1,0 +1,116 @@
+"""As-of (most-recent-prior) joins — the canonical custom temporal operator.
+
+The reference engine family (and every feature-store/backtest pipeline)
+needs "for each left row, the latest right row at or before its timestamp,
+per key". Spark has no built-in as-of join; the classic scalable
+formulation used here is UNION-MERGE + WINDOW rather than an inequality
+join:
+
+    tag left rows (payload NULL) and right rows (payload packed in one
+    struct), union them, and take ``last(payload, ignorenulls=True)`` over
+    a window partitioned by key and ordered by (ts, side) from the start
+    of the partition to the current row.
+
+That is ONE shuffle on the join key and a linear merge per partition —
+no quadratic per-key inequality join, no broadcast requirement, and skew
+is whatever the key distribution is (AQE handles it like any other
+shuffle). ``pandas merge_asof`` via cogrouped ``applyInPandas`` would give
+the same result but moves every row through Arrow; the window formulation
+stays entirely JVM-side.
+
+Ordering ties: right rows sort BEFORE left rows at an equal timestamp
+(inclusive match — a quote at exactly the trade's ts matches), and the
+caller must make right unique per (key, ts) for deterministic output
+(:func:`latest_per_key_ts` does this by max tiebreak column).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key_ts(
+    df: DataFrame,
+    by_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """One row per (by_cols, ts): the row with the greatest tiebreak value.
+    Run the right side of an as-of join through this to make tie behavior
+    deterministic (equal-timestamp rows otherwise match arbitrarily)."""
+    w = Window.partitionBy(*by_cols, ts_col).orderBy(F.desc(tiebreak_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right.ts_col <= left.ts_col`` within the same ``by_cols`` key
+    (NULLs when no prior right row exists). Right must be unique per
+    (by_cols, ts_col) — see :func:`latest_per_key_ts`.
+
+    Output = all left columns + each ``value_cols`` as ``<col><suffix>``
+    + ``<ts_col><suffix>`` (the matched right timestamp).
+
+    ``tolerance_seconds`` (optional, like pandas ``merge_asof``): matches
+    older than the tolerance window are nulled out.
+    """
+    by_cols = list(by_cols)
+    value_cols = list(value_cols)
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *by_cols,
+        F.col(ts_col).alias(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+    )
+    # right rows carry NULL for left-only columns
+    for c in left_cols:
+        if c not in by_cols and c != ts_col:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    merged = l.unionByName(r.select(*l.columns))
+    # _side=0 (right) sorts before _side=1 (left) at an equal ts → inclusive
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(
+        "_m", F.last("_p", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    m = F.col("_m")
+    if tolerance_seconds is not None:
+        too_old = m["_ts"] < F.col(ts_col) - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+        matched = matched.withColumn(
+            "_m", F.when(too_old, F.lit(None)).otherwise(m)
+        )
+    out = matched.select(
+        *left_cols,
+        m["_ts"].alias(f"{ts_col}{suffix}"),
+        *[m[c].alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out

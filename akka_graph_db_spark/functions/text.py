@@ -140,6 +140,113 @@ def text_stats(
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Gopher-style repetition signals (the cheap filters a training
+    pipeline applies before anything model-based):
+
+    - ``distinct_token_ratio``: |set(tokens)| / |tokens| — low values mean
+      heavy word repetition (type-token ratio).
+    - ``top_bigram_ratio``: occurrences of the most frequent token bigram /
+      total bigrams — catches boilerplate/spam loops that token-level
+      ratios miss.
+
+    Pure expressions (aggregate over the shingle array — no explode, no
+    shuffle, no Python): each document is scored independently inside one
+    projection, so the operator is embarrassingly parallel at any scale.
+    """
+    t = F.col(text_col)
+    tok = tokens(t)
+    n_tok = F.size(tok)
+    bi = shingles(tok, 2)
+    # most-frequent-bigram count via a single fold over the sorted array:
+    # equal neighbors extend the current run; track the max run length.
+    sorted_bi = F.array_sort(bi)
+    top_cnt = F.aggregate(
+        sorted_bi,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.withColumn(
+        "distinct_token_ratio",
+        F.when(n_tok > 0, F.size(F.array_distinct(tok)) / n_tok).otherwise(
+            0.0
+        ),
+    ).withColumn(
+        "top_bigram_ratio",
+        F.when(F.size(bi) > 0, top_cnt / F.size(bi)).otherwise(0.0),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 90,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Append a deterministic ``split`` column ('train'/'val') by hashing
+    the key — the standard reproducible holdout for a corpus that is
+    re-materialized across runs and engines (random sampling reshuffles
+    membership every run; hash-mod membership is stable under appends,
+    re-partitioning, and engine changes).
+
+    ``hash_family="md5"`` uses the DuckDB-reproducible ``hashing.md5_63``
+    (sign-masked, so ``% 100`` agrees between Spark's signed and DuckDB's
+    unsigned arithmetic); the default stays xxhash64 for speed.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    if not 0 < train_pct < 100:
+        raise ValueError("train_pct must be in (0, 100)")
+    key = F.col(key_col).cast("string")
+    if hash_family == "xxhash64":
+        bucket = F.pmod(F.xxhash64(key), F.lit(100))
+    elif hash_family == "md5":
+        bucket = md5_63(key) % 100
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val")),
+    )
+
+
+def quality_topk(
+    df: DataFrame,
+    k: int = 3,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the k highest-quality documents per group (ties broken by id) —
+    the 'best N per domain' selection step of a curation pipeline. One
+    window over the grouped quality scores; rank, don't sort globally."""
+    from pyspark.sql import Window
+
+    scored = quality_features(df, text_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("quality_score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 # --------------------------------------------------------------------------
 # Fingerprinting
 # --------------------------------------------------------------------------
