@@ -268,10 +268,23 @@ def _shingle_sets(
     collisions (P ≈ |corpus vocab|²/2⁶⁵ — ~1e-11 at 100k distinct
     shingles), while the verify join shuffles 8-byte longs instead of
     whole shingle strings and intersects on long equality.
+
+    For ``shingle_n=1`` the hashed path hashes tokens directly and then
+    dedups the longs — same set up to collisions as hashing the string
+    shingles, but ~10× cheaper than the generic sequence/slice/concat
+    shingle construction (HOF lambdas are interpreted, not codegen'd).
+    The empty-doc case keeps the generic path's [""]-singleton semantics.
     """
-    sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
-    if hashed:
-        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    tok = tokens(F.col(text_col))
+    if hashed and shingle_n == 1:
+        sh = F.when(
+            F.size(tok) >= 1,
+            F.array_distinct(F.transform(tok, lambda s: F.xxhash64(s))),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", tok))))
+    else:
+        sh = F.array_distinct(shingles(tok, shingle_n))
+        if hashed:
+            sh = F.transform(sh, lambda s: F.xxhash64(s))
     return df.select(
         F.col(id_col).alias("_sid"),
         sh.alias("_sh"),
@@ -331,7 +344,20 @@ def minhash_dedup_pairs(
     sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
     cands = _banded_candidates(sigs, num_perm, bands)
 
-    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    # Compute the hashed shingle sets ONCE and materialize: three consumers
+    # (size prefilter + both verify sides) would otherwise each re-scan the
+    # source and re-run the tokenize/hash pass (projection collapse
+    # re-inlines it). The hashed-set frame is ~num_shingles longs per doc —
+    # far smaller than the corpus text — so materializing it is the cheap
+    # side of the trade at any scale. Repartition first: a small parquet
+    # input may arrive as 1-few partitions while the per-doc work is
+    # CPU-bound.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        _shingle_sets(df, text_col, id_col, shingle_n)
+        .repartition(npart, F.col("_sid"))
+        .localCheckpoint(eager=False)
+    )
     use_est = est_margin is not None
     min_match = 0
     if use_est:
@@ -454,9 +480,16 @@ def minhash_dedup_keep(
       exact-verified same-bucket pairs (:func:`minhash_dedup_pairs`).
       EXACT single-linkage w.r.t. the candidate set — when LSH recall is
       100% this equals components over the true near-dup graph, which is
-      what the DuckDB closure oracle checks. Candidate count is quadratic
-      per bucket, so run exact dedup first (collapse identical texts) to
-      bound bucket sizes.
+      what the DuckDB closure oracle checks. Exact duplicates are
+      collapsed first (one representative per distinct text, chosen as the
+      group's min id): identical texts have identical shingle sets and
+      signatures, so Jaccard to any third doc — and hence every candidate
+      edge and every component — is a function of the text alone, making
+      the collapse exactly component-preserving while removing the
+      quadratic blowup of large exact-duplicate clusters inside LSH
+      buckets. Survivors are likewise unchanged: each representative IS
+      its exact group's min id, so min-per-component over representatives
+      equals min-per-component over all docs.
     - ``linkage="star"``: each band bucket contributes only STAR edges
       (bucket-min ↔ member): O(docs × bands) candidates, independent of
       cluster size — the adversarial-scale path (a 1 400-doc duplicate
@@ -470,12 +503,31 @@ def minhash_dedup_keep(
     )
 
     if linkage == "pairs":
+        # Exact-dup collapse (see docstring): min-(id, text) struct per
+        # text digest keeps the representative's text for the signature
+        # pass. localCheckpoint so the collapse shuffle isn't re-run by
+        # the pair stage's second source scan (projection collapse would
+        # otherwise re-inline it).
+        reps = (
+            df.select(F.col(id_col), F.col(text_col))
+            .groupBy(F.sha2(F.col(text_col), 256).alias("_digest"))
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias(id_col),
+                        F.col(text_col).alias(text_col),
+                    )
+                ).alias("_r")
+            )
+            .select(f"_r.{id_col}", f"_r.{text_col}")
+            .localCheckpoint(eager=False)
+        )
         verified = minhash_dedup_pairs(
-            df, text_col, id_col, threshold, num_perm, bands, shingle_n,
+            reps, text_col, id_col, threshold, num_perm, bands, shingle_n,
             arrow,
         ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
         comp = connected_components_from_pairs(
-            df.select(F.col(id_col).alias("id")), verified
+            reps.select(F.col(id_col).alias("id")), verified
         )
         return comp.groupBy("component").agg(
             F.min("id").alias(id_col)
@@ -506,12 +558,14 @@ def minhash_dedup_keep(
         .select("a", F.col("_id").alias("b"))
         .distinct()
     )
-    # Verification re-scans the source for shingles (second columnar read)
-    # rather than carrying full text through the signature checkpoint —
-    # duplicating the corpus into checkpoint storage costs more at scale
-    # than a compressed parquet re-read. Hashed shingle sets (longs) keep
-    # the join payload small; see _shingle_sets.
-    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    # Hashed shingle sets (longs, small payload — see _shingle_sets),
+    # computed once and materialized for the two verify sides.
+    npart2 = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        _shingle_sets(df, text_col, id_col, shingle_n)
+        .repartition(npart2, F.col("_sid"))
+        .localCheckpoint(eager=False)
+    )
     sa = sh.select(F.col("_sid").alias("a"), F.col("_sh").alias("_sha"))
     sb = sh.select(F.col("_sid").alias("b"), F.col("_sh").alias("_shb"))
     verified = (

@@ -105,12 +105,24 @@ def connected_components(
     )
 
 
+_CC_BROADCAST_MAX_VERTICES = 5_000_000
+
+
 def connected_components_from_pairs(
     vertices: DataFrame, pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """Min-id propagation over a raw (a, b) pair frame + (id) vertex frame
     — the harness behind :func:`connected_components`, reusable for derived
-    graphs (e.g. near-duplicate clusters)."""
+    graphs (e.g. near-duplicate clusters).
+
+    The per-iteration state frame is one (id, component) row per vertex.
+    Cached frames carry no runtime stats, so the planner would sort-merge
+    the edges⋈state join every superstep; when the vertex count is small
+    enough (size-gated, same pattern as traverse.py's frontier broadcast)
+    we hint broadcast on the state/message side so each iteration is a
+    map-side hash join over the cached edge partitions — no edge shuffle,
+    no per-iteration sort. Large vertex sets fall back to the shuffle join.
+    """
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -118,13 +130,17 @@ def connected_components_from_pairs(
     state = vertices.select("id", F.col("id").alias("component")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    small = state.count() <= _CC_BROADCAST_MAX_VERTICES
     try:
         for it in range(max_iter):
+            st = F.broadcast(state) if small else state
             msgs = (
-                edges.join(state, edges["a"] == state["id"], "inner")
+                edges.join(st, edges["a"] == st["id"], "inner")
                 .groupBy(F.col("b").alias("id"))
                 .agg(F.min("component").alias("msg"))
             )
+            if small:
+                msgs = F.broadcast(msgs)
             new_state = (
                 state.join(msgs, "id", "left")
                 .select(
@@ -365,6 +381,10 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # One (id, deg) row per node — orders of magnitude smaller than the
+    # edge frame, and tiny next to the wedge join this feeds; broadcast so
+    # both orientation joins stay map-side (no edge-frame shuffle here).
+    deg = F.broadcast(deg)
     eab = e.join(
         deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
     ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
@@ -382,8 +402,13 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
 def _oriented_triangles(e: DataFrame) -> DataFrame:
     """All triangles of a canonical (a<b) edge frame as one row (x, y, z)
     each, via degree-oriented wedge counting: for rank(x) < rank(y) <
-    rank(z), wedge (x→y, x→z) closed by oriented edge y→z."""
-    o = _degree_oriented(e)
+    rank(z), wedge (x→y, x→z) closed by oriented edge y→z.
+
+    The oriented frame feeds three scans (both wedge legs + the closing
+    edge), so it is materialized once via localCheckpoint — re-deriving it
+    would repeat the degree aggregation and orientation joins per scan.
+    """
+    o = _degree_oriented(e).localCheckpoint(eager=True)
     e1 = o.select(
         F.col("src").alias("x"), F.col("dst").alias("y"),
         F.col("ddeg").alias("_dy"),
