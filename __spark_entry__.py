@@ -85,14 +85,19 @@ _GRAPH_CACHE: dict = {}
 
 def _g(spark: SparkSession, sf_dir: str):
     ensure_query_conf(spark)
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is unique per context — id() can be reused after GC,
+    # which could hand a recreated session DataFrames bound to a dead one.
+    key = (spark.sparkContext.applicationId, sf_dir)
     g = _GRAPH_CACHE.get(key)
     if g is None:
+        import atexit
+        import shutil
         import tempfile
 
         from akka_graph_db_spark import store
 
         root = tempfile.mkdtemp(prefix="spark_graft_graph_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         store.save_snapshot(
             graph_from_tpch(spark, sf_dir), root, columns="all"
         )
@@ -974,10 +979,18 @@ def q_streaming_dedup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="sdedup_")
     src = os.path.join(tmp, "src")
     ev_df.unionByName(ev_df).repartition(4).write.parquet(src)
-    stream = spark.readStream.schema(
-        "event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double"
-    ).parquet(src)
+    # Duplicates share identical event times, so the 10-minute watermark
+    # only provably retains their state if all 4 source files land in ONE
+    # micro-batch. Pin that assumption explicitly instead of relying on
+    # the default file-source batch size staying above the file count.
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(src)
+    )
     name = f"sdedup_{uuid.uuid4().hex[:8]}"
     q = (
         sw.dedup_stream(stream, watermark="10 minutes")

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 
 from akka_graph_db_spark.model import (
@@ -47,8 +48,17 @@ _V_RE = re.compile(r"^v=(\d+)$")
 
 # Explicit core schemas (label is the filesystem partition column; it is
 # part of the read schema so empty snapshots still produce typed frames).
-NODE_SCHEMA = "id bigint, label string, props map<string,string>"
-EDGE_SCHEMA = "id bigint, src bigint, dst bigint, label string, props map<string,string>"
+# Derived from model.py's core column tuples so a core-schema change there
+# cannot silently desync snapshot reads.
+_CORE_COL_TYPES = {
+    "id": "bigint",
+    "src": "bigint",
+    "dst": "bigint",
+    "label": "string",
+    "props": "map<string,string>",
+}
+NODE_SCHEMA = ", ".join(f"{c} {_CORE_COL_TYPES[c]}" for c in NODE_CORE_COLS)
+EDGE_SCHEMA = ", ".join(f"{c} {_CORE_COL_TYPES[c]}" for c in EDGE_CORE_COLS)
 
 
 def _active_spark(spark: SparkSession | None) -> SparkSession:
@@ -171,8 +181,19 @@ def load_snapshot(
                 df = spark.read.parquet(path)
                 extras = [c for c in df.columns if c not in core_cols]
                 return df.select(*core_cols, *extras)
-            except Exception:  # empty directory: nothing to infer from
-                pass
+            except AnalysisException as e:
+                # Fall back to the typed core schema ONLY for the
+                # nothing-to-infer case (a side written empty: _SUCCESS but
+                # no part files). Any other failure — permissions, corrupt
+                # footer, transient FS error — must surface rather than
+                # silently dropping the promoted columns.
+                cond = (
+                    e.getCondition()
+                    if hasattr(e, "getCondition")
+                    else None
+                ) or str(e)
+                if "UNABLE_TO_INFER_SCHEMA" not in str(cond):
+                    raise
         return (
             spark.read.schema(core_schema).parquet(path).select(*core_cols)
         )
