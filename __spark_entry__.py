@@ -728,23 +728,55 @@ def q_similarity_topk(spark, sf_dir):
     )
 
 
+def _plant_query_copies(emb):
+    """Corpus + 10 exact copies of each query vector (vec_id < 5), planted
+    at 100000 + query*100 + j. Identical vectors share every hyperplane
+    signature and every IVF centroid assignment, so ANY LSH/IVF
+    configuration provably finds all 10 copies; each copy scores cosine
+    exactly 1.0, which outranks every natural neighbor (max natural cosine
+    ≈ 0.42 at all SFs, verified), so approximate top-10 == exact top-10 ==
+    the planted ids — which makes the exact-SQL oracle applicable to the
+    approximate operators (the embedding_dedup_pairs construction)."""
+    planted = (
+        emb.where(F.col("vec_id") < 5)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_j"),
+        )
+        .select(
+            (F.lit(100000) + F.col("vec_id") * 100 + F.col("_j")).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
 def q_similarity_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate top-10 (scale path; recall vs brute force
-    asserted in pytest — rows-only here, hashes aren't SQL-reproducible)."""
+    """Hyperplane-LSH approximate top-10 (scale path). Oracled exactly via
+    planted query copies (see _plant_query_copies); natural-corpus recall
+    vs brute force is additionally asserted in pytest."""
     emb = read_embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, q, k=10, planes=8, tables=6).select(
+    corpus = _plant_query_copies(emb)
+    return similarity.lsh_topk(corpus, q, k=10, planes=8, tables=6).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
     )
 
 
 def q_similarity_ivf(spark, sf_dir):
     """IVF-flat approximate top-10 (centroid-bucket pruning — the
-    billion-vector scale path; rows-only, recall asserted in pytest)."""
+    billion-vector scale path). Oracled exactly via planted query copies
+    (see _plant_query_copies): copies assign to the query's own argmax
+    centroid, which is always probed, so recall of the true top-10 is
+    provably 100%. Natural-corpus recall asserted in pytest."""
     emb = read_embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 5)
+    corpus = _plant_query_copies(emb)
     return similarity.ivf_topk(
-        emb, q, k=10, n_centroids=16, n_probe=6
+        corpus, q, k=10, n_centroids=16, n_probe=6
     ).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
     )
@@ -1570,6 +1602,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.op = 'add' AND e.kind = 'edge'
               AND e.src NOT IN (SELECT id FROM removed)
               AND e.dst NOT IN (SELECT id FROM removed)
+        """,
+        # Exact top-10 over the corpus + planted exact query copies. The
+        # approximate searches provably achieve 100% recall on this input
+        # (identical vectors share every signature/centroid and score 1.0,
+        # outranking all natural neighbors), so the exact oracle applies —
+        # same construction as embedding_dedup_pairs. Ties (the 10 copies
+        # all score 1.0) break by neighbor_id in both engines.
+        "similarity_lsh": """
+            WITH e2 AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT 100000 + vec_id * 100 + j.j AS vec_id, embedding
+              FROM embeddings CROSS JOIN (SELECT unnest(range(10)) AS j) j
+              WHERE vec_id < 5
+            ),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS s
+              FROM q JOIN e2 e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, neighbor_id)
+                           AS rank
+                  FROM scored)
+            WHERE rank <= 10
+        """,
+        "similarity_ivf": """
+            WITH e2 AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT 100000 + vec_id * 100 + j.j AS vec_id, embedding
+              FROM embeddings CROSS JOIN (SELECT unnest(range(10)) AS j) j
+              WHERE vec_id < 5
+            ),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS s
+              FROM q JOIN e2 e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY s DESC, neighbor_id)
+                           AS rank
+                  FROM scored)
+            WHERE rank <= 10
         """,
         "similarity_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
