@@ -305,6 +305,41 @@ def q_paths_to(spark, sf_dir):
     )
 
 
+def q_paths_to_hydrated(spark, sf_dir):
+    """pathsTo with the reference's FULL Path payload (Neo4jGraph.scala:85-94:
+    start node + ordered edge OBJECTS, not just ids): customer 1 → its
+    region, hydrate=True. Flattened to one row per hop for the oracle hash
+    (nested structs stringify differently across engines; the nested shape
+    itself is pytest-asserted in tests/test_traverse.py)."""
+    g = _g(spark, sf_dir)
+    li = g.edges.where(
+        (F.col("label") == "located_in") & (F.col("src") == CUSTOMER_BASE + 1)
+    ).select(F.col("dst").alias("nation_id"))
+    ir = g.edges.where(F.col("label") == "in_region").select(
+        F.col("src").alias("nation_id"), F.col("dst").alias("region_id")
+    )
+    end_id = li.join(ir, "nation_id").collect()[0]["region_id"]
+    p = traverse.paths_to(
+        g, CUSTOMER_BASE + 1, end_id, max_depth=4, directed=True,
+        hydrate=True,
+    )
+    return p.select(
+        F.col("depth").cast("int").alias("depth"),
+        F.col("start.id").alias("start_id"),
+        F.col("start.label").alias("start_label"),
+        F.posexplode("path").alias("pos", "_e"),
+    ).select(
+        "depth",
+        "start_id",
+        "start_label",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("_e.id").alias("edge_id"),
+        F.col("_e.src").alias("edge_src"),
+        F.col("_e.dst").alias("edge_dst"),
+        F.col("_e.label").alias("edge_label"),
+    )
+
+
 def q_paths_to_undirected(spark, sf_dir):
     """pathsTo in the reference's UNDIRECTED form (Cypher `-[:L*]-`,
     Neo4jGraph.scala:504): nation 0 → the smallest co-located nation,
@@ -1116,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "egress_edges": q_egress_edges,
         "ingress_edges": q_ingress_edges,
         "paths_to": q_paths_to,
+        "paths_to_hydrated": q_paths_to_hydrated,
         "paths_to_undirected": q_paths_to_undirected,
         "get_nodes_unlabeled_prop": q_get_nodes_unlabeled_prop,
         "get_edges_hydrated": q_get_edges_hydrated,
@@ -1248,6 +1284,45 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(node_path, ',') AS node_path_str,
                    array_to_string(edge_path, ',') AS edge_path_str
             FROM p WHERE cur = (SELECT end_id FROM ep) AND depth >= 1
+        """,
+        # Same recursive BFS as paths_to, then each hit path's edge-id array
+        # unnests WITH ORDINALITY and joins edges_v for the full edge
+        # objects — the reference Path payload, one row per hop.
+        "paths_to_hydrated": f"""
+            WITH RECURSIVE
+            {ORACLE_EDGES_CTE.strip()},
+            ep AS (
+              SELECT n_regionkey + {REGION_BASE} AS end_id
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE c_custkey = 1
+            ),
+            p AS (
+              SELECT CAST({CUSTOMER_BASE + 1} AS BIGINT) AS cur,
+                     [CAST({CUSTOMER_BASE + 1} AS BIGINT)] AS node_path,
+                     CAST([] AS BIGINT[]) AS edge_path, 0 AS depth
+              UNION ALL
+              SELECT e.dst, list_append(p.node_path, e.dst),
+                     list_append(p.edge_path, e.id), p.depth + 1
+              FROM p JOIN edges_v e ON p.cur = e.src
+              WHERE p.depth < 4
+                AND NOT list_contains(p.node_path, e.dst)
+                AND p.cur <> (SELECT end_id FROM ep)
+            ),
+            hops AS (
+              SELECT depth,
+                     generate_subscripts(edge_path, 1) - 1 AS pos,
+                     unnest(edge_path) AS eid
+              FROM p WHERE cur = (SELECT end_id FROM ep) AND depth >= 1
+            )
+            SELECT CAST(h.depth AS INTEGER) AS depth,
+                   CAST({CUSTOMER_BASE + 1} AS BIGINT) AS start_id,
+                   'customer' AS start_label,
+                   CAST(h.pos AS INTEGER) AS pos,
+                   CAST(e.id AS BIGINT) AS edge_id,
+                   CAST(e.src AS BIGINT) AS edge_src,
+                   CAST(e.dst AS BIGINT) AS edge_dst,
+                   e.label AS edge_label
+            FROM hops h JOIN edges_v e ON h.eid = e.id
         """,
         "paths_to_undirected": f"""
             WITH RECURSIVE e AS (

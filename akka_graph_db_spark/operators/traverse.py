@@ -93,6 +93,7 @@ def paths_to(
     edge_labels: Sequence[str] = (),
     max_depth: int = 6,
     directed: bool = False,
+    hydrate: bool = False,
 ) -> DataFrame:
     """Enumerate simple paths start→end (≥1 hop), undirected by default.
 
@@ -103,6 +104,12 @@ def paths_to(
     Cypher ``ALL(x IN NODES(path) ...)`` filter; empty means unfiltered (the
     embedded backend's empty-rejects-everything bug is NOT reproduced).
     ``edge_labels`` non-empty restricts traversed edge types.
+
+    ``hydrate=True`` adds the reference's FULL Path shape
+    (`Neo4jGraph.scala:85-94`: ``{start: <node>, path: [<edge>...]}``):
+    a ``start STRUCT<id,label>`` column and a ``path
+    ARRAY<STRUCT<id,src,dst,label>>`` column of ordered edge objects —
+    see :func:`hydrate_paths`.
     """
     spark = g.nodes.sparkSession
     start_id, end_id = int(start_id), int(end_id)
@@ -130,9 +137,10 @@ def paths_to(
             > 0
         )
         if not start_ok:
-            return spark.createDataFrame(
+            empty = spark.createDataFrame(
                 [], "depth int, node_path array<bigint>, edge_path array<bigint>"
             )
+            return hydrate_paths(g, empty, start_id) if hydrate else empty
         rel = rel.join(allowed, rel["b"] == allowed["_aid"], "left_semi")
 
     # one materialization instead of re-deriving the edge view (scans + any
@@ -180,16 +188,78 @@ def paths_to(
             frontier = nxt
 
         if not results:
-            return spark.createDataFrame(
+            out = spark.createDataFrame(
                 [], "depth int, node_path array<bigint>, edge_path array<bigint>"
             )
-        out = results[0]
-        for r in results[1:]:
-            out = out.unionByName(r)
-        # Materialize before unpersisting the supersteps backing it.
-        out = out.localCheckpoint(eager=True)
-        return out
+        else:
+            out = results[0]
+            for r in results[1:]:
+                out = out.unionByName(r)
+            # Materialize before unpersisting the supersteps backing it.
+            out = out.localCheckpoint(eager=True)
+        return hydrate_paths(g, out, start_id) if hydrate else out
     finally:
         rel.unpersist()
         for df in persisted:
             df.unpersist()
+
+
+def hydrate_paths(
+    g: PropertyGraph, paths: DataFrame, start_id: int
+) -> DataFrame:
+    """Join full edge objects (and the start node) onto id-array paths —
+    the reference's Path payload (`Neo4jGraph.scala:85-94`: a start node
+    plus the ordered list of traversed edge objects).
+
+    Input: ``(depth, node_path, edge_path)`` rows from :func:`paths_to`.
+    Output adds ``start STRUCT<id,label>`` and ``path
+    ARRAY<STRUCT<id,src,dst,label>>`` (ordered by hop position).
+
+    Scale shape: posexplode the edge-id arrays, ONE shuffle join against the
+    edge frame on edge id, then group back on the path identity (the
+    edge_path array IS the path's primary key — a simple path visits an
+    edge at most once, so two distinct paths cannot share the sequence) and
+    reassemble order via array_sort on (pos, edge). The start node is a
+    1-row broadcast cross join. No driver-side loops; path count and path
+    length both stay distributed.
+    """
+    start = F.broadcast(
+        g.nodes.where(F.col("id") == int(start_id)).select(
+            F.struct(F.col("id"), F.col("label")).alias("start")
+        )
+    )
+    ex = paths.select(
+        "depth",
+        "node_path",
+        "edge_path",
+        F.posexplode("edge_path").alias("_pos", "_eid"),
+    )
+    e = g.edges.select(
+        F.col("id").alias("_eid"), "src", "dst", F.col("label")
+    )
+    hydr = (
+        ex.join(e, "_eid", "inner")
+        .groupBy("depth", "node_path", "edge_path")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pos").alias("pos"),
+                        F.struct(
+                            F.col("_eid").alias("id"),
+                            F.col("src"),
+                            F.col("dst"),
+                            F.col("label"),
+                        ).alias("e"),
+                    )
+                )
+            ).alias("_pe")
+        )
+        .select(
+            "depth",
+            "node_path",
+            "edge_path",
+            F.transform("_pe", lambda s: s["e"]).alias("path"),
+        )
+    )
+    return hydr.crossJoin(start)

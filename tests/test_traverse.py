@@ -88,6 +88,32 @@ def test_parallel_edges_give_distinct_paths(micro):
     assert (103,) in eps and (104,) in eps
 
 
+def test_paths_hydrated_reference_shape(micro):
+    # Neo4jGraph.scala:85-94: Path = start node + ordered full edge objects.
+    p = traverse.paths_to(micro, 1, 5, max_depth=3, directed=True,
+                          hydrate=True)
+    rows = p.collect()
+    assert rows, "expected at least the 1-4-5 path"
+    for r in rows:
+        assert r["start"]["id"] == 1 and r["start"]["label"] is not None
+        assert len(r["path"]) == r["depth"] == len(r["edge_path"])
+        # hydrated edge objects line up with the id arrays, in hop order
+        assert [e["id"] for e in r["path"]] == list(r["edge_path"])
+        for e, (a, b) in zip(
+            r["path"], zip(r["node_path"], r["node_path"][1:])
+        ):
+            assert e["src"] == a and e["dst"] == b  # directed: forward hops
+            assert e["label"] is not None
+
+
+def test_paths_hydrated_empty_keeps_schema(micro):
+    p = traverse.paths_to(micro, 1, 7, max_depth=2, hydrate=True)
+    assert p.count() == 0
+    assert set(p.columns) == {
+        "depth", "node_path", "edge_path", "start", "path"
+    }
+
+
 def test_generator_frontier_materialized_once(spark, micro):
     # ADVICE r2: generator frontier must yield the same result as a list.
     from akka_graph_db_spark.operators import traverse
