@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_minhash_keep_star",  # star-linkage keep (adversarial-scale path)
     "similarity_topk",        # corpus scan x 5 queries
     "similarity_ivf",         # centroid-bucket pruned ANN
+    "asof_purchase_click",    # union-merge as-of join (single shuffle)
+    "quality_topk",           # quality scoring + global top-k
     "window_rank_customers",  # partitioned window rank
     "text_stats",             # tokenize + agg
     "multimodal_meta",        # Arrow mapInPandas
