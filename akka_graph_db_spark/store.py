@@ -34,9 +34,12 @@ Layout::
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from akka_graph_db_spark.model import (
     EDGE_CORE_COLS,
@@ -45,6 +48,7 @@ from akka_graph_db_spark.model import (
 )
 
 _V_RE = re.compile(r"^v=(\d+)$")
+_DELTA_MARKER = "_DELTA"
 
 # Explicit core schemas (label is the filesystem partition column; it is
 # part of the read schema so empty snapshots still produce typed frames).
@@ -82,11 +86,23 @@ def _join(root: str, *parts: str) -> str:
 
 
 def list_versions(root: str, spark: SparkSession | None = None) -> list[int]:
-    """Complete snapshot versions under ``root`` (ascending).
+    """Complete snapshot versions under ``root`` (ascending), bases AND
+    deltas. See :func:`list_version_kinds` for the kind of each."""
+    return [v for v, _ in list_version_kinds(root, spark)]
 
-    A version counts as complete only when BOTH the nodes and edges jobs
-    committed (their _SUCCESS markers exist) — a crashed writer leaves an
-    ignorable partial directory, never a half-readable version.
+
+def list_version_kinds(
+    root: str, spark: SparkSession | None = None
+) -> list[tuple[int, str]]:
+    """``[(version, "base" | "delta"), ...]`` ascending, complete only.
+
+    A BASE version is complete when BOTH the nodes and edges jobs committed
+    (their _SUCCESS markers exist). A DELTA version is complete only when
+    its ``_DELTA`` marker exists — the marker is written LAST by
+    :func:`save_delta`, after all four part jobs commit, so a crashed delta
+    writer leaves an ignorable partial directory, never a half-readable
+    version. (A delta's part dirs use distinct names — ``nodes_upserts``
+    etc. — so a partial delta can never satisfy the base rule either.)
     """
     spark = _active_spark(spark)
     fs, jroot = _fs_and_path(spark, root)
@@ -102,10 +118,12 @@ def list_versions(root: str, spark: SparkSession | None = None) -> list[int]:
         if not m:
             continue
         vpath = status.getPath()
-        if fs.exists(Path(vpath, "nodes/_SUCCESS")) and fs.exists(
+        if fs.exists(Path(vpath, _DELTA_MARKER)):
+            out.append((int(m.group(1)), "delta"))
+        elif fs.exists(Path(vpath, "nodes/_SUCCESS")) and fs.exists(
             Path(vpath, "edges/_SUCCESS")
         ):
-            out.append(int(m.group(1)))
+            out.append((int(m.group(1)), "base"))
     return sorted(out)
 
 
@@ -166,13 +184,37 @@ def load_snapshot(
     """
     if schema not in ("core", "infer"):
         raise ValueError(f"schema must be 'core' or 'infer', got {schema!r}")
-    versions = list_versions(root, spark)
-    if not versions:
+    kinds = dict(list_version_kinds(root, spark))
+    if not kinds:
         raise FileNotFoundError(f"no complete snapshot versions under {root}")
     if version is None:
-        version = versions[-1]
-    elif version not in versions:
+        version = max(kinds)
+    elif version not in kinds:
         raise FileNotFoundError(f"version {version} not found under {root}")
+    if kinds[version] == "delta":
+        # Merge-on-read: latest base at-or-below the target, plus every
+        # delta between them. Deltas persist core columns only, so the
+        # merged view is core regardless of ``schema``.
+        bases = [v for v, k in kinds.items() if k == "base" and v <= version]
+        if not bases:
+            raise FileNotFoundError(
+                f"no base snapshot at or below version {version} "
+                f"under {root} (v=0 must be a base)"
+            )
+        base_v = max(bases)
+        delta_vs = sorted(v for v in kinds if base_v < v <= version)
+        return PropertyGraph(
+            nodes=_merge_side(
+                spark, root, base_v, delta_vs,
+                "nodes", "nodes_upserts", "node_deletes",
+                NODE_SCHEMA, NODE_CORE_COLS,
+            ),
+            edges=_merge_side(
+                spark, root, base_v, delta_vs,
+                "edges", "edges_upserts", "edge_deletes",
+                EDGE_SCHEMA, EDGE_CORE_COLS,
+            ),
+        )
     vdir = _join(root, f"v={version}")
 
     def _read(path: str, core_schema: str, core_cols: tuple[str, ...]):
@@ -202,3 +244,269 @@ def load_snapshot(
         nodes=_read(_join(vdir, "nodes"), NODE_SCHEMA, NODE_CORE_COLS),
         edges=_read(_join(vdir, "edges"), EDGE_SCHEMA, EDGE_CORE_COLS),
     )
+
+
+# ---------------------------------------------------------------------------
+# Base + delta layout (merge-on-read)
+#
+# A full snapshot per mutation batch rewrites the whole table — write
+# amplification a 100 TB graph cannot afford. A DELTA version persists only
+# the batch's effect (upserted full rows + deleted ids); reads merge the
+# latest base with every later delta in ONE union + one per-id aggregation
+# (`max_by(payload, version)`), so merge cost is a single shuffle over
+# base+deltas regardless of chain length. `compact()` re-bases, `vacuum()`
+# drops superseded versions. This is the merge-on-read design of Delta
+# Lake / Iceberg v2 position deletes, reduced to the property-graph schema.
+#
+# Delta version layout (part dir names are DISJOINT from a base's, so a
+# half-written delta can never be mistaken for a complete base)::
+#
+#     <root>/v=<N>/nodes_upserts/label=<L>/part-*.parquet
+#     <root>/v=<N>/edges_upserts/label=<L>/part-*.parquet
+#     <root>/v=<N>/node_deletes/part-*.parquet     (id BIGINT)
+#     <root>/v=<N>/edge_deletes/part-*.parquet     (id BIGINT)
+#     <root>/v=<N>/_DELTA                          (commit marker, LAST)
+#
+# Contract per delta: an id appears at most once across the kind's upserts,
+# and never in both its upserts and deletes (save_delta validates by
+# default). Upserts carry the FULL new row (post-merge props), matching the
+# CRUD operators' copy-on-write output — a delta records effects, not
+# commands; cascades (removeNode → incident edges) are already expanded by
+# the time a delta is cut, exactly like the reference's store sees them
+# (Neo4jGraph.scala:406-413 DETACH DELETE).
+
+_ID_SCHEMA = "id bigint"
+
+
+@dataclass(frozen=True)
+class GraphDelta:
+    """One mutation batch's effect. Any side may be None (empty).
+
+    ``node_upserts``/``edge_upserts`` carry the core columns; the delete
+    frames carry a single ``id`` column.
+    """
+
+    node_upserts: DataFrame | None = None
+    edge_upserts: DataFrame | None = None
+    node_deletes: DataFrame | None = None
+    edge_deletes: DataFrame | None = None
+
+    def spark(self) -> SparkSession | None:
+        for df in (
+            self.node_upserts,
+            self.edge_upserts,
+            self.node_deletes,
+            self.edge_deletes,
+        ):
+            if df is not None:
+                return df.sparkSession
+        return None
+
+
+def _empty(spark: SparkSession, ddl: str) -> DataFrame:
+    return spark.createDataFrame([], ddl)
+
+
+def _validate_delta(delta: GraphDelta) -> None:
+    for kind, ups, dels in (
+        ("node", delta.node_upserts, delta.node_deletes),
+        ("edge", delta.edge_upserts, delta.edge_deletes),
+    ):
+        if ups is not None:
+            ids = ups.select("id")
+            if ids.count() != ids.distinct().count():
+                raise ValueError(f"delta {kind}_upserts has duplicate ids")
+            if dels is not None and (
+                ids.join(dels.select("id"), "id", "left_semi").count() > 0
+            ):
+                raise ValueError(
+                    f"delta has ids in both {kind}_upserts and "
+                    f"{kind}_deletes — a batch must resolve to one effect "
+                    "per id"
+                )
+
+
+def save_delta(
+    root: str,
+    delta: GraphDelta,
+    version: int | None = None,
+    sort_by_id: bool = True,
+    validate: bool = True,
+) -> int:
+    """Persist a mutation batch as a DELTA version; returns the version.
+
+    O(batch) write — nothing from the base is rewritten. Requires an
+    existing base below it (v0 must be a base). The ``_DELTA`` marker file
+    is created only after all four part jobs commit, making the delta
+    atomic under the same crashed-writer rules as a base.
+
+    ``validate`` (default) enforces the per-delta id contract with two
+    small jobs over the batch frames; pass False when the producer already
+    guarantees it (e.g. deltas cut by :func:`delta_from_graphs`).
+    """
+    spark = delta.spark() or _active_spark(None)
+    kinds = list_version_kinds(root, spark)
+    if not any(k == "base" for _, k in kinds):
+        raise FileNotFoundError(
+            f"save_delta requires an existing base snapshot under {root}"
+        )
+    versions = [v for v, _ in kinds]
+    if version is None:
+        version = versions[-1] + 1
+    elif version in versions:
+        raise ValueError(f"version {version} already exists under {root}")
+    if validate:
+        _validate_delta(delta)
+    vdir = _join(root, f"v={version}")
+    n_up = (
+        delta.node_upserts.select(*NODE_CORE_COLS)
+        if delta.node_upserts is not None
+        else _empty(spark, NODE_SCHEMA)
+    )
+    e_up = (
+        delta.edge_upserts.select(*EDGE_CORE_COLS)
+        if delta.edge_upserts is not None
+        else _empty(spark, EDGE_SCHEMA)
+    )
+    if sort_by_id:
+        n_up = n_up.sortWithinPartitions("id")
+        e_up = e_up.sortWithinPartitions("id")
+    n_up.write.partitionBy("label").parquet(_join(vdir, "nodes_upserts"))
+    e_up.write.partitionBy("label").parquet(_join(vdir, "edges_upserts"))
+    for name, dels in (
+        ("node_deletes", delta.node_deletes),
+        ("edge_deletes", delta.edge_deletes),
+    ):
+        df = (
+            dels.select("id")
+            if dels is not None
+            else _empty(spark, _ID_SCHEMA)
+        )
+        df.write.parquet(_join(vdir, name))
+    fs, _ = _fs_and_path(spark, root)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    fs.create(Path(_join(vdir, _DELTA_MARKER))).close()
+    return version
+
+
+def _merge_side(
+    spark: SparkSession,
+    root: str,
+    base_v: int,
+    delta_vs: list[int],
+    base_name: str,
+    up_name: str,
+    del_name: str,
+    core_schema: str,
+    core_cols: tuple[str, ...],
+) -> DataFrame:
+    """base ∪ upserts ∪ tombstones → winner-per-id by highest version.
+
+    ONE shuffle (the per-id aggregation, with map-side partial ``max_by``)
+    over base+deltas, independent of how many deltas are stacked — the
+    read-amplification bound that makes long mutation chains viable until
+    the next ``compact()``.
+    """
+    payload = [c for c in core_cols if c != "id"]
+
+    def _core(path: str) -> DataFrame:
+        return (
+            spark.read.schema(core_schema).parquet(path).select(*core_cols)
+        )
+
+    def _tag(df: DataFrame, v: int, deleted: bool) -> DataFrame:
+        return df.withColumn("_v", F.lit(v)).withColumn(
+            "_del", F.lit(deleted)
+        )
+
+    parts = [_tag(_core(_join(root, f"v={base_v}", base_name)), base_v, False)]
+    for v in delta_vs:
+        vdir = _join(root, f"v={v}")
+        parts.append(_tag(_core(_join(vdir, up_name)), v, False))
+        dels = spark.read.schema(_ID_SCHEMA).parquet(_join(vdir, del_name))
+        null_payload = [
+            F.lit(None).cast(_CORE_COL_TYPES[c]).alias(c) for c in payload
+        ]
+        parts.append(_tag(dels.select("id", *null_payload), v, True))
+    merged = reduce(DataFrame.unionByName, parts)
+    winner = merged.groupBy("id").agg(
+        F.max_by(F.struct("_del", *payload), "_v").alias("_w")
+    )
+    return winner.where(~F.col("_w._del")).select(
+        "id", *[F.col(f"_w.{c}").alias(c) for c in payload]
+    )
+
+
+def compact(root: str, spark: SparkSession | None = None) -> int:
+    """Materialize the merged latest state as a new BASE version.
+
+    Re-bases the chain so later reads stop paying the merge; O(merged
+    graph) — run it every K deltas, the persistence analogue of the Pregel
+    checkpoint cadence. Returns the new base's version."""
+    spark = _active_spark(spark)
+    return save_snapshot(load_snapshot(spark, root), root)
+
+
+def vacuum(root: str, spark: SparkSession | None = None) -> list[int]:
+    """Delete every version strictly below the LATEST base (they no longer
+    contribute to the latest state). Returns the removed versions.
+
+    Forfeits time travel below that base — same contract as Delta Lake's
+    VACUUM. Never removes anything unless a base exists above it."""
+    spark = _active_spark(spark)
+    kinds = list_version_kinds(root, spark)
+    bases = [v for v, k in kinds if k == "base"]
+    if not bases:
+        return []
+    cut = max(bases)
+    removed = [v for v, _ in kinds if v < cut]
+    fs, _ = _fs_and_path(spark, root)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    for v in removed:
+        fs.delete(Path(_join(root, f"v={v}")), True)
+    return removed
+
+
+def delta_from_graphs(old: PropertyGraph, new: PropertyGraph) -> GraphDelta:
+    """Diff two snapshots into the delta transforming ``old`` into ``new``.
+
+    Full-outer join per side on id; a row is an upsert when it is new or
+    any core field changed (props compared as sorted entry arrays — map
+    columns have no equality in Spark expressions), a delete when its id
+    left. Compute is O(old+new) but the RESULT — and therefore the write —
+    is O(changes): at 100 TB the scan is cheap parallel work while the
+    rewrite it replaces is the cost that matters. Satisfies the per-delta
+    id contract by construction (``save_delta(..., validate=False)`` safe).
+    """
+
+    def _diff(o: DataFrame, n: DataFrame, cols: tuple[str, ...]):
+        cmp_cols = [c for c in cols if c not in ("id", "props")] + ["_pk"]
+
+        def _pref(df: DataFrame, p: str) -> DataFrame:
+            sel = [F.col(c).alias(f"{p}{c}") for c in cols]
+            sel.append(
+                F.sort_array(F.map_entries("props")).alias(f"{p}_pk")
+            )
+            return df.select(*sel)
+
+        j = _pref(o, "o_").join(
+            _pref(n, "n_"), F.col("o_id") == F.col("n_id"), "full_outer"
+        )
+        changed = reduce(
+            lambda a, b: a | b,
+            [
+                ~F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+                for c in cmp_cols
+            ],
+        )
+        ups = j.where(
+            F.col("n_id").isNotNull() & (F.col("o_id").isNull() | changed)
+        ).select(*[F.col(f"n_{c}").alias(c) for c in cols])
+        dels = j.where(F.col("n_id").isNull()).select(
+            F.col("o_id").alias("id")
+        )
+        return ups, dels
+
+    n_up, n_del = _diff(old.nodes, new.nodes, NODE_CORE_COLS)
+    e_up, e_del = _diff(old.edges, new.edges, EDGE_CORE_COLS)
+    return GraphDelta(n_up, e_up, n_del, e_del)

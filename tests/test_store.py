@@ -73,3 +73,80 @@ def test_file_uri_round_trip(spark, micro):
     g = store.load_snapshot(spark, root)
     assert ids(g.nodes) == ids(micro.nodes)
     assert ids(g.edges) == ids(micro.edges)
+
+
+# --- base + delta layout (merge-on-read) -----------------------------------
+
+
+def test_delta_merge_on_read_and_time_travel(spark, micro):
+    root = tempfile.mkdtemp(prefix="snap_")
+    store.save_snapshot(micro, root)  # v=0 base
+    g1 = crud.update_nodes(micro, {1: {"name": "ALICE", "age": None}})
+    g1 = crud.remove_nodes_by_id(g1, [2])  # cascades to 2's edges
+    delta = store.delta_from_graphs(micro, g1)
+    v1 = store.save_delta(root, delta)
+    assert v1 == 1
+    assert store.list_version_kinds(root) == [(0, "base"), (1, "delta")]
+
+    merged = store.load_snapshot(spark, root)
+    assert ids(merged.nodes) == ids(g1.nodes)
+    assert ids(merged.edges) == ids(g1.edges)
+    # the upsert carried the post-merge props (changed key + null-delete)
+    assert ids(scan.get_nodes(merged, "person", {"name": "ALICE"})) == [1]
+    row = merged.nodes.where(F.col("id") == 1).collect()[0]
+    assert "age" not in row["props"]
+    # time travel below the delta is still the exact base
+    v0 = store.load_snapshot(spark, root, version=0)
+    assert ids(v0.nodes) == ids(micro.nodes)
+
+
+def test_delta_chain_compact_vacuum(spark, micro):
+    root = tempfile.mkdtemp(prefix="snap_")
+    store.save_snapshot(micro, root)
+    g = micro
+    for nid in (2, 8):
+        g2 = crud.remove_nodes_by_id(g, [nid])
+        store.save_delta(
+            root, store.delta_from_graphs(g, g2), validate=False
+        )
+        g = g2
+    merged = store.load_snapshot(spark, root)  # base + 2 stacked deltas
+    assert ids(merged.nodes) == ids(g.nodes)
+    assert ids(merged.edges) == ids(g.edges)
+
+    v = store.compact(root, spark)
+    assert v == 3
+    assert store.list_version_kinds(root)[-1] == (3, "base")
+    rebased = store.load_snapshot(spark, root)  # direct base read now
+    assert ids(rebased.nodes) == ids(g.nodes)
+    assert ids(rebased.edges) == ids(g.edges)
+
+    assert store.vacuum(root, spark) == [0, 1, 2]
+    assert store.list_versions(root) == [3]
+    assert ids(store.load_snapshot(spark, root).nodes) == ids(g.nodes)
+
+
+def test_delta_contract_enforced(spark, micro):
+    root = tempfile.mkdtemp(prefix="snap_")
+    one = spark.createDataFrame([(1,)], "id bigint")
+    ups = micro.nodes.where(F.col("id") == 1)
+    # a delta cannot be the first version
+    try:
+        store.save_delta(root, store.GraphDelta(node_upserts=ups))
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+    store.save_snapshot(micro, root)
+    # same id upserted and deleted in one batch is rejected
+    try:
+        store.save_delta(
+            root, store.GraphDelta(node_upserts=ups, node_deletes=one)
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # an all-empty delta is legal and a no-op on merge
+    v = store.save_delta(root, store.GraphDelta())
+    merged = store.load_snapshot(spark, root, version=v)
+    assert ids(merged.nodes) == ids(micro.nodes)
+    assert ids(merged.edges) == ids(micro.edges)
