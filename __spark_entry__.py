@@ -47,6 +47,7 @@ from akka_graph_db_spark.sources.tpch import (
     ORACLE_NODES_CTE,
     ORDER_BASE,
     PLACED_BASE,
+    SUPPLIER_BASE,
     REGION_BASE,
     _LINEITEM_ORDER_SQL,
     graph_from_tpch,
@@ -491,6 +492,49 @@ def q_remove_edges_predicate(spark, sf_dir):
     return g2.edges.where(F.col("label") == "contains").agg(
         F.count(F.lit(1)).alias("n_contains")
     )
+
+
+def q_store_delta_merge(spark, sf_dir):
+    """Base+delta persistence round-trip (store.py merge-on-read): a
+    mutation batch (prop merge with null-delete on customer 1 + cascading
+    removal of supplier 1) is diffed into an O(changes) delta, persisted
+    next to the untouched base, and read back through the single-shuffle
+    max_by merge. Verifies the merged view equals applying the mutations
+    directly — the Delta-Lake-style answer to the reference's Neo4j store
+    writes (Neo4jGraph.scala:150-154)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from akka_graph_db_spark import store
+
+    g = _g(spark, sf_dir).core()
+    g2 = crud.update_nodes(
+        g, {CUSTOMER_BASE + 1: {"mktsegment": "DELTA", "name": None}}
+    )
+    g2 = crud.remove_nodes_by_id(g2, [SUPPLIER_BASE + 1])
+    root = tempfile.mkdtemp(prefix="spark_graft_delta_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store.save_snapshot(g, root)
+    store.save_delta(
+        root, store.delta_from_graphs(g, g2), validate=False
+    )
+    m = store.load_snapshot(spark, root)
+    ns = m.nodes.where(F.col("label") == "supplier").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    nsb = m.edges.where(F.col("label") == "supplied_by").agg(
+        F.count(F.lit(1)).alias("n_supplied_by")
+    )
+    nli = m.edges.where(F.col("label") == "located_in").agg(
+        F.count(F.lit(1)).alias("n_located_in")
+    )
+    cust = m.nodes.where(F.col("id") == CUSTOMER_BASE + 1).select(
+        prop_str("props", "mktsegment").alias("mktsegment"),
+        prop_str("props", "name").alias("name"),
+        prop_double("props", "acctbal").alias("acctbal"),
+    )
+    return ns.crossJoin(nsb).crossJoin(nli).crossJoin(cust)
 
 
 def q_codec_roundtrip(spark, sf_dir):
@@ -1162,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_node_cascade": q_remove_node_cascade,
         "remove_nodes_predicate": q_remove_nodes_predicate,
         "remove_edges_predicate": q_remove_edges_predicate,
+        "store_delta_merge": q_store_delta_merge,
         "codec_roundtrip": q_codec_roundtrip,
         "degrees": q_degrees,
         "connected_components_geo": q_connected_components_geo,
@@ -1429,6 +1474,19 @@ def oracle_sql() -> dict[str, str]:
         "remove_edges_predicate": """
             SELECT COUNT(*) AS n_contains FROM lineitem
             WHERE l_returnflag <> 'A'
+        """,
+        "store_delta_merge": """
+            SELECT
+              (SELECT COUNT(*) FROM supplier WHERE s_suppkey <> 1)
+                AS n_suppliers,
+              (SELECT COUNT(DISTINCT (l_partkey, l_suppkey))
+                 FROM lineitem WHERE l_suppkey <> 1) AS n_supplied_by,
+              (SELECT COUNT(*) FROM customer)
+                + (SELECT COUNT(*) FROM supplier WHERE s_suppkey <> 1)
+                AS n_located_in,
+              'DELTA' AS mktsegment, CAST(NULL AS VARCHAR) AS name,
+              (SELECT c_acctbal FROM customer WHERE c_custkey = 1)
+                AS acctbal
         """,
         "codec_roundtrip": f"""
             SELECT o_orderkey + {ORDER_BASE} AS id,

@@ -66,3 +66,38 @@ def test_streaming_fold_matches_batch(spark, micro):
     assert ids(final.nodes) == ids(exp.nodes)
     assert ids(final.edges) == ids(exp.edges)
     assert fold.batches_applied >= 1
+
+
+def test_streaming_fold_durable_deltas(spark, micro):
+    from akka_graph_db_spark import store
+
+    tmp = tempfile.mkdtemp(prefix="fold_")
+    log_dir = os.path.join(tmp, "log")
+    # one file per command => one micro-batch each (maxFilesPerTrigger=1)
+    for row in LOG:
+        spark.createDataFrame([row], MUTATION_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).json(log_dir)
+    stream = (
+        spark.readStream.schema(MUTATION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(log_dir)
+    )
+    root = os.path.join(tmp, "store")
+    fold = StreamingGraphFold(
+        micro, store_root=root, store_every=2, compact_every=2
+    )
+    final = fold.run(stream, os.path.join(tmp, "ckpt"))
+    exp = expected(micro)
+    assert ids(final.nodes) == ids(exp.nodes)
+
+    # durable state equals the in-memory fold result
+    persisted = store.load_snapshot(spark, root)
+    assert ids(persisted.nodes) == ids(final.nodes)
+    assert ids(persisted.edges) == ids(final.edges)
+    # 6 single-command batches / store_every=2 -> base + deltas, and
+    # compact_every=2 re-based at least once
+    kinds = store.list_version_kinds(root)
+    assert kinds[0] == (0, "base")
+    assert any(k == "delta" for _, k in kinds[1:])
+    assert any(k == "base" for _, k in kinds[1:])
