@@ -43,6 +43,7 @@ from akka_graph_db_spark.sources.tpch import (
     CONTAINS_SHIFT,
     CUSTOMER_BASE,
     NATION_BASE,
+    PART_BASE,
     ORACLE_EDGES_CTE,
     ORACLE_NODES_CTE,
     ORDER_BASE,
@@ -126,6 +127,73 @@ _CC_GEO_ORACLE = f"""
 
 def _ts_str(c, fmt: str = "yyyy-MM-dd HH:mm:ss.SSSSSS"):
     return F.date_format(c, fmt)
+
+
+def _sssp_weighted_oracle(max_hops: int = 4) -> str:
+    """q_sssp_weighted's oracle: Bellman-Ford unrolled ``max_hops`` steps
+    in DuckDB, mirroring analytics.shortest_paths exactly — dist_k(v) =
+    min(dist_{k-1}(v), min_u(dist_{k-1}(u) + w(u,v))) over the
+    undirected weighted edge multiset (w = quantity on contains edges,
+    1.0 elsewhere). Each candidate distance is the same left-to-right
+    double sum along a path in both engines, and all weights are
+    integer-valued, so MIN/SUM are exact."""
+    ctes = [
+        f"""sp_wedges AS MATERIALIZED (
+            SELECT * FROM (
+              SELECT n_nationkey + {NATION_BASE} AS src,
+                     n_regionkey + {REGION_BASE} AS dst,
+                     CAST(1.0 AS DOUBLE) AS w FROM nation
+              UNION ALL
+              SELECT c_custkey + {CUSTOMER_BASE},
+                     c_nationkey + {NATION_BASE}, 1.0 FROM customer
+              UNION ALL
+              SELECT s_suppkey + {SUPPLIER_BASE},
+                     s_nationkey + {NATION_BASE}, 1.0 FROM supplier
+              UNION ALL
+              SELECT o_custkey + {CUSTOMER_BASE},
+                     o_orderkey + {ORDER_BASE}, 1.0 FROM orders
+              UNION ALL
+              SELECT l_orderkey + {ORDER_BASE}, l_partkey + {PART_BASE},
+                     CAST(l_quantity AS DOUBLE) FROM lineitem
+              UNION ALL
+              SELECT l_partkey + {PART_BASE}, l_suppkey + {SUPPLIER_BASE},
+                     1.0
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            )
+        )""",
+        """sp_und AS MATERIALIZED (
+            SELECT src, dst, w FROM sp_wedges
+            UNION ALL
+            SELECT dst, src, w FROM sp_wedges
+        )""",
+        f"""sp_d0 AS MATERIALIZED (
+            SELECT CAST({NATION_BASE + 1} AS BIGINT) AS id,
+                   CAST(0.0 AS DOUBLE) AS dist
+        )""",
+    ]
+    for k in range(max_hops):
+        ctes.append(f"""sp_d{k + 1} AS MATERIALIZED (
+            SELECT id, MIN(dist) AS dist FROM (
+              SELECT id, dist FROM sp_d{k}
+              UNION ALL
+              SELECT e.dst AS id, d.dist + e.w AS dist
+              FROM sp_d{k} d JOIN sp_und e ON e.src = d.id
+            ) GROUP BY id
+        )""")
+    return (
+        _GRAPH_WITH
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+        SELECT n.label,
+               COUNT(*) AS n_reached,
+               MIN(d.dist) AS min_dist,
+               MAX(d.dist) AS max_dist,
+               SUM(d.dist) AS sum_dist
+        FROM sp_d{max_hops} d JOIN nodes_v n ON d.id = n.id
+        GROUP BY n.label
+        """
+    )
 
 
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
@@ -607,6 +675,32 @@ def q_pagerank_top20(spark, sf_dir):
         pr.orderBy(F.col("rank").desc(), F.col("id"))
         .limit(20)
         .select("id", F.round("rank", 6).alias("rank"))
+    )
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Hop-bounded WEIGHTED shortest paths (analytics.shortest_paths,
+    Bellman-Ford frontier relaxation) from nation 1, undirected over the
+    full graph, edge weight = the `quantity` prop (contains edges carry
+    it; every other label defaults to 1.0). The reference's pathsTo is
+    unweighted hop-BFS (Neo4jGraph.scala:85-94); this is its weighted
+    §2.8-style generalization. Distances are integer-valued doubles
+    (quantity is integral), so the per-label COUNT/MIN/MAX/SUM summary is
+    exact and order-independent — hash-comparable against a 4-step
+    unrolled Bellman-Ford CTE in DuckDB."""
+    g = _g(spark, sf_dir)
+    d = analytics.shortest_paths(
+        g, [NATION_BASE + 1], weight="quantity", directed=False, max_hops=4
+    )
+    return (
+        d.join(g.nodes.select("id", "label"), "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+            F.sum("dist").alias("sum_dist"),
+        )
     )
 
 
@@ -1214,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_connected_components_two_phase_geo
         ),
         "pagerank_top20": q_pagerank_top20,
+        "sssp_weighted": q_sssp_weighted,
         "triangles_coorder": q_triangles_coorder,
         "motif_supply_chain": q_motif_supply_chain,
         "window_rank_customers": q_window_rank_customers,
@@ -1511,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_geo": _CC_GEO_ORACLE,
         "connected_components_two_phase_geo": _CC_GEO_ORACLE,
         "pagerank_top20": _pagerank_oracle(n_iter=10, damping=0.85),
+        "sssp_weighted": _sssp_weighted_oracle(max_hops=4),
         "triangles_coorder": """
             WITH pairs AS (
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

@@ -352,6 +352,110 @@ def pagerank(
             df.unpersist()
 
 
+_SSSP_BROADCAST_MAX_FRONTIER = 5_000_000
+
+
+def shortest_paths(
+    g: PropertyGraph,
+    source_ids: Sequence[int],
+    weight: str | None = None,
+    edge_labels: Sequence[str] | None = None,
+    directed: bool = True,
+    max_hops: int = 10,
+) -> DataFrame:
+    """Hop-bounded (multi-)source shortest paths — Bellman-Ford frontier
+    relaxation. Returns (id, dist) for every node reachable from any
+    source within ``max_hops`` edges; unreachable nodes are absent.
+
+    ``weight``: an edge property name decoded as double (missing/non-
+    numeric values default to 1.0), or None for pure hop counting. The
+    reference has no weighted traversal (pathsTo is hop-bounded BFS,
+    Neo4jGraph.scala:85-94); this is the §2.8-style analytics extension of
+    the same frontier loop.
+
+    Scale shape: the weighted edge frame (src, dst, w) is decoded once and
+    persisted; each superstep joins the FRONTIER (only nodes improved last
+    round, size-gated broadcast like traverse.py) against it, aggregates
+    min-candidate-dist per dst, and merges into the running state with a
+    full-outer join on id — so successive supersteps reuse the id
+    partitioning and the per-round work is proportional to the frontier's
+    out-neighborhood, not the graph. Convergence (empty frontier) is the
+    same count that gates the broadcast — no extra action.
+    """
+    from akka_graph_db_spark.model import prop_double
+
+    e = g.edges
+    if edge_labels:
+        e = e.where(F.col("label").isin(list(edge_labels)))
+    w = (
+        F.coalesce(prop_double("props", weight), F.lit(1.0))
+        if weight is not None
+        else F.lit(1.0)
+    )
+    fwd = e.select(F.col("src").alias("a"), F.col("dst").alias("b"), w.alias("w"))
+    edges = (
+        fwd
+        if directed
+        else fwd.unionByName(
+            e.select(
+                F.col("dst").alias("a"), F.col("src").alias("b"), w.alias("w")
+            )
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    spark = g.nodes.sparkSession
+    state = spark.createDataFrame(
+        [(int(s), 0.0) for s in source_ids], "id bigint, dist double"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = state
+    persisted: list[DataFrame] = [state]
+    try:
+        for it in range(max_hops):
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+            fr = (
+                F.broadcast(frontier)
+                if n_frontier <= _SSSP_BROADCAST_MAX_FRONTIER
+                else frontier
+            )
+            msgs = (
+                edges.join(fr, edges["a"] == fr["id"], "inner")
+                .select(F.col("b").alias("id"), (F.col("dist") + F.col("w")).alias("cand"))
+                .groupBy("id")
+                .agg(F.min("cand").alias("cand"))
+            )
+            merged = (
+                state.join(msgs, "id", "full_outer")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.col("cand")),
+                        F.coalesce("cand", F.col("dist")),
+                    ).alias("dist"),
+                    (
+                        F.col("cand").isNotNull()
+                        & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+                    ).alias("_improved"),
+                )
+            )
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                merged = merged.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
+            else:
+                merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(merged)
+            frontier = merged.where(F.col("_improved")).select("id", "dist")
+            state = merged.drop("_improved")
+        out = state.localCheckpoint(eager=True)
+        return out
+    finally:
+        edges.unpersist()
+        for df in persisted:
+            df.unpersist()
+
+
 def canonical_undirected(edge_pairs: DataFrame) -> DataFrame:
     """Distinct undirected edges as (a, b) with a < b (self-loops dropped) —
     the canonical input shape for triangle/motif counting."""

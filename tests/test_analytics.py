@@ -116,3 +116,31 @@ def test_match_path_undirected_superset(micro):
         micro, ["road"], directed=False
     ).count()
     assert undirected == 2 * directed
+
+
+def test_shortest_paths_hops(micro):
+    d = {
+        r["id"]: r["dist"]
+        for r in analytics.shortest_paths(micro, [6], max_hops=5).collect()
+    }
+    # hub reaches 1-5 in one hop, 9 via 5->road->9; island/8/10 unreachable
+    assert d == {6: 0.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0, 5: 1.0, 9: 2.0}
+
+
+def test_shortest_paths_weighted_prop_default(micro):
+    d = {
+        r["id"]: r["dist"]
+        for r in analytics.shortest_paths(
+            micro, [4], weight="km", max_hops=5
+        ).collect()
+    }
+    # road 4->5 carries km=9727.5; road 5->9 has no km prop -> weight 1.0
+    assert d == {4: 0.0, 5: 9727.5, 9: 9728.5}
+
+
+def test_shortest_paths_isolated_source_terminates(micro):
+    d = {
+        r["id"]: r["dist"]
+        for r in analytics.shortest_paths(micro, [7], max_hops=50).collect()
+    }
+    assert d == {7: 0.0}
