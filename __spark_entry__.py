@@ -1055,6 +1055,29 @@ def q_doc_split_hash(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (context-window prep for LLM
+    training): 16-token chunks, 4-token overlap. Map-only — no shuffle;
+    chunk membership and order are pure functions of the text."""
+    docs = read_documents(spark, sf_dir)
+    return textf.chunk_documents(docs, chunk_tokens=16, overlap=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic mixture sampling: keep 50% of en, 100% of de, 25% of
+    fr by md5 key-hash bucket; es/zh dropped (explicit mixture spec).
+    Membership is reproducible across engines — DuckDB recomputes it
+    exactly."""
+    docs = read_documents(spark, sf_dir)
+    return textf.stratified_sample(
+        docs,
+        {"en": 0.5, "de": 1.0, "fr": 0.25},
+        strata_col="lang",
+        key_col="doc_id",
+        hash_family="md5",
+    ).select("doc_id", "lang")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: type-token ratio + top-bigram
     fraction per doc, computed as one fold over the sorted shingle array
@@ -1341,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_totals": q_streaming_running_totals,
         "asof_purchase_click": q_asof_purchase_click,
         "doc_split_hash": q_doc_split_hash,
+        "doc_chunks": q_doc_chunks,
+        "stratified_sample": q_stratified_sample,
         "text_repetition": q_text_repetition,
         "quality_topk": q_quality_topk,
     }
@@ -2067,6 +2092,27 @@ def oracle_sql() -> dict[str, str]:
                               & 9223372036854775807) % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "doc_chunks": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            s AS (SELECT doc_id, toks,
+                         UNNEST(range(0, len(toks), 12)) AS start
+                  FROM t WHERE len(toks) > 0)
+            SELECT doc_id,
+                   start // 12 AS chunk_idx,
+                   CAST(len(list_slice(toks, start + 1, start + 16))
+                        AS BIGINT) AS chunk_n_tokens,
+                   array_to_string(
+                     list_slice(toks, start + 1, start + 16), ' '
+                   ) AS chunk_text
+            FROM s
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (md5_number_upper(CAST(doc_id AS VARCHAR))
+                   & 9223372036854775807) % 10000
+                  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                              WHEN 'fr' THEN 2500 END
         """,
         "text_repetition": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),

@@ -285,3 +285,86 @@ def fingerprint(
         # introspection rejects if passed bare
         F.array_min(F.transform(sh, lambda s: h(s))),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Explode each document into overlapping token-window chunks — the
+    context-window preparation step of an LLM training pipeline. Chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; every token is covered, trailing
+    chunks may be shorter, zero-token documents produce no chunks.
+
+    Pure JVM expressions (sequence → posexplode → slice): a map-only
+    stage with NO shuffle — at 100 TB this pipelines straight out of the
+    parquet scan into downstream dedup/packing, and parallelism is the
+    input split count. Returns (id_col, chunk_idx, chunk_n_tokens,
+    chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(tok) > 0,
+        F.sequence(F.lit(0), F.size(tok) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = df.select(
+        F.col(id_col), tok.alias("_tok"), F.posexplode(starts)
+    )
+    chunk = F.slice(F.col("_tok"), F.col("col") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("pos").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("chunk_n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixture-weighting step
+    of a corpus curation pipeline. A row in stratum s survives iff
+    hash(key) % resolution < round(fractions[s] * resolution); strata
+    absent from ``fractions`` are dropped (an explicit mixture spec, not
+    an implicit keep-all).
+
+    Hash membership (vs ``DataFrame.sample``'s per-partition RNG) is
+    stable under appends, repartitioning, retries, and engine changes —
+    re-running the pipeline on a grown corpus preserves every previously
+    sampled row's fate. Pure map-side filter: no shuffle, pushes the
+    strata predicate to the scan. ``hash_family="md5"`` is the
+    DuckDB-reproducible variant (hashing.md5_63); default xxhash64 for
+    speed.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    thresholds = {s: round(f * resolution) for s, f in fractions.items()}
+    if not all(0 <= t <= resolution for t in thresholds.values()):
+        raise ValueError("fractions must be in [0, 1]")
+    key = F.col(key_col).cast("string")
+    if hash_family == "xxhash64":
+        bucket = F.pmod(F.xxhash64(key), F.lit(resolution))
+    elif hash_family == "md5":
+        bucket = md5_63(key) % resolution
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    thresh = F.create_map(
+        *[
+            F.lit(x)
+            for s, t in thresholds.items()
+            for x in (s, t)
+        ]
+    )[F.col(strata_col)]
+    return df.where(thresh.isNotNull() & (bucket < thresh))

@@ -276,3 +276,44 @@ def test_keep_star_refines_pairs_linkage(docs):
         ).collect()
     }
     assert pairs_keep <= star_keep
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    out = textf.chunk_documents(df, chunk_tokens=3, overlap=1)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # stride 2 over 7 tokens: starts 0,2,4,6 — last two chunks short/partial
+    assert rows[(1, 0)] == (3, "a b c")
+    assert rows[(1, 1)] == (3, "c d e")
+    assert rows[(1, 2)] == (3, "e f g")
+    assert rows[(1, 3)] == (1, "g")
+    assert (2, 0) not in rows  # zero-token doc -> no chunks
+    assert rows[(3, 0)] == (1, "x")
+    assert len(rows) == 5
+    # every token of doc 1 appears in some chunk
+    covered = set()
+    for (d, _), (_, t) in rows.items():
+        if d == 1:
+            covered |= set(t.split())
+    assert covered == set("abcdefg")
+
+
+def test_stratified_sample_deterministic_and_mixture(docs):
+    frac = {"en": 0.5, "la": 1.0}
+    a = textf.stratified_sample(docs, frac)
+    b = textf.stratified_sample(docs, frac)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())
+    assert 5 in ids_a  # la fraction 1.0 keeps everything
+    # absent strata are dropped entirely
+    none_kept = textf.stratified_sample(docs, {"zz": 1.0})
+    assert none_kept.count() == 0
+    # md5 family agrees with its own rerun and respects fraction 0
+    zero = textf.stratified_sample(docs, {"en": 0.0}, hash_family="md5")
+    assert zero.count() == 0
