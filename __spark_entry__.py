@@ -704,6 +704,33 @@ def q_sssp_weighted(spark, sf_dir):
     )
 
 
+def q_khop_features(spark, sf_dir):
+    """GNN-style neighborhood feature aggregation: for every node, the
+    distinct ≤2-hop out-neighborhood over placed+contains edges
+    (customer → orders → parts), with neighbor count and the
+    decimal-exact sum of neighbor order totalprice. khop_neighbors
+    materializes the (id, neighbor) pair set frontier-wise; the feature
+    join + groupBy is plain DataFrame composition on top."""
+    g = _g(spark, sf_dir)
+    pairs = analytics.khop_neighbors(
+        g, 2, edge_labels=["placed", "contains"], directed=True
+    )
+    feats = g.nodes.select(
+        F.col("id").alias("neighbor"),
+        prop_double("props", "totalprice").alias("_tp"),
+    )
+    return (
+        pairs.join(feats, "neighbor", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(F.col("_tp").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_neighbor_totalprice"),
+        )
+    )
+
+
 def q_triangles_coorder(spark, sf_dir):
     """Triangle count on the part co-order graph (parts sharing an order)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1332,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "pagerank_top20": q_pagerank_top20,
         "sssp_weighted": q_sssp_weighted,
+        "khop_features": q_khop_features,
         "triangles_coorder": q_triangles_coorder,
         "motif_supply_chain": q_motif_supply_chain,
         "window_rank_customers": q_window_rank_customers,
@@ -1632,6 +1660,25 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_two_phase_geo": _CC_GEO_ORACLE,
         "pagerank_top20": _pagerank_oracle(n_iter=10, damping=0.85),
         "sssp_weighted": _sssp_weighted_oracle(max_hops=4),
+        "khop_features": f"""
+            {_GRAPH_WITH},
+            e AS MATERIALIZED (
+              SELECT src, dst FROM edges_v
+              WHERE label IN ('placed', 'contains')
+            ),
+            p1 AS (SELECT DISTINCT src AS a, dst AS b FROM e
+                   WHERE src <> dst),
+            p2 AS (SELECT DISTINCT p.a, e.dst AS b
+                   FROM p1 p JOIN e ON e.src = p.b WHERE e.dst <> p.a),
+            pk AS (SELECT a, b FROM p1 UNION SELECT a, b FROM p2)
+            SELECT pk.a AS id,
+                   COUNT(*) AS n_neighbors,
+                   {_DEC_SUM.format(col="o.o_totalprice")}
+                     AS sum_neighbor_totalprice
+            FROM pk LEFT JOIN orders o
+              ON pk.b = o.o_orderkey + {ORDER_BASE}
+            GROUP BY pk.a
+        """,
         "triangles_coorder": """
             WITH pairs AS (
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

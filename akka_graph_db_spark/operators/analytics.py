@@ -456,6 +456,70 @@ def shortest_paths(
             df.unpersist()
 
 
+def khop_neighbors(
+    g: PropertyGraph,
+    k: int,
+    edge_labels: Sequence[str] | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """(id, neighbor) — distinct nodes reachable in 1..k hops (self
+    excluded). The neighborhood-materialization step behind GNN-style
+    feature aggregation: join node features onto ``neighbor`` and
+    groupBy ``id``.
+
+    Frontier expansion on the PAIR set: each round joins only the pairs
+    DISCOVERED last round against the edge list, anti-joins the known
+    set, and unions — work is bounded by the output (the reachable-pair
+    count), every shuffle is on node id so rounds reuse the same hash
+    partitioning, and high-degree skew is AQE's standard case. The
+    reachable-pair count is the intrinsic size of the query's answer —
+    at 100 TB, bound it with ``k`` and ``edge_labels`` (or sample
+    neighbors downstream), not by a different algorithm.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = _edge_pairs(g, edge_labels, directed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    reach = (
+        e.where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier = reach
+    persisted: list[DataFrame] = [reach]
+    try:
+        for _ in range(k - 1):
+            step = (
+                frontier.join(
+                    e.select(
+                        F.col("a").alias("b"), F.col("b").alias("_c")
+                    ),
+                    "b",
+                )
+                .select("a", F.col("_c").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            new = step.join(reach, ["a", "b"], "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            if new.isEmpty():
+                break
+            reach = reach.unionByName(new).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.extend([new, reach])
+            frontier = new
+        return reach.select(
+            F.col("a").alias("id"), F.col("b").alias("neighbor")
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        for df in persisted:
+            df.unpersist()
+
+
 def canonical_undirected(edge_pairs: DataFrame) -> DataFrame:
     """Distinct undirected edges as (a, b) with a < b (self-loops dropped) —
     the canonical input shape for triangle/motif counting."""

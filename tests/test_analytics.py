@@ -144,3 +144,23 @@ def test_shortest_paths_isolated_source_terminates(micro):
         for r in analytics.shortest_paths(micro, [7], max_hops=50).collect()
     }
     assert d == {7: 0.0}
+
+
+def test_khop_neighbors(micro):
+    pairs = analytics.khop_neighbors(micro, 2).collect()
+    nbrs = {}
+    for r in pairs:
+        nbrs.setdefault(r["id"], set()).add(r["neighbor"])
+    # hub 6: 1-hop {1..5}; 2-hop adds 9 (5->road->9); self excluded
+    assert nbrs[6] == {1, 2, 3, 4, 5, 9}
+    # 1: out-edges to 2,3,4 (self-loop excluded); 2-hop adds 1's... 2->5,
+    # 2->3; 3->4; 4->5 => {2,3,4,5}
+    assert nbrs[1] == {2, 3, 4, 5}
+    assert 7 not in nbrs  # island has no out-edges
+    # k=1 is exactly the distinct out-neighbor set
+    one = analytics.khop_neighbors(micro, 1).collect()
+    n1 = {}
+    for r in one:
+        n1.setdefault(r["id"], set()).add(r["neighbor"])
+    assert n1[6] == {1, 2, 3, 4, 5}
+    assert n1[1] == {2, 3, 4}
