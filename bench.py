@@ -29,9 +29,12 @@ HEADLINE = [
     "connected_components_geo",  # iterative superstep loop
     "connected_components_two_phase_geo",  # O(log n) star rounds
     "pagerank_top20",         # 10 supersteps
+    "sssp_weighted",          # Bellman-Ford frontier relaxation
+    "khop_features",          # 2-hop pair materialization + feature agg
     "triangles_coorder",      # 2 shuffle joins on derived graph
     "motif_supply_chain",     # 4-hop join chain
     "dedup_exact",            # hash groupBy
+    "doc_chunks",             # shuffle-free token-window chunking
     "dedup_minhash",          # 64-perm signatures + band join (all pairs)
     "dedup_minhash_keep",     # cluster-keep dedup (verified pairs + CC)
     "dedup_minhash_keep_star",  # star-linkage keep (adversarial-scale path)
