@@ -1105,6 +1105,20 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing on top of q_doc_chunks: 64-token context windows
+    per lang shard (window cumsum over (doc_id, chunk_idx) order —
+    sharded so no global single-partition sort)."""
+    docs = read_documents(spark, sf_dir)
+    chunks = textf.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    with_lang = chunks.join(docs.select("doc_id", "lang"), "doc_id")
+    return textf.pack_chunks(
+        with_lang,
+        budget=64,
+        partition_cols=("lang",),
+    ).select("doc_id", "chunk_idx", "lang", "pack_id", "pack_offset")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: type-token ratio + top-bigram
     fraction per doc, computed as one fold over the sorted shingle array
@@ -1393,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": q_asof_purchase_click,
         "doc_split_hash": q_doc_split_hash,
         "doc_chunks": q_doc_chunks,
+        "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
         "text_repetition": q_text_repetition,
         "quality_topk": q_quality_topk,
@@ -2153,6 +2168,27 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(toks, start + 1, start + 16), ' '
                    ) AS chunk_text
             FROM s
+        """,
+        "pack_chunks": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            s AS (SELECT doc_id, toks,
+                         UNNEST(range(0, len(toks), 12)) AS start
+                  FROM t WHERE len(toks) > 0),
+            c AS (SELECT doc_id, start // 12 AS chunk_idx,
+                         len(list_slice(toks, start + 1, start + 16)) AS n
+                  FROM s),
+            j AS (SELECT c.*, d.lang FROM c
+                  JOIN documents d USING (doc_id)),
+            w AS (SELECT *,
+                         SUM(n) OVER (PARTITION BY lang
+                                      ORDER BY doc_id, chunk_idx
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n AS bef
+                  FROM j)
+            SELECT doc_id, chunk_idx, lang,
+                   bef // 64 AS pack_id,
+                   CAST(bef - (bef // 64) * 64 AS BIGINT) AS pack_offset
+            FROM w
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

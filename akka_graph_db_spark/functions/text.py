@@ -368,3 +368,40 @@ def stratified_sample(
         ]
     )[F.col(strata_col)]
     return df.where(thresh.isNotNull() & (bucket < thresh))
+
+
+def pack_chunks(
+    df: DataFrame,
+    size_col: str = "chunk_n_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    budget: int = 2048,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-token-budget context
+    windows by cumulative size over a deterministic order — the
+    concat-and-slice packing step of an LLM pre-tokenization pipeline.
+    Appends ``pack_id`` (window index within the partition group) and
+    ``pack_offset`` (token offset within that window). A chunk whose
+    tokens straddle a budget boundary keeps the window it STARTS in
+    (overflow ≤ chunk size — the standard streaming-packing
+    approximation; exact bin packing is NP-hard and order-unstable).
+
+    Scale note: an empty ``partition_cols`` is ONE global total order —
+    a single-partition window. Always shard at scale (by source, lang,
+    or a hash bucket): real pipelines pack per output shard anyway, and
+    each shard's window then sorts only its own rows.
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(size_col).over(w) - F.col(size_col)
+    pack = F.floor(before / budget)
+    return df.withColumn("pack_id", pack).withColumn(
+        "pack_offset", (before - pack * budget).cast("bigint")
+    )

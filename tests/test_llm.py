@@ -317,3 +317,39 @@ def test_stratified_sample_deterministic_and_mixture(docs):
     # md5 family agrees with its own rerun and respects fraction 0
     zero = textf.stratified_sample(docs, {"en": 0.0}, hash_family="md5")
     assert zero.count() == 0
+
+
+def test_pack_chunks_next_fit(spark):
+    rows = [(1, 0, 30), (1, 1, 30), (2, 0, 30), (2, 1, 10), (3, 0, 90)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, chunk_idx bigint, chunk_n_tokens bigint"
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["pack_id"], r["pack_offset"])
+        for r in textf.pack_chunks(df, budget=64).collect()
+    }
+    # cumulative-before: 0,30,60,90,100 -> packs 0,0,0(straddles),1,1
+    assert out[(1, 0)] == (0, 0)
+    assert out[(1, 1)] == (0, 30)
+    assert out[(2, 0)] == (0, 60)  # starts in pack 0, overflows into 1
+    assert out[(2, 1)] == (1, 26)
+    assert out[(3, 0)] == (1, 36)
+
+
+def test_pack_chunks_sharded_independent(spark):
+    rows = [(1, 0, 50, "a"), (2, 0, 50, "b"), (3, 0, 50, "a")]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, chunk_idx bigint, chunk_n_tokens bigint,"
+        " shard string",
+    )
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in textf.pack_chunks(
+            df, budget=64, partition_cols=("shard",)
+        ).collect()
+    }
+    # each shard packs from offset 0 independently
+    assert out[1] == (0, 0)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 50)
