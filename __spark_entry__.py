@@ -1226,6 +1226,77 @@ def q_streaming_fold(spark, sf_dir):
     )
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """§2.9 stream-stream interval join, batch-equivalence oracle: clicks
+    and purchases run as two watermarked file streams; a purchase joins
+    every click of the same user it follows within 30 minutes. The
+    drained append sink must equal the batch inequality join exactly —
+    all columns are copies of input rows plus an event-time lag, so the
+    result is micro-batch- and order-invariant. maxFilesPerTrigger pinned
+    above the file count for the same single-batch state-retention
+    argument as q_streaming_dedup."""
+    import os
+    import tempfile
+    import uuid
+
+    from akka_graph_db_spark.streaming import windows as sw
+
+    ev_df = read_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sijoin_")
+    lsrc = os.path.join(tmp, "clicks")
+    rsrc = os.path.join(tmp, "purchases")
+    ev_df.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("l_ts"),
+        "user_id",
+    ).repartition(2).write.parquet(lsrc)
+    ev_df.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("r_ts"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+    ).repartition(2).write.parquet(rsrc)
+    clicks = (
+        spark.readStream.schema(
+            "click_id bigint, l_ts timestamp, user_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(lsrc)
+    )
+    purchases = (
+        spark.readStream.schema(
+            "purchase_id bigint, r_ts timestamp, user_id bigint, "
+            "purchase_value double"
+        )
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(rsrc)
+    )
+    joined = sw.interval_join_stream(
+        clicks,
+        purchases,
+        key="user_id",
+        watermark="10 minutes",
+        max_lag_seconds=1800,
+    )
+    name = f"sijoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """§2.9 streaming dedup, batch-equivalence oracle (VERDICT r2 missing
     #3): the events table is DOUBLED (union with itself), shuffled across 4
@@ -1403,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": q_events_type_stats,
         "streaming_fold": q_streaming_fold,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
         "streaming_running_totals": q_streaming_running_totals,
         "asof_purchase_click": q_asof_purchase_click,
         "doc_split_hash": q_doc_split_hash,
@@ -2111,6 +2183,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stream(events ∪ events) through dropDuplicatesWithinWatermark
         # ≡ the original table (event_id unique; survivors exact copies)
+        "streaming_interval_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   p.value AS purchase_value,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+            FROM events c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
         "streaming_dedup": """
             SELECT event_id, user_id, event_type, value FROM events
         """,

@@ -121,3 +121,37 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return q
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark: str = "10 minutes",
+    max_lag_seconds: int = 1800,
+) -> DataFrame:
+    """Stream-stream INNER interval join: a right event matches a left
+    event with the same ``key`` when right_ts ∈ [left_ts,
+    left_ts + max_lag_seconds]. Both sides are watermarked and the join
+    condition is event-time-bounded, so Spark can evict join state as
+    the watermark advances — the canonical funnel/attribution join
+    (click → purchase within N minutes) that runs unbounded.
+
+    Column names (other than ``key``) must be disjoint between the two
+    inputs — rename ts columns before calling (the events fixture uses
+    l_ts/r_ts).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts)
+            + F.expr(f"INTERVAL {int(max_lag_seconds)} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

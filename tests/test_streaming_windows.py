@@ -76,3 +76,48 @@ def test_stateful_running_totals(spark):
     assert rows[1]["lifetime_events"] == 3  # dup NOT removed here: raw count
     assert rows[1]["lifetime_value"] == 5.0
     assert rows[2]["lifetime_events"] == 1
+
+
+def test_interval_join_stream_bounds(spark):
+    from datetime import datetime
+
+    def mkstream(rows, schema, tmp, sub):
+        d = os.path.join(tmp, sub)
+        spark.createDataFrame(rows, schema).coalesce(1).write.json(d)
+        return spark.readStream.schema(schema).json(d)
+
+    tmp = tempfile.mkdtemp(prefix="ij_")
+    t = lambda s: datetime.fromisoformat(s)
+    clicks = [
+        (10, t("2024-01-01 00:00:00"), 1),
+        (11, t("2024-01-01 01:00:00"), 1),
+        (12, t("2024-01-01 00:00:00"), 2),
+    ]
+    purchases = [
+        (20, t("2024-01-01 00:30:00"), 1, 5.0),   # matches click 10 (exact bound)
+        (21, t("2024-01-01 01:10:00"), 1, 6.0),   # matches click 11 only
+        (22, t("2023-12-31 23:59:00"), 2, 7.0),   # before click 12 -> no match
+        (23, t("2024-01-01 02:00:00"), 3, 8.0),   # no click for user 3
+    ]
+    cs = mkstream(clicks, "click_id bigint, l_ts timestamp, user_id bigint",
+                  tmp, "c")
+    ps = mkstream(
+        purchases,
+        "purchase_id bigint, r_ts timestamp, user_id bigint, value double",
+        tmp, "p",
+    )
+    joined = sw.interval_join_stream(cs, ps, max_lag_seconds=1800)
+    q = (
+        joined.writeStream.format("memory").queryName("ijtest")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("ijtest").collect()
+    }
+    # 30-minute bound is INCLUSIVE; purchases strictly before a click or
+    # past the bound never match
+    assert got == {(10, 20), (11, 21)}
