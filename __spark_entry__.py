@@ -196,6 +196,64 @@ def _sssp_weighted_oracle(max_hops: int = 4) -> str:
     )
 
 
+def _lpa_geo_oracle(n_iter: int = 4) -> str:
+    """q_label_propagation_geo's oracle: the same synchronous LPA
+    supersteps unrolled as DuckDB CTEs over the identical undirected
+    deduped geography edge set — most-frequent neighbor community, ties
+    to the smallest community id, isolated/unreached nodes keep their
+    own. All-integer arithmetic, so the comparison is exact."""
+    ctes = [
+        f"""lpa_dir AS MATERIALIZED (
+            SELECT n_nationkey + {NATION_BASE} AS a,
+                   n_regionkey + {REGION_BASE} AS b FROM nation
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE},
+                   c_nationkey + {NATION_BASE} FROM customer
+            UNION ALL
+            SELECT s_suppkey + {SUPPLIER_BASE},
+                   s_nationkey + {NATION_BASE} FROM supplier
+        )""",
+        """lpa_und AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM lpa_dir
+              UNION ALL
+              SELECT b AS a, a AS b FROM lpa_dir
+            ) WHERE a <> b
+        )""",
+        f"""lpa_nodes AS MATERIALIZED (
+            SELECT r_regionkey + {REGION_BASE} AS id FROM region
+            UNION ALL
+            SELECT n_nationkey + {NATION_BASE} FROM nation
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE} FROM customer
+            UNION ALL
+            SELECT s_suppkey + {SUPPLIER_BASE} FROM supplier
+        )""",
+        "l0 AS MATERIALIZED (SELECT id, id AS community FROM lpa_nodes)",
+    ]
+    for k in range(n_iter):
+        ctes.append(f"""l{k + 1} AS MATERIALIZED (
+            SELECT l.id, COALESCE(b.community, l.community) AS community
+            FROM l{k} l LEFT JOIN (
+              SELECT id, community FROM (
+                SELECT id, community,
+                       ROW_NUMBER() OVER (PARTITION BY id
+                                          ORDER BY c DESC, community) AS rn
+                FROM (
+                  SELECT e.b AS id, s.community, COUNT(*) AS c
+                  FROM lpa_und e JOIN l{k} s ON e.a = s.id
+                  GROUP BY e.b, s.community
+                )
+              ) WHERE rn = 1
+            ) b ON l.id = b.id
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, community FROM l{n_iter}"
+    )
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Fixed-iteration PageRank as unrolled DuckDB CTEs (VERDICT r2 #2).
 
@@ -1138,6 +1196,99 @@ def q_quality_topk(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Train/eval decontamination (§2.9 extension): the corpus is split
+    90/10 by the md5 key hash, then every val document is scored by how
+    many of its distinct 3-grams appear anywhere in the train split — the
+    benchmark-leakage check of an LLM pipeline. Both sides reduce to
+    distinct 64-bit gram keys before one long-keyed semi-join (no hot-key
+    fan-out; the shuffle carries 8-byte keys). Counts are hash-exact, so
+    the fast xxhash64 family is fine; the ratio is an integer/integer
+    IEEE division — identical in DuckDB."""
+    from akka_graph_db_spark.functions import decontam
+
+    docs = textf.hash_split(
+        read_documents(spark, sf_dir), "doc_id", 90, hash_family="md5"
+    )
+    train = docs.where(F.col("split") == "train")
+    val = docs.where(F.col("split") == "val")
+    return decontam.contamination(train, val, n=3).select(
+        "doc_id", "n_ngrams", "n_overlap", "contamination"
+    )
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 for a 3-term query (rational-idf variant — transcendental
+    ln() is not bit-reproducible across engines; docstring in
+    functions/search.py). One corpus scan; tf explodes AFTER filtering
+    tokens to the query terms; corpus constants broadcast. Per-term scores
+    quantize to DECIMAL(38,12) before the order-independent sum; output
+    rounds to 6 dp (same headroom pattern as the PageRank oracle)."""
+    from akka_graph_db_spark.functions import search
+
+    docs = read_documents(spark, sf_dir)
+    top = search.bm25_topk(docs, ["spark", "join", "window"], k=10)
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "n_query_terms_matched",
+    )
+
+
+def q_vocabulary(spark, sf_dir):
+    """Corpus vocabulary (term/doc frequencies) — the tokenizer-building
+    aggregation. Two map-side-combinable groupBys joined on term."""
+    from akka_graph_db_spark.functions import search
+
+    docs = read_documents(spark, sf_dir)
+    return search.vocabulary(docs, min_count=2)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic PII (email + IPv4 + phone
+    derived from doc_id) is appended to each text, then redacted by the
+    fixed email→ipv4→phone regexp passes. The oracle replays the same
+    RE2-compatible patterns in DuckDB. Output: per-kind match counts +
+    the redacted tail (last 40 chars — proves the replacement text)."""
+    docs = read_documents(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555-01"),
+            F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
+        ).alias("text"),
+    )
+    red = textf.redact_pii(dirty)
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.right(F.col("text_redacted"), F.lit(40)).alias("tail"),
+    )
+
+
+def q_label_propagation_geo(spark, sf_dir):
+    """Synchronous label-propagation communities (4 fixed supersteps) over
+    the geography subgraph — deterministic LPA: most-frequent neighbor
+    community, ties to the smallest id, isolated nodes keep their own.
+    Oracle = the same four supersteps unrolled as DuckDB CTEs over the
+    identical undirected-deduped edge set."""
+    g = _g(spark, sf_dir)
+    lpa = analytics.label_propagation_communities(
+        g, ["in_region", "located_in"], n_iter=4
+    )
+    geo = g.nodes.where(
+        F.col("label").isin("region", "nation", "customer", "supplier")
+    ).select("id")
+    return lpa.join(geo, "id", "left_semi").select("id", "community")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload metadata via Arrow-batched mapInPandas — the
     multimodal plumbing (schema/batching) verified against the oracle's
@@ -1483,6 +1634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "text_repetition": q_text_repetition,
         "quality_topk": q_quality_topk,
+        "contamination": q_contamination,
+        "bm25_search": q_bm25_search,
+        "vocabulary": q_vocabulary,
+        "redact_pii": q_redact_pii,
+        "label_propagation_geo": q_label_propagation_geo,
     }
 
 
@@ -2344,4 +2500,147 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rn <= 3
         """,
+        # 90/10 md5-hash split, distinct 3-grams, val⋈train membership —
+        # the ratio is a bigint/bigint IEEE division in both engines.
+        "contamination": f"""
+            WITH de_d AS (
+              SELECT doc_id,
+                     CASE WHEN (md5_number_upper(CAST(doc_id AS VARCHAR))
+                                & 9223372036854775807) % 100 < 90
+                          THEN 'train' ELSE 'val' END AS split,
+                     {_TOK} AS toks
+              FROM documents
+            ),
+            de_g AS (
+              SELECT doc_id, split,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2),
+                                              ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM de_d
+            ),
+            de_tg AS (SELECT DISTINCT unnest(grams) AS gram FROM de_g
+                      WHERE split = 'train'),
+            de_vg AS (SELECT doc_id, unnest(grams) AS gram FROM de_g
+                      WHERE split = 'val'),
+            de_tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM de_vg
+                       GROUP BY doc_id),
+            de_hit AS (SELECT v.doc_id, COUNT(*) AS n_overlap
+                       FROM de_vg v JOIN de_tg t ON v.gram = t.gram
+                       GROUP BY v.doc_id)
+            SELECT t.doc_id, t.n_ngrams,
+                   COALESCE(h.n_overlap, 0) AS n_overlap,
+                   COALESCE(h.n_overlap, 0) / t.n_ngrams AS contamination
+            FROM de_tot t LEFT JOIN de_hit h ON t.doc_id = h.doc_id
+        """,
+        # Rational-idf BM25 (see functions/search.py): every float literal
+        # is ::DOUBLE so DuckDB does the same IEEE double ops as Spark
+        # (bare decimals would parse as DECIMAL and compute exactly);
+        # per-term scores quantize to DECIMAL(38,12) before the
+        # order-independent sum, ranking on the full-precision sum.
+        "bm25_search": f"""
+            WITH bm_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            bm_base AS (
+              SELECT doc_id, len(toks) AS dl,
+                     list_filter(toks, x -> list_contains(
+                       ['spark', 'join', 'window'], x)) AS qtok
+              FROM bm_t
+            ),
+            bm_corpus AS (
+              SELECT COUNT(*) AS n_docs,
+                     SUM(dl) / COUNT(*) AS avgdl
+              FROM bm_base
+            ),
+            bm_tf AS (
+              SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(qtok) AS term FROM bm_base
+              ) GROUP BY doc_id, dl, term
+            ),
+            bm_df AS (SELECT term, COUNT(*) AS df FROM bm_tf
+                      GROUP BY term),
+            bm_scored AS (
+              SELECT f.doc_id,
+                     CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                          / (df + CAST(0.5 AS DOUBLE)))
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + (CAST(0.75 AS DOUBLE) * dl) / avgdl))
+                       AS DECIMAL(38,12)) AS term_score
+              FROM bm_tf f JOIN bm_df USING (term) CROSS JOIN bm_corpus
+            )
+            SELECT doc_id, ROUND(score, 6) AS score,
+                   n_query_terms_matched
+            FROM (
+              SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score,
+                     COUNT(*) AS n_query_terms_matched
+              FROM bm_scored GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 10
+            )
+        """,
+        "vocabulary": f"""
+            WITH vo_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            vo_tc AS (
+              SELECT term, COUNT(*) AS term_count FROM (
+                SELECT unnest(toks) AS term FROM vo_t
+              ) GROUP BY term
+            ),
+            vo_dc AS (
+              SELECT term, COUNT(*) AS doc_count FROM (
+                SELECT doc_id, unnest(list_distinct(toks)) AS term
+                FROM vo_t
+              ) GROUP BY term
+            )
+            SELECT t.term, t.term_count, d.doc_count
+            FROM vo_tc t JOIN vo_dc d USING (term)
+            WHERE t.term_count >= 2
+        """,
+        # Same RE2-compatible patterns, same fixed pass order as
+        # text.redact_pii; synthetic PII mirrors q_redact_pii's concat.
+        "redact_pii": r"""
+            WITH rp_dirty AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 tel +1 555-01'
+                          || printf('%02d', CAST(doc_id % 100 AS INTEGER))
+                       AS text
+              FROM documents
+            ),
+            rp_e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS text
+              FROM rp_dirty
+            ),
+            rp_i AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS n_ipv4,
+                     regexp_replace(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IPV4]', 'g') AS text
+              FROM rp_e
+            ),
+            rp_p AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d'))
+                       AS n_phone,
+                     regexp_replace(text, '\+?\d[\d\- ]{7,}\d',
+                       '[PHONE]', 'g') AS text
+              FROM rp_i
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone,
+                   right(text, 40) AS tail
+            FROM rp_p
+        """,
+        "label_propagation_geo": _lpa_geo_oracle(4),
     }

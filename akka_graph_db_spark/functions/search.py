@@ -1,0 +1,122 @@
+"""Keyword search & corpus statistics: vocabulary, TF-IDF/BM25 scoring.
+
+The retrieval/quality-filter primitives of a training-data pipeline:
+build the corpus vocabulary (tokenizer construction, frequency cutoffs)
+and score documents against a term query (BM25 — the classic
+inverted-index ranking function). No reference file:line — sanctioned
+LLM-pipeline extension surface (SURVEY.md §2.9).
+
+Scale design: the score never materializes an all-(doc × term) matrix —
+tokens explode map-side, are filtered to the query's terms BEFORE the
+shuffle (a handful of terms ⇒ the grouped state is tiny), and the corpus
+constants (N, avgdl, per-term df) are 1-row/`len(terms)`-row aggregates
+broadcast into the scoring join. One corpus scan, two broadcasts, one
+final top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from akka_graph_db_spark.functions.text import tokens
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus term-frequency table: (term, term_count, doc_count), the
+    vocabulary-building step before tokenizer training / frequency
+    cutoffs. Map-side combinable single aggregation."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    out = tok.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    docs = (
+        df.select(
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "term"
+            )
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    out = out.join(docs, "term")
+    if min_count > 1:
+        out = out.where(F.col("term_count") >= min_count)
+    return out
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-terms query.
+
+    Uses the RATIONAL idf variant ``(N - df + 0.5) / (df + 0.5)`` rather
+    than the textbook ``ln(...)`` — transcendental functions are not
+    bit-reproducible across engines (Java StrictMath vs libm), while
+    +,-,*,/ on IEEE doubles are, which keeps the operator
+    oracle-verifiable. ln is monotone per term, so single-term rankings
+    are identical; multi-term rankings weight rare terms more steeply
+    than textbook BM25 (documented variant).
+
+    Per-term scores are quantized to DECIMAL(38,12) before the per-doc
+    sum so the total is order-independent (the repo's standard exact-sum
+    pattern), then top-k by (score desc, id) — fully deterministic.
+
+    Returns (id_col, score, n_query_terms_matched).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    tok = tokens(F.col(text_col))
+
+    # One corpus scan: per-doc length + per-(doc, query-term) tf.
+    # Filter to query terms BEFORE the explode-shuffle.
+    qset = F.array(*[F.lit(t) for t in terms])
+    base = df.select(
+        F.col(id_col),
+        F.size(tok).alias("dl"),
+        F.filter(tok, lambda t: F.array_contains(qset, t)).alias("_qtok"),
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("_qtok").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5),
+        )
+        .withColumn(
+            "term_score",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(38,12)"),
+        )
+    )
+    totals = scored.groupBy(id_col).agg(
+        F.sum("term_score").cast("double").alias("score"),
+        F.count(F.lit(1)).alias("n_query_terms_matched"),
+    )
+    # orderBy + limit plans as TakeOrderedAndProject — a distributed
+    # per-partition top-k merged on the driver, never a global sort.
+    return totals.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -405,3 +405,50 @@ def pack_chunks(
     return df.withColumn("pack_id", pack).withColumn(
         "pack_offset", (before - pack * budget).cast("bigint")
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax that Java regex (Spark) and RE2 (DuckDB,
+# the oracle engine) interpret identically: char classes, bounded repeats,
+# ASCII \b. No lookaround (RE2 has none), no possessive quantifiers.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # digit run with separators, >= 9 digits total-ish (phone shaped);
+    # dots excluded so IPv4 literals never half-match after this pass
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", kinds: tuple[str, ...] = _PII_ORDER
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4 literals, phone-shaped digit
+    runs) from a text column — the privacy-filter pass of a training-data
+    pipeline. Appends ``<text_col>_redacted`` (spans replaced by
+    ``[KIND]`` tags) and per-kind ``n_<kind>`` match counts.
+
+    Pure JVM regexp expressions — a map-only stage, no shuffle; at 100 TB
+    this pipelines straight out of the scan like the chunker. Patterns are
+    deliberately RE2-compatible so the DuckDB oracle replays them
+    verbatim; passes apply in fixed order (email, ipv4, phone) so a span
+    is counted by exactly one pass (emails can contain digit runs; IPv4
+    is excluded from the phone shape by requiring dots).
+    """
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = df
+    cur = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).cast("bigint"),
+        )
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    return out.withColumn(f"{text_col}_redacted", cur)

@@ -352,6 +352,89 @@ def pagerank(
             df.unpersist()
 
 
+def label_propagation_communities(
+    g: PropertyGraph,
+    edge_labels: Sequence[str] | None = None,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Graph-facade wrapper for :func:`label_propagation` (undirected over
+    the selected edge labels, every graph node participates)."""
+    return label_propagation(
+        g.nodes.select("id"),
+        _edge_pairs(g, edge_labels, directed=True),
+        n_iter,
+    )
+
+
+def label_propagation(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007), fully deterministic: every node simultaneously adopts its
+    neighbors' most frequent community, ties broken by the smallest
+    community id; isolated nodes keep their own. Fixed iteration count
+    (the async/random variant converges faster but is run-dependent —
+    useless for a verifiable pipeline).
+
+    ``pairs`` is a DIRECTED (a, b) frame; the harness symmetrizes and
+    de-duplicates once (parallel edges count as one neighbor — documented
+    choice, mirrored by the oracle). Returns (id, community).
+
+    Each superstep = join(edges, state) → two hash aggregations, all
+    shuffled on node id — the same exchange-reuse shape as the other
+    Pregel loops here; the argmax is an order-free ``max(struct)``, no
+    window sort.
+    """
+    edges = (
+        pairs.select("a", "b")
+        .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    state = verts.select("id", F.col("id").alias("community"))
+    persisted: list[DataFrame] = []
+    try:
+        for it in range(n_iter):
+            counts = (
+                edges.join(state, edges["a"] == state["id"], "inner")
+                .groupBy(F.col("b").alias("id"), "community")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # argmax by (count desc, community asc) without a window:
+            # max(struct(c, -community)) — node ids are non-negative
+            best = counts.groupBy("id").agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("community")).alias("nc"))
+                ).alias("m")
+            ).select("id", (-F.col("m.nc")).alias("new_community"))
+            state = (
+                state.join(best, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_community", "community").alias(
+                        "community"
+                    ),
+                )
+            )
+            state = state.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(state)
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                state = state.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
+        return state.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        verts.unpersist()
+        for df in persisted:
+            df.unpersist()
+
+
 _SSSP_BROADCAST_MAX_FRONTIER = 5_000_000
 
 

@@ -164,3 +164,37 @@ def test_khop_neighbors(micro):
         n1.setdefault(r["id"], set()).add(r["neighbor"])
     assert n1[6] == {1, 2, 3, 4, 5}
     assert n1[1] == {2, 3, 4}
+
+
+def test_label_propagation_triangle_plus_isolate(spark):
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "a bigint, b bigint"
+    )
+    out = {
+        r["id"]: r["community"]
+        for r in analytics.label_propagation(verts, pairs, n_iter=4).collect()
+    }
+    # triangle collapses to the min id; the isolate keeps its own
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_label_propagation_deterministic_ties(spark):
+    # node 5's neighbors have distinct communities -> smallest id wins
+    verts = spark.createDataFrame([(i,) for i in (5, 7, 9)], "id bigint")
+    pairs = spark.createDataFrame([(5, 7), (5, 9)], "a bigint, b bigint")
+    one = analytics.label_propagation(verts, pairs, n_iter=1).collect()
+    assert {r["id"]: r["community"] for r in one}[5] == 7
+
+
+def test_label_propagation_parallel_edges_count_once(spark):
+    # two parallel 1-2 edges must not outvote the single 1-3 edge tie rule
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 3)], "a bigint, b bigint"
+    )
+    one = {
+        r["id"]: r["community"]
+        for r in analytics.label_propagation(verts, pairs, n_iter=1).collect()
+    }
+    assert one[1] == 2  # tie between {2,3} -> min, not the duplicated 2

@@ -6,7 +6,13 @@ import hashlib
 import pyspark.sql.functions as F
 import pytest
 
-from akka_graph_db_spark.functions import dedup, multimodal, similarity
+from akka_graph_db_spark.functions import (
+    decontam,
+    dedup,
+    multimodal,
+    search,
+    similarity,
+)
 from akka_graph_db_spark.functions import text as textf
 from conftest import SF
 
@@ -353,3 +359,96 @@ def test_pack_chunks_sharded_independent(spark):
     assert out[1] == (0, 0)
     assert out[2] == (0, 0)
     assert out[3] == (0, 50)
+
+
+def test_contamination_counts(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id bigint, text string"
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c x"), (11, "z z z z")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontam.contamination(train, ev, n=3).collect()
+    }
+    # doc 10: grams {a b c, b c x}; train has {a b c, b c d} -> 1/2
+    assert out[10]["n_ngrams"] == 2 and out[10]["n_overlap"] == 1
+    assert out[10]["contamination"] == 0.5
+    # doc 11: grams {z z z} (distinct) -> 0 overlap
+    assert out[11]["n_overlap"] == 0 and out[11]["contamination"] == 0.0
+    kept = decontam.decontaminate(train, ev, n=3, threshold=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+
+
+def test_contamination_short_doc_full_shingle(spark):
+    train = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    ev = spark.createDataFrame([(2, "a b")], "doc_id bigint, text string")
+    row = decontam.contamination(train, ev, n=5).collect()[0]
+    assert row["n_ngrams"] == 1 and row["contamination"] == 1.0
+
+
+def test_bm25_ranks_matching_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark spark spark is fast"),
+            (2, "spark joins the window"),
+            (3, "nothing relevant here at all"),
+            (4, "window window window window window"),
+        ],
+        "doc_id bigint, text string",
+    )
+    top = search.bm25_topk(corpus, ["spark", "window"], k=10).collect()
+    ids = [r["doc_id"] for r in top]
+    assert 3 not in ids  # no query term
+    assert set(ids) == {1, 2, 4}
+    by_id = {r["doc_id"]: r for r in top}
+    assert by_id[2]["n_query_terms_matched"] == 2
+    # doc 2 matches both terms; single-term docs score lower than the
+    # two-term doc under equal df
+    assert ids[0] == 2
+    assert all(r["score"] > 0 for r in top)
+
+
+def test_vocabulary_counts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id bigint, text string"
+    )
+    rows = {r["term"]: r for r in search.vocabulary(corpus).collect()}
+    assert rows["a"]["term_count"] == 3 and rows["a"]["doc_count"] == 2
+    assert rows["b"]["term_count"] == 1 and rows["b"]["doc_count"] == 1
+    assert search.vocabulary(corpus, min_count=2).count() == 1
+
+
+def test_redact_pii_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail bob@corp.io from 192.168.0.1 call +1 555-0100 ok",
+            ),
+            (2, "clean text only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in textf.redact_pii(df).collect()}
+    assert (
+        out[1]["n_email"],
+        out[1]["n_ipv4"],
+        out[1]["n_phone"],
+    ) == (1, 1, 1)
+    assert out[1]["text_redacted"] == (
+        "mail [EMAIL] from [IPV4] call [PHONE] ok"
+    )
+    assert out[2]["text_redacted"] == "clean text only"
+    assert out[2]["n_email"] == 0
+
+
+def test_redact_pii_ipv4_not_phone(spark):
+    # the phone pass must not half-eat an IPv4 literal (dots excluded)
+    df = spark.createDataFrame(
+        [(1, "host 10.20.30.40 end")], "doc_id bigint, text string"
+    )
+    row = textf.redact_pii(df).collect()[0]
+    assert row["n_ipv4"] == 1 and row["n_phone"] == 0
+    assert row["text_redacted"] == "host [IPV4] end"
