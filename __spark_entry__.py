@@ -1556,6 +1556,82 @@ def q_streaming_running_totals(spark, sf_dir):
     )
 
 
+def q_streaming_session(spark, sf_dir):
+    """§2.9 streaming session windows, batch-equivalence oracle: the
+    events table runs as a watermarked file stream through
+    ``session_window`` and the drained append sink must equal the batch
+    gaps-and-islands SQL exactly (same oracle as events_session).
+
+    Append mode only emits a session in a micro-batch whose starting
+    watermark passed the session end, so the drain is staged
+    deterministically: one real-data file plus two far-future sentinel
+    files (user_id = -1, +1/+2 days), pinned to one-file-per-micro-batch
+    with explicit mtimes — batch 2 advances the watermark past every real
+    session, batch 3 flushes them. Sentinels filter out of the result."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from akka_graph_db_spark.streaming import windows as sw
+
+    ensure_query_conf(spark)
+    ev_df = read_events(spark, sf_dir).select("ts", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="ssess_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    max_ts = ev_df.agg(F.max("ts")).collect()[0][0]
+
+    def _one_file(df, name, mtime):
+        d = os.path.join(tmp, f"_{name}")
+        df.coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"{name}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    import datetime
+
+    base_mtime = 1_600_000_000
+    _one_file(ev_df, "00_real", base_mtime)
+    for i, days in enumerate((1, 2), start=1):
+        sentinel = spark.createDataFrame(
+            [(max_ts + datetime.timedelta(days=days), -1, 0.0)],
+            "ts timestamp, user_id bigint, value double",
+        )
+        _one_file(sentinel, f"0{i}_sentinel", base_mtime + 10 * i)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"ssess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sw.session_counts_stream(stream, "10 minutes", "10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format(
+                "session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ===========================================================================
 # Contract
 # ===========================================================================
@@ -1639,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary": q_vocabulary,
         "redact_pii": q_redact_pii,
         "label_propagation_geo": q_label_propagation_geo,
+        "streaming_session": q_streaming_session,
     }
 
 
@@ -2643,4 +2720,27 @@ def oracle_sql() -> dict[str, str]:
             FROM rp_p
         """,
         "label_propagation_geo": _lpa_geo_oracle(4),
+        # stream==batch equivalence: same gaps-and-islands SQL as the
+        # batch events_session query
+        "streaming_session": f"""
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f')
+                     AS session_start,
+                   COUNT(*) AS n_events,
+                   {sums.format(col="value")} AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
     }

@@ -107,6 +107,37 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def session_counts_stream(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked streaming SESSION windows: per-user gap-based sessions
+    that close (and emit, in append mode) once the watermark passes the
+    session end. The streaming-native form of ``functions.events.session``
+    — merging session state is maintained by Spark's session-window state
+    store, evicted as the watermark advances, so the query runs unbounded.
+
+    Append-mode emission semantics matter for drain-style tests: a
+    session emits only in a micro-batch whose START watermark already
+    passed the session's end, so an ``availableNow`` drain needs later
+    sentinel batches to flush the tail (see q_streaming_session)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ):

@@ -121,3 +121,59 @@ def test_interval_join_stream_bounds(spark):
     # 30-minute bound is INCLUSIVE; purchases strictly before a click or
     # past the bound never match
     assert got == {(10, 20), (11, 21)}
+
+
+def test_session_counts_stream_flushes_with_sentinels(spark):
+    # two user-1 sessions (gap > 10 min) + a later user-2 event advancing
+    # the watermark; sentinel batches flush the tail sessions
+    tmp = tempfile.mkdtemp(prefix="ssw_")
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 00:05:00", 1, "click", 2.0, None),
+        (3, "2024-01-01 00:30:00", 1, "click", 4.0, None),
+        (4, "2024-01-02 00:00:00", 2, "click", 8.0, None),  # sentinel-ish
+        (5, "2024-01-03 00:00:00", 2, "click", 0.0, None),  # flush batch
+    ]
+    # one file per row, ordered mtimes -> one micro-batch per event
+    from datetime import datetime
+
+    log_dir = os.path.join(tmp, "in")
+    os.makedirs(log_dir)
+    for i, r in enumerate(rows):
+        f = os.path.join(tmp, f"w{i}")
+        spark.createDataFrame(
+            [(r[0], datetime.fromisoformat(r[1]), *r[2:])], sw.EVENTS_SCHEMA
+        ).coalesce(1).write.json(f)
+        import glob as g
+        import shutil
+
+        part = g.glob(os.path.join(f, "part-*"))[0]
+        dest = os.path.join(log_dir, f"{i:02d}.json")
+        shutil.copy(part, dest)
+        os.utime(dest, (1_600_000_000 + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema(sw.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(log_dir)
+    )
+    q = (
+        sw.session_counts_stream(stream, "10 minutes", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessioned")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], str(r["session_start"])): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.table("sessioned").collect()
+    }
+    # events 1+2 merge (5-min gap); event 3 is its own session
+    assert got[(1, "2024-01-01 00:00:00")] == (2, 3.0)
+    assert got[(1, "2024-01-01 00:30:00")] == (1, 4.0)
+    assert got[(2, "2024-01-02 00:00:00")] == (1, 8.0)
