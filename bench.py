@@ -42,6 +42,10 @@ HEADLINE = [
     "similarity_ivf",         # centroid-bucket pruned ANN
     "asof_purchase_click",    # union-merge as-of join (single shuffle)
     "quality_topk",           # quality scoring + global top-k
+    "contamination",          # n-gram train/eval semi-join (long keys)
+    "bm25_search",            # term-filtered tf explode + broadcast idf
+    "redact_pii",             # regex scrub passes (map-only)
+    "label_propagation_geo",  # 4 LPA supersteps (argmax messages)
     "window_rank_customers",  # partitioned window rank
     "text_stats",             # tokenize + agg
     "multimodal_meta",        # Arrow mapInPandas
