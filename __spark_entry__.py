@@ -310,6 +310,99 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     )
 
 
+def _hits_oracle(n_iter: int = 8) -> str:
+    """q_hits_top20's oracle: HITS unrolled as DuckDB CTEs over the
+    derived graph — per half-step, sum incoming scores then L1-normalize
+    by the global raw total (COALESCE(SUM, 1.0) and the ==0 guard mirror
+    analytics.hits exactly). Top-20 selected on FULL-precision authority,
+    rounded for output — matching the Spark side."""
+    # AS MATERIALIZED: each a{k}/h{k} feeds the next half-step's raw CTE
+    # AND the normalizer aggregate — plain CTEs would inline exponentially
+    ctes = [
+        "ht_edges AS MATERIALIZED (SELECT src, dst FROM edges_v)",
+        "ht_nodes AS MATERIALIZED (SELECT id FROM nodes_v)",
+        """h0 AS MATERIALIZED (
+            SELECT id, CAST(1.0 AS DOUBLE) AS score FROM ht_nodes)""",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+            SELECT e.dst AS id, SUM(h.score) AS raw
+            FROM ht_edges e JOIN h{k - 1} h ON e.src = h.id
+            GROUP BY e.dst
+        )""")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+            SELECT n.id,
+                   COALESCE(r.raw, 0) /
+                     (CASE WHEN t.tot = 0 THEN 1.0 ELSE t.tot END) AS score
+            FROM ht_nodes n
+            CROSS JOIN (SELECT COALESCE(SUM(raw), 1.0) AS tot FROM ar{k}) t
+            LEFT JOIN ar{k} r ON n.id = r.id
+        )""")
+        ctes.append(f"""hr{k} AS MATERIALIZED (
+            SELECT e.src AS id, SUM(a.score) AS raw
+            FROM ht_edges e JOIN a{k} a ON e.dst = a.id
+            GROUP BY e.src
+        )""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+            SELECT n.id,
+                   COALESCE(r.raw, 0) /
+                     (CASE WHEN t.tot = 0 THEN 1.0 ELSE t.tot END) AS score
+            FROM ht_nodes n
+            CROSS JOIN (SELECT COALESCE(SUM(raw), 1.0) AS tot FROM hr{k}) t
+            LEFT JOIN hr{k} r ON n.id = r.id
+        )""")
+    return (
+        _GRAPH_WITH
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id, ROUND(hub, 6) AS hub, ROUND(authority, 6) AS authority
+        FROM (
+            SELECT h.id, h.score AS hub, a.score AS authority
+            FROM h{n_iter} h JOIN a{n_iter} a ON h.id = a.id
+            ORDER BY a.score DESC, h.id LIMIT 20
+        )
+        """
+    )
+
+
+def _kcore_oracle(k: int = 80, rounds: int = 10) -> str:
+    """q_kcore_parts's oracle: degree-peel rounds unrolled as DuckDB CTEs
+    over the symmetrized part co-order graph. ``rounds`` exceeds the
+    rounds-to-fixpoint at sf0.01 (measured: 6), and peeling past the
+    fixpoint is idempotent, so the unrolled form equals Spark's
+    run-to-fixpoint loop. All-integer arithmetic — exact compare."""
+    ctes = [
+        """kc_pairs AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )""",
+        """s0 AS MATERIALIZED (
+            SELECT a, b FROM kc_pairs
+            UNION ALL
+            SELECT b AS a, a AS b FROM kc_pairs
+        )""",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""s{r + 1} AS MATERIALIZED (
+            SELECT s.a, s.b FROM s{r} s
+            JOIN (SELECT a FROM s{r} GROUP BY a
+                  HAVING COUNT(*) >= {k}) ka ON s.a = ka.a
+            JOIN (SELECT a AS b FROM s{r} GROUP BY a
+                  HAVING COUNT(*) >= {k}) kb ON s.b = kb.b
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a AS id, COUNT(*) AS core_degree
+        FROM s{rounds} GROUP BY a HAVING COUNT(*) >= {k}
+        """
+    )
+
+
 # ===========================================================================
 # Reference operators (SURVEY.md §2.1-2.4) — scans & lookups
 # ===========================================================================
@@ -1636,6 +1729,160 @@ def q_streaming_session(spark, sf_dir):
 # Contract
 # ===========================================================================
 
+def _coorder_pairs(spark, sf_dir):
+    """Canonical (a < b) distinct part co-order pairs — the derived graph
+    behind the triangle / k-core / link-prediction analytics."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def q_hits_top20(spark, sf_dir):
+    """HITS hubs & authorities, fixed 8 iterations with per-half-step L1
+    normalization — top-20 by authority, oracled against an unrolled
+    DuckDB CTE chain with identical normalizer math (_hits_oracle)."""
+    g = _g(spark, sf_dir)
+    h = analytics.hits(g, n_iter=8)
+    return (
+        h.orderBy(F.col("authority").desc(), F.col("id"))
+        .limit(20)
+        .select(
+            "id",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+    )
+
+
+def q_kcore_parts(spark, sf_dir):
+    """k-core (k=80) of the part co-order graph: run-to-fixpoint degree
+    peeling in Spark vs a 10-round unrolled peel in DuckDB (fixpoint at
+    sf0.01 is 6 rounds; extra rounds are idempotent)."""
+    core = analytics.kcore(_coorder_pairs(spark, sf_dir), k=80)
+    return core.select(
+        "id", F.col("core_degree").cast("bigint").alias("core_degree")
+    )
+
+
+def q_link_prediction_parts(spark, sf_dir):
+    """Top-50 predicted links on the part co-order graph by Jaccard
+    neighborhood overlap (non-adjacent pairs, >= 2 common neighbors).
+    Integer wedge counts + one exact double division — deterministic and
+    engine-portable; ties broken by (common desc, a, b)."""
+    scored = analytics.link_prediction_jaccard(
+        _coorder_pairs(spark, sf_dir), top_k=50, min_common=2
+    )
+    return scored.select(
+        "a",
+        "b",
+        F.col("common").cast("bigint").alias("common"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_range_join_clicks(spark, sf_dir):
+    """Batch range join (bucketed equi-join shape, functions/rangejoin.py):
+    for every purchase, the count and exact decimal sum of the same
+    user's clicks in the preceding 24 hours. The oracle is the naive
+    inequality join — quadratic but fine at sf0.01."""
+    from akka_graph_db_spark.functions.rangejoin import range_join_buckets
+
+    events = read_events(spark, sf_dir)
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("hi"),
+        )
+        .withColumn("lo", F.col("hi") - F.expr("INTERVAL 24 HOURS"))
+    )
+    j = range_join_buckets(
+        clicks, purchases, ["user_id"], "c_ts", "lo", "hi",
+        bucket_seconds=86400,
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("c_value").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("sum_click_value"),
+    )
+
+
+def q_quantized_topk(spark, sf_dir):
+    """Cosine top-10 over int8-quantized vectors for 5 queries: integer
+    dot products (exact, order-independent) + one sqrt/division — the
+    4x-smaller-payload scale path, oracled exactly against the same
+    quantization arithmetic in DuckDB."""
+    emb = read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.quantized_topk(emb, q, k=10).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("qcos", 6).alias("qcos"),
+    )
+
+
+def q_salted_join_orders(spark, sf_dir):
+    """Per-mktsegment order totals through a 16-way SALTED join
+    (functions/skew.py) — result must be row-identical to the plain join
+    the oracle runs; only the physical shuffle distribution differs."""
+    from akka_graph_db_spark.functions.skew import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(
+        orders, cust, ["c_custkey"], salt_from="o_orderkey", n_salt=16
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def q_events_rollup_multi(spark, sf_dir):
+    """Hypertable-style multi-granularity continuous aggregate: minute
+    partials from one raw scan, hour from minute partials, day from hour
+    — decimal partials compose exactly, so the oracle's direct per-grain
+    aggregation hash-matches."""
+    return ev.hierarchical_rollup(read_events(spark, sf_dir)).select(
+        "grain",
+        "bucket_start",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value",
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-language EXACT length percentiles (linear interpolation) of
+    documents — Spark `percentile` vs DuckDB `quantile_cont`."""
+    docs = read_documents(spark, sf_dir)
+    lq = textf.length_quantiles(docs)
+    return lq.select(
+        "lang",
+        "n_docs",
+        *[F.round(p, 6).alias(p) for p in ("p25", "p50", "p75", "p90")],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -1716,6 +1963,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "label_propagation_geo": q_label_propagation_geo,
         "streaming_session": q_streaming_session,
+        "hits_top20": q_hits_top20,
+        "kcore_parts": q_kcore_parts,
+        "link_prediction_parts": q_link_prediction_parts,
+        "range_join_clicks": q_range_join_clicks,
+        "quantized_topk": q_quantized_topk,
+        "salted_join_orders": q_salted_join_orders,
+        "events_rollup_multi": q_events_rollup_multi,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -2742,5 +2997,125 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    {sums.format(col="value")} AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "hits_top20": _hits_oracle(8),
+        "kcore_parts": _kcore_oracle(k=80, rounds=10),
+        "link_prediction_parts": """
+            WITH lp_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            lp_sym AS MATERIALIZED (
+              SELECT a, b FROM lp_pairs
+              UNION ALL
+              SELECT b AS a, a AS b FROM lp_pairs
+            ),
+            lp_deg AS MATERIALIZED (
+              SELECT a, COUNT(*) AS d FROM lp_sym GROUP BY a
+            ),
+            lp_cn AS MATERIALIZED (
+              SELECT s1.b AS a, s2.b AS b, COUNT(*) AS common
+              FROM lp_sym s1 JOIN lp_sym s2
+                ON s1.a = s2.a AND s1.b < s2.b
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            lp_cand AS (
+              SELECT c.* FROM lp_cn c
+              WHERE NOT EXISTS (SELECT 1 FROM lp_pairs p
+                                WHERE p.a = c.a AND p.b = c.b)
+            ),
+            lp_scored AS (
+              SELECT c.a, c.b, c.common,
+                     c.common / (da.d + db.d - c.common) AS jacc
+              FROM lp_cand c
+              JOIN lp_deg da ON c.a = da.a
+              JOIN lp_deg db ON c.b = db.a
+            )
+            SELECT a, b, CAST(common AS BIGINT) AS common,
+                   ROUND(jacc, 6) AS jaccard
+            FROM (SELECT * FROM lp_scored
+                  ORDER BY jacc DESC, common DESC, a, b LIMIT 50)
+        """,
+        "range_join_clicks": f"""
+            SELECT p.event_id AS purchase_id,
+                   COUNT(*) AS n_clicks,
+                   {sums.format(col="c.value")} AS sum_click_value
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 24 HOUR AND c.ts < p.ts
+            GROUP BY 1
+        """,
+        "quantized_topk": """
+            WITH qz AS MATERIALIZED (
+              SELECT vec_id,
+                CASE WHEN list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) > 0
+                     THEN list_transform(embedding, x ->
+                            CAST(round(CAST(x AS DOUBLE) * (127.0 /
+                              list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT))
+                     ELSE list_transform(embedding,
+                            x -> CAST(0 AS BIGINT)) END AS q
+              FROM embeddings
+            ),
+            nq AS MATERIALIZED (
+              SELECT vec_id, q,
+                     list_sum(list_transform(q, x -> x * x)) AS n2
+              FROM qz
+            ),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     CASE WHEN a.n2 > 0 AND b.n2 > 0
+                          THEN list_sum(list_transform(list_zip(a.q, b.q),
+                                 p -> p[1] * p[2]))
+                               / sqrt(CAST(a.n2 * b.n2 AS DOUBLE))
+                          ELSE 0.0 END AS qcos
+              FROM nq a JOIN nq b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 5
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+                   ROUND(qcos, 6) AS qcos
+            FROM (SELECT query_id, neighbor_id, qcos,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY qcos DESC, neighbor_id)
+                           AS rank
+                  FROM scored)
+            WHERE rank <= 10
+        """,
+        "salted_join_orders": f"""
+            SELECT c.c_mktsegment AS mktsegment,
+                   COUNT(*) AS n_orders,
+                   {sums.format(col="o.o_totalprice")} AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "events_rollup_multi": f"""
+            SELECT 'minute' AS grain,
+                   strftime(date_trunc('minute', ts),
+                            '%Y-%m-%d %H:%M:%S') AS bucket_start,
+                   COUNT(*) AS n_events,
+                   {sums.format(col="value")} AS sum_value
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'hour',
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                   COUNT(*), {sums.format(col="value")}
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'day',
+                   strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+                   COUNT(*), {sums.format(col="value")}
+            FROM events GROUP BY 2
+        """,
+        "length_quantiles": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+            FROM documents GROUP BY lang
         """,
     }

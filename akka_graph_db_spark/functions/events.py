@@ -98,3 +98,51 @@ def type_value_stats(events: DataFrame) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def hierarchical_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-granularity continuous aggregate: one frame
+    with minute, hour, and day buckets — (grain, bucket_start, n_events,
+    sum_value).
+
+    The scale shape: raw events are aggregated ONCE at the finest grain;
+    each coarser grain re-aggregates the next-finer PARTIALS (decimal
+    partial sums compose exactly), so a 100 TB event table is scanned a
+    single time instead of once per grain, and the coarser rollups run
+    over frames that are orders of magnitude smaller. This is exactly how
+    a timeseries store maintains continuous-aggregate hierarchies.
+    """
+    minute = events.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).alias("_sum"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("bucket_start")).alias("bucket_start")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_sum").cast(_DEC).alias("_sum"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", F.col("bucket_start")).alias("bucket_start")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("_sum").cast(_DEC).alias("_sum"),
+    )
+
+    def _fin(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "n_events",
+            F.col("_sum").cast("double").alias("sum_value"),
+        )
+
+    return (
+        _fin(minute, "minute")
+        .unionByName(_fin(hour, "hour"))
+        .unionByName(_fin(day, "day"))
+    )

@@ -339,3 +339,80 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# int8 quantization (training-data pipeline: 4x smaller vectors, integer
+# dot products)
+# --------------------------------------------------------------------------
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i * 127 /
+    max|x|) as INT (range [-127, 127]; zero vectors quantize to zeros).
+    Pure JVM expressions — the quantized corpus is 4x smaller on the wire
+    and in shuffle, and downstream dot products are exact integer math
+    (order-independent, bit-reproducible across engines)."""
+    d = as_double(a)
+    maxabs = F.array_max(F.transform(d, F.abs))
+    scale = F.lit(127.0) / maxabs
+    return F.when(
+        maxabs > 0,
+        F.transform(d, lambda x: F.round(x * scale).cast("int")),
+    ).otherwise(F.transform(d, lambda x: F.lit(0)))
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product (LONG accumulator)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors: (query_id, neighbor_id,
+    rank, qcos). Same broadcast-query / one-corpus-scan shape as
+    :func:`topk_bruteforce`, but the scored payload is 4x smaller and the
+    dot product is exact integer arithmetic; qcos = dot_q / sqrt(na * nb)
+    with integer norms, so the only floating-point steps are one sqrt and
+    one division — deterministic and engine-portable. Ties broken by
+    neighbor id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_int8(F.col(vec_col)).alias("_cq"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_int8(F.col(vec_col)).alias("_qq"),
+    )
+    na = dot_int(F.col("_qq"), F.col("_qq"))
+    nb = dot_int(F.col("_cq"), F.col("_cq"))
+    dq = dot_int(F.col("_qq"), F.col("_cq"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.when(
+            (na > 0) & (nb > 0),
+            dq / F.sqrt((na * nb).cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qcos"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qcos")
+    )

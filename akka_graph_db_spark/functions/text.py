@@ -452,3 +452,27 @@ def redact_pii(
         )
         cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
     return out.withColumn(f"{text_col}_redacted", cur)
+
+
+def length_quantiles(
+    df: DataFrame,
+    col: str = "n_chars",
+    group_cols: tuple[str, ...] = ("lang",),
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-group EXACT percentiles (linear interpolation) of a numeric
+    column — the length-distribution profile used to pick truncation /
+    filtering thresholds in a training-data pipeline. Exact ``percentile``
+    (not approx_percentile) keeps the result engine-portable and
+    hash-stable; at 100 TB swap in approx_percentile(..., accuracy) for a
+    single-pass sketch when exactness stops mattering.
+
+    Returns (group..., p25, p50, ...): one column per requested prob.
+    """
+    aggs = [
+        F.percentile(F.col(col), F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"), *aggs
+    )

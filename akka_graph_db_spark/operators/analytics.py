@@ -760,3 +760,182 @@ def match_path(
     for i in range(1, len(edge_labels) + 1):
         cols += [f"e{i}", f"n{i}"]
     return out.select(*cols)
+
+
+def hits(
+    g: PropertyGraph,
+    edge_labels: Sequence[str] | None = None,
+    n_iter: int = 8,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) with a fixed iteration
+    count and L1 normalization after every half-step — fully
+    deterministic, so an unrolled SQL CTE chain can reproduce it exactly.
+
+    Returns (id, hub, authority) for every node. Per half-step: one join
+    + one groupBy, both shuffled on node id (the same exchange-reuse
+    shape as :func:`pagerank`); the L1 normalizer is a 1-row aggregate
+    folded back via broadcast cross join — no driver-side collect per
+    iteration. The reference has no analytics at all (SURVEY.md §2.7);
+    this is §2.8 extension surface.
+    """
+    edges = _edge_pairs(g, edge_labels, directed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = g.nodes.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    hub = nodes.select("id", F.lit(1.0).alias("score"))
+    auth = None
+    persisted: list[DataFrame] = []
+
+    def _half(state: DataFrame, out_col: str, in_col: str) -> DataFrame:
+        # sum incoming scores over edges, then L1-normalize in-plan
+        raw = (
+            edges.join(state, edges[out_col] == state["id"], "inner")
+            .select(F.col(in_col).alias("id"), "score")
+            .groupBy("id")
+            .agg(F.sum("score").alias("raw"))
+        )
+        total = raw.agg(
+            F.coalesce(F.sum("raw"), F.lit(1.0)).alias("_tot")
+        )
+        return (
+            nodes.join(raw, "id", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "id",
+                (
+                    F.coalesce("raw", F.lit(0.0))
+                    / F.when(F.col("_tot") == 0, F.lit(1.0)).otherwise(
+                        F.col("_tot")
+                    )
+                ).alias("score"),
+            )
+        )
+
+    try:
+        for it in range(n_iter):
+            auth = _half(hub, "a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+            hub = _half(auth, "b", "a").persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.extend([auth, hub])
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                auth = auth.localCheckpoint(eager=True)
+                hub = hub.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
+        out = (
+            hub.select("id", F.col("score").alias("hub"))
+            .join(
+                auth.select("id", F.col("score").alias("authority")),
+                "id",
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
+        for df in persisted:
+            df.unpersist()
+
+
+def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < k from an undirected (a, b) pair frame until a fixpoint; returns
+    (id, core_degree) — the surviving nodes with their degree inside the
+    core.
+
+    Each round is one degree aggregation + two semi-joins, all shuffled
+    on node id; the surviving edge frame only shrinks, so per-round cost
+    is bounded by the current subgraph, and rounds-to-fixpoint is small
+    in practice (degeneracy peeling removes whole shells per round, not
+    one node at a time). Lineage is truncated every round since the edge
+    frame is the loop state.
+    """
+    e = canonical_undirected(pairs)
+    # symmetrize once so degree = count per endpoint in one groupBy
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    prev = sym.count()
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        nxt = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        after = nxt.count()  # the checkpoint materialization, reused
+        sym = nxt
+        if after == prev:
+            break
+        prev = after
+    return (
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+    )
+
+
+def link_prediction_jaccard(
+    pairs: DataFrame, top_k: int = 50, min_common: int = 2
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected (a, b)
+    pair frame: for every NON-adjacent node pair with >= ``min_common``
+    common neighbors, the common-neighbor count and Jaccard coefficient
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)|; returns the ``top_k`` candidate links
+    by (jaccard desc, common desc, a, b) — a deterministic total order.
+
+    Shape: one wedge self-join (the same O(sum deg²) volume as triangle
+    counting — bound it upstream with degree caps on skewed graphs), one
+    broadcastable degree join, one anti-join against the edge set.
+    orderBy+limit compiles to TakeOrdered (per-partition top-k, no global
+    sort).
+    """
+    e = canonical_undirected(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        # wedges centered at x: neighbors (a, b) of x with a < b
+        n1 = sym.select(F.col("a").alias("x"), F.col("b").alias("u"))
+        n2 = sym.select(F.col("a").alias("x"), F.col("b").alias("v"))
+        cn = (
+            n1.join(n2, "x")
+            .where(F.col("u") < F.col("v"))
+            .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+            .where(F.col("common") >= min_common)
+        )
+        cand = cn.join(e, ["a", "b"], "left_anti")
+        da = F.broadcast(deg.select(F.col("a"), F.col("deg").alias("_da")))
+        db = F.broadcast(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("_db"))
+        )
+        scored = (
+            cand.join(da, "a")
+            .join(db, "b")
+            .select(
+                "a",
+                "b",
+                "common",
+                (
+                    F.col("common")
+                    / (F.col("_da") + F.col("_db") - F.col("common"))
+                ).alias("jaccard"),
+            )
+        )
+        return (
+            scored.orderBy(
+                F.col("jaccard").desc(),
+                F.col("common").desc(),
+                "a",
+                "b",
+            )
+            .limit(top_k)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e.unpersist()

@@ -39,4 +39,15 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to float rounding — observed off-by-one vs the DuckDB oracle).
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Newer fixtures store TIMESTAMP(MICROS) without the UTC flag,
+        # which Spark reads as TIMESTAMP_NTZ. Every operator and oracle in
+        # this engine was written against the LTZ + UTC-session contract
+        # (epoch extraction via unix_micros, watermarks, window()), so
+        # normalize here: with the session TZ pinned UTC the NTZ->LTZ cast
+        # is value-identical wall-clock-wise and restores that contract.
+        from akka_graph_db_spark.session import ensure_query_conf
+
+        ensure_query_conf(spark)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
