@@ -366,6 +366,56 @@ def _hits_oracle(n_iter: int = 8) -> str:
     )
 
 
+def _ppr_oracle(
+    src_expr: str, n_iter: int = 10, damping: float = 0.85
+) -> str:
+    """q_ppr_customer's oracle: personalized PageRank unrolled as DuckDB
+    CTEs — identical to _pagerank_oracle except the reset vector is the
+    source indicator (and the dangling mass returns to the sources), per
+    analytics.personalized_pagerank."""
+    base = 1.0 - damping
+    ctes = [
+        "pp_edges AS MATERIALIZED (SELECT src, dst FROM edges_v)",
+        f"""pp_nodes AS MATERIALIZED (
+            SELECT n.id, COALESCE(od.c, 0) AS out_degree,
+                   CASE WHEN n.id IN ({src_expr})
+                        THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS reset
+            FROM nodes_v n
+            LEFT JOIN (SELECT src, COUNT(*) AS c FROM pp_edges GROUP BY 1)
+              od ON n.id = od.src
+        )""",
+        """p0 AS MATERIALIZED (
+            SELECT id, out_degree, reset, reset AS rank FROM pp_nodes)""",
+    ]
+    for k in range(n_iter):
+        ctes.append(f"""p{k + 1} AS MATERIALIZED (
+            SELECT n.id, n.out_degree, n.reset,
+                   {base!r} * n.reset + {damping!r} *
+                     (COALESCE(c.recv, 0) + d.dang * n.reset) AS rank
+            FROM pp_nodes n
+            CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS dang
+                        FROM p{k} WHERE out_degree = 0) d
+            LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.rank / r.out_degree) AS recv
+                FROM pp_edges e JOIN p{k} r ON e.src = r.id
+                WHERE r.out_degree > 0
+                GROUP BY e.dst
+            ) c ON n.id = c.id
+        )""")
+    return (
+        _GRAPH_WITH
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id, ROUND(rank, 6) AS rank FROM (
+            SELECT id, rank FROM p{n_iter}
+            WHERE rank > 0
+            ORDER BY rank DESC, id LIMIT 20
+        )
+        """
+    )
+
+
 def _kcore_oracle(k: int = 80, rounds: int = 10) -> str:
     """q_kcore_parts's oracle: degree-peel rounds unrolled as DuckDB CTEs
     over the symmetrized part co-order graph. ``rounds`` exceeds the
@@ -1883,6 +1933,40 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_ppr_customer(spark, sf_dir):
+    """Personalized PageRank from customer 1 (10 fixed iterations,
+    damping 0.85): random-walk proximity over placed/contains edges —
+    'parts and orders related to this customer'. Top-20 positive ranks,
+    oracled against the unrolled CTE chain (_ppr_oracle)."""
+    g = _g(spark, sf_dir)
+    pr = analytics.personalized_pagerank(
+        g, [CUSTOMER_BASE + 1], n_iter=10
+    )
+    return (
+        pr.where(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
+
+
+def q_funnel_events(spark, sf_dir):
+    """Conversion-funnel drop-off: per-user greedy earliest completion of
+    view -> click -> purchase, histogrammed by steps completed. Chained
+    conditional-MIN aggregations, every shuffle on user_id."""
+    from akka_graph_db_spark.functions.funnel import funnel_histogram
+
+    # first 2 days only: over the full month every user converts (a
+    # 1-row histogram); the prefix gives a real drop-off curve
+    ev_df = read_events(spark, sf_dir).where(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    return funnel_histogram(ev_df, ["view", "click", "purchase"]).select(
+        F.col("steps_completed").cast("int").alias("steps_completed"),
+        "n_users",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -1971,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_orders": q_salted_join_orders,
         "events_rollup_multi": q_events_rollup_multi,
         "length_quantiles": q_length_quantiles,
+        "ppr_customer": q_ppr_customer,
+        "funnel_events": q_funnel_events,
     }
 
 
@@ -3117,5 +3203,42 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
                    ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
             FROM documents GROUP BY lang
+        """,
+        "ppr_customer": _ppr_oracle(f"{CUSTOMER_BASE + 1}"),
+        # greedy earliest-completion chain: each step's time is the MIN
+        # event time strictly after the previous step's — mirrored
+        # join-by-join from functions/funnel.py
+        "funnel_events": """
+            WITH fe AS (
+              SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'
+            ),
+            f1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM fe
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            f2 AS (
+              SELECT f1.user_id, MIN(e.ts) AS t2
+              FROM f1 JOIN fe e
+                ON e.user_id = f1.user_id
+               AND e.event_type = 'click' AND e.ts > f1.t1
+              GROUP BY 1
+            ),
+            f3 AS (
+              SELECT f2.user_id, MIN(e.ts) AS t3
+              FROM f2 JOIN fe e
+                ON e.user_id = f2.user_id
+               AND e.event_type = 'purchase' AND e.ts > f2.t2
+              GROUP BY 1
+            )
+            SELECT CAST(steps_completed AS INTEGER) AS steps_completed,
+                   COUNT(*) AS n_users
+            FROM (
+              SELECT f1.user_id,
+                     1 + (f2.user_id IS NOT NULL)::INT
+                       + (f3.user_id IS NOT NULL)::INT AS steps_completed
+              FROM f1
+              LEFT JOIN f2 ON f1.user_id = f2.user_id
+              LEFT JOIN f3 ON f1.user_id = f3.user_id
+            ) GROUP BY 1
         """,
     }

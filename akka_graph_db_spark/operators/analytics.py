@@ -939,3 +939,94 @@ def link_prediction_jaccard(
         )
     finally:
         e.unpersist()
+
+
+def personalized_pagerank(
+    g: PropertyGraph,
+    source_ids: Sequence[int],
+    edge_labels: Sequence[str] | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Personalized PageRank: the reset mass (and the dangling mass)
+    returns to the SOURCE set instead of spreading uniformly — the
+    standard proximity/recommendation score "how reachable is v from S
+    by short random walks". Fixed iteration count, deterministic; same
+    superstep shape as :func:`pagerank` (one join + one groupBy per
+    iteration, all shuffled on node id, dangling total folded in-plan
+    via a 1-row broadcast).
+
+    Returns (id, rank) for every node; ranks sum to ~1 (init 1/|S| on
+    sources, 0 elsewhere).
+    """
+    if not source_ids:
+        raise ValueError("source_ids must be non-empty")
+    n_src = len(source_ids)
+    edges = _edge_pairs(g, edge_labels, directed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out_deg = edges.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    src_set = [int(s) for s in source_ids]
+    nodes = (
+        g.nodes.select("id")
+        .join(out_deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.when(F.col("id").isin(src_set), F.lit(1.0 / n_src))
+            .otherwise(F.lit(0.0))
+            .alias("reset"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = nodes.select(
+        "id", "out_degree", "reset", F.col("reset").alias("rank")
+    )
+    persisted: list[DataFrame] = []
+    try:
+        for it in range(n_iter):
+            contribs = (
+                edges.join(state, edges["a"] == state["id"], "inner")
+                .where(F.col("out_degree") > 0)
+                .select(
+                    F.col("b").alias("id"),
+                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
+                )
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("recv"))
+            )
+            dangling = state.where(F.col("out_degree") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+            )
+            state = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "id",
+                    "out_degree",
+                    "reset",
+                    (
+                        F.lit(1.0 - damping) * F.col("reset")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce("recv", F.lit(0.0))
+                            + F.col("_dang") * F.col("reset")
+                        )
+                    ).alias("rank"),
+                )
+            )
+            state = state.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(state)
+            if (it + 1) % _CHECKPOINT_EVERY == 0:
+                state = state.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
+        return state.select("id", "rank").localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
+        for df in persisted:
+            df.unpersist()

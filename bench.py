@@ -32,6 +32,9 @@ HEADLINE = [
     "sssp_weighted",          # Bellman-Ford frontier relaxation
     "khop_features",          # 2-hop pair materialization + feature agg
     "triangles_coorder",      # 2 shuffle joins on derived graph
+    "hits_top20",             # 16 half-steps, in-plan L1 normalizer
+    "kcore_parts",            # run-to-fixpoint degree peeling
+    "link_prediction_parts",  # wedge join + degree broadcast + anti-join
     "motif_supply_chain",     # 4-hop join chain
     "dedup_exact",            # hash groupBy
     "doc_chunks",             # shuffle-free token-window chunking
@@ -40,7 +43,9 @@ HEADLINE = [
     "dedup_minhash_keep_star",  # star-linkage keep (adversarial-scale path)
     "similarity_topk",        # corpus scan x 5 queries
     "similarity_ivf",         # centroid-bucket pruned ANN
+    "quantized_topk",         # int8 payloads, integer dot products
     "asof_purchase_click",    # union-merge as-of join (single shuffle)
+    "range_join_clicks",      # bucketed batch interval join
     "quality_topk",           # quality scoring + global top-k
     "contamination",          # n-gram train/eval semi-join (long keys)
     "bm25_search",            # term-filtered tf explode + broadcast idf

@@ -198,3 +198,88 @@ def test_label_propagation_parallel_edges_count_once(spark):
         for r in analytics.label_propagation(verts, pairs, n_iter=1).collect()
     }
     assert one[1] == 2  # tie between {2,3} -> min, not the duplicated 2
+
+
+def test_hits_star_closed_form(spark):
+    """u -> {v1,v2,v3}: after any full iteration, authority mass splits
+    evenly over the v's and u holds all hub mass."""
+    from akka_graph_db_spark.model import PropertyGraph
+    from akka_graph_db_spark.operators import crud
+
+    empty = PropertyGraph(
+        nodes=spark.createDataFrame(
+            [], "id bigint, label string, props map<string,string>"
+        ),
+        edges=spark.createDataFrame(
+            [],
+            "id bigint, label string, src bigint, dst bigint,"
+            " props map<string,string>",
+        ),
+    )
+    g = crud.add_nodes(empty, [(i, "n", {}) for i in range(1, 5)])
+    g = crud.add_edges(
+        g, [(100 + v, "e", 1, v, {}) for v in (2, 3, 4)]
+    )
+    h = {r["id"]: r for r in analytics.hits(g, n_iter=3).collect()}
+    assert abs(h[1]["hub"] - 1.0) < 1e-12
+    for v in (2, 3, 4):
+        assert abs(h[v]["authority"] - 1.0 / 3) < 1e-12
+        assert h[v]["hub"] == 0.0
+    assert h[1]["authority"] == 0.0
+
+
+def test_kcore_triangle_with_pendant(spark):
+    """Triangle 1-2-3 plus pendant edge 1-4: the 2-core is exactly the
+    triangle, every member with core degree 2; the 3-core is empty."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "a bigint, b bigint"
+    )
+    core2 = {
+        r["id"]: r["core_degree"]
+        for r in analytics.kcore(pairs, k=2).collect()
+    }
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    assert analytics.kcore(pairs, k=3).count() == 0
+
+
+def test_link_prediction_square(spark):
+    """4-cycle 1-2-3-4-1: the two diagonals are the only candidates, both
+    with 2 common neighbors and Jaccard 2/(2+2-2) = 1.0."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a bigint, b bigint"
+    )
+    rows = analytics.link_prediction_jaccard(
+        pairs, top_k=10, min_common=2
+    ).collect()
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"]) for r in rows}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_personalized_pagerank_two_node_chain(spark):
+    """1 -> 2 with source {1}: closed form after 2 iterations is
+    r(1) = 0.15 + 0.85*0.85, r(2) = 0.85*0.15 (dangling node 2 returns
+    its mass to the source)."""
+    from akka_graph_db_spark.model import PropertyGraph
+    from akka_graph_db_spark.operators import crud
+
+    empty = PropertyGraph(
+        nodes=spark.createDataFrame(
+            [], "id bigint, label string, props map<string,string>"
+        ),
+        edges=spark.createDataFrame(
+            [],
+            "id bigint, label string, src bigint, dst bigint,"
+            " props map<string,string>",
+        ),
+    )
+    g = crud.add_nodes(empty, [(1, "n", {}), (2, "n", {})])
+    g = crud.add_edges(g, [(100, "e", 1, 2, {})])
+    pr = {
+        r["id"]: r["rank"]
+        for r in analytics.personalized_pagerank(
+            g, [1], n_iter=2
+        ).collect()
+    }
+    assert abs(pr[1] - (0.15 + 0.85 * 0.85)) < 1e-12
+    assert abs(pr[2] - 0.85 * 0.15) < 1e-12
+    assert abs(sum(pr.values()) - 1.0) < 1e-12

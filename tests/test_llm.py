@@ -452,3 +452,172 @@ def test_redact_pii_ipv4_not_phone(spark):
     row = textf.redact_pii(df).collect()[0]
     assert row["n_ipv4"] == 1 and row["n_phone"] == 0
     assert row["text_redacted"] == "host [IPV4] end"
+
+
+def test_quantize_int8_values(spark):
+    from akka_graph_db_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", similarity.quantize_int8(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert q[1] == [127, -64, 32]  # round half away from zero
+    assert q[2] == [0, 0, 0]  # zero vector stays zeros
+
+
+def test_quantized_topk_identical_vector_wins(spark):
+    from akka_graph_db_spark.functions import similarity
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (10, [1.0, 2.0, 3.0]),   # exact copy of the query
+            (11, [-1.0, -2.0, -3.0]),
+            (12, [3.0, 1.0, 0.5]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = corpus.where(F.col("vec_id") == 1)
+    rows = similarity.quantized_topk(corpus, q, k=3).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    assert by_rank[1]["neighbor_id"] == 10
+    assert abs(by_rank[1]["qcos"] - 1.0) < 1e-12
+    assert by_rank[3]["neighbor_id"] == 11  # opposite vector ranks last
+    assert abs(by_rank[3]["qcos"] + 1.0) < 1e-12
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed range join == naive inequality join, including intervals
+    that straddle bucket boundaries."""
+    from akka_graph_db_spark.functions.rangejoin import range_join_buckets
+
+    pts = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:59:59"),
+            (1, "2024-01-01 01:00:01"),
+            (1, "2024-01-01 02:30:00"),
+            (2, "2024-01-01 01:30:00"),
+        ],
+        "user_id bigint, s string",
+    ).select("user_id", F.to_timestamp("s").alias("p_ts"))
+    iv = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:30:00", "2024-01-01 01:30:00"),
+            (1, 101, "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+            (2, 102, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ],
+        "user_id bigint, iv_id bigint, lo_s string, hi_s string",
+    ).select(
+        "user_id",
+        "iv_id",
+        F.to_timestamp("lo_s").alias("lo"),
+        F.to_timestamp("hi_s").alias("hi"),
+    )
+    got = sorted(
+        (r["user_id"], r["iv_id"], str(r["p_ts"]))
+        for r in range_join_buckets(
+            pts, iv, ["user_id"], "p_ts", "lo", "hi", bucket_seconds=3600
+        ).collect()
+    )
+    naive = sorted(
+        (r["user_id"], r["iv_id"], str(r["p_ts"]))
+        for r in pts.join(
+            iv.withColumnRenamed("user_id", "u2"),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("p_ts") >= F.col("lo"))
+            & (F.col("p_ts") < F.col("hi")),
+        ).collect()
+    )
+    assert got == naive and len(got) == 3
+
+
+def test_salted_join_identical_to_plain(spark):
+    from akka_graph_db_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 2) for i in range(5)],
+        "k bigint, row_id bigint",
+    ).withColumn("row_id", F.monotonically_increasing_id())
+    right = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, tag string"
+    )
+    got = sorted(
+        map(tuple, salted_join(
+            left, right, ["k"], salt_from="row_id", n_salt=4
+        ).select("k", "tag").collect())
+    )
+    want = sorted(
+        map(tuple, left.join(right, "k").select("k", "tag").collect())
+    )
+    assert got == want
+
+
+def test_hierarchical_rollup_composes(spark):
+    from akka_graph_db_spark.functions import events as ev
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:10", 1.25),
+            (2, "2024-01-01 00:00:50", 2.50),
+            (3, "2024-01-01 00:59:00", 4.00),
+            (4, "2024-01-01 23:01:00", 8.00),
+            (5, "2024-01-02 00:00:00", 16.00),
+        ],
+        "event_id bigint, s string, value double",
+    ).select("event_id", F.to_timestamp("s").alias("ts"), "value")
+    rows = ev.hierarchical_rollup(df).collect()
+    by = {(r["grain"], r["bucket_start"]): r for r in rows}
+    assert by[("minute", "2024-01-01 00:00:00")]["n_events"] == 2
+    assert by[("minute", "2024-01-01 00:00:00")]["sum_value"] == 3.75
+    assert by[("hour", "2024-01-01 00:00:00")]["sum_value"] == 7.75
+    assert by[("day", "2024-01-01 00:00:00")]["n_events"] == 4
+    assert by[("day", "2024-01-01 00:00:00")]["sum_value"] == 15.75
+    assert by[("day", "2024-01-02 00:00:00")]["sum_value"] == 16.0
+    # grains partition the events: counts agree level-to-level
+    assert (
+        sum(r["n_events"] for r in rows if r["grain"] == "minute")
+        == sum(r["n_events"] for r in rows if r["grain"] == "day")
+        == 5
+    )
+
+
+def test_length_quantiles_closed_form(spark):
+    from akka_graph_db_spark.functions import text as tf
+
+    df = spark.createDataFrame(
+        [("en", 1), ("en", 2), ("en", 3), ("en", 4)],
+        "lang string, n_chars bigint",
+    )
+    r = tf.length_quantiles(df).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["p25"] == 1.75 and r["p50"] == 2.5 and r["p75"] == 3.25
+
+
+def test_funnel_greedy_order(spark):
+    from akka_graph_db_spark.functions.funnel import funnel
+
+    rows = [
+        (1, "view", "2024-01-01 00:01:00"),
+        (1, "click", "2024-01-01 00:02:00"),
+        (1, "purchase", "2024-01-01 00:03:00"),
+        (2, "click", "2024-01-01 00:01:00"),   # click BEFORE view: no credit
+        (2, "view", "2024-01-01 00:02:00"),
+        (3, "view", "2024-01-01 00:01:00"),
+        (3, "purchase", "2024-01-01 00:01:30"),  # purchase before click
+        (3, "click", "2024-01-01 00:02:00"),
+        (4, "click", "2024-01-01 00:01:00"),   # never viewed: absent
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, s string"
+    ).select("user_id", "event_type", F.to_timestamp("s").alias("ts"))
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2}
