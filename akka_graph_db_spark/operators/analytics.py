@@ -301,8 +301,16 @@ def pagerank(
     persisted: list[DataFrame] = []
     try:
         for it in range(n_iter):
+            # one (id, rank) row per node — size-gated broadcast keeps
+            # the persisted edge frame from re-shuffling every superstep
+            # (the CC-harness pattern); past the gate, shuffle join
+            st = (
+                F.broadcast(state)
+                if n <= _CC_BROADCAST_MAX_VERTICES
+                else state
+            )
             contribs = (
-                edges.join(state, edges["a"] == state["id"], "inner")
+                edges.join(st, edges["a"] == st["id"], "inner")
                 .where(F.col("out_degree") > 0)
                 .select(
                     F.col("b").alias("id"),
@@ -395,12 +403,19 @@ def label_propagation(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verts = vertices.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    n_vertices = verts.count()
     state = verts.select("id", F.col("id").alias("community"))
     persisted: list[DataFrame] = []
     try:
         for it in range(n_iter):
+            # size-gated state broadcast, as in pagerank/hits/CC
+            st = (
+                F.broadcast(state)
+                if n_vertices <= _CC_BROADCAST_MAX_VERTICES
+                else state
+            )
             counts = (
-                edges.join(state, edges["a"] == state["id"], "inner")
+                edges.join(st, edges["a"] == st["id"], "inner")
                 .groupBy(F.col("b").alias("id"), "community")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
@@ -781,15 +796,28 @@ def hits(
     edges = _edge_pairs(g, edge_labels, directed=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    nodes = g.nodes.select("id").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = g.nodes.select("id")
+    n_vertices = nodes.count()
     hub = nodes.select("id", F.lit(1.0).alias("score"))
     auth = None
     persisted: list[DataFrame] = []
 
     def _half(state: DataFrame, out_col: str, in_col: str) -> DataFrame:
-        # sum incoming scores over edges, then L1-normalize in-plan
+        # sum incoming scores over edges, then L1-normalize in-plan.
+        # Nodes absent from the support (zero score) contribute nothing
+        # to either the sums or the normalizer, so the loop carries ONLY
+        # the nonzero support — no per-half-step full-vertex join; zeros
+        # are materialized once at the end. The state side is one row
+        # per supported node — broadcast it so the persisted edge frame
+        # never re-shuffles (same size-gated pattern as the CC harness);
+        # at vertex counts past the gate, fall back to the shuffle join.
+        st = (
+            F.broadcast(state)
+            if n_vertices <= _CC_BROADCAST_MAX_VERTICES
+            else state
+        )
         raw = (
-            edges.join(state, edges[out_col] == state["id"], "inner")
+            edges.join(st, edges[out_col] == st["id"], "inner")
             .select(F.col(in_col).alias("id"), "score")
             .groupBy("id")
             .agg(F.sum("score").alias("raw"))
@@ -797,18 +825,14 @@ def hits(
         total = raw.agg(
             F.coalesce(F.sum("raw"), F.lit(1.0)).alias("_tot")
         )
-        return (
-            nodes.join(raw, "id", "left")
-            .crossJoin(F.broadcast(total))
-            .select(
-                "id",
-                (
-                    F.coalesce("raw", F.lit(0.0))
-                    / F.when(F.col("_tot") == 0, F.lit(1.0)).otherwise(
-                        F.col("_tot")
-                    )
-                ).alias("score"),
-            )
+        return raw.crossJoin(F.broadcast(total)).select(
+            "id",
+            (
+                F.col("raw")
+                / F.when(F.col("_tot") == 0, F.lit(1.0)).otherwise(
+                    F.col("_tot")
+                )
+            ).alias("score"),
         )
 
     try:
@@ -823,17 +847,24 @@ def hits(
                     df.unpersist()
                 persisted = []
         out = (
-            hub.select("id", F.col("score").alias("hub"))
+            nodes.join(
+                hub.select("id", F.col("score").alias("hub")), "id", "left"
+            )
             .join(
                 auth.select("id", F.col("score").alias("authority")),
                 "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
             )
             .localCheckpoint(eager=True)
         )
         return out
     finally:
         edges.unpersist()
-        nodes.unpersist()
         for df in persisted:
             df.unpersist()
 
@@ -894,21 +925,46 @@ def link_prediction_jaccard(
     sort).
     """
     e = canonical_undirected(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = None
     try:
         sym = e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        # wedges centered at x: neighbors (a, b) of x with a < b
+        # wedges centered at x: neighbors (a, b) of x with a < b. The
+        # wedge frame is the volume driver (sum of deg² rows); when ids
+        # fit 31 bits, pack the (u, v) pair into ONE long before the
+        # count shuffle — half the shuffle width, single-column hash key
+        # — and unpack after. (The `label_code << 48` production id
+        # packing exceeds 31 bits, hence the runtime gate; the max comes
+        # off the already-tiny degree frame.)
+        max_id = deg.agg(F.max("a")).collect()[0][0] or 0
         n1 = sym.select(F.col("a").alias("x"), F.col("b").alias("u"))
         n2 = sym.select(F.col("a").alias("x"), F.col("b").alias("v"))
-        cn = (
-            n1.join(n2, "x")
-            .where(F.col("u") < F.col("v"))
-            .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
-            .agg(F.count(F.lit(1)).alias("common"))
-            .where(F.col("common") >= min_common)
-        )
+        wedges = n1.join(n2, "x").where(F.col("u") < F.col("v"))
+        if 0 <= max_id < (1 << 31):
+            cn = (
+                wedges.select(
+                    (F.shiftleft(F.col("u"), 32) + F.col("v")).alias("_uv")
+                )
+                .groupBy("_uv")
+                .agg(F.count(F.lit(1)).alias("common"))
+                .where(F.col("common") >= min_common)
+                .select(
+                    F.shiftright("_uv", 32).alias("a"),
+                    (
+                        F.col("_uv")
+                        - (F.shiftright("_uv", 32) * F.lit(1 << 32))
+                    ).alias("b"),
+                    "common",
+                )
+            )
+        else:
+            cn = (
+                wedges.groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+                .agg(F.count(F.lit(1)).alias("common"))
+                .where(F.col("common") >= min_common)
+            )
         cand = cn.join(e, ["a", "b"], "left_anti")
         da = F.broadcast(deg.select(F.col("a"), F.col("deg").alias("_da")))
         db = F.broadcast(
@@ -939,6 +995,8 @@ def link_prediction_jaccard(
         )
     finally:
         e.unpersist()
+        if sym is not None:
+            sym.unpersist()
 
 
 def personalized_pagerank(
@@ -984,11 +1042,18 @@ def personalized_pagerank(
     state = nodes.select(
         "id", "out_degree", "reset", F.col("reset").alias("rank")
     )
+    n_vertices = nodes.count()
     persisted: list[DataFrame] = []
     try:
         for it in range(n_iter):
+            # size-gated state broadcast, as in pagerank/hits/CC
+            st = (
+                F.broadcast(state)
+                if n_vertices <= _CC_BROADCAST_MAX_VERTICES
+                else state
+            )
             contribs = (
-                edges.join(state, edges["a"] == state["id"], "inner")
+                edges.join(st, edges["a"] == st["id"], "inner")
                 .where(F.col("out_degree") > 0)
                 .select(
                     F.col("b").alias("id"),

@@ -12,6 +12,7 @@ excluding only session startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -83,11 +84,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # Release the previous query's leftovers BEFORE the timer starts:
+        # iterative operators leave localCheckpoint RDD blocks pinned in
+        # the block manager until the Python DataFrame objects are
+        # collected (py4j weakrefs), and 30+ queries of accumulation
+        # degrades later queries by 3x+ (memory pressure, GC) — observed,
+        # not hypothetical. A real deployment runs queries in separate
+        # driver processes; this keeps the shared-session bench honest.
+        gc.collect()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             df.count()
             timings[name] = round(time.time() - t0, 3)
+            del df
         except Exception as e:  # report, don't abort the whole bench
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
