@@ -1967,6 +1967,60 @@ def q_funnel_events(spark, sf_dir):
     )
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted priority sampling (Duffield-Lund-Thorup):
+    top-20 docs per language by hash-priority u/w with w = n_chars —
+    longer docs proportionally likelier. md5 family so DuckDB reproduces
+    the exact sample; the priority is one IEEE division (engine-exact)."""
+    docs = read_documents(spark, sf_dir)
+    s = textf.weighted_sample(
+        docs, 20, group_cols=("lang",), hash_family="md5"
+    )
+    return s.select(
+        "doc_id", "lang", F.round("_priority", 6).alias("priority")
+    )
+
+
+def q_sql_interface(spark, sf_dir):
+    """The SQL surface (api.GraphDB.sql): a CTE + window RANK over the
+    graph's edge-label histogram, submitted as SQL TEXT — Catalyst is
+    the parser/planner (the reference generated Cypher for Neo4j to
+    parse, Neo4jGraph.scala:156-164; here the engine owns the whole
+    path)."""
+    from akka_graph_db_spark.api import GraphDB
+
+    db = GraphDB(_g(spark, sf_dir))
+    return db.sql("""
+        WITH hist AS (
+          SELECT label, COUNT(*) AS n_edges
+          FROM graph_edges GROUP BY label
+        )
+        SELECT label, n_edges,
+               CAST(RANK() OVER (ORDER BY n_edges DESC, label) AS INT)
+                 AS rnk
+        FROM hist
+    """)
+
+
+def q_cube_order_stats(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping-set combinations
+    in one pass — completes the §2.7 grouping-sets surface next to
+    rollup_order_stats."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -2057,6 +2111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "ppr_customer": q_ppr_customer,
         "funnel_events": q_funnel_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "sql_interface": q_sql_interface,
+        "cube_order_stats": q_cube_order_stats,
     }
 
 
@@ -3205,6 +3262,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "ppr_customer": _ppr_oracle(f"{CUSTOMER_BASE + 1}"),
+        # md5_63 = md5_number_upper & (2^63-1), exactly hashing.md5_63;
+        # priority = u/w is one IEEE double division — engine-exact
+        "weighted_sample_docs": """
+            WITH ws AS (
+              SELECT doc_id, lang,
+                     CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                          & 9223372036854775807 AS DOUBLE)
+                       / 9223372036854775808.0
+                       / CAST(n_chars AS DOUBLE) AS pri
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, lang, ROUND(pri, 6) AS priority
+            FROM (SELECT doc_id, lang, pri,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY pri, doc_id) AS rn
+                  FROM ws)
+            WHERE rn <= 20
+        """,
+        "sql_interface": f"""
+            {_GRAPH_WITH},
+            hist AS (
+              SELECT label, COUNT(*) AS n_edges
+              FROM edges_v GROUP BY label
+            )
+            SELECT label, n_edges,
+                   CAST(RANK() OVER (ORDER BY n_edges DESC, label)
+                        AS INTEGER) AS rnk
+            FROM hist
+        """,
+        "cube_order_stats": f"""
+            SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                   COUNT(*) AS n_orders,
+                   {sums.format(col="o_totalprice")} AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
         # greedy earliest-completion chain: each step's time is the MIN
         # event time strictly after the previous step's — mirrored
         # join-by-join from functions/funnel.py

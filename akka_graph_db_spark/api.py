@@ -221,3 +221,24 @@ class GraphDB:
             e = e.where(F.col("label").isin(list(edge_labels)))
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         return analytics.triangle_count(pairs).collect()[0]["n_triangles"]
+
+    # -- SQL surface ---------------------------------------------------------
+
+    def sql(
+        self,
+        query: str,
+        nodes_view: str = "graph_nodes",
+        edges_view: str = "graph_edges",
+    ) -> DataFrame:
+        """Run a Spark SQL query over the graph: the nodes/edges frames
+        are registered as temp views (replacing any previous
+        registration) and the query text goes straight to Catalyst —
+        the full SQL surface (joins, windows, CTEs, lateral views) over
+        the same snapshot-backed plans the DataFrame API reads. The
+        reference has no query language of its own (it GENERATES Cypher
+        for Neo4j to parse, Neo4jGraph.scala:156-164; SURVEY.md §3) —
+        here the parser/planner is Catalyst itself.
+        """
+        self.graph.nodes.createOrReplaceTempView(nodes_view)
+        self.graph.edges.createOrReplaceTempView(edges_view)
+        return self.graph.nodes.sparkSession.sql(query)

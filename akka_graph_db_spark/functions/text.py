@@ -476,3 +476,57 @@ def length_quantiles(
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"), *aggs
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    group_cols: tuple[str, ...] = (),
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: per group,
+    the ``k`` rows with the smallest priority u/w, where u is a
+    hash-derived uniform and w the row's weight — priority sampling
+    (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    arbitrary subset sums", JACM 2007). Inclusion probability grows with
+    weight; the hash makes it reproducible under appends, retries, and
+    engine changes (same property as :func:`stratified_sample`, which
+    this generalizes from per-stratum rates to per-row weights).
+
+    Engine-portable determinism: u is an exact 63-bit integer
+    (md5/xxhash64) scaled into [0, 1) by 2^-63 (an EXACT power-of-two
+    division — only the exponent changes), the priority is one IEEE
+    double division, and ranking is (priority, key) — no
+    transcendentals, so an oracle reproduces the exact sample, and the
+    O(1)-magnitude priority survives decimal rounding identically on
+    both engines. Plan shape: one window top-k per group (TakeOrdered
+    when ungrouped); no shuffle beyond the group partitioning.
+
+    Rows with weight <= 0 or NULL are excluded (they cannot be sampled).
+    Returns the sampled rows with their ``_priority`` column attached.
+    """
+    from pyspark.sql import Window
+
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    key = F.col(key_col).cast("string")
+    if hash_family == "xxhash64":
+        u = F.abs(F.xxhash64(key)).cast("double")
+    elif hash_family == "md5":
+        u = md5_63(key).cast("double")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    w = F.col(weight_col).cast("double")
+    pri = (u / F.lit(float(1 << 63)) / w).alias("_priority")
+    scored = df.where(w.isNotNull() & (w > 0)).select("*", pri)
+    order = [F.col("_priority"), F.col(key_col)]
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            scored.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return scored.orderBy(*order).limit(k)

@@ -38,3 +38,24 @@ def test_auto_ids_monotonic(spark):
     i1 = db.add_node("t")
     i2 = db.add_node("t")
     assert i2 == i1 + 1
+
+
+def test_sql_interface_matches_dataframe(micro):
+    from pyspark.sql import functions as F
+
+    from akka_graph_db_spark.api import GraphDB
+
+    db = GraphDB(micro)
+    via_sql = {
+        (r["label"], r["n"])
+        for r in db.sql(
+            "SELECT label, COUNT(*) AS n FROM graph_nodes GROUP BY label"
+        ).collect()
+    }
+    via_df = {
+        (r["label"], r["n"])
+        for r in micro.nodes.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert via_sql == via_df

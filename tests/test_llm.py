@@ -621,3 +621,36 @@ def test_funnel_greedy_order(spark):
         for r in funnel(ev, ["view", "click", "purchase"]).collect()
     }
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_weighted_sample_deterministic_and_bounded(spark):
+    from akka_graph_db_spark.functions import text as tf
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", (i % 7) + 1) for i in range(60)]
+        + [(100, "en", 0), (101, "en", None)],  # unsampleable weights
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    s1 = tf.weighted_sample(df, 5, group_cols=("lang",))
+    s2 = tf.weighted_sample(df, 5, group_cols=("lang",))
+    rows1 = sorted((r["lang"], r["doc_id"]) for r in s1.collect())
+    rows2 = sorted((r["lang"], r["doc_id"]) for r in s2.collect())
+    assert rows1 == rows2  # hash-deterministic, no RNG
+    from collections import Counter
+
+    per_group = Counter(lang for lang, _ in rows1)
+    assert per_group == {"en": 5, "de": 5}
+    assert all(d not in (100, 101) for _, d in rows1)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With one row a million times heavier, its priority u/w is ~1e-6 of
+    any uniform competitor's — it must be in every top-1 sample."""
+    from akka_graph_db_spark.functions import text as tf
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(50)] + [(99, 10_000_000)],
+        "doc_id bigint, n_chars bigint",
+    )
+    got = tf.weighted_sample(df, 1).collect()
+    assert [r["doc_id"] for r in got] == [99]
