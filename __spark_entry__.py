@@ -2021,6 +2021,45 @@ def q_cube_order_stats(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Format interchange (sources/files.py): documents export to
+    sharded JSONL and re-import under an explicit schema; the per-group
+    aggregate recomputes text lengths AFTER the round trip, so the
+    oracle (the same aggregate on the original parquet) proves byte
+    fidelity through the text format."""
+    import tempfile
+
+    from akka_graph_db_spark.sources import files
+
+    docs = read_documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    files.write_jsonl(docs, path)
+    back = files.read_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )
+
+
+def q_events_outliers(spark, sf_dir):
+    """Per-type z-score outliers (|z| > 3) with moments derived from
+    exact decimal component sums — the outlier set and scores reproduce
+    exactly in the oracle."""
+    return ev.value_outliers(read_events(spark, sf_dir), z=3.0).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("zscore", 6).alias("zscore"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -2114,6 +2153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "sql_interface": q_sql_interface,
         "cube_order_stats": q_cube_order_stats,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "events_outliers": q_events_outliers,
     }
 
 
@@ -3297,6 +3338,36 @@ def oracle_sql() -> dict[str, str]:
                    {sums.format(col="o_totalprice")} AS total
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "jsonl_roundtrip": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY lang, source
+        """,
+        # identical exact-component moments: n, sum, sum-of-squares as
+        # decimals; mean/variance/z derived with the same IEEE ops
+        "events_outliers": """
+            WITH comp AS (
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+                       AS s,
+                     CAST(SUM(CAST(CAST(value AS DECIMAL(19,6))
+                                   * CAST(value AS DECIMAL(19,6))
+                                   AS DECIMAL(38,12))) AS DOUBLE) AS ss
+              FROM events GROUP BY event_type
+            ),
+            m AS (
+              SELECT event_type, n, s / n AS mean,
+                     (ss - s * s / n) / (n - 1) AS var
+              FROM comp
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   ROUND((e.value - m.mean) / sqrt(m.var), 6) AS zscore
+            FROM events e JOIN m ON e.event_type = m.event_type
+            WHERE m.n > 1
+              AND abs((e.value - m.mean) / sqrt(m.var)) > 3.0
         """,
         # greedy earliest-completion chain: each step's time is the MIN
         # event time strictly after the previous step's — mirrored

@@ -146,3 +146,50 @@ def hierarchical_rollup(events: DataFrame) -> DataFrame:
         .unionByName(_fin(hour, "hour"))
         .unionByName(_fin(day, "day"))
     )
+
+
+def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-type z-score outliers: events whose value deviates more than
+    ``z`` sample standard deviations from their type's mean.
+
+    The moments are derived from EXACT decimal component sums (count,
+    sum, sum of squares) rather than a streaming float stddev — decimal
+    addition is order-independent, so mean/variance (and therefore the
+    outlier SET) are identical across engines and shuffle orders; the
+    only floating-point steps are the final divisions and one sqrt.
+    One aggregation + one broadcast join back onto the events — two
+    passes over the (pruned) scan, no window sort.
+    """
+    # (19,6) values: the squared product is exactly (38,12) — inside
+    # both engines' 38-digit cap, so no engine-specific precision
+    # reduction ever rounds it
+    v6 = F.col("value").cast("decimal(19,6)")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v6).alias("_s"),
+        F.sum((v6 * v6).cast("decimal(38,12)")).alias("_ss"),
+    )
+    mean = (F.col("_s").cast("double") / F.col("_n")).alias("_mean")
+    # sample variance: (ss - s^2/n) / (n - 1), from exact components
+    var = (
+        (
+            F.col("_ss").cast("double")
+            - F.col("_s").cast("double")
+            * F.col("_s").cast("double")
+            / F.col("_n")
+        )
+        / (F.col("_n") - 1)
+    ).alias("_var")
+    enriched = events.join(
+        F.broadcast(
+            stats.where(F.col("_n") > 1).select("event_type", mean, var)
+        ),
+        "event_type",
+    )
+    zscore = (F.col("value") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return enriched.select(
+        "event_id",
+        "event_type",
+        "value",
+        zscore.alias("zscore"),
+    ).where(F.abs(F.col("zscore")) > z)

@@ -654,3 +654,57 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     )
     got = tf.weighted_sample(df, 1).collect()
     assert [r["doc_id"] for r in got] == [99]
+
+
+def test_jsonl_roundtrip_preserves_text(spark):
+    import tempfile
+
+    from akka_graph_db_spark.sources import files
+
+    df = spark.createDataFrame(
+        [
+            (1, 'line one\nline "two"', "en"),
+            (2, "unicode: éè中文", "zh"),
+            (3, "", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    path = tempfile.mkdtemp(prefix="jsonl_t_") + "/d"
+    files.write_jsonl(df, path)
+    back = files.read_jsonl(
+        spark, path, "doc_id bigint, text string, lang string"
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    want = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert got == want
+
+
+def test_csv_roundtrip_quoted_newlines(spark):
+    import tempfile
+
+    from akka_graph_db_spark.sources import files
+
+    df = spark.createDataFrame(
+        [(1, 'a,b\n"quoted"'), (2, "plain")],
+        "doc_id bigint, text string",
+    )
+    path = tempfile.mkdtemp(prefix="csv_t_") + "/d"
+    files.write_csv(df, path)
+    back = files.read_csv(spark, path, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {1: 'a,b\n"quoted"', 2: "plain"}
+
+
+def test_value_outliers_closed_form(spark):
+    """49 values at 0/100 alternating + one at 10000: the extreme point
+    is the only |z|>3 outlier."""
+    from akka_graph_db_spark.functions import events as ev
+
+    rows = [(i, "click", float(i % 2) * 100) for i in range(49)]
+    rows.append((99, "click", 10_000.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    )
+    got = ev.value_outliers(df, z=3.0).collect()
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["zscore"] > 3
