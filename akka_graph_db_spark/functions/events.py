@@ -118,6 +118,11 @@ def hierarchical_rollup(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(_DEC)).alias("_sum"),
     )
+    # materialize the finest grain once: without this, Catalyst inlines
+    # the minute aggregation into ALL three union branches and the raw
+    # table is scanned per grain — explain() showed no ReusedExchange.
+    # Lazy checkpoint = computed on first action, shared by every branch.
+    minute = minute.localCheckpoint(eager=False)
     hour = minute.groupBy(
         F.date_trunc("hour", F.col("bucket_start")).alias("bucket_start")
     ).agg(
