@@ -2060,6 +2060,96 @@ def q_events_outliers(spark, sf_dir):
     )
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report) over the fixture lineitem —
+    the canonical scan-heavy aggregate: group the whole table by two
+    flags, exact decimal money sums, averages derived from exact
+    components (sum/count) so the doubles reproduce engine-for-engine.
+    One scan, one partial+final hash aggregation; the date predicate
+    pushes to parquet."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(30,2)")  # noqa: E731
+    disc = (d("l_extendedprice") * (1 - d("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    charge = (
+        d("l_extendedprice") * (1 - d("l_discount")) * (1 + d("l_tax"))
+    ).cast("decimal(38,6)")
+    agg = (
+        li.where(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).alias("_sq"),
+            F.sum(d("l_extendedprice")).alias("_sbp"),
+            F.sum(disc).alias("_sdp"),
+            F.sum(charge).alias("_scp"),
+            F.sum(d("l_discount")).alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_scp").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / n).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / n).alias("avg_price"),
+        (F.col("_sd").cast("double") / n).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority; o_orderpriority stands in for the
+    fixture's missing o_shippriority): 3-way join with selective
+    predicates on all three tables, revenue top-10. Every predicate
+    pushes to its scan; the filtered customer and orders sides
+    broadcast."""
+    cut = F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < cut
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > cut
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    j = (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.select("c_custkey")),
+                    orders["o_custkey"] == F.col("c_custkey"),
+                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    return (
+        j.orderBy(F.col("_rev").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -2155,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_order_stats": q_cube_order_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_outliers": q_events_outliers,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
     }
 
 
@@ -3345,6 +3437,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY lang, source
+        """,
+        "tpch_q1": """
+            WITH a AS (
+              SELECT l_returnflag, l_linestatus,
+                     SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sq,
+                     SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS sbp,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2))
+                              * (1 - CAST(l_discount AS DECIMAL(30,2)))
+                              AS DECIMAL(38,4))) AS sdp,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2))
+                              * (1 - CAST(l_discount AS DECIMAL(30,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(30,2)))
+                              AS DECIMAL(38,6))) AS scp,
+                     SUM(CAST(l_discount AS DECIMAL(30,2))) AS sd,
+                     COUNT(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sq AS DOUBLE) AS sum_qty,
+                   CAST(sbp AS DOUBLE) AS sum_base_price,
+                   CAST(sdp AS DOUBLE) AS sum_disc_price,
+                   CAST(scp AS DOUBLE) AS sum_charge,
+                   CAST(sq AS DOUBLE) / count_order AS avg_qty,
+                   CAST(sbp AS DOUBLE) / count_order AS avg_price,
+                   CAST(sd AS DOUBLE) / count_order AS avg_disc,
+                   count_order
+            FROM a
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM (
+              SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                     SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                              AS DECIMAL(38,4))) AS rev
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+                AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY 1, 2, 3
+              ORDER BY rev DESC, l.l_orderkey LIMIT 10
+            )
         """,
         # identical exact-component moments: n, sum, sum-of-squares as
         # decimals; mean/variance/z derived with the same IEEE ops

@@ -37,6 +37,8 @@ HEADLINE = [
     "kcore_parts",            # run-to-fixpoint degree peeling
     "link_prediction_parts",  # wedge join + degree broadcast + anti-join
     "motif_supply_chain",     # 4-hop join chain
+    "tpch_q1",                # classic scan-heavy aggregate
+    "tpch_q3",                # selective 3-way broadcast join + top-k
     "dedup_exact",            # hash groupBy
     "doc_chunks",             # shuffle-free token-window chunking
     "dedup_minhash",          # 64-perm signatures + band join (all pairs)
