@@ -806,6 +806,43 @@ def q_store_delta_merge(spark, sf_dir):
     return ns.crossJoin(nsb).crossJoin(nli).crossJoin(cust)
 
 
+def q_store_time_travel(spark, sf_dir):
+    """Snapshot time travel: after a delta (v1) mutates the store, v0 is
+    still readable as-of — load_snapshot(version=0) vs the merged head.
+    One row proving both states coexist: supplier counts and customer
+    1's mktsegment before/after. The reference mutates Neo4j in place
+    (SET/DELETE, Neo4jGraph.scala:406-490) — historical states are
+    gone; versioned snapshots make them first-class."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from akka_graph_db_spark import store
+
+    g = _g(spark, sf_dir).core()
+    g2 = crud.update_nodes(
+        g, {CUSTOMER_BASE + 1: {"mktsegment": "TRAVELED"}}
+    )
+    g2 = crud.remove_nodes_by_id(g2, [SUPPLIER_BASE + 1])
+    root = tempfile.mkdtemp(prefix="spark_graft_tt_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store.save_snapshot(g, root)
+    store.save_delta(root, store.delta_from_graphs(g, g2), validate=False)
+    v0 = store.load_snapshot(spark, root, version=0)
+    head = store.load_snapshot(spark, root)
+
+    def _state(m, tag):
+        ns = m.nodes.where(F.col("label") == "supplier").agg(
+            F.count(F.lit(1)).alias(f"{tag}_suppliers")
+        )
+        seg = m.nodes.where(F.col("id") == CUSTOMER_BASE + 1).select(
+            prop_str("props", "mktsegment").alias(f"{tag}_mktsegment")
+        )
+        return ns.crossJoin(seg)
+
+    return _state(v0, "v0").crossJoin(_state(head, "v1"))
+
+
 def q_codec_roundtrip(spark, sf_dir):
     """§2.5 codec: JSON-fragment props decode back to typed values with full
     precision (anyRefToJson/jsValueToAny, Neo4jGraph.scala:37-119; we keep
@@ -2247,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_outliers": q_events_outliers,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "store_time_travel": q_store_time_travel,
     }
 
 
@@ -3437,6 +3475,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY lang, source
+        """,
+        # v0 = raw state; v1 = one mktsegment update + one cascading
+        # supplier removal — recomputed relationally
+        "store_time_travel": """
+            SELECT (SELECT COUNT(*) FROM supplier) AS v0_suppliers,
+                   (SELECT c_mktsegment FROM customer WHERE c_custkey = 1)
+                     AS v0_mktsegment,
+                   (SELECT COUNT(*) - 1 FROM supplier) AS v1_suppliers,
+                   'TRAVELED' AS v1_mktsegment
         """,
         "tpch_q1": """
             WITH a AS (
