@@ -2187,6 +2187,32 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """The curation pipeline END-TO-END, one composed plan: exact dedup
+    (min id per distinct text) -> deterministic 90/10 md5 split ->
+    16-token/4-overlap chunking -> 64-token sequence packing per
+    (split, lang) shard -> per-shard summary (chunks, packs, exact token
+    sum). Every stage is an already-oracled operator; this entry proves
+    they COMPOSE — the oracle rebuilds the same five stages as one SQL
+    chain. Deterministic end to end (md5 hashes, integer token math)."""
+    docs = read_documents(spark, sf_dir)
+    survivors = dedup.exact_dedup(docs)  # (doc_id)
+    kept = docs.join(survivors, "doc_id", "left_semi")
+    split = textf.hash_split(kept, "doc_id", 90, hash_family="md5")
+    chunks = textf.chunk_documents(split, chunk_tokens=16, overlap=4)
+    enriched = chunks.join(
+        split.select("doc_id", "lang", "split"), "doc_id"
+    )
+    packed = textf.pack_chunks(
+        enriched, budget=64, partition_cols=("split", "lang")
+    )
+    return packed.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("chunk_n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -2285,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "store_time_travel": q_store_time_travel,
+        "pipeline_e2e": q_pipeline_e2e,
     }
 
 
@@ -3475,6 +3502,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY lang, source
+        """,
+        # the five already-oracled stages rebuilt as one SQL chain
+        "pipeline_e2e": f"""
+            WITH surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ),
+            kept AS (
+              SELECT d.* FROM documents d JOIN surv USING (doc_id)
+            ),
+            sp AS (
+              SELECT *,
+                     CASE WHEN (md5_number_upper(CAST(doc_id AS VARCHAR))
+                                & 9223372036854775807) % 100 < 90
+                          THEN 'train' ELSE 'val' END AS split
+              FROM kept
+            ),
+            t AS (SELECT doc_id, lang, split, {_TOK} AS toks FROM sp),
+            s AS (SELECT doc_id, lang, split, toks,
+                         UNNEST(range(0, len(toks), 12)) AS start
+                  FROM t WHERE len(toks) > 0),
+            c AS (SELECT doc_id, lang, split, start // 12 AS chunk_idx,
+                         len(list_slice(toks, start + 1, start + 16)) AS n
+                  FROM s),
+            w AS (SELECT *,
+                         SUM(n) OVER (PARTITION BY split, lang
+                                      ORDER BY doc_id, chunk_idx
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n AS bef
+                  FROM c)
+            SELECT split, lang,
+                   COUNT(*) AS n_chunks,
+                   COUNT(DISTINCT bef // 64) AS n_packs,
+                   CAST(SUM(n) AS BIGINT) AS sum_tokens
+            FROM w GROUP BY 1, 2
         """,
         # v0 = raw state; v1 = one mktsegment update + one cascading
         # supplier removal — recomputed relationally
