@@ -2187,6 +2187,39 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Global clustering coefficient of the part co-order graph:
+    3 * triangles / wedges, with wedges = sum over nodes of C(deg, 2) —
+    exact integer counts from the degree frame plus the degree-oriented
+    triangle count, one final IEEE division."""
+    pairs = _coorder_pairs(spark, sf_dir)
+    from akka_graph_db_spark.operators.analytics import (
+        canonical_undirected,
+        triangle_count,
+    )
+
+    e = canonical_undirected(pairs)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")
+        ).alias("n_wedges")
+    )
+    tri = triangle_count(pairs)
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("global_clustering"),
+    )
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """The curation pipeline END-TO-END, one composed plan: exact dedup
     (min id per distinct text) -> deterministic 90/10 md5 split ->
@@ -2312,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "store_time_travel": q_store_time_travel,
         "pipeline_e2e": q_pipeline_e2e,
+        "clustering_coefficient": q_clustering_coefficient,
     }
 
 
@@ -3502,6 +3536,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY lang, source
+        """,
+        "clustering_coefficient": """
+            WITH cc_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+              SELECT COUNT(*) AS n_triangles
+              FROM cc_pairs e1
+              JOIN cc_pairs e2 ON e1.b = e2.a
+              JOIN cc_pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            wed AS (
+              SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+              FROM (
+                SELECT a AS id, COUNT(*) AS d FROM (
+                  SELECT a, b FROM cc_pairs
+                  UNION ALL SELECT b, a FROM cc_pairs
+                ) GROUP BY a
+              )
+            )
+            SELECT n_triangles, n_wedges,
+                   ROUND(3.0 * n_triangles / n_wedges, 6)
+                     AS global_clustering
+            FROM tri CROSS JOIN wed
         """,
         # the five already-oracled stages rebuilt as one SQL chain
         "pipeline_e2e": f"""
