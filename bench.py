@@ -53,6 +53,8 @@ HEADLINE = [
     "contamination",          # n-gram train/eval semi-join (long keys)
     "bm25_search",            # term-filtered tf explode + broadcast idf
     "redact_pii",             # regex scrub passes (map-only)
+    "funnel_events",          # chained conditional-MIN aggregations
+    "pipeline_e2e",           # dedup->split->chunk->pack composed plan
     "label_propagation_geo",  # 4 LPA supersteps (argmax messages)
     "window_rank_customers",  # partitioned window rank
     "text_stats",             # tokenize + agg
