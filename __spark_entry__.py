@@ -2187,6 +2187,23 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_aggmsg_max_acctbal(spark, sf_dir):
+    """The aggregateMessages primitive (GraphX parity) driven directly:
+    over located_in triplets, each customer sends its acctbal to its
+    nation; per-nation max. NULL messages (non-customer sources) drop,
+    mirroring GraphX's conditional sendToDst."""
+    g = _g(spark, sf_dir)
+    return analytics.aggregate_messages(
+        g,
+        agg=F.max("msg").alias("max_acctbal"),
+        to_dst=F.when(
+            (F.col("edge.label") == "located_in")
+            & (F.col("src.label") == "customer"),
+            F.col("src.acctbal"),
+        ),
+    )
+
+
 def q_clustering_coefficient(spark, sf_dir):
     """Global clustering coefficient of the part co-order graph:
     3 * triangles / wedges, with wedges = sum over nodes of C(deg, 2) —
@@ -2346,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_time_travel": q_store_time_travel,
         "pipeline_e2e": q_pipeline_e2e,
         "clustering_coefficient": q_clustering_coefficient,
+        "aggmsg_max_acctbal": q_aggmsg_max_acctbal,
     }
 
 
@@ -3536,6 +3554,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY lang, source
+        """,
+        "aggmsg_max_acctbal": f"""
+            SELECT c_nationkey + {NATION_BASE} AS id,
+                   MAX(c_acctbal) AS max_acctbal
+            FROM customer GROUP BY 1
         """,
         "clustering_coefficient": """
             WITH cc_pairs AS MATERIALIZED (

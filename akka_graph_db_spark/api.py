@@ -222,6 +222,12 @@ class GraphDB:
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         return analytics.triangle_count(pairs).collect()[0]["n_triangles"]
 
+    def triplets(self) -> DataFrame:
+        return analytics.triplets(self.graph)
+
+    def aggregate_messages(self, agg, to_dst=None, to_src=None) -> DataFrame:
+        return analytics.aggregate_messages(self.graph, agg, to_dst, to_src)
+
     # -- SQL surface ---------------------------------------------------------
 
     def sql(

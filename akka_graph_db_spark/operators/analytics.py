@@ -1095,3 +1095,62 @@ def personalized_pagerank(
         nodes.unpersist()
         for df in persisted:
             df.unpersist()
+
+
+def triplets(g: PropertyGraph) -> DataFrame:
+    """The GraphX triplet view in DataFrame form: one row per edge with
+    the full source and destination node rows attached as structs —
+    columns (edge STRUCT, src STRUCT, dst STRUCT). Two hash joins on
+    node id; Catalyst broadcasts the node side when it is small and
+    prunes unused struct fields from the scans (struct field access is
+    column-pruning-transparent in parquet)."""
+    e = g.edges.select(F.struct(*g.edges.columns).alias("edge"))
+    e = e.select(
+        "edge", F.col("edge.src").alias("_s"), F.col("edge.dst").alias("_d")
+    )
+    n_src = g.nodes.select(
+        F.col("id").alias("_s"), F.struct(*g.nodes.columns).alias("src")
+    )
+    n_dst = g.nodes.select(
+        F.col("id").alias("_d"), F.struct(*g.nodes.columns).alias("dst")
+    )
+    return e.join(n_src, "_s").join(n_dst, "_d").select("edge", "src", "dst")
+
+
+def aggregate_messages(
+    g: PropertyGraph,
+    agg,
+    to_dst=None,
+    to_src=None,
+) -> DataFrame:
+    """GraphX's aggregateMessages primitive, DataFrame-native: evaluate
+    message expressions over the triplet view (columns ``edge``, ``src``,
+    ``dst`` — structs of the full rows), send to either endpoint, and
+    aggregate per receiving node. This is the single primitive every
+    superstep loop in this module specializes (degrees, PageRank, CC,
+    HITS are all one aggregate_messages per round); exposing it makes
+    user-defined graph aggregations first-class without touching RDDs.
+
+    ``to_dst`` / ``to_src``: Column expressions over the triplet (NULL
+    messages are dropped, mirroring GraphX's sendMsg not calling
+    sendToDst). ``agg``: a Column aggregate over the message column
+    ``msg`` (e.g. ``F.max("msg")``, ``F.sum("msg")``). Returns
+    (id, <agg alias>). One shuffle keyed by node id after the triplet
+    joins.
+    """
+    if to_dst is None and to_src is None:
+        raise ValueError("at least one of to_dst/to_src required")
+    t = triplets(g)
+    parts = []
+    if to_dst is not None:
+        parts.append(
+            t.select(F.col("dst.id").alias("id"), to_dst.alias("msg"))
+        )
+    if to_src is not None:
+        parts.append(
+            t.select(F.col("src.id").alias("id"), to_src.alias("msg"))
+        )
+    msgs = parts[0]
+    for p in parts[1:]:
+        msgs = msgs.unionByName(p)
+    return msgs.where(F.col("msg").isNotNull()).groupBy("id").agg(agg)

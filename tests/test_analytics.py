@@ -283,3 +283,33 @@ def test_personalized_pagerank_two_node_chain(spark):
     assert abs(pr[1] - (0.15 + 0.85 * 0.85)) < 1e-12
     assert abs(pr[2] - 0.85 * 0.15) < 1e-12
     assert abs(sum(pr.values()) - 1.0) < 1e-12
+
+
+def test_aggregate_messages_both_directions(micro):
+    """Count in- and out-neighbors of node 1 via one aggregate_messages
+    call (msg 1 to both endpoints of every edge) == degree counts."""
+    res = {
+        r["id"]: r["n"]
+        for r in analytics.aggregate_messages(
+            micro,
+            agg=F.count("msg").alias("n"),
+            to_dst=F.lit(1),
+            to_src=F.lit(1),
+        ).collect()
+    }
+    d = {r["id"]: r for r in analytics.degrees(micro).collect()}
+    for i, row in d.items():
+        assert res.get(i, 0) == row["degree"], i
+
+
+def test_aggregate_messages_null_messages_dropped(micro):
+    """Conditional messages: only 'knows' edges send; city nodes receive
+    nothing and are absent from the result."""
+    res = analytics.aggregate_messages(
+        micro,
+        agg=F.count("msg").alias("n"),
+        to_dst=F.when(F.col("edge.label") == "knows", F.lit(1)),
+    )
+    ids = {r["id"] for r in res.collect()}
+    assert 4 not in ids and 5 not in ids  # cities: only lives_in/road in
+    assert 2 in ids and 3 in ids
