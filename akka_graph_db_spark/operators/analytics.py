@@ -909,6 +909,9 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     )
 
 
+_WEDGE_BROADCAST_MAX_EDGES = 10_000_000
+
+
 def link_prediction_jaccard(
     pairs: DataFrame, top_k: int = 50, min_common: int = 2
 ) -> DataFrame:
@@ -936,11 +939,21 @@ def link_prediction_jaccard(
         # fit 31 bits, pack the (u, v) pair into ONE long before the
         # count shuffle — half the shuffle width, single-column hash key
         # — and unpack after. (The `label_code << 48` production id
-        # packing exceeds 31 bits, hence the runtime gate; the max comes
-        # off the already-tiny degree frame.)
-        max_id = deg.agg(F.max("a")).collect()[0][0] or 0
+        # packing exceeds 31 bits, hence the runtime gate; both gate
+        # metrics come off the already-tiny degree frame in one action.)
+        gate = deg.agg(
+            F.max("a").alias("_mx"), F.sum("deg").alias("_ne")
+        ).collect()[0]
+        max_id = gate["_mx"] or 0
+        n_sym = gate["_ne"] or 0
         n1 = sym.select(F.col("a").alias("x"), F.col("b").alias("u"))
         n2 = sym.select(F.col("a").alias("x"), F.col("b").alias("v"))
+        # Broadcasting one adjacency side turns the wedge join into a
+        # map-side hash join: no sort of the deg²-sized join output
+        # (measured 3x at sf0.1). Size-gated — past the gate the frame
+        # won't fit executor memory and the shuffle join is correct.
+        if n_sym <= _WEDGE_BROADCAST_MAX_EDGES:
+            n2 = F.broadcast(n2)
         wedges = n1.join(n2, "x").where(F.col("u") < F.col("v"))
         if 0 <= max_id < (1 << 31):
             cn = (
