@@ -708,3 +708,54 @@ def test_value_outliers_closed_form(spark):
     got = ev.value_outliers(df, z=3.0).collect()
     assert [r["event_id"] for r in got] == [99]
     assert got[0]["zscore"] > 3
+
+
+def test_resize_images_fake_deterministic(spark, docs):
+    from akka_graph_db_spark.functions import multimodal
+
+    media = multimodal.documents_as_media(docs.limit(5))
+    a = multimodal.resize_images(media, 224, 224, allow_fake=True).collect()
+    b = multimodal.resize_images(media, 224, 224, allow_fake=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["out_width"] == 224 and len(r["resized_sha256"]) == 64
+               for r in a)
+    c = multimodal.resize_images(media, 64, 64, allow_fake=True).collect()
+    assert {r["resized_sha256"] for r in c}.isdisjoint(
+        {r["resized_sha256"] for r in a}
+    )  # target size participates in the content address
+
+
+def test_resize_images_stub_raises(spark, docs):
+    import pytest as _pytest
+
+    from akka_graph_db_spark.functions import multimodal
+
+    media = multimodal.documents_as_media(docs.limit(1))
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL present; stub path not reachable")
+    except ImportError:
+        pass
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        multimodal.resize_images(media, allow_fake=False).collect()
+
+
+def test_byte_histogram_features(spark):
+    from akka_graph_db_spark.functions import multimodal
+
+    media = spark.createDataFrame(
+        [
+            (1, "text/plain", bytearray(b"\x00" * 10 + b"\xff" * 30), None),
+            (2, "text/plain", bytearray(b""), None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.byte_histogram_features(media, 16).collect()
+    }
+    f1 = got[1]["features"]
+    assert len(f1) == 16 and abs(f1[0] - 0.25) < 1e-12
+    assert abs(f1[15] - 0.75) < 1e-12 and abs(sum(f1) - 1.0) < 1e-12
+    assert got[2]["features"] == [0.0] * 16 and got[2]["n_bytes"] == 0
