@@ -2204,6 +2204,66 @@ def q_aggmsg_max_acctbal(spark, sf_dir):
     )
 
 
+def q_streaming_static_join(spark, sf_dir):
+    """§2.9 stream-static (stream-batch) join, batch-equivalence
+    oracle: purchase events run as a file stream and enrich against a
+    STATIC per-user click-count dimension computed in batch — the
+    standard dimension-enrichment shape (stateless per micro-batch: no
+    watermark, no state store; the static side broadcasts into every
+    batch). The drained append sink must equal the batch join exactly —
+    every output column is a copy of input data, so the result is
+    micro-batch-invariant."""
+    import os
+    import tempfile
+    import uuid
+
+    ensure_query_conf(spark)
+    ev_df = read_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ssjoin_")
+    src = os.path.join(tmp, "purchases")
+    ev_df.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    ).repartition(2).write.parquet(src)
+    user_clicks = (
+        ev_df.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_clicks"))
+    )
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, value double"
+    ).parquet(src)
+    enriched = stream.join(user_clicks, "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.coalesce("user_clicks", F.lit(0)).cast("bigint").alias(
+            "user_clicks"
+        ),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the event stream: users
+    bucketed by first-activity week, distinct-active counted per
+    weeks-since-cohort offset."""
+    return ev.cohort_retention(read_events(spark, sf_dir)).select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
+
+
 def q_clustering_coefficient(spark, sf_dir):
     """Global clustering coefficient of the part co-order graph:
     3 * triangles / wedges, with wedges = sum over nodes of C(deg, 2) —
@@ -2364,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "clustering_coefficient": q_clustering_coefficient,
         "aggmsg_max_acctbal": q_aggmsg_max_acctbal,
+        "cohort_retention": q_cohort_retention,
+        "streaming_static_join": q_streaming_static_join,
     }
 
 
@@ -3559,6 +3621,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey + {NATION_BASE} AS id,
                    MAX(c_acctbal) AS max_acctbal
             FROM customer GROUP BY 1
+        """,
+        # stream==batch equivalence: the drained enrichment equals the
+        # plain batch left join
+        "streaming_static_join": """
+            WITH uc AS (
+              SELECT user_id, COUNT(*) AS c FROM events
+              WHERE event_type = 'click' GROUP BY 1
+            )
+            SELECT p.event_id, p.user_id, p.value,
+                   CAST(COALESCE(uc.c, 0) AS BIGINT) AS user_clicks
+            FROM events p LEFT JOIN uc ON p.user_id = uc.user_id
+            WHERE p.event_type = 'purchase'
+        """,
+        "cohort_retention": """
+            WITH cohort AS (
+              SELECT user_id, date_trunc('week', MIN(ts)) AS c
+              FROM events GROUP BY 1
+            ),
+            active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM events
+            )
+            SELECT strftime(c, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', c, w) // 7 AS INTEGER)
+                     AS week_offset,
+                   COUNT(*) AS n_users
+            FROM active JOIN cohort USING (user_id)
+            GROUP BY 1, 2
         """,
         "clustering_coefficient": """
             WITH cc_pairs AS MATERIALIZED (

@@ -198,3 +198,41 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
         "value",
         zscore.alias("zscore"),
     ).where(F.abs(F.col("zscore")) > z)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per weeks-since-cohort offset — the (cohort_week,
+    week_offset, n_users) retention triangle every growth/engagement
+    pipeline reports.
+
+    Two aggregations, both shuffled on user id (cohort assignment, then
+    distinct user-week activity), plus a broadcastable cohort join —
+    at 100 TB the distinct-per-week step is the cost driver and prunes
+    to (user, week) pairs before the shuffle. Weeks are date_trunc
+    boundaries (Monday-start), engine-portable.
+    """
+    cohort = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("_cohort")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("week", F.col(ts_col)).alias("_week"),
+        )
+        .distinct()
+    )
+    j = active.join(F.broadcast(cohort), "user_id")
+    return (
+        j.groupBy(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("_week"), F.col("_cohort")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -759,3 +759,27 @@ def test_byte_histogram_features(spark):
     assert len(f1) == 16 and abs(f1[0] - 0.25) < 1e-12
     assert abs(f1[15] - 0.75) < 1e-12 and abs(sum(f1) - 1.0) < 1e-12
     assert got[2]["features"] == [0.0] * 16 and got[2]["n_bytes"] == 0
+
+
+def test_cohort_retention_closed_form(spark):
+    """User 1 active weeks 0 and 2 (from its own cohort start); user 2
+    only week 0; cohorts differ."""
+    from akka_graph_db_spark.functions import events as ev
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),   # Monday, cohort week 1
+        (2, 1, "2024-01-15 10:00:00"),   # +2 weeks
+        (3, 2, "2024-01-08 10:00:00"),   # cohort week 2, only week 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, s string"
+    ).select("event_id", "user_id", F.to_timestamp("s").alias("ts"))
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in ev.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
