@@ -2253,6 +2253,64 @@ def q_streaming_static_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts over per-user time-ordered
+    event sequences (ties broken by event_id — a total order both
+    engines replay identically)."""
+    return ev.event_transitions(read_events(spark, sf_dir)).select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+    )
+
+
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association over orders: top-20 part pairs by lift
+    (co-order frequency vs independence), min support 3 co-orders.
+    Lift = n_ab * n_orders / (n_a * n_b) — exact integer components, one
+    IEEE division; ties broken by (a, b)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item_cnt = baskets.groupBy(F.col("l_partkey").alias("a")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pair_cnt = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    scored = (
+        pair_cnt.join(F.broadcast(item_cnt), "a")
+        .join(
+            F.broadcast(
+                item_cnt.select(
+                    F.col("a").alias("b"), F.col("n_a").alias("n_b")
+                )
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (
+                F.col("n_ab") * F.lit(float(n_orders))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "n_ab", F.round("lift", 6).alias("lift"))
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention triangle over the event stream: users
     bucketed by first-activity week, distinct-active counted per
@@ -2426,6 +2484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggmsg_max_acctbal": q_aggmsg_max_acctbal,
         "cohort_retention": q_cohort_retention,
         "streaming_static_join": q_streaming_static_join,
+        "event_transitions": q_event_transitions,
+        "basket_lift": q_basket_lift,
     }
 
 
@@ -3621,6 +3681,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey + {NATION_BASE} AS id,
                    MAX(c_acctbal) AS max_acctbal
             FROM customer GROUP BY 1
+        """,
+        "event_transitions": """
+            SELECT from_type, to_type, COUNT(*) AS n_transitions
+            FROM (
+              SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_type
+              FROM events
+            ) WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "basket_lift": """
+            WITH baskets AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders
+                  FROM baskets),
+            ic AS MATERIALIZED (
+              SELECT l_partkey AS k, COUNT(*) AS c FROM baskets GROUP BY 1
+            ),
+            pc AS (
+              SELECT a.l_partkey AS a, b.l_partkey AS b,
+                     COUNT(*) AS n_ab
+              FROM baskets a JOIN baskets b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            ),
+            s AS (
+              SELECT pc.a, pc.b, pc.n_ab,
+                     pc.n_ab * CAST(n.n_orders AS DOUBLE)
+                       / (ia.c * ib.c) AS lift
+              FROM pc CROSS JOIN n
+              JOIN ic ia ON pc.a = ia.k
+              JOIN ic ib ON pc.b = ib.k
+            )
+            SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+                   ROUND(lift, 6) AS lift
+            FROM (SELECT * FROM s ORDER BY lift DESC, a, b LIMIT 20)
         """,
         # stream==batch equivalence: the drained enrichment equals the
         # plain batch left join

@@ -222,6 +222,32 @@ class GraphDB:
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         return analytics.triangle_count(pairs).collect()[0]["n_triangles"]
 
+    def hits(self, edge_labels=None, n_iter=8) -> DataFrame:
+        return analytics.hits(self.graph, edge_labels, n_iter)
+
+    def personalized_pagerank(
+        self, source_ids, edge_labels=None, damping=0.85, n_iter=10
+    ) -> DataFrame:
+        return analytics.personalized_pagerank(
+            self.graph, source_ids, edge_labels, damping, n_iter
+        )
+
+    def shortest_paths(
+        self, source_ids, weight=None, edge_labels=None,
+        directed=True, max_hops=10,
+    ) -> DataFrame:
+        return analytics.shortest_paths(
+            self.graph, source_ids, weight, edge_labels, directed, max_hops
+        )
+
+    def khop_neighbors(self, k, edge_labels=None, directed=True) -> DataFrame:
+        return analytics.khop_neighbors(self.graph, k, edge_labels, directed)
+
+    def label_propagation(self, edge_labels=None, n_iter=4) -> DataFrame:
+        return analytics.label_propagation_communities(
+            self.graph, edge_labels, n_iter
+        )
+
     def triplets(self) -> DataFrame:
         return analytics.triplets(self.graph)
 

@@ -236,3 +236,32 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order behavioral transition counts: for each user's
+    time-ordered event sequence (ties broken by event_id — total order,
+    engine-portable), count consecutive (from_type, to_type) pairs
+    across all users — the Markov-chain view of the event stream.
+
+    One window lag per user partition (the sort is per-user, never
+    global) + one small aggregation; at 100 TB the user partitioning is
+    the natural key and AQE handles power-user skew.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    nxt = F.lead(type_col).over(w)
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"), nxt.alias("to_type")
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -783,3 +783,25 @@ def test_cohort_retention_closed_form(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_event_transitions_tiebreak(spark):
+    """Equal timestamps order by event_id — the sequence is total and
+    deterministic."""
+    from akka_graph_db_spark.functions import events as ev
+
+    rows = [
+        (1, 1, "view", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 00:00:00"),   # same ts: id orders it
+        (3, 1, "purchase", "2024-01-01 00:01:00"),
+        (4, 2, "view", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, s string"
+    ).select("event_id", "user_id", "event_type",
+             F.to_timestamp("s").alias("ts"))
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in ev.event_transitions(df).collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
