@@ -59,3 +59,18 @@ def test_sql_interface_matches_dataframe(micro):
         .collect()
     }
     assert via_sql == via_df
+
+
+def test_facade_kcore_and_link_prediction(micro):
+    from akka_graph_db_spark.api import GraphDB
+
+    db = GraphDB(micro)
+    # 'knows' subgraph: undirected edges 1-2, 1-3, 2-3, 2-8 (+self-loop
+    # dropped); the 2-core is the 1-2-3 triangle
+    core = {
+        r["id"]: r["core_degree"]
+        for r in db.kcore(2, edge_labels=["knows"]).collect()
+    }
+    assert core == {1: 2, 2: 2, 3: 2}
+    lp = db.link_prediction(edge_labels=["knows"], min_common=1).collect()
+    assert all(r["jaccard"] <= 1.0 for r in lp)
