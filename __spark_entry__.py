@@ -93,16 +93,30 @@ def _g(spark: SparkSession, sf_dir: str):
     g = _GRAPH_CACHE.get(key)
     if g is None:
         import atexit
+        import os as _os
         import shutil
         import tempfile
 
         from akka_graph_db_spark import store
 
-        root = tempfile.mkdtemp(prefix="spark_graft_graph_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        store.save_snapshot(
-            graph_from_tpch(spark, sf_dir), root, columns="all"
-        )
+        # SPARK_GRAFT_SNAPSHOT_ROOT lets cooperating processes share ONE
+        # materialized snapshot (bench.py's per-query subprocess isolation
+        # builds it once in the parent; children only pay the parquet
+        # read). The owner of the tempdir case cleans up at exit; a shared
+        # root is left for its owner.
+        shared = _os.environ.get("SPARK_GRAFT_SNAPSHOT_ROOT")
+        if shared:
+            root = _os.path.join(shared, _os.path.basename(sf_dir.rstrip("/")))
+            if not store.list_version_kinds(root, spark):
+                store.save_snapshot(
+                    graph_from_tpch(spark, sf_dir), root, columns="all"
+                )
+        else:
+            root = tempfile.mkdtemp(prefix="spark_graft_graph_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            store.save_snapshot(
+                graph_from_tpch(spark, sf_dir), root, columns="all"
+            )
         g = store.load_snapshot(spark, root, schema="infer")
         _GRAPH_CACHE[key] = g
     return g
@@ -374,12 +388,17 @@ def _ppr_oracle(
     source indicator (and the dangling mass returns to the sources), per
     analytics.personalized_pagerank."""
     base = 1.0 - damping
+    # The engine splits reset mass 1/|S| across sources; mirror it here
+    # (src_expr is a comma-separated literal list) so a multi-source
+    # entry can reuse this helper without divergence.
+    n_src = src_expr.count(",") + 1
     ctes = [
         "pp_edges AS MATERIALIZED (SELECT src, dst FROM edges_v)",
         f"""pp_nodes AS MATERIALIZED (
             SELECT n.id, COALESCE(od.c, 0) AS out_degree,
                    CASE WHEN n.id IN ({src_expr})
-                        THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS reset
+                        THEN CAST(1.0 / {n_src} AS DOUBLE)
+                        ELSE 0.0 END AS reset
             FROM nodes_v n
             LEFT JOIN (SELECT src, COUNT(*) AS c FROM pp_edges GROUP BY 1)
               od ON n.id = od.src
@@ -407,10 +426,10 @@ def _ppr_oracle(
         + ",\n"
         + ",\n".join(ctes)
         + f"""
-        SELECT id, ROUND(rank, 6) AS rank FROM (
-            SELECT id, rank FROM p{n_iter}
+        SELECT id, rank FROM (
+            SELECT id, ROUND(rank, 6) AS rank FROM p{n_iter}
             WHERE rank > 0
-            ORDER BY rank DESC, id LIMIT 20
+            ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
         )
         """
     )
@@ -1859,11 +1878,16 @@ def q_kcore_parts(spark, sf_dir):
 
 def q_link_prediction_parts(spark, sf_dir):
     """Top-50 predicted links on the part co-order graph by Jaccard
-    neighborhood overlap (non-adjacent pairs, >= 2 common neighbors).
-    Integer wedge counts + one exact double division — deterministic and
-    engine-portable; ties broken by (common desc, a, b)."""
+    neighborhood overlap (non-adjacent pairs, >= 2 common neighbors),
+    with the wedge-volume cap max_degree=100: only common neighbors of
+    degree <= 100 are counted as evidence (hub-mediated wedges dropped —
+    8.5x less wedge volume at sf0.1), while Jaccard denominators keep
+    true degrees. The oracle mirrors the cap exactly, so the result is
+    deterministic and hash-exact, not approximate. Integer wedge counts
+    + one exact double division; ties broken by (common desc, a, b)."""
     scored = analytics.link_prediction_jaccard(
-        _coorder_pairs(spark, sf_dir), top_k=50, min_common=2
+        _coorder_pairs(spark, sf_dir), top_k=50, min_common=2,
+        max_degree=100,
     )
     return scored.select(
         "a",
@@ -1974,16 +1998,20 @@ def q_ppr_customer(spark, sf_dir):
     """Personalized PageRank from customer 1 (10 fixed iterations,
     damping 0.85): random-walk proximity over placed/contains edges —
     'parts and orders related to this customer'. Top-20 positive ranks,
-    oracled against the unrolled CTE chain (_ppr_oracle)."""
+    oracled against the unrolled CTE chain (_ppr_oracle). The top-k sort
+    is on the ROUNDED rank with id tiebreak: raw double ranks carry
+    ~1e-12 cross-engine summation noise, which at small SFs can flip the
+    order of near-tied nodes across the LIMIT boundary; rounding first
+    makes the cut deterministic on both engines."""
     g = _g(spark, sf_dir)
     pr = analytics.personalized_pagerank(
         g, [CUSTOMER_BASE + 1], n_iter=10
     )
     return (
         pr.where(F.col("rank") > 0)
+        .select("id", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("id"))
         .limit(20)
-        .select("id", F.round("rank", 6).alias("rank"))
     )
 
 
@@ -2268,10 +2296,15 @@ def q_basket_lift(spark, sf_dir):
     """Market-basket association over orders: top-20 part pairs by lift
     (co-order frequency vs independence), min support 3 co-orders.
     Lift = n_ab * n_orders / (n_a * n_b) — exact integer components, one
-    IEEE division; ties broken by (a, b)."""
+    IEEE division; ties broken by (a, b). The order-count scalar is
+    folded IN-PLAN (1-row aggregate broadcast via crossJoin, same shape
+    as q_clustering_coefficient) — one composed job, no driver-side
+    count."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("_n_orders")
+    )
     item_cnt = baskets.groupBy(F.col("l_partkey").alias("a")).agg(
         F.count(F.lit(1)).alias("n_a")
     )
@@ -2294,12 +2327,13 @@ def q_basket_lift(spark, sf_dir):
             ),
             "b",
         )
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "a",
             "b",
             F.col("n_ab").cast("bigint").alias("n_ab"),
             (
-                F.col("n_ab") * F.lit(float(n_orders))
+                F.col("n_ab") * F.col("_n_orders")
                 / (F.col("n_a") * F.col("n_b"))
             ).alias("lift"),
         )
@@ -2387,59 +2421,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the correctness driver certifies the FIRST 50
+    # entries only. Round-5 rotation leads with the 46 queries that
+    # had no driver row in CORRECTNESS_r04.json; r4-green entries
+    # follow (r4 ∪ r5 then covers all oracled queries).
     return {
-        "get_node": q_get_node,
-        "get_nodes_filtered": q_get_nodes_filtered,
-        "get_nodes_all_labels": q_get_nodes_all_labels,
-        "get_edge": q_get_edge,
-        "get_edges_filtered": q_get_edges_filtered,
-        "egress_edges": q_egress_edges,
-        "ingress_edges": q_ingress_edges,
-        "paths_to": q_paths_to,
-        "paths_to_hydrated": q_paths_to_hydrated,
-        "paths_to_undirected": q_paths_to_undirected,
-        "get_nodes_unlabeled_prop": q_get_nodes_unlabeled_prop,
-        "get_edges_hydrated": q_get_edges_hydrated,
-        "add_nodes": q_add_nodes,
-        "add_edges_validated": q_add_edges_validated,
-        "update_node_merge": q_update_node_merge,
-        "update_edge_merge": q_update_edge_merge,
-        "remove_node_cascade": q_remove_node_cascade,
-        "remove_nodes_predicate": q_remove_nodes_predicate,
-        "remove_edges_predicate": q_remove_edges_predicate,
-        "store_delta_merge": q_store_delta_merge,
-        "codec_roundtrip": q_codec_roundtrip,
-        "degrees": q_degrees,
-        "connected_components_geo": q_connected_components_geo,
-        "connected_components_two_phase_geo": (
-            q_connected_components_two_phase_geo
-        ),
-        "pagerank_top20": q_pagerank_top20,
-        "sssp_weighted": q_sssp_weighted,
-        "khop_features": q_khop_features,
-        "triangles_coorder": q_triangles_coorder,
-        "motif_supply_chain": q_motif_supply_chain,
-        "window_rank_customers": q_window_rank_customers,
-        "rollup_order_stats": q_rollup_order_stats,
-        "set_ops_customers": q_set_ops_customers,
-        "topk_orders": q_topk_orders,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_keep": q_dedup_minhash_keep,
-        "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_dedup_pairs": q_embedding_dedup,
-        "similarity_topk": q_similarity_topk,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
         "events_json_prop": q_events_json_prop,
@@ -2486,6 +2472,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_join": q_streaming_static_join,
         "event_transitions": q_event_transitions,
         "basket_lift": q_basket_lift,
+        "get_node": q_get_node,
+        "get_nodes_filtered": q_get_nodes_filtered,
+        "get_nodes_all_labels": q_get_nodes_all_labels,
+        "get_edge": q_get_edge,
+        "get_edges_filtered": q_get_edges_filtered,
+        "egress_edges": q_egress_edges,
+        "ingress_edges": q_ingress_edges,
+        "paths_to": q_paths_to,
+        "paths_to_hydrated": q_paths_to_hydrated,
+        "paths_to_undirected": q_paths_to_undirected,
+        "get_nodes_unlabeled_prop": q_get_nodes_unlabeled_prop,
+        "get_edges_hydrated": q_get_edges_hydrated,
+        "add_nodes": q_add_nodes,
+        "add_edges_validated": q_add_edges_validated,
+        "update_node_merge": q_update_node_merge,
+        "update_edge_merge": q_update_edge_merge,
+        "remove_node_cascade": q_remove_node_cascade,
+        "remove_nodes_predicate": q_remove_nodes_predicate,
+        "remove_edges_predicate": q_remove_edges_predicate,
+        "store_delta_merge": q_store_delta_merge,
+        "codec_roundtrip": q_codec_roundtrip,
+        "degrees": q_degrees,
+        "connected_components_geo": q_connected_components_geo,
+        "connected_components_two_phase_geo": q_connected_components_two_phase_geo,
+        "pagerank_top20": q_pagerank_top20,
+        "sssp_weighted": q_sssp_weighted,
+        "khop_features": q_khop_features,
+        "triangles_coorder": q_triangles_coorder,
+        "motif_supply_chain": q_motif_supply_chain,
+        "window_rank_customers": q_window_rank_customers,
+        "rollup_order_stats": q_rollup_order_stats,
+        "set_ops_customers": q_set_ops_customers,
+        "topk_orders": q_topk_orders,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
+        "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_dedup_pairs": q_embedding_dedup,
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "events_tumbling": q_events_tumbling,
     }
 
 
@@ -3531,9 +3567,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT a, COUNT(*) AS d FROM lp_sym GROUP BY a
             ),
             lp_cn AS MATERIALIZED (
+              -- max_degree=100 cap mirrored from the Spark side: wedge
+              -- CENTERS (the shared neighbor s1.a) above the cap emit
+              -- no wedges; endpoint degrees below stay TRUE degrees.
               SELECT s1.b AS a, s2.b AS b, COUNT(*) AS common
               FROM lp_sym s1 JOIN lp_sym s2
                 ON s1.a = s2.a AND s1.b < s2.b
+              JOIN lp_deg dc ON s1.a = dc.a AND dc.d <= 100
               GROUP BY 1, 2 HAVING COUNT(*) >= 2
             ),
             lp_cand AS (
@@ -3889,7 +3929,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.value,
                    ROUND((e.value - m.mean) / sqrt(m.var), 6) AS zscore
             FROM events e JOIN m ON e.event_type = m.event_type
-            WHERE m.n > 1
+            WHERE m.n > 1 AND m.var > 0
               AND abs((e.value - m.mean) / sqrt(m.var)) > 3.0
         """,
         # greedy earliest-completion chain: each step's time is the MIN

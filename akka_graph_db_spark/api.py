@@ -256,13 +256,15 @@ class GraphDB:
         return analytics.kcore(pairs, k, max_iter)
 
     def link_prediction(
-        self, top_k=50, min_common=2, edge_labels=None
+        self, top_k=50, min_common=2, edge_labels=None, max_degree=None
     ) -> DataFrame:
         e = self.graph.edges
         if edge_labels:
             e = e.where(F.col("label").isin(list(edge_labels)))
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        return analytics.link_prediction_jaccard(pairs, top_k, min_common)
+        return analytics.link_prediction_jaccard(
+            pairs, top_k, min_common, max_degree=max_degree
+        )
 
     def triplets(self) -> DataFrame:
         return analytics.triplets(self.graph)

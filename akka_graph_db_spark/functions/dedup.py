@@ -386,13 +386,16 @@ def minhash_dedup_pairs(
         F.col("_n").alias("_nb"),
         *([F.col("_sig").alias("_sigb")] if use_est else []),
     )
-    # 1e-9 slack keeps the filter deterministically safe at the float
-    # boundary: if threshold*max rounds to just above an integer min, a
-    # pair whose exact Jaccard equals the threshold must still reach the
-    # exact verify (which makes the final call).
-    cond = F.least("_na", "_nb") >= F.lit(threshold) * F.greatest(
-        "_na", "_nb"
-    ) - F.lit(1e-9)
+    # Deterministically safe at the boundary BY CONSTRUCTION: the verify
+    # admits fl(|∩|/|∪|) >= t, and |∩|/|∪| <= min/max in the reals, so
+    # with correctly-rounded (monotone) double division fl(min/max) >=
+    # fl(|∩|/|∪|) — this filter admits a superset of what the verify
+    # admits, equality at the threshold included. The earlier
+    # `min >= t*max - 1e-9` form had a real failure mode: t*max can
+    # round UP past an integer min even when fl(min/max) == t.
+    cond = (
+        F.least("_na", "_nb") / F.greatest("_na", "_nb")
+    ) >= F.lit(threshold)
     if use_est:
         matches = F.aggregate(
             F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),

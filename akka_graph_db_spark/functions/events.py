@@ -187,7 +187,12 @@ def value_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
     ).alias("_var")
     enriched = events.join(
         F.broadcast(
-            stats.where(F.col("_n") > 1).select("event_type", mean, var)
+            stats.where(F.col("_n") > 1)
+            .select("event_type", mean, var)
+            # zero-variance groups: Spark's 0/0 yields NULL (rows drop)
+            # while IEEE engines yield ±inf (rows keep) — exclude the
+            # degenerate group explicitly so every engine agrees.
+            .where(F.col("_var") > 0)
         ),
         "event_type",
     )
@@ -210,11 +215,14 @@ def cohort_retention(
     week_offset, n_users) retention triangle every growth/engagement
     pipeline reports.
 
-    Two aggregations, both shuffled on user id (cohort assignment, then
-    distinct user-week activity), plus a broadcastable cohort join —
-    at 100 TB the distinct-per-week step is the cost driver and prunes
-    to (user, week) pairs before the shuffle. Weeks are date_trunc
-    boundaries (Monday-start), engine-portable.
+    Two aggregations plus the cohort join, ALL shuffled on user id — the
+    cohort frame is one row PER USER (unbounded), so it is never
+    broadcast; Catalyst reuses the user_id hash partitioning across the
+    distinct, the cohort agg, and the join, and AQE may still pick a
+    broadcast at small actual sizes. At 100 TB the distinct-per-week
+    step is the cost driver and prunes to (user, week) pairs before the
+    shuffle. Weeks are date_trunc boundaries (Monday-start),
+    engine-portable.
     """
     cohort = events.groupBy(F.col(user_col).alias("user_id")).agg(
         F.date_trunc("week", F.min(ts_col)).alias("_cohort")
@@ -226,7 +234,7 @@ def cohort_retention(
         )
         .distinct()
     )
-    j = active.join(F.broadcast(cohort), "user_id")
+    j = active.join(cohort, "user_id")
     return (
         j.groupBy(
             F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_week"),

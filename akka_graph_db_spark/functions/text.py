@@ -513,7 +513,9 @@ def weighted_sample(
 
     key = F.col(key_col).cast("string")
     if hash_family == "xxhash64":
-        u = F.abs(F.xxhash64(key)).cast("double")
+        # Mask the sign bit, don't abs(): abs(Long.MIN_VALUE) overflows
+        # back to negative on the JVM, breaking the [0, 1) contract.
+        u = F.xxhash64(key).bitwiseAND(F.lit((1 << 63) - 1)).cast("double")
     elif hash_family == "md5":
         u = md5_63(key).cast("double")
     else:

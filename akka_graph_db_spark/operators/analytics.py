@@ -793,6 +793,8 @@ def hits(
     iteration. The reference has no analytics at all (SURVEY.md §2.7);
     this is §2.8 extension surface.
     """
+    if n_iter < 1:
+        raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
     edges = _edge_pairs(g, edge_labels, directed=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -913,7 +915,10 @@ _WEDGE_BROADCAST_MAX_EDGES = 10_000_000
 
 
 def link_prediction_jaccard(
-    pairs: DataFrame, top_k: int = 50, min_common: int = 2
+    pairs: DataFrame,
+    top_k: int = 50,
+    min_common: int = 2,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Neighborhood-overlap link prediction over an undirected (a, b)
     pair frame: for every NON-adjacent node pair with >= ``min_common``
@@ -921,9 +926,19 @@ def link_prediction_jaccard(
     |N(a) ∩ N(b)| / |N(a) ∪ N(b)|; returns the ``top_k`` candidate links
     by (jaccard desc, common desc, a, b) — a deterministic total order.
 
-    Shape: one wedge self-join (the same O(sum deg²) volume as triangle
-    counting — bound it upstream with degree caps on skewed graphs), one
-    broadcastable degree join, one anti-join against the edge set.
+    ``max_degree`` caps the wedge volume — the scale knob for skewed
+    graphs. Wedges are only generated from CENTERS (common neighbors)
+    whose degree is <= ``max_degree``; a single hub of degree d otherwise
+    emits d² wedge rows (O(sum deg²) total, the same blow-up triangle
+    counting avoids via degree orientation). Semantics under the cap:
+    ``common`` counts only common neighbors of degree <= ``max_degree``
+    (hub-mediated evidence is dropped — the Adamic-Adar intuition that a
+    shared hub says little), while the Jaccard DENOMINATOR keeps the TRUE
+    degrees of a and b. Exact whenever no node exceeds the cap; with
+    ``None`` (default) the count is exact on any graph.
+
+    Shape: one wedge self-join (volume sum over kept centers of deg²),
+    one broadcastable degree join, one anti-join against the edge set.
     orderBy+limit compiles to TakeOrdered (per-partition top-k, no global
     sort).
     """
@@ -941,13 +956,25 @@ def link_prediction_jaccard(
         # — and unpack after. (The `label_code << 48` production id
         # packing exceeds 31 bits, hence the runtime gate; both gate
         # metrics come off the already-tiny degree frame in one action.)
+        kept_deg = (
+            F.col("deg")
+            if max_degree is None
+            else F.when(F.col("deg") <= max_degree, F.col("deg"))
+        )
         gate = deg.agg(
-            F.max("a").alias("_mx"), F.sum("deg").alias("_ne")
+            F.max("a").alias("_mx"), F.sum(kept_deg).alias("_ne")
         ).collect()[0]
         max_id = gate["_mx"] or 0
         n_sym = gate["_ne"] or 0
-        n1 = sym.select(F.col("a").alias("x"), F.col("b").alias("u"))
-        n2 = sym.select(F.col("a").alias("x"), F.col("b").alias("v"))
+        centers = sym
+        if max_degree is not None:
+            # Drop hub CENTERS before the self-join — this is what bounds
+            # the wedge volume. AQE broadcasts the (id-only) keep set when
+            # it is small; endpoints u, v stay uncapped.
+            ok = deg.where(F.col("deg") <= max_degree).select("a")
+            centers = sym.join(ok, "a", "left_semi")
+        n1 = centers.select(F.col("a").alias("x"), F.col("b").alias("u"))
+        n2 = centers.select(F.col("a").alias("x"), F.col("b").alias("v"))
         # Broadcasting one adjacency side turns the wedge join into a
         # map-side hash join: no sort of the deg²-sized join output
         # (measured 3x at sf0.1). Size-gated — past the gate the frame
@@ -956,9 +983,15 @@ def link_prediction_jaccard(
             n2 = F.broadcast(n2)
         wedges = n1.join(n2, "x").where(F.col("u") < F.col("v"))
         if 0 <= max_id < (1 << 31):
+            # Cast to long BEFORE the shift: on IntegerType the JVM masks
+            # the shift amount to 5 bits, so shiftleft(u, 32) == u — a
+            # silently wrong pack that still passes the value-range gate.
             cn = (
                 wedges.select(
-                    (F.shiftleft(F.col("u"), 32) + F.col("v")).alias("_uv")
+                    (
+                        F.shiftleft(F.col("u").cast("long"), 32)
+                        + F.col("v").cast("long")
+                    ).alias("_uv")
                 )
                 .groupBy("_uv")
                 .agg(F.count(F.lit(1)).alias("common"))

@@ -6,19 +6,31 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is executed through the same ``__spark_entry__.queries()``
 callables the correctness gate checks — benchmarking the verified plans,
-not specially-tuned variants. Timing includes plan + execution (count()),
-excluding only session startup.
+not specially-tuned variants.
+
+PER-QUERY PROCESS ISOLATION (VERDICT r4 #2): every headline query runs in
+its own driver subprocess. A shared session accumulates localCheckpoint
+RDD blocks, broadcast remnants, and GC pressure across 40+ queries —
+measured 3x distortion on queries that follow a heavy one (motif 24.3s
+in-bench vs ~8.5s standalone, r4 audit). Real deployments run one driver
+per job; this bench now matches that. The graph snapshot is built ONCE in
+the parent (reported as graph_ingest_sec) and shared with children via
+SPARK_GRAFT_SNAPSHOT_ROOT, so children pay only the parquet load. JVM
+startup stays OUTSIDE the timer (the child times only plan + execution).
 """
 
 from __future__ import annotations
 
-import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+_CHILD_MARK = "BENCH_CHILD_RESULT "
 
 HEADLINE = [
     "egress_edges",           # scan + frontier join + agg (Phase-1 slice)
@@ -35,7 +47,7 @@ HEADLINE = [
     "triangles_coorder",      # 2 shuffle joins on derived graph
     "hits_top20",             # 16 half-steps, in-plan L1 normalizer
     "kcore_parts",            # run-to-fixpoint degree peeling
-    "link_prediction_parts",  # wedge join + degree broadcast + anti-join
+    "link_prediction_parts",  # degree-capped wedge join + anti-join
     "motif_supply_chain",     # 4-hop join chain
     "tpch_q1",                # classic scan-heavy aggregate
     "tpch_q3",                # selective 3-way broadcast join + top-k
@@ -61,7 +73,48 @@ HEADLINE = [
     "multimodal_meta",        # Arrow mapInPandas
     "events_tumbling",        # window agg
     "events_session",         # session window
+    "events_outliers",        # two-pass z-score
+    "events_rollup_multi",    # minute->hour->day one-scan rollup
+    "cohort_retention",       # weekly retention triangle
+    "event_transitions",      # per-user Markov lag pairs
+    "basket_lift",            # pair join + in-plan order-count scalar
+    "streaming_static_join",  # micro-batch stream-static enrichment
 ]
+
+
+def _run_query(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
+    """Child body: one Spark session, time each named query."""
+    from akka_graph_db_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    qs = entrymod.queries()
+    # Untimed warmup: first-job costs (whole-stage codegen JIT, parquet
+    # reader + filesystem init) are session overhead, not query cost —
+    # the shared-session bench this replaces never charged them to a
+    # query either, so keeping them out preserves round-over-round
+    # comparability.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Graph attach is ingest (reported by the parent), not query cost —
+    # same separation the r4 shared-session bench drew. With
+    # SPARK_GRAFT_SNAPSHOT_ROOT set by the parent this is a cheap
+    # parquet re-open of the shared snapshot, not a rebuild.
+    entrymod._g(spark, sf_dir)
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            df.count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # report, don't abort the whole bench
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+    return timings
 
 
 def main() -> None:
@@ -69,42 +122,60 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        timings = _run_query(sys.argv[2:], sf_dir, cpus)
+        print(_CHILD_MARK + json.dumps(timings), flush=True)
+        return
+
+    import atexit
+    import shutil
+    import tempfile
+
+    # Build the shared snapshot once (the reference likewise loads Neo4j
+    # before any query runs, Neo4jGraph.scala:150-154); its cost is
+    # reported separately instead of inflating the first graph query.
+    snap_root = tempfile.mkdtemp(prefix="spark_graft_bench_snap_")
+    atexit.register(shutil.rmtree, snap_root, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_SNAPSHOT_ROOT=snap_root)
+
     from akka_graph_db_spark.session import get_spark
 
     import __spark_entry__ as entrymod
 
+    os.environ["SPARK_GRAFT_SNAPSHOT_ROOT"] = snap_root
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
-    qs = entrymod.queries()
-
-    # One-time graph ingest (derive + snapshot + reload), timed separately:
-    # the reference likewise loads Neo4j before any query runs
-    # (Neo4jGraph.scala:150-154); query timings below measure the verified
-    # query plans against the loaded store, and the load cost stays visible
-    # in the JSON rather than inflating whichever graph query runs first.
     t0 = time.time()
     entrymod._g(spark, sf_dir)
     ingest = round(time.time() - t0, 3)
+    # Children get their own JVMs; free this one's executor threads first.
+    spark.stop()
+
+    # Optional subset for local iteration: comma-separated query names.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q for q in subset.split(",") if q] if subset else HEADLINE
+    )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        # Release the previous query's leftovers BEFORE the timer starts:
-        # iterative operators leave localCheckpoint RDD blocks pinned in
-        # the block manager until the Python DataFrame objects are
-        # collected (py4j weakrefs), and 30+ queries of accumulation
-        # degrades later queries by 3x+ (memory pressure, GC) — observed,
-        # not hypothetical. A real deployment runs queries in separate
-        # driver processes; this keeps the shared-session bench honest.
-        gc.collect()
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.time() - t0, 3)
-            del df
-        except Exception as e:  # report, don't abort the whole bench
-            timings[name] = -1.0
-            print(f"# bench error {name}: {e}", file=sys.stderr)
+    for name in headline:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--child", name],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        got: dict[str, float] = {}
+        for line in proc.stdout.splitlines():
+            if line.startswith(_CHILD_MARK):
+                got = json.loads(line[len(_CHILD_MARK):])
+        if not got:
+            got = {name: -1.0}
+            sys.stderr.write(
+                f"# bench child {name} produced no result "
+                f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}\n"
+            )
+        timings.update(got)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -115,6 +186,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "graph_ingest_sec": ingest,
+                "isolation": "subprocess-per-query",
                 "sf": sf,
             }
         )

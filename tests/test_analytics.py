@@ -255,6 +255,42 @@ def test_link_prediction_square(spark):
     assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
 
 
+def test_link_prediction_star_degree_cap(spark):
+    """Hub 1000 — leaves 1..10, plus low-degree centers 11, 12 adjacent
+    to leaves 1 and 2. max_degree=5 drops every hub-CENTERED wedge (the
+    d² volume driver) but keeps TRUE degrees in the Jaccard denominator:
+    (1,2) loses the hub as evidence (common 3 -> {11, 12} = 2, jaccard
+    2/(3+3-2) = 0.5) and leaf-leaf pairs evidenced ONLY by the hub
+    vanish; pairs evidenced by low-degree centers — (11,12) via {1,2},
+    (11,1000)/(12,1000) via the degree-3 leaves — survive untouched,
+    with TRUE degrees in the denominator (deg(1000)=10)."""
+    edges = [(1000, i) for i in range(1, 11)]
+    edges += [(11, 1), (11, 2), (12, 1), (12, 2)]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+
+    capped = analytics.link_prediction_jaccard(
+        pairs, top_k=10, min_common=2, max_degree=5
+    ).collect()
+    got = {(r["a"], r["b"]): (r["common"], r["jaccard"]) for r in capped}
+    assert got == {
+        (11, 12): (2, 1.0),
+        (1, 2): (2, 0.5),
+        (11, 1000): (2, 0.2),
+        (12, 1000): (2, 0.2),
+    }
+
+    full = analytics.link_prediction_jaccard(
+        pairs, top_k=10, min_common=2
+    ).collect()
+    got_full = {(r["a"], r["b"]): (r["common"], r["jaccard"]) for r in full}
+    assert got_full == {
+        (1, 2): (3, 1.0),
+        (11, 12): (2, 1.0),
+        (11, 1000): (2, 0.2),
+        (12, 1000): (2, 0.2),
+    }
+
+
 def test_personalized_pagerank_two_node_chain(spark):
     """1 -> 2 with source {1}: closed form after 2 iterations is
     r(1) = 0.15 + 0.85*0.85, r(2) = 0.85*0.15 (dangling node 2 returns

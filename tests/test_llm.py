@@ -50,6 +50,25 @@ def test_minhash_finds_identical_and_near(docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_minhash_threshold_boundary_pair_survives(spark):
+    """A pair whose exact Jaccard sits EXACTLY at the threshold (4/5 with
+    threshold=0.8 — fl(4/5) == fl(0.8)) must pass the size-ratio
+    prefilter and the verify. Guards the prefilter's boundary math: the
+    old `min >= t*max - eps` float form could round a boundary pair out;
+    the division form admits everything the verify admits by
+    construction (min/max >= |∩|/|∪| and double division is monotone)."""
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6 w7"),  # 5 distinct 3-shingles
+        (2, "w1 w2 w3 w4 w5 w6"),  # its 4-shingle prefix: J = 4/5
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = dedup.minhash_dedup_pairs(
+        df, threshold=0.8, num_perm=32, bands=32, shingle_n=3
+    ).collect()
+    assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard_sim"] == 0.8
+
+
 def test_minhash_keep_collapses_clusters(docs):
     kept = sorted(
         r["doc_id"]
