@@ -1836,8 +1836,12 @@ def q_streaming_session(spark, sf_dir):
 # ===========================================================================
 
 def _coorder_pairs(spark, sf_dir):
-    """Canonical (a < b) distinct part co-order pairs — the derived graph
-    behind the triangle / k-core / link-prediction analytics."""
+    """Part co-order pairs (a < b, WITH per-order multiplicity) — the
+    derived graph behind the triangle / k-core / link-prediction
+    analytics. NOT deduplicated here: every consumer canonicalizes via
+    canonical_undirected(), whose distinct would otherwise run back to
+    back with one here — two full shuffles of the pre-dedup join output
+    for one dedup's work."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
@@ -1845,7 +1849,6 @@ def _coorder_pairs(spark, sf_dir):
         a.join(b, "l_orderkey")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
 
 

@@ -673,8 +673,18 @@ def _oriented_triangles(e: DataFrame) -> DataFrame:
     The oriented frame feeds three scans (both wedge legs + the closing
     edge), so it is materialized once via localCheckpoint — re-deriving it
     would repeat the degree aggregation and orientation joins per scan.
+
+    Both the wedge join and the closing join BROADCAST the edge-frame
+    side when it fits (same size gate as link prediction): the probe side
+    of the closing join is the WEDGE frame — orders of magnitude larger
+    than the edges — and a sort-merge join there sorts the whole wedge
+    volume (measured: the dominant cost at sf0.1, where the co-order
+    graph emits ~75M oriented wedges from 1.2M edges). Map-side hash
+    joins never materialize a wedge sort; past the gate the shuffle join
+    is the correct fallback.
     """
     o = _degree_oriented(e).localCheckpoint(eager=True)
+    n_edges = o.count()  # checkpoint already materialized — cheap
     e1 = o.select(
         F.col("src").alias("x"), F.col("dst").alias("y"),
         F.col("ddeg").alias("_dy"),
@@ -683,6 +693,10 @@ def _oriented_triangles(e: DataFrame) -> DataFrame:
         F.col("src").alias("x"), F.col("dst").alias("z"),
         F.col("ddeg").alias("_dz"),
     )
+    e3 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    if n_edges <= _WEDGE_BROADCAST_MAX_EDGES:
+        e2 = F.broadcast(e2)
+        e3 = F.broadcast(e3)
     # rank(y) < rank(z) counts each wedge once (both wedge legs leave x)
     wedges = (
         e1.join(e2, "x")
@@ -692,7 +706,6 @@ def _oriented_triangles(e: DataFrame) -> DataFrame:
         )
         .select("x", "y", "z")
     )
-    e3 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     return wedges.join(e3, ["y", "z"], "inner").select("x", "y", "z")
 
 
