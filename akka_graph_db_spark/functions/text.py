@@ -191,6 +191,121 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1 — the public
+    rule set most curation pipelines start from): per-document signals +
+    one ``gopher_pass`` verdict. Appends
+
+    - ``n_words``, ``mean_word_len`` (chars per whitespace word),
+    - ``symbol_word_ratio`` ('#' and ellipsis occurrences per word),
+    - ``frac_bullet_lines`` / ``frac_ellipsis_lines`` (lines starting
+      with a bullet / ending with an ellipsis),
+    - ``frac_alpha_words`` (words containing a letter),
+    - ``n_gopher_stopwords`` (distinct hits in the 8-word Gopher list),
+    - ``gopher_pass`` — every rule within its bounds.
+
+    Pure JVM expressions (splits + higher-order folds; no explode, no
+    shuffle, no Python) — embarrassingly parallel at any scale, and every
+    signal is a ratio of exact integer counts, so an oracle reproduces it
+    engine-exactly.
+    """
+    t = F.col(text_col)
+    tok = tokens(t)  # lowercased whitespace tokens
+    n_words = F.size(tok)
+    sum_len = F.aggregate(
+        tok, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(tok, lambda x: x.rlike("[a-z]")))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_sw = F.size(F.array_intersect(F.array_distinct(tok), sw))
+    # symbol occurrences: '#' chars + unicode '…' chars + literal '...'
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_uell = F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    n_dots = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.filter(
+        F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).rlike(r"^[-*•‣◦]"),
+        )
+    )
+    ellipsis_l = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    d = (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.when(n_words > 0, sum_len / n_words).otherwise(0.0), 6
+            ),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            F.round(
+                F.when(
+                    n_words > 0, (n_hash + n_uell + n_dots) / n_words
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+        .withColumn(
+            "frac_bullet_lines",
+            F.round(
+                F.when(n_lines > 0, bullet / n_lines).otherwise(0.0), 6
+            ),
+        )
+        .withColumn(
+            "frac_ellipsis_lines",
+            F.round(
+                F.when(n_lines > 0, ellipsis_l / n_lines).otherwise(0.0), 6
+            ),
+        )
+        .withColumn(
+            "frac_alpha_words",
+            F.round(
+                F.when(n_words > 0, n_alpha / n_words).otherwise(0.0), 6
+            ),
+        )
+        .withColumn("n_gopher_stopwords", n_sw.cast("bigint"))
+    )
+    return d.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("frac_bullet_lines") <= max_bullet_frac)
+        & (F.col("frac_ellipsis_lines") <= max_ellipsis_frac)
+        & (F.col("frac_alpha_words") >= min_alpha_frac)
+        & (F.col("n_gopher_stopwords") >= min_stopwords),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str = "doc_id",

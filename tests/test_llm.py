@@ -80,6 +80,33 @@ def test_minhash_keep_collapses_clusters(docs):
     assert kept == [1, 3, 4, 5]
 
 
+def test_minhash_keep_max_score_prefers_longest(spark):
+    """keep='max_score' on n_chars keeps the LONGEST member of a near-dup
+    cluster (doc 2 ⊃ doc 1, token Jaccard 10/11 ≈ 0.909 ≥ 0.9) where the
+    default min_id keep would keep doc 1; the unrelated doc 3 survives
+    either way."""
+    t1 = "a b c d e f g h i j"
+    t2 = t1 + " k"
+    rows = [(1, t1, len(t1)), (2, t2, len(t2)), (3, "zz yy xx ww", 11)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars int")
+    best = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_keep(
+            df, threshold=0.9, num_perm=32, bands=32, shingle_n=1,
+            linkage="pairs", keep="max_score", score_col="n_chars",
+        ).collect()
+    )
+    assert best == [2, 3]
+    default = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_keep(
+            df, threshold=0.9, num_perm=32, bands=32, shingle_n=1,
+            linkage="pairs",
+        ).collect()
+    )
+    assert default == [1, 3]
+
+
 def test_token_jaccard_order_insensitive(docs):
     # doc 6 is doc 1 with shuffled word order: token-set jaccard = 1.0
     pairs = {
@@ -233,6 +260,41 @@ def test_multimodal_fake_decode_deterministic(spark, docs):
     )
     assert a == b
     assert all(r[4] for r in a)  # ok flag
+
+
+def test_gopher_rules_verdicts(spark):
+    """Hand-built docs hitting individual Gopher rules: a clean passing
+    doc, a too-short doc, a bullet-list doc, a no-alpha doc, and a
+    symbol-spam doc."""
+    good = " ".join(
+        ["the quick brown fox jumps over and rests with the lazy dog to be"]
+        * 5
+    )  # 65 words, mean len ~3.5, plenty of stopwords
+    short = "the cat sat with me"  # 5 words < 50
+    bullets = "\n".join(f"- {w}" for w in ["item"] * 12)  # all bullet lines
+    digits = " ".join(["12345"] * 60)  # no alpha words, no stopwords
+    spam = " ".join(["the#word##tag###with", "of", "and", "that"] * 15)
+    rows = [
+        (1, good),
+        (2, short),
+        (3, bullets),
+        (4, digits),
+        (5, spam),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textf.gopher_rules(df).collect()
+    }
+    assert got[1]["gopher_pass"] is True
+    assert got[1]["n_gopher_stopwords"] >= 2
+    assert got[2]["gopher_pass"] is False  # word-count floor
+    assert got[3]["gopher_pass"] is False
+    assert got[3]["frac_bullet_lines"] == 1.0
+    assert got[4]["gopher_pass"] is False
+    assert got[4]["frac_alpha_words"] == 0.0
+    assert got[5]["gopher_pass"] is False  # symbol ratio over 0.1
+    assert got[5]["symbol_word_ratio"] > 0.1
 
 
 def test_quality_features_ranges(docs):
