@@ -989,17 +989,10 @@ def q_khop_features(spark, sf_dir):
 
 
 def q_triangles_coorder(spark, sf_dir):
-    """Triangle count on the part co-order graph (parts sharing an order)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    return analytics.triangle_count(pairs)
+    """Triangle count on the part co-order graph (parts sharing an
+    order). Pairs arrive pre-dedup — triangle_count's
+    canonical_undirected does the single distinct."""
+    return analytics.triangle_count(_coorder_pairs(spark, sf_dir))
 
 
 def q_motif_supply_chain(spark, sf_dir):
@@ -1018,6 +1011,26 @@ def q_motif_supply_chain(spark, sf_dir):
         .where(F.col("n4") == F.col("cust_nation"))
         .groupBy(F.col("n4").alias("nation_id"))
         .agg(F.count(F.lit(1)).alias("n_chains"))
+    )
+
+
+def q_assortativity_coorder(spark, sf_dir):
+    """Degree assortativity of the part co-order graph — do parts that
+    co-occur in many orders link to similarly-connected parts? All
+    moment sums are exact DECIMAL(38,0) integers; only the final ratio
+    is floating point, so the DuckDB oracle reproduces it exactly."""
+    return analytics.degree_assortativity(_coorder_pairs(spark, sf_dir))
+
+
+def q_random_walks_parts(spark, sf_dir):
+    """Deterministic 4-step uniform random walks from the 64 lowest part
+    ids over the co-order graph — the DeepWalk/node2vec corpus
+    generator. Every neighbor choice is md5-derived
+    (functions/hashing.py), so a DuckDB oracle with the identical
+    ranked-adjacency + hash arithmetic reproduces the walks
+    step-for-step."""
+    return analytics.random_walks(
+        _coorder_pairs(spark, sf_dir), n_seeds=64, n_steps=4, salt="w"
     )
 
 
@@ -1158,6 +1171,19 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
         "a_id", "b_id"
     )
+
+
+def q_dedup_exact_spans(spark, sf_dir):
+    """Exact duplicated-span removal (word-granular ExactSubstr): every
+    8-gram of words appearing in >= 2 distinct documents is deleted from
+    ALL documents (boilerplate-removal semantics); the cleaned text plus
+    per-doc coverage counts come back for the whole corpus. Grams travel
+    as md5_64 digests so the count shuffle moves 8-byte keys; the oracle
+    rebuilds the identical digest via md5_number_upper."""
+    docs = read_documents(spark, sf_dir)
+    return dedup.exact_span_dedup(
+        docs, ngram_n=8, min_docs=2
+    ).select("doc_id", "n_words", "n_dup_words", "clean_text")
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -2252,6 +2278,103 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): single-scan filter +
+    aggregate, zero joins — the pushdown showcase. All three predicates
+    (shipdate year, discount band, quantity cap) reach the parquet scan
+    as PushedFilters; the sum is exact decimal arithmetic cast to double
+    at the very end. Date window shifted to 1996 (the fixture's orders
+    span 1995-2001, unlike spec TPC-H)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = lambda c: F.col(c).cast("decimal(30,2)")  # noqa: E731
+    return (
+        li.where(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+            )
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (d("l_extendedprice") * d("l_discount")).cast(
+                    "decimal(38,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): the 6-way join — lineitem joins
+    orders on orderkey and supplier on suppkey, with customer, nation,
+    and region narrowing both ends; revenue grouped per nation.
+    Catalyst broadcast-chains every dimension side (region→nation is a
+    few rows; customer and supplier filtered by nation membership);
+    only lineitem⋈orders moves real data, and AQE picks broadcast there
+    too once orders is filtered to one year. Date window shifted to
+    1996 per the fixture's calendar."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    d = lambda c: F.col(c).cast("decimal(30,2)")  # noqa: E731
+    region = rd("region").where(F.col("r_name") == "ASIA")
+    nation = rd("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = rd("customer").join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    supp = rd("supplier").select("s_suppkey", "s_nationkey")
+    orders = rd("orders").where(
+        (
+            F.col("o_orderdate")
+            >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        & (
+            F.col("o_orderdate")
+            < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        )
+    )
+    li = rd("lineitem")
+    rev = (d("l_extendedprice") * (1 - d("l_discount"))).cast(
+        "decimal(38,4)"
+    )
+    j = (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                ).select("o_orderkey", "c_nationkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        # "local supplier": customer and supplier share the nation
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 def q_aggmsg_max_acctbal(spark, sf_dir):
     """The aggregateMessages primitive (GraphX parity) driven directly:
     over located_in triplets, each customer sends its acctbal to its
@@ -2514,6 +2637,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already green in CORRECTNESS_r04.json.
         "gopher_quality": q_gopher_quality,
         "dedup_minhash_keep_best": q_dedup_minhash_keep_best,
+        "dedup_exact_spans": q_dedup_exact_spans,
+        "tpch_q6": q_tpch_q6,
+        # --- certification window ends here (50 entries). Round-5
+        # additions below are local-green; rotate forward in round 6.
+        "tpch_q5": q_tpch_q5,
+        "assortativity_coorder": q_assortativity_coorder,
+        "random_walks_parts": q_random_walks_parts,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -4047,6 +4177,175 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3
               ORDER BY rev DESC, l.l_orderkey LIMIT 10
             )
+        """,
+        "tpch_q6": """
+            SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2))
+                                 * CAST(l_discount AS DECIMAL(30,2))
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q5": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name
+        """,
+        # Exact integer moment sums in HUGEINT == the engine's
+        # DECIMAL(38,0); only the final ratio is floating point.
+        "assortativity_coorder": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+            j AS (
+              SELECT CAST(dx.deg AS HUGEINT) AS dx,
+                     CAST(dy.deg AS HUGEINT) AS dy
+              FROM sym
+              JOIN deg dx ON sym.a = dx.a
+              JOIN deg dy ON sym.b = dy.a
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(dx) AS sx, SUM(dx * dy) AS sxy,
+                     SUM(dx * dx) AS sxx
+              FROM j
+            )
+            SELECT CAST(n AS BIGINT) // 2 AS n_edges,
+                   ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                     AS assortativity
+            FROM s
+        """,
+        # Unrolled 4-step walk: identical ranked adjacency (row_number
+        # by neighbor id) + identical md5-derived draw per step
+        # (md5_number_upper & sign-mask == the engine's md5_63).
+        "random_walks_parts": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            adj AS (
+              SELECT a, b,
+                     ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS idx
+              FROM sym
+            ),
+            deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+            seeds AS (
+              SELECT a AS walk_id, a AS step_0 FROM deg ORDER BY a LIMIT 64
+            ),
+            s1 AS (
+              SELECT walk_id, step_0, adj.b AS step_1
+              FROM seeds
+              JOIN deg ON deg.a = seeds.step_0
+              JOIN adj ON adj.a = seeds.step_0
+               AND adj.idx = CAST((md5_number_upper(
+                     CAST(walk_id AS VARCHAR) || ':1:w')
+                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
+            ),
+            s2 AS (
+              SELECT walk_id, step_0, step_1, adj.b AS step_2
+              FROM s1
+              JOIN deg ON deg.a = s1.step_1
+              JOIN adj ON adj.a = s1.step_1
+               AND adj.idx = CAST((md5_number_upper(
+                     CAST(walk_id AS VARCHAR) || ':2:w')
+                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
+            ),
+            s3 AS (
+              SELECT walk_id, step_0, step_1, step_2, adj.b AS step_3
+              FROM s2
+              JOIN deg ON deg.a = s2.step_2
+              JOIN adj ON adj.a = s2.step_2
+               AND adj.idx = CAST((md5_number_upper(
+                     CAST(walk_id AS VARCHAR) || ':3:w')
+                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
+            )
+            SELECT walk_id, step_0, step_1, step_2, step_3,
+                   adj.b AS step_4
+            FROM s3
+            JOIN deg ON deg.a = s3.step_3
+            JOIN adj ON adj.a = s3.step_3
+             AND adj.idx = CAST((md5_number_upper(
+                   CAST(walk_id AS VARCHAR) || ':4:w')
+                   & 9223372036854775807) AS BIGINT) % deg.deg + 1
+        """,
+        # Same gram stream (8-word windows), same md5_number_upper ==
+        # md5_64 digest domain for the duplicated-gram decision, same
+        # covered-position expansion and space re-join.
+        "dedup_exact_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, i AS start,
+                     md5_number_upper(
+                       array_to_string(words[i:i+7], ' ')) AS gh
+              FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, len(words) - 6)) AS i
+                FROM w
+              )
+            ),
+            duph AS (
+              SELECT gh FROM g GROUP BY gh
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, pos FROM (
+                SELECT g.doc_id, g.start + unnest(range(0, 8)) AS pos
+                FROM g JOIN duph USING (gh)
+              )
+            ),
+            posw AS (
+              SELECT doc_id, pos, words[pos] AS word FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, len(words) + 1)) AS pos
+                FROM w
+              )
+            ),
+            kept AS (
+              SELECT p.doc_id,
+                     string_agg(p.word, ' ' ORDER BY p.pos) AS clean_text
+              FROM posw p
+              LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+              WHERE c.pos IS NULL
+              GROUP BY p.doc_id
+            ),
+            covn AS (
+              SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   len(w.words) AS n_words,
+                   COALESCE(covn.n_dup, 0) AS n_dup_words,
+                   COALESCE(kept.clean_text, '') AS clean_text
+            FROM w
+            LEFT JOIN covn USING (doc_id)
+            LEFT JOIN kept USING (doc_id)
         """,
         # identical exact-component moments: n, sum, sum-of-squares as
         # decimals; mean/variance/z derived with the same IEEE ops

@@ -799,3 +799,105 @@ def embedding_dedup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring (word-span) dedup — ExactSubstr family
+# --------------------------------------------------------------------------
+
+def exact_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span removal: delete every occurrence of any word
+    ``ngram_n``-gram that appears in >= ``min_docs`` DISTINCT documents
+    (the boilerplate-removal variant of Lee et al. 2022's ExactSubstr
+    dedup, word-granular instead of suffix-array-byte-granular).
+
+    Returns one row per input document:
+    ``(doc_id, n_words, n_dup_words, clean_text)`` where ``clean_text``
+    is the document with every word position covered by a duplicated
+    n-gram removed and the surviving words re-joined with single spaces.
+    Documents shorter than ``ngram_n`` words are never flagged.
+
+    Scale shape (no all-pairs, nothing quadratic):
+    1. one map-side pass explodes each doc into (start, gram-hash) pairs
+       — grams are 64-bit ``md5_64`` digests the moment they leave the
+       doc, so the count shuffle moves 8-byte keys, not n-word strings;
+    2. one hash-count shuffle finds digests hitting >= ``min_docs`` docs
+       (the duplicated-span set is tiny next to the corpus — it
+       broadcast-joins back against the gram stream);
+    3. covered word positions are collect_set-aggregated per doc (bounded
+       by doc length) and the cleanup is a pure expression over the
+       original words array — the full corpus is never re-shuffled by
+       word.
+
+    The reference has no text operators at all (SURVEY.md §2.7); this is
+    §2.9 LLM-pipeline extension surface.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_64
+
+    n = int(ngram_n)
+    if n < 2:
+        raise ValueError(f"ngram_n must be >= 2, got {ngram_n}")
+    words = F.split(F.col(text_col), " ")
+    docs = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    # (doc, start, gram-digest) stream; empty array when the doc is short
+    # (sequence(1, 0) would count DOWN, hence the explicit guard).
+    starts = F.when(
+        F.size("_w") >= n,
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "_id", "_w", F.explode(starts).alias("_start")
+    ).select(
+        "_id",
+        "_start",
+        md5_64(F.array_join(F.slice("_w", F.col("_start"), n), " ")).alias(
+            "_gh"
+        ),
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= int(min_docs))
+        .select("_gh")
+    )
+    covered = (
+        grams.join(dup, "_gh", "left_semi")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + (n - 1))
+            ).alias("_pos"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_pos").alias("_cov"))
+    )
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    cleaned = F.array_join(
+        F.filter(
+            F.transform(
+                F.col("_w"),
+                lambda w, i: F.when(
+                    F.array_contains(cov, i + F.lit(1)), F.lit(None)
+                ).otherwise(w),
+            ),
+            lambda w: w.isNotNull(),
+        ),
+        " ",
+    )
+    return (
+        docs.join(covered, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_w").cast("long").alias("n_words"),
+            F.coalesce(F.size("_cov"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_words"),
+            cleaned.alias("clean_text"),
+        )
+    )

@@ -1213,3 +1213,135 @@ def aggregate_messages(
     for p in parts[1:]:
         msgs = msgs.unionByName(p)
     return msgs.where(F.col("msg").isNotNull()).groupBy("id").agg(agg)
+
+
+def degree_assortativity(pairs: DataFrame) -> DataFrame:
+    """Newman's degree assortativity coefficient r of an undirected
+    (a, b) pair frame: the Pearson correlation of the degrees at the two
+    ends of every edge (each edge contributes both orientations, the
+    standard undirected convention).
+
+    Exactness design: all five moment sums (n, Σx, Σxy, Σx², and by
+    symmetry Σy ≡ Σx) are EXACT integer aggregates carried as
+    DECIMAL(38,0); only the final
+    r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) touches floating point — two
+    decimal→double conversions and one division — so a SQL oracle doing
+    the same integer math reproduces r bit-for-bit (modulo an agreed
+    final rounding). One degree aggregation + two broadcastable degree
+    joins + one global aggregate; nothing quadratic, no per-row floats.
+    Returns a single row (n_edges, assortativity).
+    """
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = sym.join(
+        F.broadcast(deg.select(F.col("a"), F.col("deg").alias("dx"))), "a"
+    ).join(
+        F.broadcast(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy"))
+        ),
+        "b",
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("dx"))).alias("_sx"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dy"))).alias("_sxy"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dx"))).alias("_sxx"),
+    )
+    n = dec(F.col("_n"))
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sx")).cast("double")
+    den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    return s.select(
+        (F.col("_n") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+def random_walks(
+    pairs: DataFrame,
+    n_seeds: int = 64,
+    n_steps: int = 4,
+    salt: str = "w",
+) -> DataFrame:
+    """Deterministic uniform random walks over an undirected (a, b) pair
+    frame — the corpus generator for DeepWalk/node2vec-style graph
+    embeddings, with hash-derived (seedable, reproducible) choices
+    instead of RNG state.
+
+    Seeds are the ``n_seeds`` lowest node ids with at least one edge;
+    one walk starts at each seed. At step t the walk at node v moves to
+    neighbor rank ``md5_63(walk_id:t:salt) mod deg(v)`` in the
+    (ascending-by-neighbor-id) adjacency ranking — fully deterministic
+    across runs, partitionings, and engines (the md5-derived value is
+    reproducible in SQL, functions/hashing.py).
+
+    Scale shape: the adjacency is ranked once (one window shuffle keyed
+    by node — the same layout a bucketed adjacency table gives for
+    free), then every step is two bounded equi-joins: walk-frame ⋈
+    degree (to compute the target rank) and walk-frame ⋈ adjacency on
+    (node, rank) — one output row per walk per step, NEVER a
+    Σdeg-sized candidate explosion. Walk count scales linearly and
+    independently of graph skew.
+
+    Returns one row per walk: (walk_id, step_0, ..., step_{n_steps}).
+    """
+    from pyspark.sql import Window
+
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        adj = sym.select(
+            "a",
+            "b",
+            F.row_number()
+            .over(Window.partitionBy("a").orderBy("b"))
+            .alias("_idx"),
+        ).localCheckpoint(eager=True)
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+        state = (
+            deg.select("a")
+            .orderBy("a")
+            .limit(n_seeds)
+            .select(
+                F.col("a").alias("walk_id"), F.col("a").alias("step_0")
+            )
+        )
+        from akka_graph_db_spark.functions.hashing import md5_63
+
+        for t in range(1, n_steps + 1):
+            cur = f"step_{t - 1}"
+            draw = md5_63(
+                F.concat_ws(
+                    ":",
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(t)),
+                    F.lit(salt),
+                )
+            )
+            # The walk frame (n_seeds rows) is always the small side —
+            # broadcast IT, never the per-node degree/adjacency frames,
+            # which grow with the graph.
+            with_target = F.broadcast(
+                deg.withColumnRenamed("a", cur)
+                .join(F.broadcast(state), cur)
+                .withColumn("_target", F.pmod(draw, F.col("_deg")) + 1)
+            )
+            state = (
+                with_target.join(
+                    adj,
+                    (F.col(cur) == adj["a"])
+                    & (F.col("_target") == adj["_idx"]),
+                )
+                .drop("a", "_idx", "_deg", "_target")
+                .withColumnRenamed("b", f"step_{t}")
+            )
+        return state.select(
+            "walk_id", *[f"step_{t}" for t in range(n_steps + 1)]
+        )
+    finally:
+        sym.unpersist()

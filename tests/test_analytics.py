@@ -349,3 +349,55 @@ def test_aggregate_messages_null_messages_dropped(micro):
     ids = {r["id"] for r in res.collect()}
     assert 4 not in ids and 5 not in ids  # cities: only lives_in/road in
     assert 2 in ids and 3 in ids
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """Star center 0, leaves 1-3: every edge links degree 3 to degree 1,
+    so the degree correlation is exactly -1. Moment check: n=6, Sx=12,
+    Sxy=18, Sxx=30 -> num=-36, den=36."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a bigint, b bigint"
+    )
+    row = analytics.degree_assortativity(pairs).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["assortativity"] == -1.0
+
+
+def test_random_walks_path_graph_alternates(spark):
+    """Path 1-2: both endpoints have exactly one neighbor, so walks
+    alternate deterministically regardless of the hash draws."""
+    pairs = spark.createDataFrame([(1, 2)], "a bigint, b bigint")
+    rows = analytics.random_walks(pairs, n_seeds=64, n_steps=4).collect()
+    got = {
+        r["walk_id"]: [r[f"step_{t}"] for t in range(5)] for r in rows
+    }
+    assert got == {1: [1, 2, 1, 2, 1], 2: [2, 1, 2, 1, 2]}
+
+
+def test_random_walks_triangle_matches_hash_replay(spark):
+    """Triangle 1-2-3 (every degree 2): replay the md5_63 draws with
+    hashlib and assert the engine picked the identical neighbor ranks."""
+    import hashlib
+    import struct
+
+    def md5_63(s: str) -> int:
+        d = hashlib.md5(s.encode()).digest()
+        return struct.unpack("<Q", d[:8])[0] & ((1 << 63) - 1)
+
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2]}
+    expected = {}
+    for seed in (1, 2, 3):
+        walk = [seed]
+        for t in range(1, 5):
+            nbrs = adj[walk[-1]]
+            walk.append(nbrs[md5_63(f"{seed}:{t}:w") % len(nbrs)])
+        expected[seed] = walk
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    rows = analytics.random_walks(pairs, n_seeds=3, n_steps=4).collect()
+    got = {
+        r["walk_id"]: [r[f"step_{t}"] for t in range(5)] for r in rows
+    }
+    assert got == expected

@@ -886,3 +886,48 @@ def test_event_transitions_tiebreak(spark):
         for r in ev.event_transitions(df).collect()
     }
     assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_exact_span_dedup_removes_shared_8gram(spark):
+    """A shared 8-gram is deleted from BOTH docs; words outside it and
+    short documents are untouched."""
+    from akka_graph_db_spark.functions import dedup
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1"),
+            (2, f"head {shared}"),
+            (3, "short doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.exact_span_dedup(docs, ngram_n=8, min_docs=2).collect()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_dup_words"], r["clean_text"])
+        for r in rows
+    }
+    assert got == {
+        1: (9, 8, "tail1"),
+        2: (9, 8, "head"),
+        3: (2, 0, "short doc"),
+    }
+
+
+def test_exact_span_dedup_overlapping_grams_union_coverage(spark):
+    """A 9-word shared span = two overlapping duplicated 8-grams; the
+    covered-position UNION removes all 9 words exactly once, and a doc
+    that is ENTIRELY duplicated cleans to the empty string."""
+    from akka_graph_db_spark.functions import dedup
+
+    span9 = " ".join(f"v{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(10, span9), (11, f"{span9} extra")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.exact_span_dedup(docs, ngram_n=8, min_docs=2).collect()
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_dup_words"], r["clean_text"])
+        for r in rows
+    }
+    assert got == {10: (9, 9, ""), 11: (10, 9, "extra")}
