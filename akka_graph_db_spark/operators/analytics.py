@@ -667,46 +667,50 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
 
 def _oriented_triangles(e: DataFrame) -> DataFrame:
     """All triangles of a canonical (a<b) edge frame as one row (x, y, z)
-    each, via degree-oriented wedge counting: for rank(x) < rank(y) <
-    rank(z), wedge (x→y, x→z) closed by oriented edge y→z.
+    each, via the edge-iterator algorithm on the degree-oriented graph:
+    for every oriented edge (x, y), the triangles through it are the
+    common ORIENTED out-neighbors z ∈ N+(x) ∩ N+(y); each triangle
+    surfaces exactly once, at its lowest-rank corner x.
 
-    The oriented frame feeds three scans (both wedge legs + the closing
-    edge), so it is materialized once via localCheckpoint — re-deriving it
-    would repeat the degree aggregation and orientation joins per scan.
+    Versus the classic wedge self-join (the round-4 implementation):
+    that plan MATERIALIZES every wedge — ~75M shuffled/broadcast-probed
+    rows from 1.2M edges at sf0.1 — before the closing join throws most
+    of them away. Here the same Σ d+² comparisons happen INSIDE a
+    per-row ``array_intersect`` over pre-grouped adjacency arrays, so
+    nothing wedge-sized is ever shuffled, broadcast, or spilled: the
+    only data moved are the oriented edges themselves (twice) and one
+    adjacency-array frame whose total payload is exactly m node ids.
+    Degree orientation still bounds every array at O(sqrt(m)), so no
+    single row's intersection can stall a task (supernode-skew-proof,
+    same argument as before).
 
-    Both the wedge join and the closing join BROADCAST the edge-frame
-    side when it fits (same size gate as link prediction): the probe side
-    of the closing join is the WEDGE frame — orders of magnitude larger
-    than the edges — and a sort-merge join there sorts the whole wedge
-    volume (measured: the dominant cost at sf0.1, where the co-order
-    graph emits ~75M oriented wedges from 1.2M edges). Map-side hash
-    joins never materialize a wedge sort; past the gate the shuffle join
-    is the correct fallback.
+    Join shape: adjacency = groupBy(src) on the oriented frame (one
+    shuffle, reused by the src-side join — same key); the dst-side join
+    re-keys the edge frame once. The adjacency frame broadcasts under
+    the same size gate as link prediction; past it, shuffle joins with
+    exchange reuse are the fallback.
     """
-    o = _degree_oriented(e).localCheckpoint(eager=True)
+    o = _degree_oriented(e).select("src", "dst").localCheckpoint(eager=True)
     n_edges = o.count()  # checkpoint already materialized — cheap
-    e1 = o.select(
-        F.col("src").alias("x"), F.col("dst").alias("y"),
-        F.col("ddeg").alias("_dy"),
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("_nbrs"))
+    adj_u = adj.select(F.col("src"), F.col("_nbrs").alias("_nu"))
+    adj_v = adj.select(
+        F.col("src").alias("dst"), F.col("_nbrs").alias("_nv")
     )
-    e2 = o.select(
-        F.col("src").alias("x"), F.col("dst").alias("z"),
-        F.col("ddeg").alias("_dz"),
-    )
-    e3 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     if n_edges <= _WEDGE_BROADCAST_MAX_EDGES:
-        e2 = F.broadcast(e2)
-        e3 = F.broadcast(e3)
-    # rank(y) < rank(z) counts each wedge once (both wedge legs leave x)
-    wedges = (
-        e1.join(e2, "x")
-        .where(
-            (F.col("_dy") < F.col("_dz"))
-            | ((F.col("_dy") == F.col("_dz")) & (F.col("y") < F.col("z")))
+        adj_u = F.broadcast(adj_u)
+        adj_v = F.broadcast(adj_v)
+    # inner joins: a src always has an adjacency row (its own edge); a
+    # dst without out-edges closes no triangle and may drop.
+    return (
+        o.join(adj_u, "src")
+        .join(adj_v, "dst")
+        .select(
+            F.col("src").alias("x"),
+            F.col("dst").alias("y"),
+            F.explode(F.array_intersect("_nu", "_nv")).alias("z"),
         )
-        .select("x", "y", "z")
     )
-    return wedges.join(e3, ["y", "z"], "inner").select("x", "y", "z")
 
 
 def triangle_count(
