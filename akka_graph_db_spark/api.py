@@ -266,6 +266,22 @@ class GraphDB:
             pairs, top_k, min_common, max_degree=max_degree
         )
 
+    def assortativity(self, edge_labels=None) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.degree_assortativity(pairs)
+
+    def random_walks(
+        self, n_seeds=64, n_steps=4, edge_labels=None, salt="w"
+    ) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.random_walks(pairs, n_seeds, n_steps, salt)
+
     def triplets(self) -> DataFrame:
         return analytics.triplets(self.graph)
 

@@ -79,6 +79,13 @@ HEADLINE = [
     "event_transitions",      # per-user Markov lag pairs
     "basket_lift",            # pair join + in-plan order-count scalar
     "streaming_static_join",  # micro-batch stream-static enrichment
+    "gopher_quality",         # Gopher rule signals (pure expressions)
+    "dedup_minhash_keep_best",  # quality-aware cluster keep
+    "dedup_exact_spans",      # cross-doc 8-gram span removal
+    "tpch_q6",                # pushdown-only scan aggregate
+    "tpch_q5",                # 6-way broadcast-chained join
+    "assortativity_coorder",  # exact-integer degree correlation
+    "random_walks_parts",     # hash-deterministic walk corpus
 ]
 
 
