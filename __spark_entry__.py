@@ -324,6 +324,76 @@ def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     )
 
 
+def _weighted_pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
+    """q_pagerank_weighted's oracle: the _pagerank_oracle chain with the
+    surfer following out-edges proportionally to weight — w = quantity on
+    contains edges, 1.0 elsewhere (the sp_wedges convention, directed).
+    recv = SUM(rank·w/Σ_out w); a node with zero total out-weight is
+    dangling. Float constants via repr(); same left-assoc expression
+    order as the Spark side."""
+    base = 1.0 - damping
+    ctes = [
+        f"""wpr_edges AS MATERIALIZED (
+            SELECT n_nationkey + {NATION_BASE} AS src,
+                   n_regionkey + {REGION_BASE} AS dst,
+                   CAST(1.0 AS DOUBLE) AS w FROM nation
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE},
+                   c_nationkey + {NATION_BASE}, 1.0 FROM customer
+            UNION ALL
+            SELECT s_suppkey + {SUPPLIER_BASE},
+                   s_nationkey + {NATION_BASE}, 1.0 FROM supplier
+            UNION ALL
+            SELECT o_custkey + {CUSTOMER_BASE},
+                   o_orderkey + {ORDER_BASE}, 1.0 FROM orders
+            UNION ALL
+            SELECT l_orderkey + {ORDER_BASE}, l_partkey + {PART_BASE},
+                   CAST(l_quantity AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_partkey + {PART_BASE}, l_suppkey + {SUPPLIER_BASE},
+                   1.0
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        )""",
+        """wpr_nodes AS MATERIALIZED (
+            SELECT n.id, COALESCE(ow.s, 0) AS out_w
+            FROM nodes_v n
+            LEFT JOIN (SELECT src, SUM(w) AS s FROM wpr_edges GROUP BY 1)
+              ow ON n.id = ow.src
+        )""",
+        "wpr_n AS MATERIALIZED (SELECT COUNT(*) AS n FROM wpr_nodes)",
+        """wr0 AS MATERIALIZED (
+            SELECT id, out_w, CAST(1.0 AS DOUBLE) AS rank
+            FROM wpr_nodes)""",
+    ]
+    for k in range(n_iter):
+        ctes.append(f"""wr{k + 1} AS MATERIALIZED (
+            SELECT n.id, n.out_w,
+                   {base!r} + {damping!r} *
+                     (COALESCE(c.recv, 0) + d.dang / wpr_n.n) AS rank
+            FROM wpr_nodes n
+            CROSS JOIN wpr_n
+            CROSS JOIN (SELECT COALESCE(SUM(rank), 0) AS dang
+                        FROM wr{k} WHERE out_w = 0) d
+            LEFT JOIN (
+                SELECT e.dst AS id, SUM(r.rank * e.w / r.out_w) AS recv
+                FROM wpr_edges e JOIN wr{k} r ON e.src = r.id
+                WHERE r.out_w > 0
+                GROUP BY e.dst
+            ) c ON n.id = c.id
+        )""")
+    return (
+        _GRAPH_WITH
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id, ROUND(rank, 6) AS rank FROM (
+            SELECT id, rank FROM wr{n_iter}
+            ORDER BY rank DESC, id LIMIT 20
+        )
+        """
+    )
+
+
 def _hits_oracle(n_iter: int = 8) -> str:
     """q_hits_top20's oracle: HITS unrolled as DuckDB CTEs over the
     derived graph — per half-step, sum incoming scores then L1-normalize
@@ -1031,6 +1101,45 @@ def q_random_walks_parts(spark, sf_dir):
     step-for-step."""
     return analytics.random_walks(
         _coorder_pairs(spark, sf_dir), n_seeds=64, n_steps=4, salt="w"
+    )
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank over the full directed graph, 6 fixed
+    iterations, edge weight = the `quantity` prop (contains edges carry
+    it, everything else defaults to 1.0 — the sssp_weighted convention).
+    The random surfer follows out-edges proportionally to weight;
+    oracled against an unrolled DuckDB CTE chain with identical
+    rank·w/Σw and dangling-mass math."""
+    g = _g(spark, sf_dir)
+    pr = analytics.pagerank(g, n_iter=6, weight="quantity")
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
+
+
+def q_harmonic_parts(spark, sf_dir):
+    """Sampled harmonic centrality on the part co-order graph: hop
+    distances from the 8 lowest part ids (landmark BFS, depth ≤ 3 — the
+    Eppstein-Wang sampled-centrality estimator), harmonic score =
+    Σ 1/dist over reached landmarks. Top-20 by ROUNDED score then id, so
+    the cross-engine sort never depends on sub-ulp float differences."""
+    d = analytics.landmark_hop_distances(
+        _coorder_pairs(spark, sf_dir), landmarks=8, max_depth=3
+    )
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias(
+                "harmonic"
+            ),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+        .orderBy(F.col("harmonic").desc(), "id")
+        .limit(20)
     )
 
 
@@ -2644,6 +2753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
+        "pagerank_weighted": q_pagerank_weighted,
+        "harmonic_parts": q_harmonic_parts,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -2957,6 +3068,38 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_geo": _CC_GEO_ORACLE,
         "connected_components_two_phase_geo": _CC_GEO_ORACLE,
         "pagerank_top20": _pagerank_oracle(n_iter=10, damping=0.85),
+        "pagerank_weighted": _weighted_pagerank_oracle(
+            n_iter=6, damping=0.85
+        ),
+        # Multi-source BFS as ONE recursive CTE (landmark rides along in
+        # the working set); MIN(d) per (landmark, node) = first hit; the
+        # top-20 sort runs on the ROUNDED score in both engines.
+        "harmonic_parts": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            seeds AS (
+              SELECT a FROM (SELECT DISTINCT a FROM sym)
+              ORDER BY a LIMIT 8
+            ),
+            bfs(s, id, d) AS (
+              SELECT a, a, 0 FROM seeds
+              UNION
+              SELECT bfs.s, sym.b, bfs.d + 1
+              FROM bfs JOIN sym ON bfs.id = sym.a
+              WHERE bfs.d < 3
+            ),
+            md AS (SELECT s, id, MIN(d) AS d FROM bfs GROUP BY s, id)
+            SELECT id, ROUND(SUM(1.0 / d), 6) AS harmonic,
+                   COUNT(*) AS n_reached
+            FROM md WHERE d > 0
+            GROUP BY id
+            ORDER BY harmonic DESC, id LIMIT 20
+        """,
         "sssp_weighted": _sssp_weighted_oracle(max_hops=4),
         "khop_features": f"""
             {_GRAPH_WITH},

@@ -209,8 +209,21 @@ class GraphDB:
     def connected_components(self, edge_labels=None, max_iter=50) -> DataFrame:
         return analytics.connected_components(self.graph, edge_labels, max_iter)
 
-    def pagerank(self, edge_labels=None, damping=0.85, n_iter=10) -> DataFrame:
-        return analytics.pagerank(self.graph, edge_labels, damping, n_iter)
+    def pagerank(
+        self, edge_labels=None, damping=0.85, n_iter=10, weight=None
+    ) -> DataFrame:
+        return analytics.pagerank(
+            self.graph, edge_labels, damping, n_iter, weight
+        )
+
+    def landmark_distances(
+        self, landmarks=8, max_depth=4, edge_labels=None
+    ) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.landmark_hop_distances(pairs, landmarks, max_depth)
 
     def match_path(self, edge_labels, directed: bool = True) -> DataFrame:
         return analytics.match_path(self.graph, edge_labels, directed)

@@ -275,18 +275,42 @@ def pagerank(
     edge_labels: Sequence[str] | None = None,
     damping: float = 0.85,
     n_iter: int = 10,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank with fixed iteration count (deterministic), directed edges.
 
     Returns (id, rank); ranks sum to ~N (GraphX convention: initial rank 1.0
     per node, dangling mass redistributed uniformly). Each superstep is one
     join + one groupBy, both on node id.
+
+    ``weight``: an edge property name decoded as double (missing values
+    default to 1.0, the :func:`shortest_paths` convention) — the random
+    surfer follows out-edges proportionally to weight (contribution =
+    rank·w/Σ_out w). ``None`` keeps the exact unweighted math (division by
+    the integer out-degree) — same IEEE ops as before the knob existed.
+    Weights are assumed non-negative; a node whose total out-weight is 0
+    is dangling.
     """
-    edges = _edge_pairs(g, edge_labels, directed=True).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if weight is None:
+        edges = _edge_pairs(g, edge_labels, directed=True)
+        out_agg = F.count(F.lit(1))
+    else:
+        from akka_graph_db_spark.model import prop_double
+
+        e = g.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        edges = e.select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.coalesce(prop_double("props", weight), F.lit(1.0)).alias(
+                "w"
+            ),
+        )
+        out_agg = F.sum("w")
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     out_deg = edges.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_degree")
+        out_agg.alias("out_degree")
     )
     nodes = (
         g.nodes.select("id")
@@ -309,13 +333,15 @@ def pagerank(
                 if n <= _CC_BROADCAST_MAX_VERTICES
                 else state
             )
+            contrib = (
+                F.col("rank") / F.col("out_degree")
+                if weight is None
+                else (F.col("rank") * F.col("w")) / F.col("out_degree")
+            )
             contribs = (
                 edges.join(st, edges["a"] == st["id"], "inner")
                 .where(F.col("out_degree") > 0)
-                .select(
-                    F.col("b").alias("id"),
-                    (F.col("rank") / F.col("out_degree")).alias("contrib"),
-                )
+                .select(F.col("b").alias("id"), contrib.alias("contrib"))
                 .groupBy("id")
                 .agg(F.sum("contrib").alias("recv"))
             )
@@ -1349,3 +1375,77 @@ def random_walks(
         )
     finally:
         sym.unpersist()
+
+
+def landmark_hop_distances(
+    pairs: DataFrame,
+    landmarks: int | Sequence[int] = 8,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Hop distances from a landmark set over an undirected (a, b) pair
+    frame — GraphX's ``shortestPaths`` (landmark BFS) in DataFrame form,
+    and the estimator substrate for sampled centralities
+    (Eppstein-Wang 2001). Returns (landmark, id, dist) for every node
+    within ``max_depth`` hops of each landmark; dist is the FIRST-hit
+    (minimum) hop count, landmark rows themselves carry dist 0.
+
+    ``landmarks``: an explicit id sequence, or an int k meaning "the k
+    lowest node ids that have at least one edge" (picked in-plan — no
+    driver-side id collection).
+
+    Scale shape: one BFS frontier per landmark advances CONCURRENTLY in
+    the same superstep join (state rows are (landmark, node) pairs, so k
+    landmarks cost one k×-wider frontier, not k sequential BFS runs).
+    Per step: frontier ⋈ adjacency, per-layer distinct, anti-join
+    against the visited set — all keyed on node id — with periodic
+    localCheckpoint truncation, the traverse.py loop pattern. Visited
+    state is bounded by k·|V|; keep k modest (its purpose is sampling,
+    not all-pairs).
+    """
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted: list[DataFrame] = []
+    try:
+        if isinstance(landmarks, int):
+            seed_ids = (
+                sym.select("a").distinct().orderBy("a").limit(landmarks)
+            )
+        else:
+            seed_ids = sym.sparkSession.createDataFrame(
+                [(int(x),) for x in landmarks], "a bigint"
+            )
+        visited = seed_ids.select(
+            F.col("a").alias("landmark"),
+            F.col("a").alias("id"),
+            F.lit(0).alias("dist"),
+        ).localCheckpoint(eager=True)
+        frontier = visited
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(sym, frontier["id"] == sym["a"], "inner")
+                .select("landmark", F.col("b").alias("id"))
+                .distinct()
+                .join(visited, ["landmark", "id"], "left_anti")
+                .select("landmark", "id", F.lit(d).alias("dist"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            if nxt.isEmpty():
+                nxt.unpersist()
+                break
+            visited = visited.unionByName(nxt).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.extend([nxt, visited])
+            if d % _CHECKPOINT_EVERY == 0:
+                visited = visited.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
+            frontier = nxt
+        return visited.localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
+        for df in persisted:
+            df.unpersist()

@@ -86,6 +86,8 @@ HEADLINE = [
     "tpch_q5",                # 6-way broadcast-chained join
     "assortativity_coorder",  # exact-integer degree correlation
     "random_walks_parts",     # hash-deterministic walk corpus
+    "pagerank_weighted",      # weight-proportional surfer, 6 supersteps
+    "harmonic_parts",         # landmark BFS + sampled centrality
 ]
 
 

@@ -401,3 +401,58 @@ def test_random_walks_triangle_matches_hash_replay(spark):
         r["walk_id"]: [r[f"step_{t}"] for t in range(5)] for r in rows
     }
     assert got == expected
+
+
+def test_pagerank_weighted_closed_form(spark):
+    """1->2 (w=2) and 1->3 (w=6), one iteration: node 1's rank splits
+    1/4 : 3/4 by weight; 2 and 3 are dangling (mass 2.0 over n=3)."""
+    import pytest
+
+    from akka_graph_db_spark.model import PropertyGraph
+
+    g = PropertyGraph(
+        nodes=spark.createDataFrame(
+            [(1, "n", None), (2, "n", None), (3, "n", None)],
+            "id bigint, label string, props map<string,string>",
+        ),
+        edges=spark.createDataFrame(
+            [
+                (10, "e", 1, 2, {"w": "2"}),
+                (11, "e", 1, 3, {"w": "6"}),
+            ],
+            "id bigint, label string, src bigint, dst bigint,"
+            " props map<string,string>",
+        ),
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in analytics.pagerank(g, n_iter=1, weight="w").collect()
+    }
+    base, d = 1.0 - 0.85, 0.85
+    dang = 2.0 / 3
+    assert got[1] == pytest.approx(base + d * dang)
+    assert got[2] == pytest.approx(base + d * (0.25 + dang))
+    assert got[3] == pytest.approx(base + d * (0.75 + dang))
+
+
+def test_landmark_hop_distances_path(spark):
+    """Path 1-2-3-4-5, landmarks {1, 5}, depth 2: first-hit hop counts
+    from each landmark; nodes beyond the depth bound are absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    rows = analytics.landmark_hop_distances(
+        pairs, landmarks=[1, 5], max_depth=2
+    ).collect()
+    got = {(r["landmark"], r["id"]): r["dist"] for r in rows}
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2,
+        (5, 5): 0, (5, 4): 1, (5, 3): 2,
+    }
+
+    one = analytics.landmark_hop_distances(
+        pairs, landmarks=1, max_depth=1
+    ).collect()
+    assert {(r["landmark"], r["id"]): r["dist"] for r in one} == {
+        (1, 1): 0, (1, 2): 1
+    }
