@@ -394,6 +394,71 @@ def _weighted_pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
     )
 
 
+def _kmeans_oracle(k: int = 8, n_iter: int = 3, grid: int = 10**6) -> str:
+    """q_kmeans_embeddings' oracle: quantized-grid Lloyd unrolled in SQL.
+
+    Exactness argument (why a float clustering can hash-match at all):
+    coordinates are integers on the 1e-6 grid, squared norms stay below
+    2^53, so even DuckDB's double-domain list_dot_product is EXACT and
+    order-independent — d² values equal Spark's int64 matmul bit-for-bit,
+    and argmin ties break identically (ORDER BY d2, c == numpy first
+    min). Centroid updates are exact integer sums re-quantized with the
+    same floor(s/n + 0.5)."""
+    dist = (
+        "list_dot_product(q.v, q.v) + list_dot_product(cc.v, cc.v)"
+        " - 2 * list_dot_product(q.v, cc.v)"
+    )
+    ctes = [
+        f"""kq AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) * {grid})
+                               AS BIGINT)) AS v
+            FROM embeddings
+        )""",
+        f"""kc0 AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+            FROM (SELECT vec_id, v FROM kq ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""ka{i} AS MATERIALIZED (
+            SELECT vec_id, c, CAST(d AS BIGINT) AS d2 FROM (
+              SELECT q.vec_id, cc.c, {dist} AS d,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                        ORDER BY {dist}, cc.c) AS rn
+              FROM kq q CROSS JOIN kc{i - 1} cc
+            ) WHERE rn = 1
+        )""")
+        if i == n_iter:
+            break  # the final assignment is the output; no update needed
+        ctes.append(f"""ku{i} AS MATERIALIZED (
+            SELECT c, pos, SUM(v[pos]) AS s, COUNT(*) AS n FROM (
+              SELECT a.c AS c, q.v AS v,
+                     unnest(range(1, len(q.v) + 1)) AS pos
+              FROM ka{i} a JOIN kq q USING (vec_id)
+            ) GROUP BY c, pos
+        )""")
+        ctes.append(f"""kc{i} AS MATERIALIZED (
+            SELECT p.c, COALESCE(nv.v, p.v) AS v
+            FROM kc{i - 1} p LEFT JOIN (
+              SELECT c, list(CAST(FLOOR(s / n + 0.5) AS BIGINT)
+                             ORDER BY pos) AS v
+              FROM ku{i} GROUP BY c
+            ) nv ON p.c = nv.c
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT c AS cluster, COUNT(*) AS n_members,
+               CAST(SUM(d2) AS BIGINT) AS inertia,
+               MIN(vec_id) AS min_member
+        FROM ka{n_iter} GROUP BY c ORDER BY c
+        """
+    )
+
+
 def _hits_oracle(n_iter: int = 8) -> str:
     """q_hits_top20's oracle: HITS unrolled as DuckDB CTEs over the
     derived graph — per half-step, sum incoming scores then L1-normalize
@@ -1117,6 +1182,26 @@ def q_pagerank_weighted(spark, sf_dir):
         pr.orderBy(F.col("rank").desc(), F.col("id"))
         .limit(20)
         .select("id", F.round("rank", 6).alias("rank"))
+    )
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Bit-reproducible k-means (k=8, 3 Lloyd iterations) over the
+    embeddings corpus on the 1e-6 integer grid — every distance an exact
+    int64 sum of squares, so clustering (and the exact per-cluster
+    inertia) is identical across engines, partitionings, and summation
+    orders; oracled against a fully unrolled SQL replica. The trainer
+    that completes similarity.ivf_assignments' seed quantizer."""
+    emb = read_embeddings(spark, sf_dir)
+    assigned, _ = similarity.kmeans_quantized(emb, k=8, n_iter=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d2").alias("inertia"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .orderBy("cluster")
     )
 
 
@@ -2755,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_parts": q_random_walks_parts,
         "pagerank_weighted": q_pagerank_weighted,
         "harmonic_parts": q_harmonic_parts,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -3071,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _weighted_pagerank_oracle(
             n_iter=6, damping=0.85
         ),
+        "kmeans_embeddings": _kmeans_oracle(k=8, n_iter=3),
         # Multi-source BFS as ONE recursive CTE (landmark rides along in
         # the working set); MIN(d) per (landmark, node) = first hit; the
         # top-20 sort runs on the ROUNDED score in both engines.

@@ -416,3 +416,117 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "qcos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible k-means (quantized-grid Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+def kmeans_quantized(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = 1_000_000,
+):
+    """Lloyd's k-means with BIT-REPRODUCIBLE arithmetic: coordinates are
+    quantized to an integer grid (``round(x·grid)``, lossless at float32
+    input precision for grid=1e6), so every distance is an exact int64
+    sum of squares and every comparison/tie-break is order-independent —
+    the same clusters fall out on any partitioning, any cluster size,
+    and any engine (a SQL replica reproduces the run hash-for-hash;
+    squared norms stay < 2^53, so even double-domain dot products are
+    exact). The un-quantized alternative is nondeterministic in the
+    last ulp through summation order, which Lloyd's argmin can amplify
+    into different clusterings.
+
+    Init: the ``k`` lowest-``id_col`` rows (the ivf_assignments seed
+    convention). Update: per-dimension exact integer sums, re-quantized
+    via floor(sum/n + 0.5); a cluster that loses all members KEEPS its
+    previous centroid (indices stay stable). Assignment is a numpy
+    int64 matmul per Arrow batch (exact), argmin ties to the lowest
+    cluster index.
+
+    Returns (assignments DataFrame (id, cluster, d2), centroids list) —
+    d2 is the exact squared grid-distance to the winning centroid.
+    Scale: the only shuffles are the k×dim-row update aggregations; the
+    centroid set stays driver-sized by construction (same contract as
+    :func:`ivf_assignments`).
+    """
+    q = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * grid, 0).cast("bigint"),
+        ).alias("_qv"),
+    ).persist()
+    try:
+        cents = [
+            list(r["_qv"])
+            for r in q.orderBy(id_col).limit(k).collect()
+        ]
+        assigned = None
+        for it in range(n_iter):
+            assigned = _kmeans_assign(q, cents, id_col)
+            if it == n_iter - 1:
+                break  # final assignment is the result; no update follows
+            sums = (
+                assigned.join(q, id_col)
+                .select("cluster", F.posexplode("_qv").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            import math
+
+            by_c: dict = {}
+            for r in sums:
+                by_c.setdefault(r["cluster"], {})[r["pos"]] = (
+                    r["s"], r["n"]
+                )
+            cents = [
+                (
+                    [
+                        int(math.floor(by_c[c][p][0] / by_c[c][p][1] + 0.5))
+                        for p in range(len(cents[c]))
+                    ]
+                    if c in by_c
+                    else cents[c]
+                )
+                for c in range(len(cents))
+            ]
+        return assigned, cents
+    finally:
+        q.unpersist()
+
+
+def _kmeans_assign(q: DataFrame, cents, id_col: str) -> DataFrame:
+    """argmin_c ||v - c||² on the integer grid — exact int64 math,
+    first-minimum tie-break (== ORDER BY d2, cluster)."""
+    cmat = [list(c) for c in cents]
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.int64)          # k x dim
+        cn = (C * C).sum(axis=1)                      # k
+        for pdf in batches:
+            V = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["_qv"]]
+            )
+            vn = (V * V).sum(axis=1)                  # b
+            d2 = vn[:, None] + cn[None, :] - 2 * (V @ C.T)
+            best = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": best.astype("int32"),
+                    "d2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return q.mapInPandas(
+        _assign, schema=f"{id_col} bigint, cluster int, d2 bigint"
+    )

@@ -510,3 +510,54 @@ def delta_from_graphs(old: PropertyGraph, new: PropertyGraph) -> GraphDelta:
     n_up, n_del = _diff(old.nodes, new.nodes, NODE_CORE_COLS)
     e_up, e_del = _diff(old.edges, new.edges, EDGE_CORE_COLS)
     return GraphDelta(n_up, e_up, n_del, e_del)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed adjacency tables (co-located joins)
+# ---------------------------------------------------------------------------
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "str | list[str]" = "src",
+    n_buckets: int = 64,
+    sort_cols: "str | list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED (and optionally sorted) parquet
+    catalog table — the co-location layout for the hot join keys.
+
+    Two tables bucketed the same way join WITHOUT an Exchange on either
+    side, and a groupBy on the bucket columns aggregates without a
+    shuffle: at 100 TB this converts every frontier⋈adjacency and
+    adjacency self-join from a full-data shuffle into a local per-bucket
+    merge (Spark reads matching buckets pairwise). ``sort_cols``
+    additionally pre-sorts rows within each bucket file so sort-merge
+    joins skip their sort.
+
+    OSS Spark only tracks bucketing through the session catalog
+    (``saveAsTable`` — path-based ``parquet(path)`` writes cannot record
+    bucket metadata), so callers address the result by TABLE NAME. With
+    the default in-memory catalog the metadata lives for the session; on
+    a cluster back the catalog with a metastore and the layout is
+    permanent. Pick ``n_buckets`` so one bucket of the largest table
+    fits an executor core's working memory (~shuffle-partition sizing).
+
+    The reference has no physical layout control at all (storage is
+    delegated wholesale, Neo4jGraph.scala:150-154); this is the
+    §1.4/§4 "partition the tables" scale path.
+    """
+    bucket_cols = (
+        [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    )
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        sort_cols = (
+            [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        )
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -88,6 +88,7 @@ HEADLINE = [
     "random_walks_parts",     # hash-deterministic walk corpus
     "pagerank_weighted",      # weight-proportional surfer, 6 supersteps
     "harmonic_parts",         # landmark BFS + sampled centrality
+    "kmeans_embeddings",      # quantized-grid Lloyd training
 ]
 
 

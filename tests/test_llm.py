@@ -931,3 +931,33 @@ def test_exact_span_dedup_overlapping_grams_union_coverage(spark):
         for r in rows
     }
     assert got == {10: (9, 9, ""), 11: (10, 9, "extra")}
+
+
+def test_kmeans_quantized_two_groups_exact(spark):
+    """Two well-separated pairs, one seed in each (ids 1, 2): membership
+    is obvious and the grid arithmetic makes the inertia EXACT — each
+    point sits 50000 grid units from its centroid in both dims."""
+    from akka_graph_db_spark.functions import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [10.0, 10.0]),
+            (3, [0.1, 0.1]),
+            (4, [9.9, 9.9]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    assigned, cents = similarity.kmeans_quantized(
+        emb, k=2, n_iter=3, grid=1_000_000
+    )
+    rows = assigned.collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert clusters == {0: {1, 3}, 1: {2, 4}}
+    # centroid of {(0,0), (100000,100000)} grid pts = (50000, 50000)
+    assert cents[0] == [50_000, 50_000]
+    assert cents[1] == [9_950_000, 9_950_000]
+    d2 = {r["vec_id"]: r["d2"] for r in rows}
+    assert all(v == 2 * 50_000**2 for v in d2.values())
