@@ -1367,6 +1367,57 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_keep_source(spark, sf_dir):
+    """Near-dup dedup keeping the copy from the MOST-PREFERRED SOURCE
+    (lowest srcN index; doc_id ties) — the multi-corpus merge policy
+    ('prefer the curated dump over the web crawl'). Exercises the
+    NON-text-derived score path of the keep-policy-aware exact-dup
+    collapse. Oracle: the recursive-closure components with the same
+    (source priority, doc_id) survivor sort."""
+    docs = read_documents(spark, sf_dir).withColumn(
+        "_prio",
+        -F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"),
+    )
+    return dedup.minhash_dedup_keep(
+        docs, threshold=0.9, linkage="pairs",
+        keep="max_score", score_col="_prio",
+    )
+
+
+def q_curriculum_shards(spark, sf_dir):
+    """Quality-curriculum sharding: globally rank the corpus by the
+    composite quality score (DISTRIBUTED ranking — global_rank's
+    range-repartition + per-partition offsets, never a single-partition
+    window), cut the (score desc, doc_id) total order into 4 equal
+    shards by integer rank arithmetic, and report per-shard size and
+    exact stats — the 'sort by quality, train easy-to-hard' layout."""
+    from akka_graph_db_spark.functions.ranking import global_rank
+
+    docs = read_documents(spark, sf_dir)
+    scored = textf.quality_features(docs)
+    ranked = global_rank(
+        scored,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        rank_col="_rnk",
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "shard",
+            F.expr("CAST((_rnk - 1) * 4 DIV _n AS BIGINT) + 1"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.min("quality_score"), 6).alias("min_quality"),
+            F.round(F.max("quality_score"), 6).alias("max_quality"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_dedup_exact_spans(spark, sf_dir):
     """Exact duplicated-span removal (word-granular ExactSubstr): every
     8-gram of words appearing in >= 2 distinct documents is deleted from
@@ -2841,6 +2892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "harmonic_parts": q_harmonic_parts,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "dedup_keep_source": q_dedup_keep_source,
+        "curriculum_shards": q_curriculum_shards,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -3158,6 +3211,92 @@ def oracle_sql() -> dict[str, str]:
             n_iter=6, damping=0.85
         ),
         "kmeans_embeddings": _kmeans_oracle(k=8, n_iter=3),
+        # Same closure as dedup_minhash_keep_best; survivor sorted by
+        # source priority (lowest srcN) instead of n_chars.
+        "dedup_keep_source": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id,
+                               list_distinct({_TOK}) AS toks FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.9
+            ),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            ),
+            comp AS (
+              SELECT d.doc_id,
+                     LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id))
+                       AS component
+              FROM t d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id FROM (
+              SELECT c.doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY CAST(regexp_extract(dd.source,
+                                     '([0-9]+)', 1) AS INT),
+                                c.doc_id) AS rn
+              FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+            ) WHERE rn = 1
+        """,
+        # quality_score formula == the certified quality_topk oracle;
+        # shard = equal-size cut of the (score desc, doc_id) total
+        # order by integer rank arithmetic.
+        "curriculum_shards": f"""
+            WITH t AS (
+              SELECT doc_id, n_chars, text, {_TOK} AS toks,
+                     len(text) AS nc FROM documents
+            ),
+            f AS (
+              SELECT doc_id, n_chars,
+                     len(toks) AS n_tokens,
+                     CASE WHEN nc > 0
+                          THEN len(regexp_replace(text, '[A-Za-z0-9\\s]',
+                                                  '', 'g'))
+                               / CAST(nc AS DOUBLE)
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, x -> list_contains(
+                                 ['the','a','of','and','to','in','is',
+                                  'that','it','for'], x)))
+                               / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS stopword_ratio
+              FROM t
+            ),
+            s AS (
+              SELECT doc_id, n_chars,
+                     LEAST(n_tokens / 50.0, 1.0) * 0.4
+                     + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+                     + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+                       AS quality_score
+              FROM f
+            ),
+            r AS (
+              SELECT doc_id, n_chars, quality_score,
+                     ROW_NUMBER() OVER (ORDER BY quality_score DESC,
+                                        doc_id) AS rnk,
+                     COUNT(*) OVER () AS n
+              FROM s
+            )
+            SELECT shard, COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars,
+                   ROUND(MIN(quality_score), 6) AS min_quality,
+                   ROUND(MAX(quality_score), 6) AS max_quality
+            FROM (SELECT ((rnk - 1) * 4) // n + 1 AS shard,
+                         n_chars, quality_score FROM r)
+            GROUP BY shard ORDER BY shard
+        """,
         # Multi-source BFS as ONE recursive CTE (landmark rides along in
         # the working set); MIN(d) per (landmark, node) = first hit; the
         # top-20 sort runs on the ROUNDED score in both engines.

@@ -487,11 +487,12 @@ def minhash_dedup_keep(
     ``"max_score"`` — the member with the highest ``score_col`` value
     (min id on ties), e.g. ``score_col="n_chars"`` keeps the most
     complete version of a near-dup family, the usual curation choice.
-    With pairs linkage the exact-dup collapse stays correct under
-    ``max_score``: identical texts score identically (any per-text
-    score), so the min-id representative of an exact group is exactly
-    the member a full-corpus min-id-tiebreak argmax would pick
-    (``score_col`` must therefore be text-derived under pairs linkage).
+    With pairs linkage the exact-dup collapse is KEEP-POLICY-AWARE:
+    each identical-text group is collapsed to the member the survivor
+    rule itself would pick (argmax (score, -id) under ``max_score``), so
+    lexicographic-max associativity makes the collapse component-
+    preserving for ANY score column — text-derived (n_chars) or not
+    (source priority).
 
     Two linkage strategies over the LSH candidate graph:
 
@@ -553,25 +554,48 @@ def minhash_dedup_keep(
         )
 
     if linkage == "pairs":
-        # Exact-dup collapse (see docstring): min-(id, text) struct per
-        # text digest keeps the representative's text for the signature
-        # pass. localCheckpoint so the collapse shuffle isn't re-run by
-        # the pair stage's second source scan (projection collapse would
+        # Exact-dup collapse (see docstring), KEEP-POLICY-AWARE: the
+        # representative of each identical-text group is the member the
+        # survivor rule itself would pick (min id, or argmax score with
+        # min-id ties) — so the collapse is component-preserving for ANY
+        # score column, text-derived or not (e.g. source priority).
+        # localCheckpoint so the collapse shuffle isn't re-run by the
+        # pair stage's second source scan (projection collapse would
         # otherwise re-inline it).
-        reps = (
-            df.select(F.col(id_col), F.col(text_col))
-            .groupBy(F.sha2(F.col(text_col), 256).alias("_digest"))
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col(id_col).alias(id_col),
-                        F.col(text_col).alias(text_col),
-                    )
-                ).alias("_r")
+        if keep == "min_id":
+            rep_struct = F.min(
+                F.struct(
+                    F.col(id_col).alias(id_col),
+                    F.col(text_col).alias(text_col),
+                )
             )
-            .select(f"_r.{id_col}", f"_r.{text_col}")
-            .localCheckpoint(eager=False)
+            rep_cols = [f"_r.{id_col}", f"_r.{text_col}"]
+            base_cols = [F.col(id_col), F.col(text_col)]
+            rep_sel = None
+        else:
+            rep_struct = F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("nid"),
+                    F.col(text_col).alias(text_col),
+                )
+            )
+            base_cols = [
+                F.col(id_col), F.col(text_col), F.col(score_col)
+            ]
+            rep_sel = [
+                (-F.col("_r.nid")).alias(id_col),
+                F.col(f"_r.{text_col}").alias(text_col),
+            ]
+            rep_cols = None
+        reps = (
+            df.select(*base_cols)
+            .groupBy(F.sha2(F.col(text_col), 256).alias("_digest"))
+            .agg(rep_struct.alias("_r"))
         )
+        reps = (
+            reps.select(*rep_cols) if rep_cols else reps.select(*rep_sel)
+        ).localCheckpoint(eager=False)
         verified = minhash_dedup_pairs(
             reps, text_col, id_col, threshold, num_perm, bands, shingle_n,
             arrow,

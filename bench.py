@@ -89,6 +89,8 @@ HEADLINE = [
     "pagerank_weighted",      # weight-proportional surfer, 6 supersteps
     "harmonic_parts",         # landmark BFS + sampled centrality
     "kmeans_embeddings",      # quantized-grid Lloyd training
+    "dedup_keep_source",      # source-priority near-dup keep
+    "curriculum_shards",      # distributed global rank + shard cut
 ]
 
 

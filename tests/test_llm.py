@@ -961,3 +961,32 @@ def test_kmeans_quantized_two_groups_exact(spark):
     assert cents[1] == [9_950_000, 9_950_000]
     d2 = {r["vec_id"]: r["d2"] for r in rows}
     assert all(v == 2 * 50_000**2 for v in d2.values())
+
+
+def test_minhash_keep_source_priority_exact_dup(spark):
+    """Exact duplicates in DIFFERENT sources: the keep-policy-aware
+    collapse must keep the PREFERRED source's copy even though the
+    other has the lower doc_id (the old min-id collapse would have
+    dropped it before scores were consulted)."""
+    from akka_graph_db_spark.functions import dedup
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, text, "src5"),
+            (2, text, "src1"),
+            (3, "totally different words here now", "src9"),
+        ],
+        "doc_id bigint, text string, source string",
+    ).withColumn(
+        "_prio",
+        -F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"),
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_keep(
+            docs, threshold=0.9, linkage="pairs",
+            keep="max_score", score_col="_prio",
+        ).collect()
+    )
+    assert kept == [2, 3]
