@@ -2884,8 +2884,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_keep_best": q_dedup_minhash_keep_best,
         "dedup_exact_spans": q_dedup_exact_spans,
         "tpch_q6": q_tpch_q6,
-        # --- certification window ends here (50 entries). Round-5
-        # additions below are local-green; rotate forward in round 6.
+        # --- certification window ends here (50 entries; r4∪r5 driver
+        # rows then cover 100 distinct queries). The 8 round-5 additions
+        # below are local-green (tools/check_correctness.py, sf0.01) and
+        # MUST rotate into the first 50 slots in round 6: tpch_q5,
+        # assortativity_coorder, random_walks_parts, pagerank_weighted,
+        # harmonic_parts, kmeans_embeddings, dedup_keep_source,
+        # curriculum_shards.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,

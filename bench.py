@@ -94,6 +94,33 @@ HEADLINE = [
 ]
 
 
+def _calibrate(cpus: int) -> float:
+    """Fixed reference workload (CPU-bound agg + one shuffle), identical
+    every round: the host this bench runs on shows 1-4x wall-clock swings
+    from hypervisor contention (measured same-code/same-data variance
+    within minutes), so per-query numbers are only comparable ACROSS
+    rounds after dividing by this calibration time."""
+    from akka_graph_db_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="bench-cal", cpus=cpus, shuffle_partitions=cpus
+    )
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JIT warm
+    t0 = time.time()
+    spark.range(300_000_000).select(
+        F.sum(F.col("id") * 3 % 7)
+    ).collect()
+    (
+        spark.range(8_000_000)
+        .groupBy((F.col("id") % 4096).alias("k"))
+        .agg(F.count(F.lit(1)))
+        .agg(F.sum("k"))
+        .collect()
+    )
+    return round(time.time() - t0, 3)
+
+
 def _run_query(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
     """Child body: one Spark session, time each named query."""
     from akka_graph_db_spark.session import get_spark
@@ -134,6 +161,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--calibrate":
+        print(
+            _CHILD_MARK + json.dumps({"_cal": _calibrate(cpus)}),
+            flush=True,
+        )
+        return
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         timings = _run_query(sys.argv[2:], sf_dir, cpus)
         print(_CHILD_MARK + json.dumps(timings), flush=True)
@@ -168,6 +201,17 @@ def main() -> None:
         [q for q in subset.split(",") if q] if subset else HEADLINE
     )
 
+    def _cal_child() -> float:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--calibrate"],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith(_CHILD_MARK):
+                return json.loads(line[len(_CHILD_MARK):])["_cal"]
+        return -1.0
+
+    cal_start = _cal_child()
     timings: dict[str, float] = {}
     for name in headline:
         proc = subprocess.run(
@@ -189,6 +233,7 @@ def main() -> None:
             )
         timings.update(got)
 
+    cal_end = _cal_child()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -199,6 +244,10 @@ def main() -> None:
                 "queries": timings,
                 "graph_ingest_sec": ingest,
                 "isolation": "subprocess-per-query",
+                # Fixed reference workload timed before/after the query
+                # sweep: the host shows 1-4x contention swings, so
+                # cross-round comparisons should normalize by this.
+                "calibration_sec": {"start": cal_start, "end": cal_end},
                 "sf": sf,
             }
         )
