@@ -91,6 +91,22 @@ def list_versions(root: str, spark: SparkSession | None = None) -> list[int]:
     return [v for v, _ in list_version_kinds(root, spark)]
 
 
+def _all_version_dirs(root: str, spark: SparkSession) -> list[int]:
+    """EVERY v=N directory under root, complete or not — the allocation
+    view. New versions must skip past crashed writers' leftovers (which
+    readers ignore), or the next save collides with the junk directory."""
+    fs, jroot = _fs_and_path(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for status in fs.listStatus(jroot):
+        if status.isDirectory():
+            m = _V_RE.match(status.getPath().getName())
+            if m:
+                out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def list_version_kinds(
     root: str, spark: SparkSession | None = None
 ) -> list[tuple[int, str]]:
@@ -147,10 +163,12 @@ def save_snapshot(
     if columns not in ("core", "all"):
         raise ValueError(f"columns must be 'core' or 'all', got {columns!r}")
     spark = g.nodes.sparkSession
-    versions = list_versions(root, spark)
+    # allocate past EVERY existing v= dir, complete or crashed-partial —
+    # readers skip junk versions, writers must never collide with them
+    all_dirs = _all_version_dirs(root, spark)
     if version is None:
-        version = (versions[-1] + 1) if versions else 0
-    elif version in versions:
+        version = (all_dirs[-1] + 1) if all_dirs else 0
+    elif version in all_dirs:
         raise ValueError(f"version {version} already exists under {root}")
     vdir = _join(root, f"v={version}")
     if columns == "core":
@@ -350,10 +368,10 @@ def save_delta(
         raise FileNotFoundError(
             f"save_delta requires an existing base snapshot under {root}"
         )
-    versions = [v for v, _ in kinds]
+    all_dirs = _all_version_dirs(root, spark)
     if version is None:
-        version = versions[-1] + 1
-    elif version in versions:
+        version = all_dirs[-1] + 1
+    elif version in all_dirs:
         raise ValueError(f"version {version} already exists under {root}")
     if validate:
         _validate_delta(delta)

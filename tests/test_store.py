@@ -203,3 +203,38 @@ def test_bucketed_table_joins_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktest.adj_a")
         spark.sql("DROP TABLE IF EXISTS bktest.adj_b")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_crashed_writer_versions_are_invisible(spark, micro, tmp_path):
+    """Durability contract: a version directory missing its commit
+    marker (_SUCCESS for bases, _DELTA for deltas) is IGNORED by the
+    version log and by loads — a crashed writer can never surface a
+    half-written snapshot."""
+    import os
+
+    root = str(tmp_path / "snaps")
+    v0 = store.save_snapshot(micro, root)
+    assert store.list_version_kinds(root, spark) == [(v0, "base")]
+
+    # fake a base writer that died between the nodes and edges jobs
+    crashed = os.path.join(root, f"v={v0 + 1}")
+    os.makedirs(os.path.join(crashed, "nodes"))
+    open(os.path.join(crashed, "nodes", "_SUCCESS"), "w").close()
+    os.makedirs(os.path.join(crashed, "edges"))  # no _SUCCESS
+
+    # fake a delta writer that died before its _DELTA marker
+    crashed_d = os.path.join(root, f"v={v0 + 2}")
+    os.makedirs(os.path.join(crashed_d, "nodes_upserts"))
+    open(
+        os.path.join(crashed_d, "nodes_upserts", "_SUCCESS"), "w"
+    ).close()
+
+    assert store.list_version_kinds(root, spark) == [(v0, "base")]
+    g = store.load_snapshot(spark, root)  # resolves to v0
+    assert g.nodes.count() == micro.nodes.count()
+    assert g.edges.count() == micro.edges.count()
+
+    # a subsequent good writer skips past the junk version numbers
+    v_next = store.save_snapshot(micro, root)
+    assert v_next > v0 + 2
+    assert store.list_version_kinds(root, spark)[-1] == (v_next, "base")
