@@ -1185,6 +1185,44 @@ def q_pagerank_weighted(spark, sf_dir):
     )
 
 
+def q_betweenness_parts(spark, sf_dir):
+    """Bounded-distance betweenness (Brandes forward σ / backward δ)
+    from the 8 lowest part ids on the co-order graph, paths ≤ 3 hops —
+    the landmark estimator (Brandes-Pich 2007). Top-20 sorted on the
+    ROUNDED score then id (float-sum tie stability across engines);
+    oracle = the same σ/δ recursion unrolled layer by layer in SQL."""
+    b = analytics.betweenness_landmarks(
+        _coorder_pairs(spark, sf_dir), landmarks=8, max_depth=3
+    )
+    return (
+        b.select("id", F.round("betweenness", 6).alias("betweenness"))
+        .orderBy(F.col("betweenness").desc(), "id")
+        .limit(20)
+    )
+
+
+def q_graph_summary(spark, sf_dir):
+    """Catalog/observability surface: per-label cardinalities and edge
+    endpoint fan-out in ONE pass over each table — the stats a planner
+    or a capacity review reads first. Kind is 'node' or 'edge'; edge
+    rows carry distinct src/dst counts (fan-out shape), node rows leave
+    them NULL."""
+    g = _g(spark, sf_dir)
+    nodes = g.nodes.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("bigint").alias("n_src"),
+        F.lit(None).cast("bigint").alias("n_dst"),
+    ).withColumn("kind", F.lit("node"))
+    edges = g.edges.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("src").alias("n_src"),
+        F.count_distinct("dst").alias("n_dst"),
+    ).withColumn("kind", F.lit("edge"))
+    return nodes.unionByName(edges).select(
+        "kind", "label", "n_rows", "n_src", "n_dst"
+    ).orderBy("kind", "label")
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """Bit-reproducible k-means (k=8, 3 Lloyd iterations) over the
     embeddings corpus on the 1e-6 integer grid — every distance an exact
@@ -2890,7 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MUST rotate into the first 50 slots in round 6: tpch_q5,
         # assortativity_coorder, random_walks_parts, pagerank_weighted,
         # harmonic_parts, kmeans_embeddings, dedup_keep_source,
-        # curriculum_shards.
+        # curriculum_shards, graph_summary, betweenness_parts.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -2899,6 +2937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "dedup_keep_source": q_dedup_keep_source,
         "curriculum_shards": q_curriculum_shards,
+        "graph_summary": q_graph_summary,
+        "betweenness_parts": q_betweenness_parts,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -3216,6 +3256,118 @@ def oracle_sql() -> dict[str, str]:
             n_iter=6, damping=0.85
         ),
         "kmeans_embeddings": _kmeans_oracle(k=8, n_iter=3),
+        # Brandes unrolled: forward layers carry shortest-path counts σ
+        # (per-landmark anti-join exclusions), backward sweep folds
+        # δ = Σ σv/σw·(1+δw) layer by layer; top-20 on the ROUNDED sum.
+        "betweenness_parts": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+            ),
+            seeds AS (
+              SELECT a FROM (SELECT DISTINCT a FROM sym)
+              ORDER BY a LIMIT 8
+            ),
+            l0 AS MATERIALIZED (
+              SELECT a AS s, a AS id, CAST(1 AS BIGINT) AS sig FROM seeds
+            ),
+            c1 AS MATERIALIZED (
+              SELECT l0.s, sym.b AS id, SUM(l0.sig) AS sig
+              FROM l0 JOIN sym ON l0.id = sym.a GROUP BY 1, 2
+            ),
+            l1 AS MATERIALIZED (
+              SELECT c1.s, c1.id, c1.sig FROM c1
+              LEFT JOIN l0 ON l0.s = c1.s AND l0.id = c1.id
+              WHERE l0.id IS NULL
+            ),
+            v1 AS MATERIALIZED (
+              SELECT s, id FROM l0 UNION ALL SELECT s, id FROM l1
+            ),
+            c2 AS MATERIALIZED (
+              SELECT l1.s, sym.b AS id, SUM(l1.sig) AS sig
+              FROM l1 JOIN sym ON l1.id = sym.a GROUP BY 1, 2
+            ),
+            l2 AS MATERIALIZED (
+              SELECT c2.s, c2.id, c2.sig FROM c2
+              LEFT JOIN v1 ON v1.s = c2.s AND v1.id = c2.id
+              WHERE v1.id IS NULL
+            ),
+            v2 AS MATERIALIZED (
+              SELECT s, id FROM v1 UNION ALL SELECT s, id FROM l2
+            ),
+            c3 AS MATERIALIZED (
+              SELECT l2.s, sym.b AS id, SUM(l2.sig) AS sig
+              FROM l2 JOIN sym ON l2.id = sym.a GROUP BY 1, 2
+            ),
+            l3 AS MATERIALIZED (
+              SELECT c3.s, c3.id, c3.sig FROM c3
+              LEFT JOIN v2 ON v2.s = c3.s AND v2.id = c3.id
+              WHERE v2.id IS NULL
+            ),
+            pe3 AS MATERIALIZED (
+              SELECT l2.s, l2.id AS v, l2.sig AS sv,
+                     l3.id AS w, l3.sig AS sw
+              FROM l2 JOIN sym ON l2.id = sym.a
+              JOIN l3 ON l3.s = l2.s AND l3.id = sym.b
+            ),
+            d2 AS MATERIALIZED (
+              SELECT s, v AS id, SUM(CAST(sv AS DOUBLE) / sw) AS delta
+              FROM pe3 GROUP BY s, v
+            ),
+            pe2 AS MATERIALIZED (
+              SELECT l1.s, l1.id AS v, l1.sig AS sv,
+                     l2.id AS w, l2.sig AS sw
+              FROM l1 JOIN sym ON l1.id = sym.a
+              JOIN l2 ON l2.s = l1.s AND l2.id = sym.b
+            ),
+            d1 AS MATERIALIZED (
+              SELECT pe2.s, pe2.v AS id,
+                     SUM(CAST(pe2.sv AS DOUBLE) / pe2.sw
+                         * (1 + COALESCE(d2.delta, 0))) AS delta
+              FROM pe2 LEFT JOIN d2
+                ON d2.s = pe2.s AND d2.id = pe2.w
+              GROUP BY 1, 2
+            ),
+            pe1 AS MATERIALIZED (
+              SELECT l0.s, l0.id AS v, l0.sig AS sv,
+                     l1.id AS w, l1.sig AS sw
+              FROM l0 JOIN sym ON l0.id = sym.a
+              JOIN l1 ON l1.s = l0.s AND l1.id = sym.b
+            ),
+            d0 AS MATERIALIZED (
+              SELECT pe1.s, pe1.v AS id,
+                     SUM(CAST(pe1.sv AS DOUBLE) / pe1.sw
+                         * (1 + COALESCE(d1.delta, 0))) AS delta
+              FROM pe1 LEFT JOIN d1
+                ON d1.s = pe1.s AND d1.id = pe1.w
+              GROUP BY 1, 2
+            ),
+            alld AS (
+              SELECT * FROM d2 UNION ALL SELECT * FROM d1
+              UNION ALL SELECT * FROM d0
+            )
+            SELECT id, betweenness FROM (
+              SELECT id, ROUND(SUM(delta), 6) AS betweenness
+              FROM alld WHERE id <> s GROUP BY id
+            )
+            ORDER BY betweenness DESC, id LIMIT 20
+        """,
+        "graph_summary": _GRAPH_WITH + """
+            SELECT 'node' AS kind, label, COUNT(*) AS n_rows,
+                   CAST(NULL AS BIGINT) AS n_src,
+                   CAST(NULL AS BIGINT) AS n_dst
+            FROM nodes_v GROUP BY label
+            UNION ALL
+            SELECT 'edge', label, COUNT(*),
+                   COUNT(DISTINCT src), COUNT(DISTINCT dst)
+            FROM edges_v GROUP BY label
+            ORDER BY kind, label
+        """,
         # Same closure as dedup_minhash_keep_best; survivor sorted by
         # source priority (lowest srcN) instead of n_chars.
         "dedup_keep_source": f"""

@@ -225,6 +225,15 @@ class GraphDB:
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         return analytics.landmark_hop_distances(pairs, landmarks, max_depth)
 
+    def betweenness(
+        self, landmarks=8, max_depth=3, edge_labels=None
+    ) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.betweenness_landmarks(pairs, landmarks, max_depth)
+
     def match_path(self, edge_labels, directed: bool = True) -> DataFrame:
         return analytics.match_path(self.graph, edge_labels, directed)
 

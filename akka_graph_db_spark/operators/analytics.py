@@ -1449,3 +1449,125 @@ def landmark_hop_distances(
         sym.unpersist()
         for df in persisted:
             df.unpersist()
+
+
+def betweenness_landmarks(
+    pairs: DataFrame,
+    landmarks: int | Sequence[int] = 8,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Bounded-distance betweenness centrality, Brandes' algorithm from a
+    landmark sample (Brandes 2001; landmark/bounded sampling per
+    Brandes-Pich 2007): forward BFS layers carry shortest-path counts σ,
+    the backward sweep accumulates dependencies
+    δ(v) = Σ_{w: v∈pred(w)} σv/σw · (1 + δ(w)), and B(v) = Σ_s δ_s(v).
+    Paths longer than ``max_depth`` are ignored (bounded-distance
+    variant) and only ``landmarks`` sources contribute — both standard
+    estimators; exact when landmarks = all nodes and max_depth ≥
+    diameter.
+
+    Scale shape: all landmarks advance in the SAME superstep joins
+    (state keyed by (landmark, node) like
+    :func:`landmark_hop_distances`); per layer one adjacency join + one
+    (landmark, node) aggregation, per backward step one join per BFS-DAG
+    edge layer + one aggregation — nothing materializes more than the
+    per-layer DAG edges. Returns (id, betweenness) for every node with a
+    nonzero score.
+    """
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted: list[DataFrame] = []
+    try:
+        if isinstance(landmarks, int):
+            seed_ids = (
+                sym.select("a").distinct().orderBy("a").limit(landmarks)
+            )
+        else:
+            seed_ids = sym.sparkSession.createDataFrame(
+                [(int(x),) for x in landmarks], "a bigint"
+            )
+        l0 = seed_ids.select(
+            F.col("a").alias("s"),
+            F.col("a").alias("id"),
+            F.lit(1).cast("long").alias("sig"),
+        ).localCheckpoint(eager=True)
+        layers = [l0]
+        visited = l0.select("s", "id").persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(visited)
+        for _d in range(1, max_depth + 1):
+            nxt = (
+                layers[-1]
+                .join(sym, layers[-1]["id"] == sym["a"], "inner")
+                .select("s", F.col("b").alias("id"), "sig")
+                .join(visited, ["s", "id"], "left_anti")
+                .groupBy("s", "id")
+                .agg(F.sum("sig").alias("sig"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            layers.append(nxt)
+            visited = visited.unionByName(nxt.select("s", "id")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(visited)
+        # backward dependency sweep over the BFS DAG, deepest layer first
+        delta_parts: list[DataFrame] = []
+        delta_cur = layers[-1].select(
+            "s", "id", F.lit(0.0).alias("delta")
+        )
+        for d in range(len(layers) - 1, 0, -1):
+            pe = (
+                layers[d - 1]
+                .select("s", F.col("id").alias("v"), F.col("sig").alias("_sv"))
+                .join(sym, F.col("v") == sym["a"], "inner")
+                .select("s", "v", "_sv", F.col("b").alias("id"))
+                .join(
+                    layers[d].select(
+                        "s", "id", F.col("sig").alias("_sw")
+                    ),
+                    ["s", "id"],
+                    "inner",
+                )
+                .join(
+                    delta_cur.select(
+                        "s", "id", F.col("delta").alias("_dw")
+                    ),
+                    ["s", "id"],
+                    "left",
+                )
+            )
+            delta_prev = (
+                pe.select(
+                    "s",
+                    F.col("v").alias("id"),
+                    (
+                        (F.col("_sv").cast("double") / F.col("_sw"))
+                        * (1.0 + F.coalesce("_dw", F.lit(0.0)))
+                    ).alias("_c"),
+                )
+                .groupBy("s", "id")
+                .agg(F.sum("_c").alias("delta"))
+                .localCheckpoint(eager=True)
+            )
+            delta_parts.append(delta_prev)
+            delta_cur = delta_prev
+        if not delta_parts:
+            return l0.select("id").limit(0).select(
+                "id", F.lit(0.0).alias("betweenness")
+            )
+        all_d = delta_parts[0]
+        for p in delta_parts[1:]:
+            all_d = all_d.unionByName(p)
+        return (
+            all_d.where(F.col("id") != F.col("s"))
+            .groupBy("id")
+            .agg(F.sum("delta").alias("betweenness"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sym.unpersist()
+        for df in persisted:
+            df.unpersist()

@@ -91,6 +91,8 @@ HEADLINE = [
     "kmeans_embeddings",      # quantized-grid Lloyd training
     "dedup_keep_source",      # source-priority near-dup keep
     "curriculum_shards",      # distributed global rank + shard cut
+    "graph_summary",          # per-label cardinality/fan-out catalog
+    "betweenness_parts",      # landmark Brandes sigma/delta sweeps
 ]
 
 

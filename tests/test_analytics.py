@@ -456,3 +456,48 @@ def test_landmark_hop_distances_path(spark):
     assert {(r["landmark"], r["id"]): r["dist"] for r in one} == {
         (1, 1): 0, (1, 2): 1
     }
+
+
+def test_betweenness_path_graph_exact(spark):
+    """Path 1-2-3, all landmarks, full depth: only the middle node lies
+    on a shortest path — B(2) = 2 (ordered pairs (1,3) and (3,1))."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in analytics.betweenness_landmarks(
+            pairs, landmarks=[1, 2, 3], max_depth=2
+        ).collect()
+    }
+    assert got == {2: 2.0}
+
+
+def test_betweenness_star_center(spark):
+    """Star center 0 with leaves 1-3: every ordered leaf pair routes
+    through the center — B(0) = 3·2 = 6; leaves score 0 (absent)."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a bigint, b bigint"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in analytics.betweenness_landmarks(
+            pairs, landmarks=[0, 1, 2, 3], max_depth=2
+        ).collect()
+    }
+    assert got == {0: 6.0}
+
+
+def test_betweenness_square_split_paths(spark):
+    """4-cycle 1-2-4-3-1: each opposite pair ((1,4) and (2,3)) has TWO
+    shortest paths, so an intermediate node carries σ-fraction 1/2 per
+    ordered pair it serves; by symmetry every node serves 2 ordered
+    pairs at fraction 1/2 — betweenness exactly 1.0 each."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 3), (3, 4)], "a bigint, b bigint"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in analytics.betweenness_landmarks(
+            pairs, landmarks=[1, 2, 3, 4], max_depth=2
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
