@@ -1201,6 +1201,19 @@ def q_betweenness_parts(spark, sf_dir):
     )
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over the corpus: rolling-hash (3-word
+    context, low-4-bits-zero) boundaries, ~16-word expected chunks.
+    Boundaries depend only on local content, so near-dup docs share
+    almost all chunk hashes — the chunk-level-dedup / delta-storage
+    layout (FastCDC/LBFS idea, stateless word-level variant). The md5
+    window hash and chunk hash reproduce exactly in SQL."""
+    docs = read_documents(spark, sf_dir)
+    return textf.cdc_chunks(docs, window=3, mask_bits=4).select(
+        "doc_id", "chunk_idx", "start_word", "n_words", "chunk_hash"
+    )
+
+
 def q_graph_summary(spark, sf_dir):
     """Catalog/observability surface: per-label cardinalities and edge
     endpoint fan-out in ONE pass over each table — the stats a planner
@@ -2928,7 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MUST rotate into the first 50 slots in round 6: tpch_q5,
         # assortativity_coorder, random_walks_parts, pagerank_weighted,
         # harmonic_parts, kmeans_embeddings, dedup_keep_source,
-        # curriculum_shards, graph_summary, betweenness_parts.
+        # curriculum_shards, graph_summary, betweenness_parts, cdc_chunks.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -2939,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards": q_curriculum_shards,
         "graph_summary": q_graph_summary,
         "betweenness_parts": q_betweenness_parts,
+        "cdc_chunks": q_cdc_chunks,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -3256,6 +3270,48 @@ def oracle_sql() -> dict[str, str]:
             n_iter=6, damping=0.85
         ),
         "kmeans_embeddings": _kmeans_oracle(k=8, n_iter=3),
+        # Identical rolling 3-word md5 boundary decision (low 4 bits
+        # zero), identical cumulative chunk numbering and chunk hash.
+        "cdc_chunks": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, pos, words[pos] AS word FROM (
+                SELECT doc_id, words,
+                       unnest(range(1, len(words) + 1)) AS pos
+                FROM w
+              )
+            ),
+            g AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos >= 3 AND (md5_number_upper(
+                            lag(word, 2) OVER o || ' ' ||
+                            lag(word, 1) OVER o || ' ' || word) & 15) = 0
+                          THEN 1 ELSE 0 END AS b
+              FROM p WINDOW o AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            m AS (
+              SELECT doc_id, pos,
+                     COALESCE(SUM(b) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + 1 AS chunk
+              FROM g
+            ),
+            s AS (
+              SELECT doc_id, chunk AS chunk_idx,
+                     MIN(pos) AS start_word, COUNT(*) AS n_words
+              FROM m GROUP BY 1, 2
+            )
+            SELECT s.doc_id, s.chunk_idx, s.start_word, s.n_words,
+                   CAST(md5_number_upper(array_to_string(
+                          w.words[s.start_word:
+                                  s.start_word + s.n_words - 1], ' '))
+                        & 9223372036854775807 AS BIGINT) AS chunk_hash
+            FROM s JOIN w USING (doc_id)
+        """,
         # Brandes unrolled: forward layers carry shortest-path counts σ
         # (per-landmark anti-join exclusions), backward sweep folds
         # δ = Σ σv/σw·(1+δw) layer by layer; top-20 on the ROUNDED sum.

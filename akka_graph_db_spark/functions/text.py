@@ -647,3 +647,89 @@ def weighted_sample(
             .drop("_rn")
         )
     return scored.orderBy(*order).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries)
+# --------------------------------------------------------------------------
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    mask_bits: int = 4,
+) -> DataFrame:
+    """Content-defined chunking at word granularity: a chunk boundary
+    falls AFTER word i whenever the hash of the ``window``-word context
+    ending at i has its low ``mask_bits`` bits zero (expected chunk
+    length 2**mask_bits words). Because boundaries depend only on LOCAL
+    content — never on byte offsets — an insertion or deletion reshapes
+    at most the chunks it touches, so near-duplicate documents share
+    almost all chunk hashes: the layout that makes CHUNK-level dedup
+    and delta storage work (the FastCDC/LBFS boundary idea, word-level,
+    stateless variant — no min/max chunk clamps, which would make the
+    split sequential; post-split oversized chunks downstream if a hard
+    cap is required).
+
+    Returns (id, chunk_idx, start_word, n_words, chunk_hash) — one row
+    per chunk, ``chunk_hash`` an md5_63 of the chunk text (the chunk
+    dedup key, cross-engine reproducible).
+
+    Scale shape: one posexplode (map-side), one per-DOCUMENT window
+    cumulative sum (partitioned by doc id — distributed, never global),
+    one groupBy (doc, chunk). Boundary decisions are pure expressions.
+    """
+    from pyspark.sql import Window
+
+    from akka_graph_db_spark.functions.hashing import md5_63, md5_64
+
+    w = int(window)
+    mask = (1 << int(mask_bits)) - 1
+    words = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    # (doc, pos, word) stream — the doc's array is NOT carried along
+    # (that would duplicate the document once per word); the rolling
+    # window is rebuilt from lag() and the chunk text re-sliced from the
+    # doc row by a per-chunk join at the end.
+    pos = base.select(
+        "_id", F.posexplode("_w").alias("_p0", "_word")
+    ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_word")
+    ordw = Window.partitionBy("_id").orderBy("_pos")
+    gram = F.concat_ws(
+        " ",
+        *[F.lag("_word", w - 1 - i).over(ordw) for i in range(w - 1)],
+        F.col("_word"),
+    )
+    bnd = F.when(
+        (F.col("_pos") >= w)
+        & (md5_64(gram).bitwiseAND(F.lit(mask)) == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("_id").orderBy("_pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = pos.select(
+        "_id",
+        "_pos",
+        bnd.alias("_b"),
+    ).select(
+        "_id",
+        "_pos",
+        (F.coalesce(F.sum("_b").over(cum), F.lit(0)) + 1).alias("_chunk"),
+    )
+    spans = marked.groupBy("_id", "_chunk").agg(
+        F.min("_pos").alias("start_word"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    return spans.join(base, "_id").select(
+        F.col("_id").alias(id_col),
+        F.col("_chunk").cast("bigint").alias("chunk_idx"),
+        F.col("start_word").cast("bigint"),
+        F.col("n_words").cast("bigint"),
+        md5_63(
+            F.array_join(
+                F.slice("_w", F.col("start_word"), F.col("n_words")), " "
+            )
+        ).alias("chunk_hash"),
+    )

@@ -93,6 +93,7 @@ HEADLINE = [
     "curriculum_shards",      # distributed global rank + shard cut
     "graph_summary",          # per-label cardinality/fan-out catalog
     "betweenness_parts",      # landmark Brandes sigma/delta sweeps
+    "cdc_chunks",             # rolling-hash content-defined chunking
 ]
 
 

@@ -990,3 +990,33 @@ def test_minhash_keep_source_priority_exact_dup(spark):
         ).collect()
     )
     assert kept == [2, 3]
+
+
+def test_cdc_chunks_shared_after_insertion(spark):
+    """The CDC property: prepending words to a document shifts every
+    byte offset but leaves the content-defined boundaries of the shared
+    suffix intact — most chunk hashes survive the edit (a fixed-width
+    chunker would share almost none). Also pins the span invariants."""
+    from akka_graph_db_spark.functions import text as textf
+
+    base_words = [f"tok{(i * 37) % 101}" for i in range(300)]
+    doc_a = " ".join(base_words)
+    doc_b = " ".join(["inserted", "prefix", "words"] + base_words)
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id bigint, text string"
+    )
+    rows = textf.cdc_chunks(docs, window=3, mask_bits=4).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n_expected in ((1, 300), (2, 303)):
+        spans = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert sum(r["n_words"] for r in spans) == n_expected
+        pos = 1
+        for s in spans:
+            assert s["start_word"] == pos
+            pos += s["n_words"]
+    hashes_a = {r["chunk_hash"] for r in by_doc[1]}
+    hashes_b = {r["chunk_hash"] for r in by_doc[2]}
+    shared = hashes_a & hashes_b
+    assert len(shared) >= len(hashes_a) * 0.6

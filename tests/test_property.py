@@ -102,3 +102,33 @@ def test_update_none_never_leaves_key(key, value):
         assert key in props
 
 
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_global_rank_equals_single_partition_row_number(rows):
+    """global_rank's distributed range-partition + offset construction
+    must equal ROW_NUMBER over the same total order, for any data —
+    including empty input, heavy ties on the first key, and more
+    requested partitions than rows."""
+    from akka_graph_db_spark.functions.ranking import global_rank
+    from pyspark.sql import functions as F
+
+    spark = _SPARK["s"]
+    df = spark.createDataFrame(rows or [], "k int, uid long")
+    got = {
+        r["uid"]: r["rank"]
+        for r in global_rank(
+            df, [F.col("k").desc(), "uid"], n_partitions=7
+        ).collect()
+    }
+    expected_order = sorted(rows, key=lambda t: (-t[0], t[1]))
+    expected = {uid: i + 1 for i, (_, uid) in enumerate(expected_order)}
+    assert got == expected
