@@ -394,7 +394,12 @@ def _weighted_pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
     )
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 3, grid: int = 10**6) -> str:
+def _kmeans_oracle(
+    k: int = 8,
+    n_iter: int = 3,
+    grid: int = 10**6,
+    final_sql: str | None = None,
+) -> str:
     """q_kmeans_embeddings' oracle: quantized-grid Lloyd unrolled in SQL.
 
     Exactness argument (why a float clustering can hash-match at all):
@@ -447,16 +452,13 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 3, grid: int = 10**6) -> str:
               FROM ku{i} GROUP BY c
             ) nv ON p.c = nv.c
         )""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    final = final_sql or f"""
         SELECT c AS cluster, COUNT(*) AS n_members,
                CAST(SUM(d2) AS BIGINT) AS inertia,
                MIN(vec_id) AS min_member
         FROM ka{n_iter} GROUP BY c ORDER BY c
         """
-    )
+    return "WITH " + ",\n".join(ctes) + final
 
 
 def _hits_oracle(n_iter: int = 8) -> str:
@@ -1201,6 +1203,69 @@ def q_betweenness_parts(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    """Bigram collocation mining: adjacent word pairs scored by exact
+    rational lift — (c12/N_bi) / ((c1/N_uni)·(c2/N_uni)), computed as
+    one division of two exact sub-2^53 integer products, so the score
+    is bit-identical across engines with NO transcendentals (the
+    log-free PMI ranking, same trick as the BM25 rational scorer).
+    Bigrams come from an array zip (map-side, no window); unigram
+    counts broadcast onto pair counts (vocabulary-sized — at web scale
+    gate it and fall back to a shuffle join); corpus totals fold in via
+    1-row broadcast cross joins. Top-20 pairs with support ≥ 5."""
+    docs = read_documents(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    base = docs.select(words.alias("_w"))
+    uni = (
+        base.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_w", 1, F.size("_w") - 1),
+                    F.slice("_w", 2, F.size("_w") - 1),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.0").alias("w1"), F.col("_p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 5)
+    )
+    n_uni = uni.agg(F.sum("c").alias("_nu"))
+    n_bi = base.select(
+        (F.size("_w") - 1).alias("_nb1")
+    ).agg(F.sum("_nb1").alias("_nb"))
+    scored = (
+        bi.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"),
+                                   F.col("c").alias("c1"))), "w1"
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"),
+                                   F.col("c").alias("c2"))), "w2"
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                (F.col("c12") * F.col("_nu") * F.col("_nu"))
+                .cast("double")
+                / (F.col("_nb") * F.col("c1") * F.col("c2"))
+                .cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "w1", "w2"
+    ).limit(20)
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking over the corpus: rolling-hash (3-word
     context, low-4-bits-zero) boundaries, ~16-word expected chunks.
@@ -1211,6 +1276,28 @@ def q_cdc_chunks(spark, sf_dir):
     docs = read_documents(spark, sf_dir)
     return textf.cdc_chunks(docs, window=3, mask_bits=4).select(
         "doc_id", "chunk_idx", "start_word", "n_words", "chunk_hash"
+    )
+
+
+def q_kmeans_quality_profile(spark, sf_dir):
+    """Cross-modal composition: the reproducible k-means clusters over
+    the EMBEDDINGS corpus joined back to the DOCUMENTS table (vec_id ==
+    doc_id in the fixtures) and profiled — per-cluster doc counts,
+    exact character totals, distinct languages. Shows the clustering
+    output composing with relational ops in one plan; the oracle reuses
+    the full unrolled k-means chain with a profiling final SELECT."""
+    emb = read_embeddings(spark, sf_dir)
+    docs = read_documents(spark, sf_dir)
+    assigned, _ = similarity.kmeans_quantized(emb, k=8, n_iter=3)
+    return (
+        assigned.join(docs, assigned["vec_id"] == docs["doc_id"])
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("cluster")
     )
 
 
@@ -2941,7 +3028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MUST rotate into the first 50 slots in round 6: tpch_q5,
         # assortativity_coorder, random_walks_parts, pagerank_weighted,
         # harmonic_parts, kmeans_embeddings, dedup_keep_source,
-        # curriculum_shards, graph_summary, betweenness_parts, cdc_chunks.
+        # curriculum_shards, graph_summary, betweenness_parts, cdc_chunks,
+        # collocations, kmeans_quality_profile.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -2953,6 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "betweenness_parts": q_betweenness_parts,
         "cdc_chunks": q_cdc_chunks,
+        "collocations": q_collocations,
+        "kmeans_quality_profile": q_kmeans_quality_profile,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -3270,6 +3360,49 @@ def oracle_sql() -> dict[str, str]:
             n_iter=6, damping=0.85
         ),
         "kmeans_embeddings": _kmeans_oracle(k=8, n_iter=3),
+        "kmeans_quality_profile": _kmeans_oracle(
+            k=8,
+            n_iter=3,
+            final_sql="""
+            SELECT a.c AS cluster, COUNT(*) AS n_docs,
+                   SUM(d.n_chars) AS total_chars,
+                   COUNT(DISTINCT d.lang) AS n_langs
+            FROM ka3 a JOIN documents d ON d.doc_id = a.vec_id
+            GROUP BY 1 ORDER BY 1
+            """,
+        ),
+        # Same integer products; the single double division is correctly
+        # rounded in both engines, so lift matches bit-for-bit.
+        "collocations": """
+            WITH w AS (
+              SELECT string_split(text, ' ') AS words FROM documents
+            ),
+            uni AS (
+              SELECT word AS w, COUNT(*) AS c FROM (
+                SELECT unnest(words) AS word FROM w
+              ) GROUP BY 1
+            ),
+            bi AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM (
+                SELECT words[i] AS w1, words[i + 1] AS w2 FROM (
+                  SELECT words, unnest(range(1, len(words))) AS i FROM w
+                )
+              ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            ),
+            nu AS (SELECT SUM(c) AS nu FROM uni),
+            nb AS (SELECT SUM(len(words) - 1) AS nb FROM w)
+            SELECT w1, w2, c12, lift FROM (
+              SELECT bi.w1, bi.w2, bi.c12,
+                     ROUND(CAST(bi.c12 * nu.nu * nu.nu AS DOUBLE)
+                           / CAST(nb.nb * u1.c * u2.c AS DOUBLE), 6)
+                       AS lift
+              FROM bi
+              JOIN uni u1 ON u1.w = bi.w1
+              JOIN uni u2 ON u2.w = bi.w2
+              CROSS JOIN nu CROSS JOIN nb
+            )
+            ORDER BY lift DESC, w1, w2 LIMIT 20
+        """,
         # Identical rolling 3-word md5 boundary decision (low 4 bits
         # zero), identical cumulative chunk numbering and chunk hash.
         "cdc_chunks": """

@@ -94,6 +94,8 @@ HEADLINE = [
     "graph_summary",          # per-label cardinality/fan-out catalog
     "betweenness_parts",      # landmark Brandes sigma/delta sweeps
     "cdc_chunks",             # rolling-hash content-defined chunking
+    "collocations",           # exact rational-lift bigram mining
+    "kmeans_quality_profile",  # clusters joined to doc-quality stats
 ]
 
 
