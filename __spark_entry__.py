@@ -2758,6 +2758,304 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), adapted to the fixture's
+    narrower lineitem (no commitdate/receiptdate): an order is "late"
+    when some line shipped more than 60 days after the order date.
+    The EXISTS subquery becomes a LEFT SEMI join — hash on l_orderkey
+    with the ship-lag residual evaluated inside the join, so each
+    qualifying order is emitted once regardless of how many late lines
+    it has. Both date predicates push to their parquet scans."""
+    lo = F.lit("1996-07-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): customers who returned goods
+    ('R' lines) ordered in 1996Q1, ranked by lost revenue, top 20.
+    lineitem⋈orders carries the volume; the filtered orders side (one
+    quarter) and the 25-row nation table broadcast. c_acctbal rides
+    through the groupBy as a key (exact passthrough, no re-aggregation)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_returnflag") == "R"
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    j = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode line counts), adapted: the fixture has
+    no l_shipmode, so lines are bucketed by ship YEAR instead, keeping
+    the query's real shape — a fact⋈fact join classified by a
+    conditional aggregation (urgent/high vs the rest) computed in one
+    pass with CASE-style sums, no second scan."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo-revenue share): percentage of one month's
+    revenue from PROMO-type parts. The part dimension broadcasts; both
+    the promo and total sums accumulate exactly in decimal in ONE
+    aggregation (conditional sum), and only the final ratio is a
+    double division — bit-reproducible across engines."""
+    lo = F.lit("1996-09-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp_ntz")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(38,4)")
+                )
+            ).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (part/supplier relationship count), adapted: the
+    fixture has no partsupp, so lineitem's (part, supplier) pairs stand
+    in. Counts distinct suppliers per (brand, type, size) for selected
+    sizes, excluding one brand and any supplier with a negative account
+    balance — the NOT IN becomes a LEFT ANTI join against the (small,
+    broadcast) excluded-supplier list; safe because s_suppkey is
+    non-null by construction."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != "Brand#15")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300, with customer attribution, top 100 by order value.
+    The HAVING subquery is one hash aggregation over lineitem whose
+    survivor set (dozens of keys) broadcasts back as a semi-join
+    filter; quantity sums stay exact in decimal."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(30,2)").alias("_q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_q").alias("_sumq"))
+        .where(F.col("_sumq") > 300)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(
+            F.broadcast(big),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            "o_totalprice",
+            F.col("_sumq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted to brand/size/quantity
+    bands (no shipmode/container in the fixture): revenue from three
+    disjunctive brand×size×quantity windows. The whole OR-of-ANDs
+    predicate is a single scan filter after the broadcast part join —
+    one pass, no union of three scans."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    band = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            band("Brand#12", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#34", 15, 20, 30)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global-sales opportunity), adapted: no c_phone in the
+    fixture, so the country-code slice is a nation-key set, and (since
+    every fixture customer has orders) "never ordered" becomes "dormant
+    — no orders since 2000-01-01". Keeps the query's three real shapes:
+    a scalar subquery (average positive balance, folded in-plan via a
+    1-row broadcast cross join, never collected), an anti-join against
+    recent orders, and a final rollup per country. The average is
+    computed from an exact decimal sum so both engines derive the same
+    double threshold."""
+    nkeys = [1, 3, 5, 7, 9, 11, 13]
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_nationkey").isin(nkeys)
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            recent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_aggmsg_max_acctbal(spark, sf_dir):
     """The aggregateMessages primitive (GraphX parity) driven directly:
     over located_in triplets, each customer sends its acctbal to its
@@ -3029,7 +3327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assortativity_coorder, random_walks_parts, pagerank_weighted,
         # harmonic_parts, kmeans_embeddings, dedup_keep_source,
         # curriculum_shards, graph_summary, betweenness_parts, cdc_chunks,
-        # collocations, kmeans_quality_profile.
+        # collocations, kmeans_quality_profile, plus the round-5 TPC-H
+        # pack tpch_q4/q10/q12/q14/q16/q18/q19/q22.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -3043,6 +3342,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "collocations": q_collocations,
         "kmeans_quality_profile": q_kmeans_quality_profile,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -4921,6 +5228,141 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n.n_name
             ORDER BY revenue DESC, n.n_name
+        """,
+        "tpch_q4": """
+            SELECT o.o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
+        """,
+        "tpch_q10": """
+            SELECT c.c_custkey, c.c_name,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "tpch_q12": """
+            SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER)
+                     AS ship_year,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY ship_year
+            ORDER BY ship_year
+        """,
+        # Both sums accumulate exactly in DECIMAL; only the final
+        # percentage is a double expression, evaluated in the same
+        # association order ((100.0 * promo) / total) as the engine.
+        "tpch_q14": """
+            WITH j AS (
+              SELECT CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                          AS DECIMAL(38,4)) AS rev,
+                     p.p_type
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+                AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+            )
+            SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                          ELSE CAST(0 AS DECIMAL(38,4))
+                                     END) AS DOUBLE))
+                   / CAST(SUM(rev) AS DOUBLE) AS promo_revenue
+            FROM j
+        """,
+        "tpch_q16": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#15'
+              AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+              AND l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(30,2))) AS sumq
+              FROM lineitem
+              GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 300
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_totalprice,
+                   CAST(b.sumq AS DOUBLE) AS sum_qty
+            FROM orders o
+            JOIN big b     ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19": """
+            SELECT CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        # The scalar average derives from an exact DECIMAL sum divided
+        # by a count, so both engines compare against the identical
+        # double threshold.
+        "tpch_q22": """
+            WITH sel AS (
+              SELECT * FROM customer
+              WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            ),
+            a AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+                     / COUNT(*) AS avg_bal
+              FROM sel WHERE c_acctbal > 0
+            )
+            SELECT sel.c_nationkey AS cntrycode,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(CAST(sel.c_acctbal AS DECIMAL(30,2)))
+                        AS DOUBLE) AS totacctbal
+            FROM sel, a
+            WHERE sel.c_acctbal > a.avg_bal
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = sel.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+              )
+            GROUP BY sel.c_nationkey
+            ORDER BY cntrycode
         """,
         # Exact integer moment sums in HUGEINT == the engine's
         # DECIMAL(38,0); only the final ratio is floating point.

@@ -96,6 +96,12 @@ HEADLINE = [
     "cdc_chunks",             # rolling-hash content-defined chunking
     "collocations",           # exact rational-lift bigram mining
     "kmeans_quality_profile",  # clusters joined to doc-quality stats
+    "tpch_q4",                # non-equi semi-join (late-line EXISTS)
+    "tpch_q10",               # returned-item reporting top-20
+    "tpch_q14",               # conditional-agg promo share
+    "tpch_q16",               # anti-join + count-distinct suppliers
+    "tpch_q18",               # HAVING-subquery large-volume customers
+    "tpch_q19",               # disjunctive brand/size/qty bands
 ]
 
 
