@@ -3056,6 +3056,34 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Per-source training-mixture catalog: document/char volume and the
+    sqrt-damped keep-quota each source would contribute to a shaped
+    corpus (functions/mixture.py). One hash aggregation to #sources
+    rows; quota math is sqrt→multiply→floor (no transcendentals), so
+    the oracle reproduces it bit-for-bit."""
+    from akka_graph_db_spark.functions.mixture import mixture_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_weights(docs, coeff=4.0, min_keep=10)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Frequency-damped corpus materialization: per source keep the
+    hash-ranked floor(4*sqrt(n)) documents (min 10) — the sqrt
+    reweighting that stops a dominant crawl source from swamping the
+    training mixture. Single shuffle; rank and quota share one window
+    partitioning (functions/mixture.py)."""
+    from akka_graph_db_spark.functions.mixture import frequency_damped_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return frequency_damped_sample(docs, coeff=4.0, min_keep=10).select(
+        "source", "doc_id", "_rank", "_quota"
+    )
+
+
 def q_aggmsg_max_acctbal(spark, sf_dir):
     """The aggregateMessages primitive (GraphX parity) driven directly:
     over located_in triplets, each customer sends its acctbal to its
@@ -3328,7 +3356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harmonic_parts, kmeans_embeddings, dedup_keep_source,
         # curriculum_shards, graph_summary, betweenness_parts, cdc_chunks,
         # collocations, kmeans_quality_profile, plus the round-5 TPC-H
-        # pack tpch_q4/q10/q12/q14/q16/q18/q19/q22.
+        # pack tpch_q4/q10/q12/q14/q16/q18/q19/q22 and the mixture pack
+        # mixture_weights/mixture_sample.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -3350,6 +3379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "mixture_weights": q_mixture_weights,
+        "mixture_sample": q_mixture_sample,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -5336,6 +5367,46 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        # Quota = least(n, greatest(10, floor(4*sqrt(n)))): sqrt is
+        # correctly-rounded IEEE, so both engines derive identical
+        # quotas; keep_rate is one double division off exact integers.
+        "mixture_weights": """
+            WITH g AS (
+              SELECT source, COUNT(*) AS n_docs,
+                     SUM(CAST(n_chars AS BIGINT)) AS total_chars
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, total_chars,
+                   LEAST(n_docs, GREATEST(10,
+                     CAST(FLOOR(4.0 * SQRT(CAST(n_docs AS DOUBLE)))
+                          AS BIGINT))) AS quota,
+                   CAST(LEAST(n_docs, GREATEST(10,
+                     CAST(FLOOR(4.0 * SQRT(CAST(n_docs AS DOUBLE)))
+                          AS BIGINT))) AS DOUBLE)
+                   / CAST(n_docs AS DOUBLE) AS keep_rate
+            FROM g
+            ORDER BY source
+        """,
+        "mixture_sample": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR))
+                                & 9223372036854775807, doc_id
+                     ) AS _rank,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            )
+            SELECT source, doc_id, _rank,
+                   LEAST(n, GREATEST(10,
+                     CAST(FLOOR(4.0 * SQRT(CAST(n AS DOUBLE)))
+                          AS BIGINT))) AS _quota
+            FROM r
+            WHERE _rank <= LEAST(n, GREATEST(10,
+                     CAST(FLOOR(4.0 * SQRT(CAST(n AS DOUBLE)))
+                          AS BIGINT)))
         """,
         # The scalar average derives from an exact DECIMAL sum divided
         # by a count, so both engines compare against the identical

@@ -1,0 +1,107 @@
+"""Source-mixture shaping for training-data curation.
+
+A crawl-scale corpus is dominated by a few huge sources; training mixtures
+damp them so the model does not overfit the head (the sqrt/temperature
+reweighting popularized by multilingual-corpus sampling — Conneau &
+Lample, "Cross-lingual Language Model Pretraining", NeurIPS 2019 §3.1 —
+and the per-source mixture tables of GPT-3/The Pile). Two operators:
+
+- :func:`mixture_weights` — the per-source catalog: document/char volume
+  and the damped keep-quota each source gets.
+- :func:`frequency_damped_sample` — materialize the damped corpus: keep a
+  deterministic hash-ranked quota of ``floor(coeff * sqrt(n_g))`` rows
+  per group (at least ``min_keep``, never more than the group itself).
+
+Determinism contract (same as text.stratified_sample / weighted_sample):
+ranking uses the cross-engine ``hashing.md5_63`` hash with the row key as
+tiebreak, and the quota math is sqrt→multiply→floor — sqrt is a
+correctly-rounded IEEE-754 operation, so Spark and an ANSI-SQL oracle
+compute bit-identical quotas; no transcendentals anywhere.
+
+Scale notes (100 TB): one shuffle on the group column; the per-group
+window sorts each source's partition. Sub-sqrt quotas mean the OUTPUT is
+tiny relative to the input, but the sort is over the full group — for a
+pathological single source holding most of the corpus, pre-salt the rank
+with a two-level tournament (rank within salt buckets, keep the per-bucket
+top quota, re-rank the survivors); the two-level result is a superset of
+the exact winners, so the final exact rank still returns the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from akka_graph_db_spark.functions.hashing import md5_63
+
+
+def _quota(n: F.Column, coeff: float, min_keep: int) -> F.Column:
+    """least(n, greatest(min_keep, floor(coeff * sqrt(n)))) as BIGINT."""
+    damped = F.floor(F.lit(float(coeff)) * F.sqrt(n.cast("double")))
+    return F.least(
+        n.cast("bigint"),
+        F.greatest(F.lit(int(min_keep)).cast("bigint"), damped),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    coeff: float = 4.0,
+    min_keep: int = 10,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source mixture catalog: volume, damped quota, and keep-rate.
+
+    One hash aggregation (#groups rows — sources number in the hundreds,
+    not millions, so the result broadcasts anywhere it is joined). The
+    keep-rate is a single double division off exact integer counts.
+    """
+    n = F.col("n_docs")
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(size_col).cast("bigint")).alias("total_chars"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_chars",
+            _quota(n, coeff, min_keep).alias("quota"),
+            (
+                _quota(n, coeff, min_keep).cast("double")
+                / n.cast("double")
+            ).alias("keep_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def frequency_damped_sample(
+    df: DataFrame,
+    coeff: float = 4.0,
+    min_keep: int = 10,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a hash-ranked ``floor(coeff*sqrt(n_g))``-row quota per group.
+
+    The quota rides alongside each row via a window count over the same
+    partitioning the rank uses, so the whole operator is ONE shuffle
+    (partition by group): count, rank, and filter all happen inside a
+    single window stage — no second scan, no join back to a counts table.
+
+    Returns the surviving rows plus ``_rank`` (1-based hash rank within
+    the group) and ``_quota``.
+    """
+    key = F.col(key_col)
+    by_group = Window.partitionBy(group_col)
+    rank_win = by_group.orderBy(md5_63(key.cast("string")), key)
+    n_g = F.count(F.lit(1)).over(by_group)
+    ranked = df.select(
+        "*",
+        F.row_number().over(rank_win).alias("_rank"),
+        _quota(n_g, coeff, min_keep).alias("_quota"),
+    )
+    return ranked.where(F.col("_rank") <= F.col("_quota"))

@@ -102,6 +102,7 @@ HEADLINE = [
     "tpch_q16",               # anti-join + count-distinct suppliers
     "tpch_q18",               # HAVING-subquery large-volume customers
     "tpch_q19",               # disjunctive brand/size/qty bands
+    "mixture_sample",         # sqrt-damped per-source corpus shaping
 ]
 
 

@@ -1020,3 +1020,52 @@ def test_cdc_chunks_shared_after_insertion(spark):
     hashes_b = {r["chunk_hash"] for r in by_doc[2]}
     shared = hashes_a & hashes_b
     assert len(shared) >= len(hashes_a) * 0.6
+
+
+def test_mixture_frequency_damped_sample(spark):
+    """Big source capped at floor(4*sqrt(100)) = 40; tiny source (5 <
+    min_keep) kept whole; selection is hash-deterministic (same rows
+    across calls and partitionings)."""
+    from akka_graph_db_spark.functions import mixture
+
+    rows = [(i, "big") for i in range(100)] + [
+        (1000 + i, "tiny") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = mixture.frequency_damped_sample(
+        df, coeff=4.0, min_keep=10
+    )
+    by_src = {}
+    for r in got.collect():
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 40
+    assert by_src["tiny"] == {1000 + i for i in range(5)}
+    again = mixture.frequency_damped_sample(
+        df.repartition(7), coeff=4.0, min_keep=10
+    )
+    by_src2 = {}
+    for r in again.collect():
+        by_src2.setdefault(r["source"], set()).add(r["doc_id"])
+    assert by_src == by_src2
+
+
+def test_mixture_weights_quota_math(spark):
+    """quota = least(n, greatest(min_keep, floor(coeff*sqrt(n)))) and
+    keep_rate = quota/n, computed per source."""
+    from akka_graph_db_spark.functions import mixture
+
+    rows = [(i, "a", 10) for i in range(64)] + [(200, "b", 7)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, n_chars bigint"
+    )
+    w = {
+        r["source"]: r
+        for r in mixture.mixture_weights(
+            df, coeff=2.0, min_keep=3
+        ).collect()
+    }
+    assert w["a"]["quota"] == 16  # floor(2*sqrt(64))
+    assert w["a"]["n_docs"] == 64 and w["a"]["total_chars"] == 640
+    assert w["a"]["keep_rate"] == 16 / 64
+    assert w["b"]["quota"] == 1  # least(n=1, greatest(3, 2)) = 1
+    assert w["b"]["keep_rate"] == 1.0
