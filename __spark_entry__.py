@@ -2019,6 +2019,73 @@ def q_streaming_fold(spark, sf_dir):
     )
 
 
+def q_streaming_store_sink(spark, sf_dir):
+    """§2.6 durable streaming ingest: two sequential mutation streams
+    fold through StreamingGraphFold with a store_root, so the first run
+    persists a BASE snapshot and the second an O(changes) DELTA
+    (store.delta_from_graphs diff). The result is read back from DISK
+    via store.load_snapshot — certifying the full chain stream →
+    foreachBatch fold → versioned store → merge-on-read. n_versions
+    pins the store layout (base + one delta = 2) into the hash compare.
+    Oracled relationally like streaming_fold: adds ⟕ last-update ▷
+    removes with node-removal cascading to incident edges."""
+    import os
+    import tempfile
+
+    from akka_graph_db_spark import store
+    from akka_graph_db_spark.streaming.fold import (
+        MUTATION_SCHEMA,
+        StreamingGraphFold,
+    )
+
+    g = _g(spark, sf_dir).core()
+    batch_a = [
+        (1, "add", "node", 97_000_001, "sink_probe", None, None, {"v": "1"}),
+        (2, "add", "node", 97_000_002, "sink_probe", None, None, {"v": "2"}),
+        (3, "add", "node", 97_000_003, "sink_probe", None, None, {"v": "3"}),
+        (
+            4,
+            "add",
+            "edge",
+            98_000_001,
+            "sink_edge",
+            97_000_001,
+            97_000_002,
+            {},
+        ),
+    ]
+    batch_b = [
+        (5, "update", "node", 97_000_001, None, None, None, {"v": "10"}),
+        (6, "remove", "node", 97_000_002, None, None, None, None),
+        (7, "remove", "node", 97_000_003, None, None, None, None),
+        (8, "add", "node", 97_000_004, "sink_probe", None, None, {"v": "4"}),
+    ]
+    tmp = tempfile.mkdtemp(prefix="sink_")
+    root = os.path.join(tmp, "store")
+    fold = StreamingGraphFold(
+        g, store_root=root, store_every=1, compact_every=8
+    )
+    for i, rows in enumerate((batch_a, batch_b)):
+        log_dir = os.path.join(tmp, f"log{i}")
+        spark.createDataFrame(rows, MUTATION_SCHEMA).coalesce(1).write.json(
+            log_dir
+        )
+        stream = spark.readStream.schema(MUTATION_SCHEMA).json(log_dir)
+        fold.run(stream, os.path.join(tmp, f"ckpt{i}"))
+    n_versions = len(store.list_versions(root, spark))
+    final = store.load_snapshot(spark, root)
+    return (
+        final.nodes.where(F.col("label") == "sink_probe")
+        .select("id", prop_str("props", "v").alias("v"))
+        .unionByName(
+            final.edges.where(F.col("label") == "sink_edge").select(
+                "id", F.lit("edge").alias("v")
+            )
+        )
+        .withColumn("n_versions", F.lit(int(n_versions)))
+    )
+
+
 def q_streaming_interval_join(spark, sf_dir):
     """§2.9 stream-stream interval join, batch-equivalence oracle: clicks
     and purchases run as two watermarked file streams; a purchase joins
@@ -3356,8 +3423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harmonic_parts, kmeans_embeddings, dedup_keep_source,
         # curriculum_shards, graph_summary, betweenness_parts, cdc_chunks,
         # collocations, kmeans_quality_profile, plus the round-5 TPC-H
-        # pack tpch_q4/q10/q12/q14/q16/q18/q19/q22 and the mixture pack
-        # mixture_weights/mixture_sample.
+        # pack tpch_q4/q10/q12/q14/q16/q18/q19/q22, the mixture pack
+        # mixture_weights/mixture_sample, and streaming_store_sink.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -3381,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "mixture_weights": q_mixture_weights,
         "mixture_sample": q_mixture_sample,
+        "streaming_store_sink": q_streaming_store_sink,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -5367,6 +5435,46 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        # Mirrors q_streaming_store_sink's two-batch log; the final
+        # state is the same relational fold as streaming_fold (adds ⟕
+        # last-update ▷ removes, cascade via src/dst membership), and
+        # n_versions = 2 pins base + one delta on disk.
+        "streaming_store_sink": """
+            WITH log(seq, op, kind, id, label, src, dst, v) AS (VALUES
+              (1, 'add', 'node', 97000001, 'sink_probe', NULL, NULL, '1'),
+              (2, 'add', 'node', 97000002, 'sink_probe', NULL, NULL, '2'),
+              (3, 'add', 'node', 97000003, 'sink_probe', NULL, NULL, '3'),
+              (4, 'add', 'edge', 98000001, 'sink_edge',
+                 97000001, 97000002, NULL),
+              (5, 'update', 'node', 97000001, NULL, NULL, NULL, '10'),
+              (6, 'remove', 'node', 97000002, NULL, NULL, NULL, NULL),
+              (7, 'remove', 'node', 97000003, NULL, NULL, NULL, NULL),
+              (8, 'add', 'node', 97000004, 'sink_probe', NULL, NULL, '4')
+            ),
+            removed AS (SELECT id FROM log
+                        WHERE op = 'remove' AND kind = 'node'),
+            upd AS (
+              SELECT id, v FROM (
+                SELECT id, v, ROW_NUMBER() OVER (PARTITION BY id
+                                                 ORDER BY seq DESC) AS rn
+                FROM log WHERE op = 'update' AND kind = 'node'
+              ) WHERE rn = 1
+            )
+            SELECT id, v, n_versions FROM (
+              SELECT CAST(a.id AS BIGINT) AS id, COALESCE(u.v, a.v) AS v,
+                     2 AS n_versions
+              FROM log a LEFT JOIN upd u ON a.id = u.id
+              WHERE a.op = 'add' AND a.kind = 'node'
+                AND a.id NOT IN (SELECT id FROM removed)
+              UNION ALL
+              SELECT CAST(e.id AS BIGINT) AS id, 'edge' AS v,
+                     2 AS n_versions
+              FROM log e
+              WHERE e.op = 'add' AND e.kind = 'edge'
+                AND e.src NOT IN (SELECT id FROM removed)
+                AND e.dst NOT IN (SELECT id FROM removed)
+            )
         """,
         # Quota = least(n, greatest(10, floor(4*sqrt(n)))): sqrt is
         # correctly-rounded IEEE, so both engines derive identical
