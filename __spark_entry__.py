@@ -268,6 +268,43 @@ def _lpa_geo_oracle(n_iter: int = 4) -> str:
     )
 
 
+def _modularity_geo_oracle(n_iter: int = 4) -> str:
+    """q_modularity_geo's oracle: the LPA supersteps of
+    ``_lpa_geo_oracle`` (same CTE text through ``l{n}``), then Newman
+    modularity over the identical symmetric edge set in exact HUGEINT
+    (== the engine's DECIMAL(38,0)) — d_c is just the per-community arc
+    count, A·W − Σd_c² over A² with one double division + round(6)."""
+    lpa = _lpa_geo_oracle(n_iter)
+    head = lpa[: lpa.rindex("\nSELECT ")]  # keep the WITH ... l{n} CTEs
+    return (
+        head
+        + f""",
+        mod_t AS MATERIALIZED (
+          SELECT e.a, la.community AS ca, lb.community AS cb
+          FROM lpa_und e
+          JOIN l{n_iter} la ON e.a = la.id
+          JOIN l{n_iter} lb ON e.b = lb.id
+        ),
+        mod_arcs AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS arcs,
+                 CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                      AS HUGEINT) AS within
+          FROM mod_t
+        ),
+        mod_d AS (
+          SELECT SUM(dc * dc) AS sum_dc2, COUNT(*) AS n_comm
+          FROM (SELECT ca, CAST(COUNT(*) AS HUGEINT) AS dc
+                FROM mod_t GROUP BY ca)
+        )
+        SELECT CAST(arcs / 2 AS BIGINT) AS n_edges,
+               CAST(n_comm AS BIGINT) AS n_communities,
+               ROUND(CAST(arcs * within - sum_dc2 AS DOUBLE)
+                     / CAST(arcs * arcs AS DOUBLE), 6) AS modularity
+        FROM mod_arcs, mod_d
+    """
+    )
+
+
 def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
     """Fixed-iteration PageRank as unrolled DuckDB CTEs (VERDICT r2 #2).
 
@@ -1931,6 +1968,20 @@ def q_label_propagation_geo(spark, sf_dir):
     return lpa.join(geo, "id", "left_semi").select("id", "community")
 
 
+def q_modularity_geo(spark, sf_dir):
+    """Newman modularity Q of the LPA communities over the same
+    geography edge set — the quality score that turns "we found
+    communities" into a verifiable number (operators/analytics.py
+    community_modularity: exact DECIMAL(38,0) moment sums, one double
+    division). Oracle = the LPA CTE chain + the same integer math in
+    HUGEINT."""
+    g = _g(spark, sf_dir)
+    labels = ["in_region", "located_in"]
+    lpa = analytics.label_propagation_communities(g, labels, n_iter=4)
+    pairs = analytics._edge_pairs(g, labels, directed=True)
+    return analytics.community_modularity(pairs, lpa)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload metadata via Arrow-batched mapInPandas — the
     multimodal plumbing (schema/batching) verified against the oracle's
@@ -3424,7 +3475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curriculum_shards, graph_summary, betweenness_parts, cdc_chunks,
         # collocations, kmeans_quality_profile, plus the round-5 TPC-H
         # pack tpch_q4/q10/q12/q14/q16/q18/q19/q22, the mixture pack
-        # mixture_weights/mixture_sample, and streaming_store_sink.
+        # mixture_weights/mixture_sample, streaming_store_sink, and
+        # modularity_geo.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -3449,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "mixture_sample": q_mixture_sample,
         "streaming_store_sink": q_streaming_store_sink,
+        "modularity_geo": q_modularity_geo,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -4916,6 +4969,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rp_p
         """,
         "label_propagation_geo": _lpa_geo_oracle(4),
+        "modularity_geo": _modularity_geo_oracle(4),
         # stream==batch equivalence: same gaps-and-islands SQL as the
         # batch events_session query
         "streaming_session": f"""

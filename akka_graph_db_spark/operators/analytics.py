@@ -1290,6 +1290,72 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     )
 
 
+def community_modularity(
+    pairs: DataFrame, assignment: DataFrame
+) -> DataFrame:
+    """Newman-Girvan modularity Q of a community ``assignment``
+    (id, community) over an undirected (a, b) pair frame:
+
+        Q = Σ_c [ e_c/m − (d_c / 2m)² ]
+
+    (e_c = intra-community edges, d_c = total degree of community c,
+    m = undirected edge count) — THE standard quality score for the
+    partitions label_propagation / connected-components emit.
+
+    Exactness design (same contract as :func:`degree_assortativity`):
+    with A = 2m symmetric arcs and W = intra-community arcs,
+    Q = (A·W − Σ_c d_c²) / A² — numerator and denominator are exact
+    integer aggregates carried as DECIMAL(38,0); one double division +
+    an agreed round(6) at the end, so a SQL oracle reproduces Q
+    bit-for-bit.
+
+    Plan shape: two shuffle joins tag each arc endpoint with its
+    community (the assignment is keyed by node id — at scale both joins
+    co-partition on the arc endpoint, and AQE broadcasts the assignment
+    side when it is small); then one degree aggregation and two scalar
+    aggregates. Nothing quadratic, no collect.
+    """
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    asg = assignment.select("id", "community")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tagged = sym.join(
+        asg.select(F.col("id").alias("a"), F.col("community").alias("ca")),
+        "a",
+    ).join(
+        asg.select(F.col("id").alias("b"), F.col("community").alias("cb")),
+        "b",
+    )
+    arcs = tagged.agg(
+        F.count(F.lit(1)).alias("_arcs"),
+        F.sum(
+            F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+        ).alias("_within"),
+    )
+    # d_c² summed over communities: degree per node → sum per community.
+    dsq = (
+        tagged.groupBy("a", "ca")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .groupBy("ca")
+        .agg(F.sum(dec(F.col("_deg"))).alias("_dc"))
+        .agg(
+            F.sum(F.col("_dc") * F.col("_dc")).alias("_sum_dc2"),
+            F.count(F.lit(1)).alias("_n_comm"),
+        )
+    )
+    j = arcs.crossJoin(F.broadcast(dsq))  # two 1-row frames
+    a_ = dec(F.col("_arcs"))
+    num = (a_ * dec(F.col("_within")) - F.col("_sum_dc2")).cast("double")
+    den = (a_ * a_).cast("double")
+    return j.select(
+        (F.col("_arcs") / 2).cast("long").alias("n_edges"),
+        F.col("_n_comm").cast("long").alias("n_communities"),
+        F.round(num / den, 6).alias("modularity"),
+    )
+
+
 def random_walks(
     pairs: DataFrame,
     n_seeds: int = 64,

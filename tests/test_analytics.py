@@ -501,3 +501,34 @@ def test_betweenness_square_split_paths(spark):
         ).collect()
     }
     assert got == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+
+
+def test_community_modularity_two_cliques(spark):
+    """Two triangles joined by one bridge edge, communities = the
+    cliques: m=7, within arcs W=12 (6 edges * 2), A=14, d_c = 7 each
+    (three nodes: 2+2+3); Q = (14*12 - 2*49)/196 = 70/196 = 0.357143."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "a bigint, b bigint",
+    )
+    asg = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "id bigint, community bigint",
+    )
+    row = analytics.community_modularity(pairs, asg).collect()[0]
+    assert row["n_edges"] == 7
+    assert row["n_communities"] == 2
+    assert row["modularity"] == round(70 / 196, 6)
+
+
+def test_community_modularity_single_community(spark):
+    """Everything in one community: Q = (A*A - A^2)/A^2 = 0 exactly
+    (d_total = A), for any connected graph."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "a bigint, b bigint"
+    )
+    asg = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id bigint, community bigint"
+    )
+    row = analytics.community_modularity(pairs, asg).collect()[0]
+    assert row["modularity"] == 0.0 and row["n_communities"] == 1
