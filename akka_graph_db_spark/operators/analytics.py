@@ -676,7 +676,12 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
     # One (id, deg) row per node — orders of magnitude smaller than the
     # edge frame, and tiny next to the wedge join this feeds; broadcast so
     # both orientation joins stay map-side (no edge-frame shuffle here).
-    deg = F.broadcast(deg)
+    # Size-gated like every other per-node broadcast: deg has at most
+    # 2·|e| rows, and callers hand us a persisted e so the count is one
+    # cheap cached action. Past the gate the joins shuffle (AQE may
+    # still convert at runtime if actual stats allow).
+    if e.count() <= _WEDGE_BROADCAST_MAX_EDGES:
+        deg = F.broadcast(deg)
     eab = e.join(
         deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a"
     ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
@@ -1055,10 +1060,14 @@ def link_prediction_jaccard(
                 .where(F.col("common") >= min_common)
             )
         cand = cn.join(e, ["a", "b"], "left_anti")
-        da = F.broadcast(deg.select(F.col("a"), F.col("deg").alias("_da")))
-        db = F.broadcast(
-            deg.select(F.col("a").alias("b"), F.col("deg").alias("_db"))
-        )
+        # deg has at most n_sym rows — same gate as the adjacency side;
+        # past it the per-node frame can't broadcast and the candidate
+        # set (already wedge-bounded) shuffle-joins instead.
+        da = deg.select(F.col("a"), F.col("deg").alias("_da"))
+        db = deg.select(F.col("a").alias("b"), F.col("deg").alias("_db"))
+        if n_sym <= _WEDGE_BROADCAST_MAX_EDGES:
+            da = F.broadcast(da)
+            db = F.broadcast(db)
         scored = (
             cand.join(da, "a")
             .join(db, "b")
@@ -1264,17 +1273,19 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     e = canonical_undirected(pairs)
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    j = sym.join(
-        F.broadcast(deg.select(F.col("a"), F.col("deg").alias("dx"))), "a"
-    ).join(
-        F.broadcast(
-            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy"))
-        ),
-        "b",
-    )
+    # deg is one row per node (≤ |sym|) — broadcast behind the same
+    # size gate as the wedge joins; at counts past it both degree joins
+    # shuffle on the arc endpoint instead of shipping a per-node frame
+    # to every executor.
+    dx = deg.select(F.col("a"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("a").alias("b"), F.col("deg").alias("dy"))
+    if sym.count() <= _WEDGE_BROADCAST_MAX_EDGES:
+        dx = F.broadcast(dx)
+        dy = F.broadcast(dy)
+    j = sym.join(dx, "a").join(dy, "b")
     s = j.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(dec(F.col("dx"))).alias("_sx"),
@@ -1284,10 +1295,13 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
     n = dec(F.col("_n"))
     num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sx")).cast("double")
     den = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
-    return s.select(
-        (F.col("_n") / 2).cast("long").alias("n_edges"),
-        F.round(num / den, 6).alias("assortativity"),
-    )
+    try:
+        return s.select(
+            (F.col("_n") / 2).cast("long").alias("n_edges"),
+            F.round(num / den, 6).alias("assortativity"),
+        ).localCheckpoint(eager=True)
+    finally:
+        sym.unpersist()
 
 
 def community_modularity(
