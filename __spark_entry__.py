@@ -268,6 +268,46 @@ def _lpa_geo_oracle(n_iter: int = 4) -> str:
     )
 
 
+def _ktruss_oracle(k: int = 3, rounds: int = 6, min_orders: int = 2) -> str:
+    """q_ktruss_parts's oracle: the recurrent co-order graph, then
+    ``rounds`` unrolled peeling steps — each round recomputes every
+    edge's common-neighbor (triangle) count over the CURRENT edge set
+    and keeps support >= k-2. Monotone, so rounds past the fixpoint are
+    no-ops; the final round's support is computed over the fixpoint set,
+    exactly what the engine returns."""
+    ctes = [
+        f"""kt0 AS MATERIALIZED (
+            SELECT a, b FROM (
+              SELECT x.l_partkey AS a, y.l_partkey AS b,
+                     COUNT(DISTINCT x.l_orderkey) AS w
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2
+            ) WHERE w >= {min_orders}
+        )"""
+    ]
+    for r in range(rounds):
+        ctes.append(f"""kts{r} AS MATERIALIZED (
+            SELECT a, b FROM kt{r}
+            UNION ALL
+            SELECT b AS a, a AS b FROM kt{r}
+        )""")
+        ctes.append(f"""kt{r + 1} AS MATERIALIZED (
+            SELECT e.a, e.b, COUNT(*) AS support
+            FROM kt{r} e
+            JOIN kts{r} x ON x.a = e.a
+            JOIN kts{r} y ON y.a = e.b AND y.b = x.b
+            GROUP BY e.a, e.b
+            HAVING COUNT(*) >= {k - 2}
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a, b, support FROM kt{rounds}"
+    )
+
+
 def _modularity_geo_oracle(n_iter: int = 4) -> str:
     """q_modularity_geo's oracle: the LPA supersteps of
     ``_lpa_geo_oracle`` (same CTE text through ``l{n}``), then Newman
@@ -2440,6 +2480,32 @@ def q_kcore_parts(spark, sf_dir):
     )
 
 
+def q_ktruss_parts(spark, sf_dir):
+    """3-truss of the RECURRENT part co-order graph (pairs co-ordered in
+    >= 2 distinct orders — the weight threshold prunes one-off
+    coincidences, leaving a sparse affinity graph where truss peeling
+    actually bites): run-to-fixpoint triangle-support peeling in Spark
+    (operators/analytics.py ktruss) vs a 6-round unrolled peel in
+    DuckDB — fixpoint is 2 rounds at both sf0.001 and sf0.01, and
+    peeling is monotone so the extra rounds are no-ops. Returns the
+    surviving edges with their triangle support."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    recurrent = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count_distinct("l_orderkey").alias("_w"))
+        .where(F.col("_w") >= 2)
+        .select("a", "b")
+    )
+    t = analytics.ktruss(recurrent, k=3)
+    return t.select(
+        "a", "b", F.col("support").cast("bigint").alias("support")
+    )
+
+
 def q_link_prediction_parts(spark, sf_dir):
     """Top-50 predicted links on the part co-order graph by Jaccard
     neighborhood overlap (non-adjacent pairs, >= 2 common neighbors),
@@ -3502,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "streaming_store_sink": q_streaming_store_sink,
         "modularity_geo": q_modularity_geo,
+        "ktruss_parts": q_ktruss_parts,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -4970,6 +5037,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation_geo": _lpa_geo_oracle(4),
         "modularity_geo": _modularity_geo_oracle(4),
+        "ktruss_parts": _ktruss_oracle(k=3, rounds=6, min_orders=2),
         # stream==batch equivalence: same gaps-and-islands SQL as the
         # batch events_session query
         "streaming_session": f"""

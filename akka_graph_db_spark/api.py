@@ -277,6 +277,20 @@ class GraphDB:
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         return analytics.kcore(pairs, k, max_iter)
 
+    def ktruss(self, k, edge_labels=None, max_iter=30) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.ktruss(pairs, k, max_iter)
+
+    def modularity(self, assignment, edge_labels=None) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.community_modularity(pairs, assignment)
+
     def link_prediction(
         self, top_k=50, min_common=2, edge_labels=None, max_degree=None
     ) -> DataFrame:

@@ -959,6 +959,60 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     )
 
 
+def ktruss(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """k-truss subgraph of an undirected (a, b) pair frame: iteratively
+    remove edges supported by fewer than k-2 triangles until a fixpoint
+    (Cohen 2008, "Trusses: cohesive subgraphs for social network
+    analysis") — the edge-level analogue of :func:`kcore`, and a much
+    stronger cohesion filter (every surviving edge sits in >= k-2
+    triangles of surviving edges).
+
+    Each round enumerates triangles of the CURRENT edge set via the same
+    degree-oriented edge-iterator as :func:`triangle_count` (wedge work
+    bounded O(m^1.5) under skew), credits each triangle to its three
+    edges, and semi-joins the survivors. The edge frame only shrinks;
+    it is checkpointed every round (loop state, same cadence as kcore).
+    Peeling is monotone, so rounds past the fixpoint are no-ops — an
+    oracle can safely unroll a FIXED round count >= the actual fixpoint.
+
+    Returns the surviving canonical edges (a, b) with their final
+    ``support`` count.
+    """
+    if k < 3:
+        raise ValueError(f"ktruss needs k >= 3, got {k}")
+    e = canonical_undirected(pairs).localCheckpoint(eager=True)
+    prev = e.count()
+    sup = None
+    for _ in range(max_iter):
+        tri = _oriented_triangles(e)
+        # each (x, y, z) triangle supports its three canonical edges
+        sides = tri.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        ).unionByName(
+            tri.select(
+                F.least("x", "z").alias("a"),
+                F.greatest("x", "z").alias("b"),
+            )
+        ).unionByName(
+            tri.select(
+                F.least("y", "z").alias("a"),
+                F.greatest("y", "z").alias("b"),
+            )
+        )
+        sup = sides.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        ).where(F.col("support") >= k - 2)
+        nxt = sup.select("a", "b", "support").localCheckpoint(eager=True)
+        after = nxt.count()  # materializes the checkpoint, reused below
+        e = nxt.select("a", "b")
+        if after == prev:
+            return nxt
+        prev = after
+        if after == 0:
+            return nxt
+    return nxt
+
+
 _WEDGE_BROADCAST_MAX_EDGES = 10_000_000
 
 

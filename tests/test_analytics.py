@@ -532,3 +532,36 @@ def test_community_modularity_single_community(spark):
     )
     row = analytics.community_modularity(pairs, asg).collect()[0]
     assert row["modularity"] == 0.0 and row["n_communities"] == 1
+
+
+def test_ktruss_k4_complete(spark):
+    """K4: every edge sits in exactly 2 triangles — the 4-truss
+    (support >= 2) keeps all 6 edges; the 5-truss is empty."""
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    t4 = analytics.ktruss(pairs, k=4).collect()
+    assert len(t4) == 6 and all(r["support"] == 2 for r in t4)
+    assert analytics.ktruss(pairs, k=5).count() == 0
+
+
+def test_ktruss_peels_cascade(spark):
+    """Two triangles sharing edge (2,3): the shared edge has support 2,
+    the others 1. k=4 first removes the support-1 edges, which drops the
+    shared edge's support to 0 — the cascade empties the graph (a
+    one-round filter would wrongly keep (2,3))."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "a bigint, b bigint"
+    )
+    assert analytics.ktruss(pairs, k=4).count() == 0
+    t3 = {(r["a"], r["b"]) for r in analytics.ktruss(pairs, k=3).collect()}
+    assert t3 == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+
+
+def test_ktruss_pendant_removed(spark):
+    """Triangle + pendant edge: 3-truss keeps the triangle, drops the
+    pendant (support 0)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 9)], "a bigint, b bigint"
+    )
+    got = {(r["a"], r["b"]) for r in analytics.ktruss(pairs, k=3).collect()}
+    assert got == {(1, 2), (2, 3), (1, 3)}

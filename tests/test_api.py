@@ -74,3 +74,23 @@ def test_facade_kcore_and_link_prediction(micro):
     assert core == {1: 2, 2: 2, 3: 2}
     lp = db.link_prediction(edge_labels=["knows"], min_common=1).collect()
     assert all(r["jaccard"] <= 1.0 for r in lp)
+
+
+def test_facade_ktruss_and_modularity(micro):
+    from akka_graph_db_spark.api import GraphDB
+
+    db = GraphDB(micro)
+    # 'knows' subgraph: the 1-2-3 triangle (+edge 2-8): the 3-truss is
+    # the triangle, every edge with support 1
+    t = {
+        (r["a"], r["b"]): r["support"]
+        for r in db.ktruss(3, edge_labels=["knows"]).collect()
+    }
+    assert t == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+    from pyspark.sql import functions as F
+
+    asg = micro.nodes.select(
+        "id", F.lit(1).cast("bigint").alias("community")
+    )
+    row = db.modularity(asg, edge_labels=["knows"]).collect()[0]
+    assert row["modularity"] == 0.0  # one community => Q = 0
