@@ -3240,6 +3240,22 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_token_rarity(spark, sf_dir):
+    """Corpus-statistics quality: the 50 documents most dominated by
+    rare tokens (hapax-heavy docs are the classic mojibake/boilerplate
+    signature) — functions/text.py token_rarity_stats, the unigram-LM
+    perplexity intuition reduced to exact integer corpus frequencies
+    (no log/exp), so both ratios hash-match the oracle exactly."""
+    from akka_graph_db_spark.functions.text import token_rarity_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        token_rarity_stats(docs, rare_max_freq=1)
+        .orderBy(F.col("rare_ratio").desc(), "doc_id")
+        .limit(50)
+    )
+
+
 def q_mixture_weights(spark, sf_dir):
     """Per-source training-mixture catalog: document/char volume and the
     sqrt-damped keep-quota each source would contribute to a shaped
@@ -3569,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_store_sink": q_streaming_store_sink,
         "modularity_geo": q_modularity_geo,
         "ktruss_parts": q_ktruss_parts,
+        "token_rarity": q_token_rarity,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -5597,6 +5614,30 @@ def oracle_sql() -> dict[str, str]:
                 AND e.src NOT IN (SELECT id FROM removed)
                 AND e.dst NOT IN (SELECT id FROM removed)
             )
+        """,
+        # Exact integer corpus frequencies; the two ratios are single
+        # double divisions, so ordering and values reproduce exactly.
+        "token_rarity": f"""
+            WITH tok AS MATERIALIZED (
+              SELECT doc_id, u.t AS tok
+              FROM documents, UNNEST({_TOK}) AS u(t)
+            ),
+            freq AS MATERIALIZED (
+              SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok
+            ),
+            st AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     SUM(f) AS sum_f,
+                     SUM(CASE WHEN f <= 1 THEN 1 ELSE 0 END) AS n_rare
+              FROM tok JOIN freq USING (tok)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(sum_f AS DOUBLE) / n_tokens AS mean_tok_freq,
+                   CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio
+            FROM st
+            ORDER BY rare_ratio DESC, doc_id
+            LIMIT 50
         """,
         # Quota = least(n, greatest(10, floor(4*sqrt(n)))): sqrt is
         # correctly-rounded IEEE, so both engines derive identical

@@ -733,3 +733,53 @@ def cdc_chunks(
             )
         ).alias("chunk_hash"),
     )
+
+
+def token_rarity_stats(
+    df: DataFrame,
+    rare_max_freq: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-statistics quality signals per document: how much of a doc
+    is made of tokens the rest of the corpus (almost) never uses.
+
+    A document dominated by hapax legomena (corpus frequency 1) is
+    usually garbage — mojibake, base64 blobs, boilerplate IDs — the
+    unigram-LM intuition behind perplexity filtering, reduced to EXACT
+    integer statistics so no log/exp enters (oracle-reproducible):
+
+      - ``n_tokens``   — whitespace token count
+      - ``mean_tok_freq`` — Σ corpus-freq of the doc's tokens / n_tokens
+      - ``rare_ratio``  — fraction of token OCCURRENCES whose corpus
+        frequency is <= ``rare_max_freq``
+
+    Plan: one explode + token-keyed count (the vocabulary aggregation),
+    join the exploded tokens back on token (AQE broadcasts the
+    vocabulary side when small; at web scale both sides co-partition on
+    the token key), one per-doc aggregation. Three shuffles total,
+    nothing quadratic; the two ratios are single double divisions off
+    exact BIGINT sums.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_freq"))
+    n = F.col("n_tokens")
+    return (
+        tok.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_freq").alias("_sum_freq"),
+            F.sum(
+                F.when(F.col("_freq") <= rare_max_freq, 1).otherwise(0)
+            ).alias("_n_rare"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_sum_freq").cast("double") / n).alias("mean_tok_freq"),
+            (F.col("_n_rare").cast("double") / n).alias("rare_ratio"),
+        )
+    )

@@ -1069,3 +1069,20 @@ def test_mixture_weights_quota_math(spark):
     assert w["a"]["keep_rate"] == 16 / 64
     assert w["b"]["quota"] == 1  # least(n=1, greatest(3, 2)) = 1
     assert w["b"]["keep_rate"] == 1.0
+
+
+def test_token_rarity_stats(spark):
+    """Doc 1 = all common tokens, doc 2 = half hapax: corpus freqs are
+    exact integers, ratios exact rationals."""
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the zzqq1")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in textf.token_rarity_stats(df).collect()
+    }
+    # freqs: the=2, cat=1, sat=1, zzqq1=1
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["mean_tok_freq"] == (2 + 1 + 1) / 3
+    assert got[1]["rare_ratio"] == 2 / 3
+    assert got[2]["rare_ratio"] == 1 / 2  # 'the' freq 2, 'zzqq1' hapax
