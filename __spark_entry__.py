@@ -3256,6 +3256,90 @@ def q_token_rarity(spark, sf_dir):
     )
 
 
+def q_pivot_priority_year(spark, sf_dir):
+    """Order counts pivoted to a year × priority matrix — Spark's
+    relational PIVOT operator (one scan, one hash aggregation with the
+    priority dimension spread across columns; the explicit value list
+    keeps the plan static, no distinct-scan pre-pass). Oracle: the
+    equivalent conditional aggregation."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+        .na.fill(0)
+    )
+    renames = {
+        "1-URGENT": "n_urgent",
+        "2-HIGH": "n_high",
+        "3-MEDIUM": "n_medium",
+        "4-NOT SPECIFIED": "n_notspec",
+        "5-LOW": "n_low",
+    }
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.orderBy("order_year")
+
+
+def q_ntile_customer_deciles(spark, sf_dir):
+    """Customer account-balance deciles with exact NTILE(10) semantics
+    over a total order (balance, then custkey), rolled up to per-decile
+    population and balance bounds — computed DISTRIBUTED via
+    functions/ranking.py ntile_distributed (range-repartitioned global
+    rank + the remainder-first tile formula), never the single-partition
+    `Window.orderBy` that a bare NTILE compiles to. min/max are exact
+    passthroughs of stored doubles; the oracle is plain NTILE."""
+    from akka_graph_db_spark.functions.ranking import ntile_distributed
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tiled = ntile_distributed(
+        cust.select("c_acctbal", "c_custkey"),
+        10,
+        ["c_acctbal", "c_custkey"],
+        tile_col="decile",
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_orders_above_customer_avg(spark, sf_dir):
+    """Correlated scalar subquery, decorrelated: orders whose price
+    exceeds THEIR customer's average order price — the classic
+    decorrelation into (per-customer aggregate) ⋈ (orders), which is
+    exactly the plan Catalyst would rewrite the subquery into; the
+    average derives from an exact decimal sum so both engines compare
+    against identical doubles. Top 20 customers by above-average order
+    count."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_per_cust = orders.groupBy("o_custkey").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("_avg"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        orders.join(avg_per_cust, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy(F.col("o_custkey").alias("custkey"), "n_orders")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+        .orderBy(F.col("n_above").desc(), "custkey")
+        .limit(20)
+    )
+
+
 def q_mixture_weights(spark, sf_dir):
     """Per-source training-mixture catalog: document/char volume and the
     sqrt-damped keep-quota each source would contribute to a shaped
@@ -3586,6 +3670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_geo": q_modularity_geo,
         "ktruss_parts": q_ktruss_parts,
         "token_rarity": q_token_rarity,
+        "pivot_priority_year": q_pivot_priority_year,
+        "ntile_customer_deciles": q_ntile_customer_deciles,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -5614,6 +5701,52 @@ def oracle_sql() -> dict[str, str]:
                 AND e.src NOT IN (SELECT id FROM removed)
                 AND e.dst NOT IN (SELECT id FROM removed)
             )
+        """,
+        "pivot_priority_year": """
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+                     AS order_year,
+                   SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS n_urgent,
+                   SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                            THEN 1 ELSE 0 END) AS n_high,
+                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                            THEN 1 ELSE 0 END) AS n_medium,
+                   SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                            THEN 1 ELSE 0 END) AS n_notspec,
+                   SUM(CASE WHEN o_orderpriority = '5-LOW'
+                            THEN 1 ELSE 0 END) AS n_low
+            FROM orders
+            GROUP BY order_year
+            ORDER BY order_year
+        """,
+        "ntile_customer_deciles": """
+            SELECT decile, COUNT(*) AS n_customers,
+                   MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+            FROM (
+              SELECT c_acctbal,
+                     NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)
+                       AS decile
+              FROM customer
+            )
+            GROUP BY decile
+            ORDER BY decile
+        """,
+        "orders_above_customer_avg": """
+            WITH a AS (
+              SELECT o_custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                          AS DOUBLE) / COUNT(*) AS avg_price,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_custkey AS custkey, a.n_orders,
+                   COUNT(*) AS n_above
+            FROM orders o
+            JOIN a ON o.o_custkey = a.o_custkey
+            WHERE o.o_totalprice > a.avg_price
+            GROUP BY o.o_custkey, a.n_orders
+            ORDER BY n_above DESC, custkey
+            LIMIT 20
         """,
         # Exact integer corpus frequencies; the two ratios are single
         # double divisions, so ordering and values reproduce exactly.

@@ -76,3 +76,37 @@ def global_rank(
         return out.localCheckpoint(eager=True)
     finally:
         r.unpersist()
+
+
+def ntile_distributed(
+    df: DataFrame,
+    k: int,
+    order_by: "list[Column | str]",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact ``NTILE(k) OVER (ORDER BY ...)`` without the
+    single-partition window: :func:`global_rank` supplies distributed
+    row numbers, then the standard remainder-first tile formula (the
+    first ``n % k`` tiles get one extra row — SQL-standard semantics,
+    byte-identical to DuckDB/Spark NTILE) maps rank → tile as a pure
+    expression. ``order_by`` must be a total order, same contract as
+    global_rank.
+
+    The rank→tile division runs in double and floors — exact while
+    n < 2^53 rows, i.e. always.
+    """
+    ranked = global_rank(df, order_by, rank_col="_grank")
+    n = ranked.count()  # checkpointed by global_rank — cheap action
+    q, r = divmod(n, k)
+    rank = F.col("_grank")
+    if q == 0:  # fewer rows than tiles: tile i = row i
+        tile = rank
+    else:
+        first = r * (q + 1)
+        tile = F.when(
+            rank <= first,
+            F.floor((rank - 1) / F.lit(q + 1)) + 1,
+        ).otherwise(
+            F.lit(r) + F.floor((rank - first - 1) / F.lit(q)) + 1
+        )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("_grank")

@@ -132,3 +132,42 @@ def test_global_rank_equals_single_partition_row_number(rows):
     expected_order = sorted(rows, key=lambda t: (-t[0], t[1]))
     expected = {uid: i + 1 for i, (_, uid) in enumerate(expected_order)}
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(1, 7),
+)
+def test_ntile_distributed_matches_sql_semantics(rows, k):
+    """ntile_distributed must reproduce SQL-standard NTILE for any data
+    and tile count: the first n%k tiles get ceil(n/k) rows, the rest
+    floor(n/k) — including n < k (one row per tile) and empty input."""
+    from akka_graph_db_spark.functions.ranking import ntile_distributed
+    from pyspark.sql import functions as F
+
+    spark = _SPARK["s"]
+    df = spark.createDataFrame(rows or [], "k int, uid long")
+    got = {
+        r["uid"]: r["tile"]
+        for r in ntile_distributed(
+            df, k, [F.col("k").desc(), "uid"]
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (-t[0], t[1]))
+    n = len(order)
+    q, r = divmod(n, k)
+    expected = {}
+    pos = 0
+    for tile in range(1, k + 1):
+        size = q + (1 if tile <= r else 0)
+        for _ in range(size):
+            if pos < n:
+                expected[order[pos][1]] = tile
+                pos += 1
+    assert got == expected
