@@ -3256,6 +3256,53 @@ def q_token_rarity(spark, sf_dir):
     )
 
 
+def q_scc_event_types(spark, sf_dir):
+    """Strongly connected components of the event-type transition graph
+    (directed edges = observed consecutive transitions): which behavior
+    states are mutually reachable. Path-doubling transitive closure +
+    mutual-reachability meet (operators/analytics.py
+    strongly_connected_components) — the bounded-cardinality directed
+    analytics the engine pairs with its undirected CC. Oracle: the same
+    closure unrolled 5 doublings (monotone; fixpoint ≤ diameter log)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = (
+        ev.event_transitions(events)
+        .where(F.col("from_type") != F.col("to_type"))
+        .select(
+            F.col("from_type").alias("a"), F.col("to_type").alias("b")
+        )
+    )
+    return analytics.strongly_connected_components(edges).orderBy("id")
+
+
+def q_transition_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity of the transition graph: the fraction
+    of distinct edges whose reverse edge also occurs — one self-join on
+    the swapped key + exact integer counts, one double division."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = (
+        ev.event_transitions(events)
+        .where(F.col("from_type") != F.col("to_type"))
+        .select(
+            F.col("from_type").alias("a"), F.col("to_type").alias("b")
+        )
+        .distinct()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    agg = e.join(rev, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n_edges",
+        "n_reciprocal",
+        (
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
+    )
+
+
 def q_pivot_priority_year(spark, sf_dir):
     """Order counts pivoted to a year × priority matrix — Spark's
     relational PIVOT operator (one scan, one hash aggregation with the
@@ -3670,6 +3717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_geo": q_modularity_geo,
         "ktruss_parts": q_ktruss_parts,
         "token_rarity": q_token_rarity,
+        "scc_event_types": q_scc_event_types,
+        "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
         "ntile_customer_deciles": q_ntile_customer_deciles,
         "orders_above_customer_avg": q_orders_above_customer_avg,
@@ -5701,6 +5750,89 @@ def oracle_sql() -> dict[str, str]:
                 AND e.src NOT IN (SELECT id FROM removed)
                 AND e.dst NOT IN (SELECT id FROM removed)
             )
+        """,
+        # Path-doubling closure unrolled 5 rounds (2^5 = 32 hops >> the
+        # transition graph's diameter; doubling past the fixpoint is a
+        # no-op). SCC id = least(v, min mutual peer) — reflexive, so
+        # sources/sinks are singletons.
+        "scc_event_types": """
+            WITH te AS MATERIALIZED (
+              SELECT DISTINCT from_type AS a, to_type AS b FROM (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                         AS to_type
+                FROM events
+              ) WHERE to_type IS NOT NULL AND from_type <> to_type
+            ),
+            tc0 AS MATERIALIZED (SELECT a, b FROM te),
+            tc1 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc0
+                UNION ALL
+                SELECT x.a, y.b FROM tc0 x JOIN tc0 y ON x.b = y.a)
+            ),
+            tc2 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc1
+                UNION ALL
+                SELECT x.a, y.b FROM tc1 x JOIN tc1 y ON x.b = y.a)
+            ),
+            tc3 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc2
+                UNION ALL
+                SELECT x.a, y.b FROM tc2 x JOIN tc2 y ON x.b = y.a)
+            ),
+            tc4 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc3
+                UNION ALL
+                SELECT x.a, y.b FROM tc3 x JOIN tc3 y ON x.b = y.a)
+            ),
+            tc5 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc4
+                UNION ALL
+                SELECT x.a, y.b FROM tc4 x JOIN tc4 y ON x.b = y.a)
+            ),
+            nodes AS (
+              SELECT DISTINCT a AS id FROM te
+              UNION SELECT DISTINCT b FROM te
+            ),
+            mut AS (
+              SELECT f.a AS id, f.b AS peer
+              FROM tc5 f JOIN tc5 g ON f.a = g.b AND f.b = g.a
+            ),
+            s AS (
+              SELECT n.id,
+                     LEAST(n.id, COALESCE(MIN(m.peer), n.id)) AS scc
+              FROM nodes n LEFT JOIN mut m ON m.id = n.id
+              GROUP BY n.id
+            )
+            SELECT s.id, s.scc, z.scc_size
+            FROM s JOIN (SELECT scc, COUNT(*) AS scc_size
+                         FROM s GROUP BY scc) z ON s.scc = z.scc
+            ORDER BY s.id
+        """,
+        "transition_reciprocity": """
+            WITH te AS MATERIALIZED (
+              SELECT DISTINCT from_type AS a, to_type AS b FROM (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                         AS to_type
+                FROM events
+              ) WHERE to_type IS NOT NULL AND from_type <> to_type
+            )
+            SELECT (SELECT COUNT(*) FROM te) AS n_edges,
+                   COUNT(*) AS n_reciprocal,
+                   CAST(COUNT(*) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM te) AS DOUBLE)
+                     AS reciprocity
+            FROM te e
+            WHERE EXISTS (SELECT 1 FROM te r
+                          WHERE r.a = e.b AND r.b = e.a)
         """,
         "pivot_priority_year": """
             SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)

@@ -959,7 +959,76 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     )
 
 
-def ktruss(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+def transitive_closure(
+    pairs: DataFrame, max_doublings: int = 6
+) -> DataFrame:
+    """Reachability closure of a DIRECTED (a, b) pair frame by path
+    doubling: each round joins the current closure with itself, so R
+    rounds cover paths up to 2^R hops — O(log diameter) supersteps, the
+    textbook parallel closure (vs. linear-round edge-relaxation).
+
+    SCALE CONTRACT: the OUTPUT is O(n²) pairs in the worst case — this
+    operator is for bounded-cardinality DERIVED graphs (event-type
+    transition graphs, label/category DAGs, schema lineage), not for
+    billion-node raw graphs; the per-round join itself is
+    shuffle-partitioned on the join key and never materializes more
+    than the closure. Fixpoint-detected (count stable), monotone — an
+    oracle can unroll a fixed round count safely past the fixpoint.
+    """
+    reach = (
+        pairs.select("a", "b").distinct().localCheckpoint(eager=True)
+    )
+    prev = reach.count()
+    for _ in range(max_doublings):
+        x, y = reach.alias("x"), reach.alias("y")
+        stepped = x.join(
+            y, F.col("x.b") == F.col("y.a")
+        ).select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        nxt = (
+            reach.unionByName(stepped)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        after = nxt.count()
+        reach = nxt
+        if after == prev:
+            break
+        prev = after
+    return reach
+
+
+def strongly_connected_components(
+    pairs: DataFrame, max_doublings: int = 6
+) -> DataFrame:
+    """SCC membership of a directed (a, b) frame via mutual
+    reachability over :func:`transitive_closure` (same bounded-
+    cardinality contract): u, v share a component iff each reaches the
+    other; the component id is the smallest member (every node is
+    reflexively in its own SCC, so sources/sinks come out as
+    singletons). Returns (id, scc, scc_size).
+    """
+    c = transitive_closure(pairs, max_doublings)
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    fwd, bwd = c.alias("f"), c.alias("g")
+    mutual = fwd.join(
+        bwd,
+        (F.col("f.a") == F.col("g.b")) & (F.col("f.b") == F.col("g.a")),
+    ).select(F.col("f.a").alias("id"), F.col("f.b").alias("peer"))
+    scc = (
+        nodes.join(mutual, "id", "left")
+        .groupBy("id")
+        .agg(
+            F.least(
+                F.col("id"), F.coalesce(F.min("peer"), F.col("id"))
+            ).alias("scc")
+        )
+    )
+    sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("scc_size"))
+    return scc.join(sizes, "scc").select("id", "scc", "scc_size")
     """k-truss subgraph of an undirected (a, b) pair frame: iteratively
     remove edges supported by fewer than k-2 triangles until a fixpoint
     (Cohen 2008, "Trusses: cohesive subgraphs for social network

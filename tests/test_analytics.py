@@ -565,3 +565,34 @@ def test_ktruss_pendant_removed(spark):
     )
     got = {(r["a"], r["b"]) for r in analytics.ktruss(pairs, k=3).collect()}
     assert got == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_transitive_closure_and_scc(spark):
+    """Chain 1→2→3 with back edge 3→2 and isolated-source 4→1: closure
+    must contain 1→3 (2 hops); SCC {2,3} is the only nontrivial
+    component, 1 and 4 are singletons."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2), (4, 1)], "a bigint, b bigint"
+    )
+    reach = {
+        (r["a"], r["b"])
+        for r in analytics.transitive_closure(pairs).collect()
+    }
+    assert (1, 3) in reach and (4, 3) in reach and (3, 3) in reach
+    scc = {
+        r["id"]: (r["scc"], r["scc_size"])
+        for r in analytics.strongly_connected_components(pairs).collect()
+    }
+    assert scc == {1: (1, 1), 2: (2, 2), 3: (2, 2), 4: (4, 1)}
+
+
+def test_scc_two_cycles_bridged(spark):
+    """Two 2-cycles joined by a one-way bridge stay separate SCCs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)], "a bigint, b bigint"
+    )
+    scc = {
+        r["id"]: r["scc"]
+        for r in analytics.strongly_connected_components(pairs).collect()
+    }
+    assert scc == {1: 1, 2: 1, 3: 3, 4: 3}
