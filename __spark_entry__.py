@@ -3256,6 +3256,21 @@ def q_token_rarity(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: the 20% "incoming" slice (doc_id % 10
+    >= 8) checked for near-duplicates against the 80% "base" corpus via
+    the asymmetric band join (functions/dedup.py minhash_dedup_cross).
+    Exact-verified; LSH recall is 100% at these parameters (same
+    argument as dedup_minhash), so the exact cross all-pairs oracle
+    matches. jaccard_sim is an exact |∩|/|∪| double division."""
+    docs = read_documents(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+    base = docs.where(F.col("doc_id") % 10 < 8)
+    return dedup.minhash_dedup_cross(
+        new, base, threshold=0.9, num_perm=64, bands=16, shingle_n=1
+    )
+
+
 def q_scc_event_types(spark, sf_dir):
     """Strongly connected components of the event-type transition graph
     (directed edges = observed consecutive transitions): which behavior
@@ -3717,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_geo": q_modularity_geo,
         "ktruss_parts": q_ktruss_parts,
         "token_rarity": q_token_rarity,
+        "dedup_incremental": q_dedup_incremental,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -5750,6 +5766,26 @@ def oracle_sql() -> dict[str, str]:
                 AND e.src NOT IN (SELECT id FROM removed)
                 AND e.dst NOT IN (SELECT id FROM removed)
             )
+        """,
+        # Exact cross all-pairs ground truth (valid because LSH recall
+        # is ~100% at 64 perms / 16 bands / t=0.9, as for dedup_minhash);
+        # jaccard_sim is the same correctly-rounded int/int division in
+        # both engines.
+        "dedup_incremental": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, list_distinct({_TOK}) AS toks FROM documents
+            ),
+            nw AS (SELECT * FROM t WHERE doc_id % 10 >= 8),
+            bs AS (SELECT * FROM t WHERE doc_id % 10 < 8)
+            SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+                   len(list_intersect(n.toks, b.toks))::DOUBLE
+                   / (len(n.toks) + len(b.toks)
+                      - len(list_intersect(n.toks, b.toks)))
+                     AS jaccard_sim
+            FROM nw n JOIN bs b
+              ON len(list_intersect(n.toks, b.toks))::DOUBLE
+                 / (len(n.toks) + len(b.toks)
+                    - len(list_intersect(n.toks, b.toks))) >= 0.9
         """,
         # Path-doubling closure unrolled 5 rounds (2^5 = 32 hops >> the
         # transition graph's diameter; doubling past the fixpoint is a

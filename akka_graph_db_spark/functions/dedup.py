@@ -424,6 +424,81 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_dedup_cross(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    arrow: bool = True,
+) -> DataFrame:
+    """INCREMENTAL near-dup: which NEW documents near-duplicate any
+    document of an EXISTING base corpus — the shape every production
+    ingest runs (dedupe the day's crawl against the corpus, never the
+    corpus against itself again).
+
+    Same shingle→minhash→band machinery as :func:`minhash_dedup_pairs`,
+    but the band join is ASYMMETRIC (new × base on the bucket key, no
+    a<b constraint): work scales with the NEW side's bucket collisions,
+    not the base size. At 100 TB the base side's (id, band_idx,
+    band_hash) frame is exactly what you persist once at corpus-build
+    time (a bucketed store table keyed by band_hash makes the join
+    exchange-free on the base side); here both sides compute inline.
+    Candidates are verified by EXACT hashed-shingle Jaccard with the
+    size-ratio prefilter. Returns (new_id, base_id, jaccard_sim).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+
+    def _banded(df: DataFrame, out: str) -> DataFrame:
+        sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
+        return sigs.select(
+            F.col("_id").alias(out),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(F.slice(F.col("_sig"), i * r + 1, r))
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    cands = (
+        _banded(new_df, "new_id")
+        .join(_banded(base_df, "base_id"), ["band_idx", "band_hash"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    shn = _shingle_sets(new_df, text_col, id_col, shingle_n).select(
+        F.col("_sid").alias("new_id"),
+        F.col("_sh").alias("_sha"),
+        F.col("_n").alias("_na"),
+    )
+    shb = _shingle_sets(base_df, text_col, id_col, shingle_n).select(
+        F.col("_sid").alias("base_id"),
+        F.col("_sh").alias("_shb"),
+        F.col("_n").alias("_nb"),
+    )
+    # size-ratio prefilter: J >= t implies min/max >= t (monotone double
+    # division — same boundary-safe construction as minhash_dedup_pairs)
+    ratio_ok = (
+        F.least("_na", "_nb") / F.greatest("_na", "_nb")
+    ) >= F.lit(threshold)
+    sim = jaccard(F.col("_sha"), F.col("_shb"))
+    return (
+        cands.join(shn, "new_id")
+        .join(shb, "base_id")
+        .where(ratio_ok)
+        .select("new_id", "base_id", sim.alias("jaccard_sim"))
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

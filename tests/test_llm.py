@@ -1086,3 +1086,28 @@ def test_token_rarity_stats(spark):
     assert got[1]["mean_tok_freq"] == (2 + 1 + 1) / 3
     assert got[1]["rare_ratio"] == 2 / 3
     assert got[2]["rare_ratio"] == 1 / 2  # 'the' freq 2, 'zzqq1' hapax
+
+
+def test_minhash_dedup_cross(spark):
+    """Incoming docs flagged iff near-dup to a BASE doc: doc 11 dups
+    base doc 1, doc 12 is novel; base-base and new-new pairs never
+    appear (asymmetric join)."""
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the lazy dog"),
+            (12, "unrelated incoming content entirely fresh words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = dedup.minhash_dedup_cross(
+        new, base, threshold=0.9, shingle_n=1
+    ).collect()
+    assert {(r["new_id"], r["base_id"]) for r in got} == {(11, 1)}
+    assert got[0]["jaccard_sim"] == 1.0
