@@ -268,6 +268,65 @@ def _lpa_geo_oracle(n_iter: int = 4) -> str:
     )
 
 
+def _walks_oracle_body() -> str:
+    """The random_walks_parts oracle (ranked adjacency + md5-derived
+    neighbor choices, step-for-step identical to analytics.random_walks);
+    also embedded as a CTE by the walk_skipgrams oracle."""
+    return """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            adj AS (
+              SELECT a, b,
+                     ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS idx
+              FROM sym
+            ),
+            deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+            seeds AS (
+              SELECT a AS walk_id, a AS step_0 FROM deg ORDER BY a LIMIT 64
+            ),
+            s1 AS (
+              SELECT walk_id, step_0, adj.b AS step_1
+              FROM seeds
+              JOIN deg ON deg.a = seeds.step_0
+              JOIN adj ON adj.a = seeds.step_0
+               AND adj.idx = CAST((md5_number_upper(
+                     CAST(walk_id AS VARCHAR) || ':1:w')
+                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
+            ),
+            s2 AS (
+              SELECT walk_id, step_0, step_1, adj.b AS step_2
+              FROM s1
+              JOIN deg ON deg.a = s1.step_1
+              JOIN adj ON adj.a = s1.step_1
+               AND adj.idx = CAST((md5_number_upper(
+                     CAST(walk_id AS VARCHAR) || ':2:w')
+                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
+            ),
+            s3 AS (
+              SELECT walk_id, step_0, step_1, step_2, adj.b AS step_3
+              FROM s2
+              JOIN deg ON deg.a = s2.step_2
+              JOIN adj ON adj.a = s2.step_2
+               AND adj.idx = CAST((md5_number_upper(
+                     CAST(walk_id AS VARCHAR) || ':3:w')
+                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
+            )
+            SELECT walk_id, step_0, step_1, step_2, step_3,
+                   adj.b AS step_4
+            FROM s3
+            JOIN deg ON deg.a = s3.step_3
+            JOIN adj ON adj.a = s3.step_3
+             AND adj.idx = CAST((md5_number_upper(
+                   CAST(walk_id AS VARCHAR) || ':4:w')
+                   & 9223372036854775807) AS BIGINT) % deg.deg + 1
+        """
+
+
 def _ktruss_oracle(k: int = 3, rounds: int = 6, min_orders: int = 2) -> str:
     """q_ktruss_parts's oracle: the recurrent co-order graph, then
     ``rounds`` unrolled peeling steps — each round recomputes every
@@ -1246,6 +1305,18 @@ def q_random_walks_parts(spark, sf_dir):
     return analytics.random_walks(
         _coorder_pairs(spark, sf_dir), n_seeds=64, n_steps=4, salt="w"
     )
+
+
+def q_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context) training pairs from the deterministic
+    walk corpus (window 2) — the DeepWalk §4.2 pair generator as a
+    query: graph → walks → embedding training data in one plan. The
+    oracle embeds the step-exact walks oracle as a CTE and pairs
+    positions the same way."""
+    walks = analytics.random_walks(
+        _coorder_pairs(spark, sf_dir), n_seeds=64, n_steps=4, salt="w"
+    )
+    return analytics.walk_skipgram_pairs(walks, n_steps=4, window=2)
 
 
 def q_pagerank_weighted(spark, sf_dir):
@@ -3733,6 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_parts": q_ktruss_parts,
         "token_rarity": q_token_rarity,
         "dedup_incremental": q_dedup_incremental,
+        "walk_skipgrams": q_walk_skipgrams,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -6040,58 +6112,22 @@ def oracle_sql() -> dict[str, str]:
         # Unrolled 4-step walk: identical ranked adjacency (row_number
         # by neighbor id) + identical md5-derived draw per step
         # (md5_number_upper & sign-mask == the engine's md5_63).
-        "random_walks_parts": """
-            WITH e AS (
-              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-              FROM lineitem a JOIN lineitem b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_partkey < b.l_partkey
-            ),
-            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-            adj AS (
-              SELECT a, b,
-                     ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS idx
-              FROM sym
-            ),
-            deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
-            seeds AS (
-              SELECT a AS walk_id, a AS step_0 FROM deg ORDER BY a LIMIT 64
-            ),
-            s1 AS (
-              SELECT walk_id, step_0, adj.b AS step_1
-              FROM seeds
-              JOIN deg ON deg.a = seeds.step_0
-              JOIN adj ON adj.a = seeds.step_0
-               AND adj.idx = CAST((md5_number_upper(
-                     CAST(walk_id AS VARCHAR) || ':1:w')
-                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
-            ),
-            s2 AS (
-              SELECT walk_id, step_0, step_1, adj.b AS step_2
-              FROM s1
-              JOIN deg ON deg.a = s1.step_1
-              JOIN adj ON adj.a = s1.step_1
-               AND adj.idx = CAST((md5_number_upper(
-                     CAST(walk_id AS VARCHAR) || ':2:w')
-                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
-            ),
-            s3 AS (
-              SELECT walk_id, step_0, step_1, step_2, adj.b AS step_3
-              FROM s2
-              JOIN deg ON deg.a = s2.step_2
-              JOIN adj ON adj.a = s2.step_2
-               AND adj.idx = CAST((md5_number_upper(
-                     CAST(walk_id AS VARCHAR) || ':3:w')
-                     & 9223372036854775807) AS BIGINT) % deg.deg + 1
+        "random_walks_parts": _walks_oracle_body(),
+        "walk_skipgrams": f"""
+            WITH wk AS MATERIALIZED ({_walks_oracle_body()}),
+            pos AS (
+              SELECT walk_id, 0 AS pos, step_0 AS node FROM wk
+              UNION ALL SELECT walk_id, 1, step_1 FROM wk
+              UNION ALL SELECT walk_id, 2, step_2 FROM wk
+              UNION ALL SELECT walk_id, 3, step_3 FROM wk
+              UNION ALL SELECT walk_id, 4, step_4 FROM wk
             )
-            SELECT walk_id, step_0, step_1, step_2, step_3,
-                   adj.b AS step_4
-            FROM s3
-            JOIN deg ON deg.a = s3.step_3
-            JOIN adj ON adj.a = s3.step_3
-             AND adj.idx = CAST((md5_number_upper(
-                   CAST(walk_id AS VARCHAR) || ':4:w')
-                   & 9223372036854775807) AS BIGINT) % deg.deg + 1
+            SELECT a.node AS center, b.node AS context,
+                   COUNT(*) AS n_pairs
+            FROM pos a JOIN pos b
+              ON a.walk_id = b.walk_id AND a.pos <> b.pos
+             AND ABS(a.pos - b.pos) <= 2
+            GROUP BY 1, 2
         """,
         # Same gram stream (8-word windows), same md5_number_upper ==
         # md5_64 digest domain for the duplicated-gram decision, same

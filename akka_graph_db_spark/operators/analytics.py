@@ -1427,6 +1427,42 @@ def degree_assortativity(pairs: DataFrame) -> DataFrame:
         sym.unpersist()
 
 
+def walk_skipgram_pairs(
+    walks: DataFrame, n_steps: int, window: int = 2
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts from a walk
+    corpus — the training-pair generator that turns :func:`random_walks`
+    output into DeepWalk/node2vec embedding data (Perozzi et al., KDD
+    2014 §4.2): every ordered node pair within ``window`` positions of
+    each other on the same walk, counted.
+
+    Per-walk self-join on walk_id: each walk contributes at most
+    (steps+1)·2·window pairs, so the output is LINEAR in the corpus and
+    the join key (walk_id) partitions evenly by construction — walk
+    corpora are embarrassingly parallel regardless of graph skew.
+    Returns (center, context, n_pairs).
+    """
+    steps = [F.col(f"step_{i}") for i in range(n_steps + 1)]
+    pos = walks.select(
+        "walk_id", F.posexplode(F.array(*steps)).alias("pos", "node")
+    )
+    a = pos.select(
+        "walk_id", F.col("pos").alias("_pi"), F.col("node").alias("center")
+    )
+    b = pos.select(
+        "walk_id", F.col("pos").alias("_pj"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("_pi") != F.col("_pj"))
+            & (F.abs(F.col("_pi") - F.col("_pj")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def community_modularity(
     pairs: DataFrame, assignment: DataFrame
 ) -> DataFrame:

@@ -596,3 +596,40 @@ def test_scc_two_cycles_bridged(spark):
         for r in analytics.strongly_connected_components(pairs).collect()
     }
     assert scc == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_walk_skipgram_pairs_window(spark):
+    """One walk 1→2→3→4 (n_steps=3), window 1: consecutive ordered
+    pairs only, each counted once."""
+    walks = spark.createDataFrame(
+        [(7, 1, 2, 3, 4)],
+        "walk_id bigint, step_0 bigint, step_1 bigint,"
+        " step_2 bigint, step_3 bigint",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in analytics.walk_skipgram_pairs(
+            walks, n_steps=3, window=1
+        ).collect()
+    }
+    expected = {}
+    for a, b in [(1, 2), (2, 3), (3, 4)]:
+        expected[(a, b)] = 1
+        expected[(b, a)] = 1
+    assert got == expected
+
+
+def test_walk_skipgram_repeated_node_counts(spark):
+    """A walk revisiting a node (1→2→1) with window 2 counts every
+    positional pair — (1,1) appears twice (both orders of pos 0/2)."""
+    walks = spark.createDataFrame(
+        [(1, 1, 2, 1)],
+        "walk_id bigint, step_0 bigint, step_1 bigint, step_2 bigint",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in analytics.walk_skipgram_pairs(
+            walks, n_steps=2, window=2
+        ).collect()
+    }
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 2 and got[(2, 1)] == 2
