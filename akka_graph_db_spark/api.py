@@ -318,6 +318,28 @@ class GraphDB:
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         return analytics.random_walks(pairs, n_seeds, n_steps, salt)
 
+    def walk_skipgrams(
+        self,
+        n_seeds=64,
+        n_steps=4,
+        window=2,
+        edge_labels=None,
+        salt="w",
+    ) -> DataFrame:
+        walks = self.random_walks(n_seeds, n_steps, edge_labels, salt)
+        return analytics.walk_skipgram_pairs(walks, n_steps, window)
+
+    def strongly_connected_components(
+        self, edge_labels=None, max_doublings=6
+    ) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.strongly_connected_components(
+            pairs, max_doublings
+        )
+
     def triplets(self) -> DataFrame:
         return analytics.triplets(self.graph)
 

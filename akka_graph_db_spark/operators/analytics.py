@@ -1029,6 +1029,9 @@ def strongly_connected_components(
     )
     sizes = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("scc_size"))
     return scc.join(sizes, "scc").select("id", "scc", "scc_size")
+
+
+def ktruss(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     """k-truss subgraph of an undirected (a, b) pair frame: iteratively
     remove edges supported by fewer than k-2 triangles until a fixpoint
     (Cohen 2008, "Trusses: cohesive subgraphs for social network
