@@ -3342,6 +3342,28 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_dup_cluster_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution: exact-verified LSH pairs →
+    connected components over ALL documents (isolated docs are size-1
+    clusters) → (cluster_size, n_clusters) histogram — the curation
+    diagnostic that shows whether duplication is a long tail of small
+    families or a few giant boilerplate clusters. Oracle: the keep
+    queries' recursive-CTE closure, rolled up to sizes."""
+    docs = read_documents(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.9, num_perm=64, bands=16, shingle_n=1
+    ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    verts = docs.select(F.col("doc_id").alias("id"))
+    comp = analytics.connected_components_from_pairs(verts, pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q_scc_event_types(spark, sf_dir):
     """Strongly connected components of the event-type transition graph
     (directed edges = observed consecutive transitions): which behavior
@@ -3805,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "dedup_incremental": q_dedup_incremental,
         "walk_skipgrams": q_walk_skipgrams,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -5838,6 +5861,45 @@ def oracle_sql() -> dict[str, str]:
                 AND e.src NOT IN (SELECT id FROM removed)
                 AND e.dst NOT IN (SELECT id FROM removed)
             )
+        """,
+        # Same recursive closure as the keep oracles, rolled up to a
+        # per-component size histogram (every doc gets a component;
+        # isolated docs are their own).
+        "dup_cluster_histogram": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id,
+                               list_distinct({_TOK}) AS toks FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.9
+            ),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs
+              UNION ALL SELECT b AS a, a AS b FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            ),
+            comp AS (
+              SELECT d.doc_id,
+                     LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id))
+                       AS component
+              FROM t d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            ),
+            sizes AS (
+              SELECT component, COUNT(*) AS cluster_size
+              FROM comp GROUP BY component
+            )
+            SELECT cluster_size, COUNT(*) AS n_clusters
+            FROM sizes GROUP BY cluster_size
+            ORDER BY cluster_size
         """,
         # Exact cross all-pairs ground truth (valid because LSH recall
         # is ~100% at 64 perms / 16 bands / t=0.9, as for dedup_minhash);
