@@ -2126,6 +2126,37 @@ def q_events_json_prop(spark, sf_dir):
     return ev.json_prop(read_events(spark, sf_dir), "k")
 
 
+def q_engagement_decay(spark, sf_dir):
+    """Recency-weighted user engagement: Σ value × max(0, 30 − age_days)
+    per user, top 20 — LINEAR decay instead of exponential so the
+    weight stays an exact integer (no exp/log: the weighted sum runs
+    entirely in DECIMAL and reproduces engine-for-engine). The
+    reference date is the stream's max timestamp, folded in-plan via a
+    1-row broadcast cross join; age is a calendar-day diff of DATE
+    casts (identical day-boundary semantics in both engines)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ref = events.agg(F.max("ts").alias("_ref"))
+    w = F.greatest(
+        F.lit(0),
+        F.lit(30) - F.datediff(F.to_date("_ref"), F.to_date("ts")),
+    )
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,2)") * w).alias("_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("_s").desc(), "user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            F.col("_s").cast("double").alias("engagement"),
+            "n_events",
+        )
+    )
+
+
 def q_events_type_stats(spark, sf_dir):
     return ev.type_value_stats(read_events(spark, sf_dir))
 
@@ -3828,6 +3859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "walk_skipgrams": q_walk_skipgrams,
         "dup_cluster_histogram": q_dup_cluster_histogram,
+        "engagement_decay": q_engagement_decay,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -5861,6 +5893,24 @@ def oracle_sql() -> dict[str, str]:
                 AND e.src NOT IN (SELECT id FROM removed)
                 AND e.dst NOT IN (SELECT id FROM removed)
             )
+        """,
+        # Integer decay weight × DECIMAL value sums — exact; the top-20
+        # ordering compares identical decimals before the double cast.
+        "engagement_decay": """
+            WITH r AS (SELECT MAX(ts) AS ref FROM events)
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(30,2))
+                            * GREATEST(0, 30 - date_diff('day',
+                                CAST(ts AS DATE), CAST(ref AS DATE))))
+                        AS DOUBLE) AS engagement,
+                   COUNT(*) AS n_events
+            FROM events, r
+            GROUP BY user_id
+            ORDER BY SUM(CAST(value AS DECIMAL(30,2))
+                         * GREATEST(0, 30 - date_diff('day',
+                             CAST(ts AS DATE), CAST(ref AS DATE)))) DESC,
+                     user_id
+            LIMIT 20
         """,
         # Same recursive closure as the keep oracles, rolled up to a
         # per-component size histogram (every doc gets a component;
