@@ -161,9 +161,11 @@ def _run_query(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
         # on its first pass through the codegen paths (measured: the
         # same dedup query is 20.6s cold / 6.1s warm in one session),
         # which is session overhead, not query cost — the steady-state
-        # number is what a long-lived cluster session would see. Skip
-        # the re-run when the first pass is long enough that the JIT
-        # share is noise.
+        # number is what a long-lived cluster session would see. Always
+        # re-run: the host shows transient 1-4x contention bursts, and a
+        # first pass caught in one would otherwise be locked in as the
+        # reported number (measured: the same child 65s in a burst,
+        # 13-21s on re-runs).
         try:
             best = None
             for _ in range(2):
@@ -171,8 +173,6 @@ def _run_query(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
                 qs[name](spark, sf_dir).count()
                 took = round(time.time() - t0, 3)
                 best = took if best is None else min(best, took)
-                if took > 45.0:
-                    break
             timings[name] = best
         except Exception as e:  # report, don't abort the whole bench
             timings[name] = -1.0
