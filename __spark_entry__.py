@@ -3373,6 +3373,16 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers: the 20 vectors farthest from their
+    label's centroid on the exact integer grid (similarity.py
+    label_centroid_outliers — the kmeans_quantized exactness contract:
+    int64 distances, floor(s/n+0.5) centroids), so the oracle
+    reproduces distances bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.label_centroid_outliers(emb, top_k=20)
+
+
 def q_dup_cluster_histogram(spark, sf_dir):
     """Near-dup cluster-size distribution: exact-verified LSH pairs →
     connected components over ALL documents (isolated docs are size-1
@@ -3860,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_skipgrams": q_walk_skipgrams,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "engagement_decay": q_engagement_decay,
+        "embedding_outliers": q_embedding_outliers,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -5893,6 +5904,33 @@ def oracle_sql() -> dict[str, str]:
                 AND e.src NOT IN (SELECT id FROM removed)
                 AND e.dst NOT IN (SELECT id FROM removed)
             )
+        """,
+        # Same integer-grid exactness as the kmeans oracle: quantized
+        # coords, floor(s/n+0.5) centroids, int64 squared distances.
+        "embedding_outliers": """
+            WITH lq AS MATERIALIZED (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            ex AS MATERIALIZED (
+              SELECT vec_id, label, pos, v[pos] AS x
+              FROM lq, unnest(range(1, len(v) + 1)) AS t(pos)
+            ),
+            cen AS (
+              SELECT label, pos,
+                     CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5)
+                          AS BIGINT) AS c
+              FROM ex GROUP BY label, pos
+            )
+            SELECT e.vec_id, e.label,
+                   CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d2
+            FROM ex e JOIN cen c ON e.label = c.label AND e.pos = c.pos
+            GROUP BY e.vec_id, e.label
+            ORDER BY d2 DESC, e.vec_id
+            LIMIT 20
         """,
         # Integer decay weight × DECIMAL value sums — exact; the top-20
         # ordering compares identical decimals before the double cast.

@@ -530,3 +530,54 @@ def _kmeans_assign(q: DataFrame, cents, id_col: str) -> DataFrame:
     return q.mapInPandas(
         _assign, schema=f"{id_col} bigint, cluster int, d2 bigint"
     )
+
+
+def label_centroid_outliers(
+    corpus: DataFrame,
+    top_k: int = 20,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    grid: int = 10**6,
+) -> DataFrame:
+    """Embedding anomaly detection: the ``top_k`` vectors farthest from
+    their own label's centroid — mislabeled/garbage-embedding triage for
+    a labeled corpus.
+
+    Runs on the same bit-reproducible integer grid as
+    :func:`kmeans_quantized`: coordinates quantize to ``round(x·grid)``
+    int64, the per-label centroid is the exact integer mean re-quantized
+    with floor(s/n + 0.5), and every distance is an exact int64 sum of
+    squares — identical on any partitioning and in a SQL oracle.
+
+    Plan: one positional explode (rows × dim), one (label, pos)
+    centroid aggregation (#labels × dim rows — broadcasts), one join
+    back + per-vector distance aggregation, TakeOrdered top-k. Nothing
+    quadratic; everything keyed by (label, pos) or the vector id.
+    """
+    q = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * grid, 0).cast("bigint"),
+        ).alias("_qv"),
+    )
+    ex = q.select(
+        id_col, label_col, F.posexplode("_qv").alias("pos", "x")
+    )
+    cen = ex.groupBy(label_col, "pos").agg(
+        F.floor(
+            F.sum("x").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_c")
+    )
+    diff = F.col("x") - F.col("_c")
+    return (
+        ex.join(cen, [label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(F.sum(diff * diff).alias("d2"))
+        .orderBy(F.col("d2").desc(), id_col)
+        .limit(top_k)
+    )
