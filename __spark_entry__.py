@@ -1491,6 +1491,25 @@ def q_kmeans_embeddings(spark, sf_dir):
     )
 
 
+def q_eccentricity_parts(spark, sf_dir):
+    """Per-landmark bounded eccentricity on the part co-order graph:
+    max hop distance and reached-set size within depth 3 from each of
+    the 8 landmark BFS sources (the max over landmarks is the standard
+    sampled diameter LOWER bound). Reuses the concurrent landmark-BFS
+    substrate; oracle = the same recursive BFS with MAX/COUNT."""
+    d = analytics.landmark_hop_distances(
+        _coorder_pairs(spark, sf_dir), landmarks=8, max_depth=3
+    )
+    return (
+        d.groupBy("landmark")
+        .agg(
+            F.max("dist").alias("eccentricity_lb"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+        .orderBy("landmark")
+    )
+
+
 def q_harmonic_parts(spark, sf_dir):
     """Sampled harmonic centrality on the part co-order graph: hop
     distances from the 8 lowest part ids (landmark BFS, depth ≤ 3 — the
@@ -3871,6 +3890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "engagement_decay": q_engagement_decay,
         "embedding_outliers": q_embedding_outliers,
+        "eccentricity_parts": q_eccentricity_parts,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -4504,6 +4524,32 @@ def oracle_sql() -> dict[str, str]:
             FROM md WHERE d > 0
             GROUP BY id
             ORDER BY harmonic DESC, id LIMIT 20
+        """,
+        "eccentricity_parts": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            seeds AS (
+              SELECT a FROM (SELECT DISTINCT a FROM sym)
+              ORDER BY a LIMIT 8
+            ),
+            bfs(s, id, d) AS (
+              SELECT a, a, 0 FROM seeds
+              UNION
+              SELECT bfs.s, sym.b, bfs.d + 1
+              FROM bfs JOIN sym ON bfs.id = sym.a
+              WHERE bfs.d < 3
+            ),
+            md AS (SELECT s, id, MIN(d) AS d FROM bfs GROUP BY s, id)
+            SELECT s AS landmark, MAX(d) AS eccentricity_lb,
+                   COUNT(*) AS n_reached
+            FROM md
+            GROUP BY s
+            ORDER BY landmark
         """,
         "sssp_weighted": _sssp_weighted_oracle(max_hops=4),
         "khop_features": f"""

@@ -1111,3 +1111,24 @@ def test_minhash_dedup_cross(spark):
     ).collect()
     assert {(r["new_id"], r["base_id"]) for r in got} == {(11, 1)}
     assert got[0]["jaccard_sim"] == 1.0
+
+
+def test_label_centroid_outliers(spark):
+    """Label 1: three vectors, one far off — centroid is the exact
+    integer mean and the far vector wins; closed-form distances."""
+    rows = [
+        (1, [0.0, 0.0], 1),
+        (2, [0.0, 0.002], 1),
+        (3, [1.0, 1.0], 1),
+        (4, [5.0, 5.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = similarity.label_centroid_outliers(df, top_k=2).collect()
+    # grid 1e6: label-1 coords (0,0),(0,2000),(1e6,1e6);
+    # centroid = (333333, 334000); d2(v3) = 666667^2 + 666000^2
+    assert got[0]["vec_id"] == 3
+    assert got[0]["d2"] == 666667**2 + 666000**2
+    # label 2 is its own centroid -> d2 = 0, never in top-2 over v1/v2
+    assert {r["vec_id"] for r in got} <= {1, 2, 3}
