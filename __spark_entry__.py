@@ -2627,6 +2627,42 @@ def q_ktruss_parts(spark, sf_dir):
     )
 
 
+def q_customer_similarity(spark, sf_dir):
+    """Top-20 most similar CUSTOMER pairs by co-purchased parts —
+    link_prediction_jaccard in bipartite-projection mode: parts are
+    offset into a high id band, wedge centers restricted to parts
+    (capped at 100 buyers — a part half the market buys says nothing),
+    and the Jaccard is over each customer's part set. The same capped
+    wedge machinery, a second graph."""
+    offset = 10**9
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    bip = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_partkey") + offset).alias("b"),
+        )
+    )
+    scored = analytics.link_prediction_jaccard(
+        bip,
+        top_k=20,
+        min_common=2,
+        max_degree=100,
+        endpoints_below=offset,
+    )
+    return scored.select(
+        "a",
+        "b",
+        F.col("common").cast("bigint").alias("common"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_link_prediction_parts(spark, sf_dir):
     """Top-50 predicted links on the part co-order graph by Jaccard
     neighborhood overlap (non-adjacent pairs, >= 2 common neighbors),
@@ -3888,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engagement_decay": q_engagement_decay,
         "embedding_outliers": q_embedding_outliers,
         "eccentricity_parts": q_eccentricity_parts,
+        "customer_similarity": q_customer_similarity,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -5454,6 +5491,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(jacc, 6) AS jaccard
             FROM (SELECT * FROM lp_scored
                   ORDER BY jacc DESC, common DESC, a, b LIMIT 50)
+        """,
+        # The link_prediction oracle on the customer⊲part bipartite
+        # graph: parts offset by 1e9, centers = parts only (high band,
+        # buyer count <= 100), candidates = customer pairs. Customer
+        # pairs are never bipartite-adjacent, so the engine's anti-join
+        # is a no-op and the oracle omits it.
+        "customer_similarity": """
+            WITH cs_e AS MATERIALIZED (
+              SELECT DISTINCT o.o_custkey AS c,
+                              l.l_partkey + 1000000000 AS p
+              FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            ),
+            cs_sym AS MATERIALIZED (
+              SELECT c AS a, p AS b FROM cs_e
+              UNION ALL
+              SELECT p AS a, c AS b FROM cs_e
+            ),
+            cs_deg AS MATERIALIZED (
+              SELECT a, COUNT(*) AS d FROM cs_sym GROUP BY a
+            ),
+            cs_cn AS MATERIALIZED (
+              SELECT s1.b AS a, s2.b AS b, COUNT(*) AS common
+              FROM cs_sym s1 JOIN cs_sym s2
+                ON s1.a = s2.a AND s1.b < s2.b
+              JOIN cs_deg dc ON s1.a = dc.a AND dc.d <= 100
+              WHERE s1.a >= 1000000000
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            cs_scored AS (
+              SELECT c.a, c.b, c.common,
+                     c.common / (da.d + db.d - c.common) AS jacc
+              FROM cs_cn c
+              JOIN cs_deg da ON c.a = da.a
+              JOIN cs_deg db ON c.b = db.a
+              WHERE c.a < 1000000000 AND c.b < 1000000000
+            )
+            SELECT a, b, CAST(common AS BIGINT) AS common,
+                   ROUND(jacc, 6) AS jaccard
+            FROM (SELECT * FROM cs_scored
+                  ORDER BY jacc DESC, common DESC, a, b LIMIT 20)
         """,
         "range_join_clicks": f"""
             SELECT p.event_id AS purchase_id,

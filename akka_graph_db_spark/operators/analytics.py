@@ -1093,6 +1093,7 @@ def link_prediction_jaccard(
     top_k: int = 50,
     min_common: int = 2,
     max_degree: int | None = None,
+    endpoints_below: int | None = None,
 ) -> DataFrame:
     """Neighborhood-overlap link prediction over an undirected (a, b)
     pair frame: for every NON-adjacent node pair with >= ``min_common``
@@ -1110,6 +1111,14 @@ def link_prediction_jaccard(
     shared hub says little), while the Jaccard DENOMINATOR keeps the TRUE
     degrees of a and b. Exact whenever no node exceeds the cap; with
     ``None`` (default) the count is exact on any graph.
+
+    ``endpoints_below`` turns the operator into a BIPARTITE PROJECTION
+    scorer: offset one node class into a high id band (>= the value),
+    and only pairs with both endpoints in the low band are ranked —
+    shared high-band neighbors are the evidence (e.g. customers offset
+    against parts: "similar customers by co-purchased parts"). Low-band
+    centers are dropped before the self-join since their wedges could
+    only produce the discarded mirror pairs.
 
     Shape: one wedge self-join (volume sum over kept centers of deg²),
     one broadcastable degree join, one anti-join against the edge set.
@@ -1141,12 +1150,18 @@ def link_prediction_jaccard(
         max_id = gate["_mx"] or 0
         n_sym = gate["_ne"] or 0
         centers = sym
+        if endpoints_below is not None:
+            # Bipartite-projection mode: only HIGH-band centers can emit
+            # low-band candidate pairs, so drop low-band centers before
+            # the self-join — their wedges would only produce mirror
+            # pairs the output filter discards anyway.
+            centers = centers.where(F.col("a") >= endpoints_below)
         if max_degree is not None:
             # Drop hub CENTERS before the self-join — this is what bounds
             # the wedge volume. AQE broadcasts the (id-only) keep set when
             # it is small; endpoints u, v stay uncapped.
             ok = deg.where(F.col("deg") <= max_degree).select("a")
-            centers = sym.join(ok, "a", "left_semi")
+            centers = centers.join(ok, "a", "left_semi")
         n1 = centers.select(F.col("a").alias("x"), F.col("b").alias("u"))
         n2 = centers.select(F.col("a").alias("x"), F.col("b").alias("v"))
         # Broadcasting one adjacency side turns the wedge join into a
@@ -1186,6 +1201,17 @@ def link_prediction_jaccard(
                 .where(F.col("common") >= min_common)
             )
         cand = cn.join(e, ["a", "b"], "left_anti")
+        if endpoints_below is not None:
+            # Bipartite-projection mode: with one node class offset into
+            # a high id band, wedges centered on that class produce the
+            # projection's similar pairs and wedges centered on the low
+            # class produce the mirror-image pairs — this keeps only
+            # candidates whose BOTH endpoints sit in the low band, BEFORE
+            # the top-k so the ranking is over the projection alone.
+            cand = cand.where(
+                (F.col("a") < endpoints_below)
+                & (F.col("b") < endpoints_below)
+            )
         # deg has at most n_sym rows — same gate as the adjacency side;
         # past it the per-node frame can't broadcast and the candidate
         # set (already wedge-bounded) shuffle-joins instead.

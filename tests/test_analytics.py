@@ -633,3 +633,21 @@ def test_walk_skipgram_repeated_node_counts(spark):
         ).collect()
     }
     assert got[(1, 1)] == 2 and got[(1, 2)] == 2 and got[(2, 1)] == 2
+
+
+def test_link_prediction_bipartite_projection(spark):
+    """Customers 1,2 share parts 100,101 (offset band); customer 3
+    shares one part with each. endpoints_below keeps only low-band
+    (customer) pairs, and the pair with 2 shared parts wins."""
+    off = 100
+    rows = [(1, 100), (1, 101), (2, 100), (2, 101), (3, 101), (3, 102),
+            (2, 102)]
+    pairs = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = analytics.link_prediction_jaccard(
+        pairs, top_k=10, min_common=1, endpoints_below=off
+    ).collect()
+    assert all(r["a"] < off and r["b"] < off for r in got)
+    top = got[0]
+    # (1,2): common {100,101}; deg(1)=2, deg(2)=3 -> J = 2/3
+    assert (top["a"], top["b"], top["common"]) == (1, 2, 2)
+    assert abs(top["jaccard"] - 2 / 3) < 1e-9
