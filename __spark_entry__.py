@@ -2627,6 +2627,31 @@ def q_ktruss_parts(spark, sf_dir):
     )
 
 
+def q_degree_histogram(spark, sf_dir):
+    """Log2-binned degree distribution of the full directed graph —
+    the power-law diagnostic every skew strategy starts from: total
+    degree per node (in + out in one two-sided aggregation), bucketed
+    by floor(log2) computed as the BIT LENGTH of the integer degree
+    (pure integer op — no float log), counted per bucket."""
+    g = _g(spark, sf_dir)
+    deg = (
+        g.edges.select(F.col("src").alias("id"))
+        .unionByName(g.edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # floor(log2(deg)) as length(bin(deg)) - 1 — binary digit count,
+    # a pure integer/string op both engines share; no float log whose
+    # rounding at exact powers of two would have to be trusted.
+    bucket = (F.length(F.bin("deg")) - 1).cast("int")
+    return (
+        deg.select(bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("log2_bucket")
+    )
+
+
 def q_customer_similarity(spark, sf_dir):
     """Top-20 most similar CUSTOMER pairs by co-purchased parts —
     link_prediction_jaccard in bipartite-projection mode: parts are
@@ -2816,6 +2841,47 @@ def q_funnel_events(spark, sf_dir):
     return funnel_histogram(ev_df, ["view", "click", "purchase"]).select(
         F.col("steps_completed").cast("int").alias("steps_completed"),
         "n_users",
+    )
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-convert: per user, seconds between first click and first
+    subsequent purchase, rolled up to exact distribution stats (count,
+    min, max, avg) — latency is an integer epoch-second difference and
+    the average derives from an exact BIGINT sum, so everything
+    hash-matches. One conditional-min aggregation per user + one global
+    rollup; both shuffles on user_id then a scalar."""
+    ev_df = read_events(spark, sf_dir)
+    per_user = (
+        ev_df.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.unix_timestamp("ts"),
+                )
+            ).alias("_first_click"),
+        )
+        .where(F.col("_first_click").isNotNull())
+    )
+    purchases = ev_df.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("_pts")
+    )
+    lat = (
+        purchases.join(per_user, "user_id")
+        .where(F.col("_pts") >= F.col("_first_click"))
+        .groupBy("user_id")
+        .agg(
+            (F.min("_pts") - F.min("_first_click")).alias("_lat")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("_lat").alias("min_latency_s"),
+        F.max("_lat").alias("max_latency_s"),
+        (
+            F.sum("_lat").cast("double") / F.count(F.lit(1))
+        ).alias("avg_latency_s"),
     )
 
 
@@ -3925,6 +3991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "eccentricity_parts": q_eccentricity_parts,
         "customer_similarity": q_customer_similarity,
+        "conversion_latency": q_conversion_latency,
+        "degree_histogram": q_degree_histogram,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
         "pivot_priority_year": q_pivot_priority_year,
@@ -5491,6 +5559,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(jacc, 6) AS jaccard
             FROM (SELECT * FROM lp_scored
                   ORDER BY jacc DESC, common DESC, a, b LIMIT 50)
+        """,
+        # floor(log2) via binary digit count (length(bin(x)) - 1) —
+        # pure integer/string, no float log.
+        "degree_histogram": f"""
+            {_GRAPH_WITH},
+            dh AS (
+              SELECT id, COUNT(*) AS deg FROM (
+                SELECT src AS id FROM edges_v
+                UNION ALL SELECT dst FROM edges_v
+              ) GROUP BY id
+            )
+            SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS log2_bucket,
+                   COUNT(*) AS n_nodes
+            FROM dh
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # Latencies are integer epoch-second differences (both engines
+        # truncate to whole seconds BEFORE comparing/subtracting); the
+        # average is one double division off an exact BIGINT sum.
+        "conversion_latency": """
+            WITH es AS (
+              SELECT user_id, event_type,
+                     date_diff('second', TIMESTAMP '1970-01-01', ts)
+                       AS sec
+              FROM events
+            ),
+            fc AS (
+              SELECT user_id, MIN(sec) AS c FROM es
+              WHERE event_type = 'click' GROUP BY user_id
+            ),
+            l AS (
+              SELECT e.user_id, MIN(e.sec) - MIN(fc.c) AS lat
+              FROM es e JOIN fc ON e.user_id = fc.user_id
+              WHERE e.event_type = 'purchase' AND e.sec >= fc.c
+              GROUP BY e.user_id
+            )
+            SELECT COUNT(*) AS n_converted,
+                   MIN(lat) AS min_latency_s,
+                   MAX(lat) AS max_latency_s,
+                   CAST(SUM(lat) AS DOUBLE) / COUNT(*) AS avg_latency_s
+            FROM l
         """,
         # The link_prediction oracle on the customer⊲part bipartite
         # graph: parts offset by 1e9, centers = parts only (high band,
