@@ -2844,6 +2844,41 @@ def q_funnel_events(spark, sf_dir):
     )
 
 
+def q_weekly_revenue_growth(spark, sf_dir):
+    """Week-over-week revenue growth for 1996: exact decimal weekly
+    sums, then a LAG window over the aggregated series with the percent
+    change as the only double op — the window-over-aggregate shape
+    (tiny post-agg series, so the single-partition window is over ~52
+    rows, not the fact table)."""
+    from pyspark.sql import Window
+
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    weekly = orders.groupBy(
+        F.weekofyear("o_orderdate").alias("week")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("_rev").over(w)
+    return weekly.select(
+        "week",
+        F.col("_rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.when(
+            prev.isNotNull(),
+            (
+                (F.col("_rev") - prev).cast("double")
+                / prev.cast("double")
+            ),
+        ).alias("wow_growth"),
+    ).orderBy("week")
+
+
 def q_conversion_latency(spark, sf_dir):
     """Time-to-convert: per user, seconds between first click and first
     subsequent purchase, rolled up to exact distribution stats (count,
@@ -3992,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity_parts": q_eccentricity_parts,
         "customer_similarity": q_customer_similarity,
         "conversion_latency": q_conversion_latency,
+        "weekly_revenue_growth": q_weekly_revenue_growth,
         "degree_histogram": q_degree_histogram,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
@@ -5575,6 +5611,28 @@ def oracle_sql() -> dict[str, str]:
             FROM dh
             GROUP BY 1
             ORDER BY 1
+        """,
+        # Weekly sums stay DECIMAL through the LAG; only the growth
+        # ratio is a double. weekofyear is ISO weeks in both engines.
+        "weekly_revenue_growth": """
+            WITH wk AS (
+              SELECT weekofyear(o_orderdate) AS week,
+                     SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev,
+                     COUNT(*) AS n_orders
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1
+            )
+            SELECT week, CAST(rev AS DOUBLE) AS revenue, n_orders,
+                   CASE WHEN LAG(rev) OVER (ORDER BY week) IS NOT NULL
+                        THEN CAST(rev - LAG(rev) OVER (ORDER BY week)
+                                  AS DOUBLE)
+                             / CAST(LAG(rev) OVER (ORDER BY week)
+                                    AS DOUBLE)
+                   END AS wow_growth
+            FROM wk
+            ORDER BY week
         """,
         # Latencies are integer epoch-second differences (both engines
         # truncate to whole seconds BEFORE comparing/subtracting); the
