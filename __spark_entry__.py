@@ -367,6 +367,89 @@ def _ktruss_oracle(k: int = 3, rounds: int = 6, min_orders: int = 2) -> str:
     )
 
 
+def _mis_geo_oracle(rounds: int = 3) -> str:
+    """q_mis_geo's oracle: Luby rounds unrolled — per round, winner =
+    vertex whose padded (md5 priority, id) string key is strictly below
+    every surviving neighbor's MIN key; winners' closed neighborhoods
+    leave. Vertices isolated at the START of a round enter the MIS
+    (matches the engine's isolated rule); rounds past the fixpoint
+    isolate-absorb everything and then no-op."""
+    key = (
+        "printf('%019d:%019d', CAST(md5_number_upper(CAST({c} AS VARCHAR)"
+        " || ':{r}:mis') & 9223372036854775807 AS BIGINT),"
+        " CAST({c} AS BIGINT))"
+    )
+    ctes = [
+        f"""mis_dir AS MATERIALIZED (
+            SELECT n_nationkey + {NATION_BASE} AS a,
+                   n_regionkey + {REGION_BASE} AS b FROM nation
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE},
+                   c_nationkey + {NATION_BASE} FROM customer
+            UNION ALL
+            SELECT s_suppkey + {SUPPLIER_BASE},
+                   s_nationkey + {NATION_BASE} FROM supplier
+        )""",
+        """mis_s0 AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM mis_dir
+              UNION ALL SELECT b AS a, a AS b FROM mis_dir
+            ) WHERE a <> b
+        )""",
+        f"""mis_v0 AS MATERIALIZED (
+            SELECT r_regionkey + {REGION_BASE} AS id FROM region
+            UNION ALL
+            SELECT n_nationkey + {NATION_BASE} FROM nation
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE} FROM customer
+            UNION ALL
+            SELECT s_suppkey + {SUPPLIER_BASE} FROM supplier
+        )""",
+    ]
+    for r in range(rounds):
+        ka = key.format(c="e.a", r=r)
+        kb = key.format(c="e.b", r=r)
+        kw = key.format(c="nm.id", r=r)
+        ctes.append(f"""mis_iso{r} AS MATERIALIZED (
+            SELECT id FROM mis_v{r}
+            WHERE id NOT IN (SELECT a FROM mis_s{r})
+        )""")
+        ctes.append(f"""mis_nm{r} AS MATERIALIZED (
+            SELECT e.a AS id, MIN({kb}) AS nmin
+            FROM mis_s{r} e GROUP BY e.a
+        )""")
+        ctes.append(f"""mis_w{r} AS MATERIALIZED (
+            SELECT nm.id FROM mis_nm{r} nm
+            WHERE {kw} < nm.nmin
+        )""")
+        ctes.append(f"""mis_cl{r} AS MATERIALIZED (
+            SELECT id FROM mis_w{r}
+            UNION
+            SELECT e.b FROM mis_s{r} e
+            JOIN mis_w{r} w ON e.a = w.id
+        )""")
+        ctes.append(f"""mis_v{r + 1} AS MATERIALIZED (
+            SELECT id FROM mis_v{r}
+            WHERE id NOT IN (SELECT id FROM mis_cl{r})
+              AND id NOT IN (SELECT id FROM mis_iso{r})
+        )""")
+        ctes.append(f"""mis_s{r + 1} AS MATERIALIZED (
+            SELECT a, b FROM mis_s{r}
+            WHERE a NOT IN (SELECT id FROM mis_cl{r})
+              AND b NOT IN (SELECT id FROM mis_cl{r})
+        )""")
+    union = "\n            UNION ".join(
+        [f"SELECT id FROM mis_iso{r}" for r in range(rounds)]
+        + [f"SELECT id FROM mis_w{r}" for r in range(rounds)]
+        + [f"SELECT id FROM mis_v{rounds}"]
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n            SELECT DISTINCT id FROM ({union})"
+    )
+
+
 def _modularity_geo_oracle(n_iter: int = 4) -> str:
     """q_modularity_geo's oracle: the LPA supersteps of
     ``_lpa_geo_oracle`` (same CTE text through ``l{n}``), then Newman
@@ -2096,6 +2179,22 @@ def q_label_propagation_geo(spark, sf_dir):
         F.col("label").isin("region", "nation", "customer", "supplier")
     ).select("id")
     return lpa.join(geo, "id", "left_semi").select("id", "community")
+
+
+def q_mis_geo(spark, sf_dir):
+    """Maximal independent set of the geography graph — Luby's
+    symmetry-breaking primitive with round-salted md5 priorities in
+    place of the RNG (operators/analytics.py maximal_independent_set),
+    so the set is identical on any partitioning and reproducible by the
+    unrolled SQL oracle. Isolated nodes (regions with no sampled
+    nations, etc.) join trivially."""
+    g = _g(spark, sf_dir)
+    labels = ["in_region", "located_in"]
+    pairs = analytics._edge_pairs(g, labels, directed=True)
+    geo = g.nodes.where(
+        F.col("label").isin("region", "nation", "customer", "supplier")
+    ).select("id")
+    return analytics.maximal_independent_set(pairs, geo)
 
 
 def q_modularity_geo(spark, sf_dir):
@@ -3985,13 +4084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_spans": q_dedup_exact_spans,
         "tpch_q6": q_tpch_q6,
         # --- certification window ends here (50 entries; r4∪r5 driver
-        # rows then cover 100 distinct queries). The 38 entries between
+        # rows then cover 100 distinct queries). The 42 entries between
         # here and the r4-certified tail (tpch_q5 .. orders_above_
         # customer_avg — every round-5 addition) are local-green
-        # (tools/check_correctness.py full sweep at sf0.01: 135 pass /
-        # 0 fail / 1 rows-only-by-design) and MUST rotate into the
-        # first 50 slots in round 6; that single rotation completes
-        # driver certification of the whole registry.
+        # (tools/check_correctness.py full sweeps at sf0.01: 0 fail,
+        # 1 rows-only-by-design) and MUST rotate into the first 50
+        # slots in round 6; that single rotation completes driver
+        # certification of the whole registry.
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -4028,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_similarity": q_customer_similarity,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
+        "mis_geo": q_mis_geo,
         "degree_histogram": q_degree_histogram,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
@@ -5528,6 +5628,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation_geo": _lpa_geo_oracle(4),
         "modularity_geo": _modularity_geo_oracle(4),
+        "mis_geo": _mis_geo_oracle(rounds=3),
         "ktruss_parts": _ktruss_oracle(k=3, rounds=6, min_orders=2),
         # stream==batch equivalence: same gaps-and-islands SQL as the
         # batch events_session query

@@ -959,6 +959,93 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     )
 
 
+def maximal_independent_set(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 12,
+    salt: str = "mis",
+) -> DataFrame:
+    """Deterministic Luby-style maximal independent set over an
+    undirected (a, b) pair frame: per round every surviving vertex
+    gets the hash priority ``md5_63(id:round:salt)`` and joins the MIS
+    iff its (priority, id) is strictly smaller than every surviving
+    neighbor's; winners and their neighborhoods leave the graph, and
+    the loop runs to fixpoint — O(log n) rounds with high probability
+    (Luby 1986), with the round-salted hash replacing the RNG so any
+    partitioning, engine, or re-run computes the SAME set.
+
+    Isolated vertices (present in ``vertices`` but no surviving edge)
+    join the MIS trivially. Per round: one neighbor-min aggregation +
+    two semi/anti joins, all keyed by vertex id; the surviving edge
+    frame only shrinks and is checkpointed as the loop state (the
+    kcore/ktruss cadence). Returns (id) — the MIS members.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    verts = (
+        vertices.select("id")
+        if vertices is not None
+        else sym.select(F.col("a").alias("id")).distinct()
+    ).localCheckpoint(eager=True)
+    mis_parts = []
+    for r in range(max_rounds):
+        def _key(c):
+            # (priority, id) as ONE fixed-width zero-padded string:
+            # lexicographic == numeric on both fields, and a plain
+            # MIN(string) reproduces it in any SQL engine.
+            return F.format_string(
+                "%019d:%019d",
+                md5_63(
+                    F.concat_ws(
+                        ":", c.cast("string"), F.lit(str(r)), F.lit(salt)
+                    )
+                ),
+                c,
+            )
+
+        deg_v = sym.select(F.col("a").alias("id")).distinct()
+        isolated = verts.join(deg_v, "id", "left_anti")
+        mis_parts.append(isolated)
+        # neighbor-min (priority, id) key per surviving vertex
+        nmin = (
+            sym.select(F.col("a").alias("id"), _key(F.col("b")).alias("_nk"))
+            .groupBy("id")
+            .agg(F.min("_nk").alias("_nmin"))
+        )
+        winners = (
+            nmin.where(_key(F.col("id")) < F.col("_nmin"))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners)
+        closed = winners.unionByName(
+            sym.join(
+                winners.select(F.col("id").alias("a")), "a", "left_semi"
+            )
+            .select(F.col("b").alias("id"))
+            .distinct()
+        )
+        verts = verts.join(closed, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        sym = (
+            sym.join(closed.select(F.col("id").alias("a")), "a", "left_anti")
+            .join(closed.select(F.col("id").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if sym.count() == 0:
+            mis_parts.append(verts)  # all leftovers are isolated now
+            break
+    out = mis_parts[0]
+    for p in mis_parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 def transitive_closure(
     pairs: DataFrame, max_doublings: int = 6
 ) -> DataFrame:
@@ -1052,9 +1139,10 @@ def ktruss(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     """
     if k < 3:
         raise ValueError(f"ktruss needs k >= 3, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"ktruss needs max_iter >= 1, got {max_iter}")
     e = canonical_undirected(pairs).localCheckpoint(eager=True)
     prev = e.count()
-    sup = None
     for _ in range(max_iter):
         tri = _oriented_triangles(e)
         # each (x, y, z) triangle supports its three canonical edges

@@ -651,3 +651,43 @@ def test_link_prediction_bipartite_projection(spark):
     # (1,2): common {100,101}; deg(1)=2, deg(2)=3 -> J = 2/3
     assert (top["a"], top["b"], top["common"]) == (1, 2, 2)
     assert abs(top["jaccard"] - 2 / 3) < 1e-9
+
+
+def test_maximal_independent_set_properties(spark):
+    """Path 1-2-3-4 plus isolated 9: the MIS must be independent (no
+    two members adjacent), maximal (every non-member has a member
+    neighbor), include the isolated vertex, and be identical across
+    partitionings (hash-deterministic)."""
+    edges = [(1, 2), (2, 3), (3, 4)]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 9)], "id bigint"
+    )
+    mis = {
+        r["id"]
+        for r in analytics.maximal_independent_set(pairs, verts).collect()
+    }
+    assert 9 in mis
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in mis:
+        assert not (adj.get(v, set()) & mis)  # independence
+    for v in {1, 2, 3, 4} - mis:
+        assert adj[v] & mis  # maximality
+    again = {
+        r["id"]
+        for r in analytics.maximal_independent_set(
+            pairs.repartition(5), verts
+        ).collect()
+    }
+    assert again == mis
+
+
+def test_maximal_independent_set_triangle(spark):
+    """A triangle's MIS is exactly one vertex."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    assert analytics.maximal_independent_set(pairs).count() == 1
