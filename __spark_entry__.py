@@ -3550,6 +3550,191 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade among nations 1, 2,
+    and 3 — supplier nation ≠ customer nation, all directed pairs,
+    revenue per (supp_nation, cust_nation, year). The tiny nation
+    slices broadcast onto supplier/customer, which broadcast onto the
+    lineitem⋈orders spine; exact decimal revenue."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    nation = rd("nation").select("n_nationkey", "n_name")
+    trio = [1, 2, 3]
+    supp = rd("supplier").join(
+        F.broadcast(nation.where(F.col("n_nationkey").isin(trio))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = rd("customer").join(
+        F.broadcast(
+            nation.where(F.col("n_nationkey").isin(trio)).select(
+                F.col("n_nationkey").alias("_ck"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("_ck"),
+    ).select("c_custkey", "cust_nation")
+    li = rd("lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    j = (
+        li.join(
+            rd("orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (market share), adapted to the fixture's p_type domain:
+    nation 1's share of AMERICA-customer PROMO-part revenue per order
+    year. Both the national and total revenue accumulate exactly in
+    decimal in ONE conditional aggregation; the share is the only
+    double division."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    region = rd("region").where(F.col("r_name") == "AMERICA")
+    nat_am = rd("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_am"))
+    cust = rd("customer").join(
+        F.broadcast(nat_am), F.col("c_nationkey") == F.col("_am")
+    ).select("c_custkey")
+    part = rd("part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    li = rd("lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            rd("orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(
+                rd("supplier").select("s_suppkey", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("s_nationkey") == 1, rev).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )
+        ).alias("_nat"),
+        F.sum(rev).alias("_tot"),
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.col("_nat").cast("double") / F.col("_tot").cast("double")
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT join so
+    zero-order customers land in the c_count=0 bucket — the
+    outer-join-then-double-aggregate shape."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) achieving the maximum — argmax over an aggregate
+    via a 1-row broadcast of the max joined back on exact DECIMAL
+    equality (no double compare deciding membership)."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): lines whose quantity is
+    below 20% of their part's average — the correlated AVG subquery
+    decorrelated into a per-part aggregate join. The average derives
+    from an exact decimal sum (a double AVG would be summation-order
+    nondeterministic), and only the final 0.2×avg comparison is a
+    double op, identical in both engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    small = li.join(
+        per_part, F.col("l_partkey") == F.col("_pk")
+    ).where(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast(
+                "double"
+            )
+            / 7.0
+        ).alias("avg_yearly"),
+    )
+
+
 def q_tpch_q22(spark, sf_dir):
     """TPC-H Q22 (global-sales opportunity), adapted: no c_phone in the
     fixture, so the country-code slice is a nation-key set, and (since
@@ -4128,6 +4313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "degree_histogram": q_degree_histogram,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
@@ -6591,6 +6781,102 @@ def oracle_sql() -> dict[str, str]:
             WHERE _rank <= LEAST(n, GREATEST(10,
                      CAST(FLOOR(4.0 * SQRT(CAST(n AS DOUBLE)))
                           AS BIGINT)))
+        """,
+        "tpch_q7": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER)
+                     AS l_year,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                                 AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o    ON l.l_orderkey = o.o_orderkey
+            JOIN customer cu ON o.o_custkey = cu.c_custkey
+            JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc   ON cu.c_nationkey = nc.n_nationkey
+            WHERE ns.n_nationkey IN (1, 2, 3)
+              AND nc.n_nationkey IN (1, 2, 3)
+              AND ns.n_nationkey <> nc.n_nationkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        # National and total revenue from ONE conditional decimal
+        # aggregation; the share is the only double division.
+        "tpch_q8": """
+            WITH j AS (
+              SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER)
+                       AS o_year,
+                     s.s_nationkey,
+                     CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                          AS DECIMAL(38,4)) AS rev
+              FROM lineitem l
+              JOIN part p      ON l.l_partkey = p.p_partkey
+              JOIN orders o    ON l.l_orderkey = o.o_orderkey
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              JOIN nation n    ON cu.c_nationkey = n.n_nationkey
+              JOIN region r    ON n.n_regionkey = r.r_regionkey
+              JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+              WHERE p.p_type = 'PROMO' AND r.r_name = 'AMERICA'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN s_nationkey = 1 THEN rev
+                                 ELSE CAST(0 AS DECIMAL(38,4)) END)
+                        AS DOUBLE)
+                   / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+            FROM j
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT cu.c_custkey,
+                     COUNT(o.o_orderkey) AS c_count
+              FROM customer cu
+              LEFT JOIN orders o ON cu.c_custkey = o.o_custkey
+              GROUP BY cu.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # Membership in the argmax set is decided on exact DECIMAL
+        # equality, never a double compare.
+        "tpch_q15": """
+            WITH pr AS (
+              SELECT l_suppkey,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2))
+                              * (1 - CAST(l_discount AS DECIMAL(30,2)))
+                              AS DECIMAL(38,4))) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(pr.rev AS DOUBLE) AS total_revenue
+            FROM pr
+            JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+            WHERE pr.rev = (SELECT MAX(rev) FROM pr)
+            ORDER BY s.s_suppkey
+        """,
+        # The per-part average derives from an exact decimal sum; only
+        # the 0.2*avg comparison is a double op.
+        "tpch_q17": """
+            WITH a AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+                          AS DOUBLE) / COUNT(*) AS avg_qty
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2)))
+                        AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem l
+            JOIN a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < 0.2 * a.avg_qty
         """,
         # The scalar average derives from an exact DECIMAL sum divided
         # by a count, so both engines compare against the identical
