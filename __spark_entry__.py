@@ -367,6 +367,97 @@ def _ktruss_oracle(k: int = 3, rounds: int = 6, min_orders: int = 2) -> str:
     )
 
 
+def _node2vec_oracle(
+    n_steps: int = 4,
+    n_seeds: int = 64,
+    w_return: int = 2,
+    w_common: int = 2,
+    w_far: int = 1,
+    salt: str = "n2v",
+) -> str:
+    """q_node2vec_parts's oracle: the biased walks unrolled — per step,
+    classify cur's adjacency against prev's adjacency (return / common
+    / far integer weights), pick via md5 draw mod total over the
+    cumulative-weight ranking, with the uniform dead-end fallback when
+    every weight is zero. Exact integer arithmetic throughout."""
+    draw = (
+        "CAST(md5_number_upper(CAST(s.walk_id AS VARCHAR) || ':{t}:"
+        + salt
+        + "') & 9223372036854775807 AS BIGINT)"
+    )
+    ctes = [
+        """n2v_e AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )""",
+        """n2v_sym AS MATERIALIZED (
+            SELECT a, b FROM n2v_e UNION ALL SELECT b, a FROM n2v_e
+        )""",
+        """n2v_adj AS MATERIALIZED (
+            SELECT a, b,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS idx
+            FROM n2v_sym
+        )""",
+        "n2v_deg AS (SELECT a, COUNT(*) AS deg FROM n2v_sym GROUP BY a)",
+        f"""n2v_s1 AS MATERIALIZED (
+            SELECT s.walk_id, s.step_0, adj.b AS step_1
+            FROM (SELECT a AS walk_id, a AS step_0 FROM n2v_deg
+                  ORDER BY a LIMIT {n_seeds}) s
+            JOIN n2v_deg d ON d.a = s.step_0
+            JOIN n2v_adj adj ON adj.a = s.step_0
+             AND adj.idx = {draw.format(t=1)} % d.deg + 1
+        )""",
+    ]
+    for t in range(2, n_steps + 1):
+        prior = ", ".join(
+            ["s.walk_id"] + [f"s.step_{i}" for i in range(t)]
+        )
+        keep = ", ".join(
+            ["walk_id"] + [f"step_{i}" for i in range(t)]
+        )
+        ctes.append(f"""n2v_c{t} AS MATERIALIZED (
+            SELECT {prior}, a.b AS nbr,
+                   CASE WHEN a.b = s.step_{t - 2} THEN {w_return}
+                        WHEN EXISTS (SELECT 1 FROM n2v_sym p
+                                     WHERE p.a = s.step_{t - 2}
+                                       AND p.b = a.b)
+                          THEN {w_common}
+                        ELSE {w_far} END AS w,
+                   {draw.format(t=t)} AS dr
+            FROM n2v_s{t - 1} s
+            JOIN n2v_sym a ON a.a = s.step_{t - 1}
+        )""")
+        ctes.append(f"""n2v_s{t} AS MATERIALIZED (
+            SELECT {keep}, nbr AS step_{t} FROM (
+              SELECT *,
+                     CASE WHEN tot = 0 THEN 1 ELSE w END AS we,
+                     CASE WHEN tot = 0 THEN rn ELSE cum END AS cume,
+                     CASE WHEN tot = 0 THEN n ELSE tot END AS tote
+              FROM (
+                SELECT *,
+                       SUM(w) OVER (PARTITION BY walk_id
+                                    ORDER BY nbr) AS cum,
+                       SUM(w) OVER (PARTITION BY walk_id) AS tot,
+                       ROW_NUMBER() OVER (PARTITION BY walk_id
+                                          ORDER BY nbr) AS rn,
+                       COUNT(*) OVER (PARTITION BY walk_id) AS n
+                FROM n2v_c{t}
+              )
+            )
+            WHERE cume >= dr % tote + 1 AND cume - we < dr % tote + 1
+        )""")
+    cols = ", ".join(
+        ["walk_id"] + [f"step_{i}" for i in range(n_steps + 1)]
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n            SELECT {cols} FROM n2v_s{n_steps}"
+    )
+
+
 def _mis_geo_oracle(rounds: int = 3) -> str:
     """q_mis_geo's oracle: Luby rounds unrolled — per round, winner =
     vertex whose padded (md5 priority, id) string key is strictly below
@@ -1400,6 +1491,17 @@ def q_walk_skipgrams(spark, sf_dir):
         _coorder_pairs(spark, sf_dir), n_seeds=64, n_steps=4, salt="w"
     )
     return analytics.walk_skipgram_pairs(walks, n_steps=4, window=2)
+
+
+def q_node2vec_parts(spark, sf_dir):
+    """node2vec-biased walks over the co-order graph (integer-weight
+    search bias: return 2 / common 2 / far 1 ≡ p=1, q=2) — the
+    second-order walk corpus for structure-aware embeddings, fully
+    hash-deterministic (operators/analytics.py node2vec_walks). The
+    oracle unrolls every step's classify-weight-pick arithmetic."""
+    return analytics.node2vec_walks(
+        _coorder_pairs(spark, sf_dir), n_seeds=64, n_steps=4
+    )
 
 
 def q_pagerank_weighted(spark, sf_dir):
@@ -4318,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "node2vec_parts": q_node2vec_parts,
         "degree_histogram": q_degree_histogram,
         "scc_event_types": q_scc_event_types,
         "transition_reciprocity": q_transition_reciprocity,
@@ -5819,6 +5922,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_geo": _lpa_geo_oracle(4),
         "modularity_geo": _modularity_geo_oracle(4),
         "mis_geo": _mis_geo_oracle(rounds=3),
+        "node2vec_parts": _node2vec_oracle(n_steps=4, n_seeds=64),
         "ktruss_parts": _ktruss_oracle(k=3, rounds=6, min_orders=2),
         # stream==batch equivalence: same gaps-and-islands SQL as the
         # batch events_session query

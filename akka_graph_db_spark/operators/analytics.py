@@ -1733,6 +1733,167 @@ def random_walks(
         sym.unpersist()
 
 
+def node2vec_walks(
+    pairs: DataFrame,
+    n_seeds: int = 64,
+    n_steps: int = 4,
+    w_return: int = 2,
+    w_common: int = 2,
+    w_far: int = 1,
+    salt: str = "n2v",
+) -> DataFrame:
+    """node2vec-biased walks (Grover & Leskovec, KDD 2016 §3.2) with
+    INTEGER class weights and hash-derived choices — fully
+    deterministic and SQL-reproducible, unlike the reference
+    implementation's alias-sampling RNG.
+
+    The search bias α is quantized to integers: a step from ``cur``
+    (having arrived from ``prev``) weights each neighbor x of cur by
+    ``w_return`` if x == prev, ``w_common`` if x is adjacent to prev,
+    else ``w_far`` (the classic 1/p, 1, 1/q triple cleared of
+    denominators — defaults encode p=1, q=2). The choice is
+    ``md5_63(walk:step:salt) mod Σweights`` mapped onto the
+    cumulative-weight ranking of the (id-ordered) adjacency — exact
+    integer arithmetic end to end. Step 1 (no prev) is uniform, the
+    :func:`random_walks` rule.
+
+    Scale shape: step t expands each walk to its current node's FULL
+    adjacency (the inherent cost of node2vec's neighbor
+    classification), classifies via one semi-join against prev's
+    adjacency, and picks with one windowed cumulative sum partitioned
+    per walk — per-step cost O(Σ deg(cur) over walks), linear in walk
+    count and independent of global graph size. The walk frame stays
+    the broadcast side; adjacency never ships.
+
+    Returns one row per walk: (walk_id, step_0, ..., step_{n_steps}).
+    """
+    from pyspark.sql import Window
+
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        adj = sym.localCheckpoint(eager=True)
+        deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+        state = (
+            deg.select("a")
+            .orderBy("a")
+            .limit(n_seeds)
+            .select(
+                F.col("a").alias("walk_id"), F.col("a").alias("step_0")
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranked = sym.select(
+            "a",
+            "b",
+            F.row_number()
+            .over(Window.partitionBy("a").orderBy("b"))
+            .alias("_idx"),
+        ).localCheckpoint(eager=True)
+
+        def _draw(t):
+            return md5_63(
+                F.concat_ws(
+                    ":",
+                    F.col("walk_id").cast("string"),
+                    F.lit(str(t)),
+                    F.lit(salt),
+                )
+            )
+
+        # step 1: uniform over cur's ranked adjacency
+        with_target = F.broadcast(
+            deg.withColumnRenamed("a", "step_0")
+            .join(F.broadcast(state), "step_0")
+            .withColumn("_target", F.pmod(_draw(1), F.col("_deg")) + 1)
+        )
+        state = (
+            with_target.join(
+                ranked,
+                (F.col("step_0") == ranked["a"])
+                & (F.col("_target") == ranked["_idx"]),
+            )
+            .drop("a", "_idx", "_deg", "_target")
+            .withColumnRenamed("b", "step_1")
+            .localCheckpoint(eager=True)
+        )
+        for t in range(2, n_steps + 1):
+            cur, prev = f"step_{t - 1}", f"step_{t - 2}"
+            # expand each walk to cur's adjacency, id-ordered
+            cand = F.broadcast(state).join(
+                adj.select(
+                    F.col("a").alias(cur), F.col("b").alias("_nbr")
+                ),
+                cur,
+            )
+            # classify: return / common (nbr adjacent to prev) / far
+            prev_adj = adj.select(
+                F.col("a").alias(prev), F.col("b").alias("_nbr")
+            )
+            common = cand.join(prev_adj, [prev, "_nbr"], "left_semi")
+            cand = cand.join(
+                common.select("walk_id", "_nbr").withColumn(
+                    "_is_common", F.lit(1)
+                ),
+                ["walk_id", "_nbr"],
+                "left",
+            ).withColumn(
+                "_w",
+                F.when(F.col("_nbr") == F.col(prev), F.lit(w_return))
+                .when(F.col("_is_common") == 1, F.lit(w_common))
+                .otherwise(F.lit(w_far)),
+            )
+            wwin = Window.partitionBy("walk_id").orderBy("_nbr")
+            cand = cand.select(
+                "*",
+                F.sum("_w").over(wwin).alias("_cum"),
+                F.sum("_w")
+                .over(Window.partitionBy("walk_id"))
+                .alias("_tot"),
+                F.row_number().over(wwin).alias("_rn"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy("walk_id"))
+                .alias("_n"),
+            )
+            # a walk whose every candidate weighs 0 (e.g. a dead end
+            # whose only neighbor is `prev` under w_return=0) falls back
+            # to a uniform choice — it must go somewhere
+            zero = F.col("_tot") == 0
+            cand = (
+                cand.withColumn(
+                    "_we", F.when(zero, F.lit(1)).otherwise(F.col("_w"))
+                )
+                .withColumn(
+                    "_cume", F.when(zero, F.col("_rn")).otherwise(F.col("_cum"))
+                )
+                .withColumn(
+                    "_tote", F.when(zero, F.col("_n")).otherwise(F.col("_tot"))
+                )
+                .withColumn("_pick", F.pmod(_draw(t), F.col("_tote")) + 1)
+            )
+            state = (
+                cand.where(
+                    (F.col("_cume") >= F.col("_pick"))
+                    & (F.col("_cume") - F.col("_we") < F.col("_pick"))
+                )
+                .withColumnRenamed("_nbr", f"step_{t}")
+                .drop(
+                    "_is_common", "_w", "_we", "_cum", "_cume",
+                    "_tot", "_tote", "_rn", "_n", "_pick",
+                )
+                .localCheckpoint(eager=True)
+            )
+        return state.select(
+            "walk_id", *[f"step_{t}" for t in range(n_steps + 1)]
+        )
+    finally:
+        sym.unpersist()
+
+
 def landmark_hop_distances(
     pairs: DataFrame,
     landmarks: int | Sequence[int] = 8,

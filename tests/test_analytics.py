@@ -691,3 +691,45 @@ def test_maximal_independent_set_triangle(spark):
         [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
     )
     assert analytics.maximal_independent_set(pairs).count() == 1
+
+
+def test_node2vec_walks_no_backtrack_path(spark):
+    """Path 1-2-3-4 with w_return=0: from each node the only nonzero-
+    weight neighbor is the forward one, so the single seeded walk is
+    forced to 1→2→3→4 regardless of hash draws."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a bigint, b bigint"
+    )
+    row = analytics.node2vec_walks(
+        pairs, n_seeds=1, n_steps=3, w_return=0, w_common=1, w_far=1
+    ).collect()[0]
+    assert [row[f"step_{i}"] for i in range(4)] == [1, 2, 3, 4]
+
+
+def test_node2vec_walks_valid_and_deterministic(spark):
+    """Triangle + tail: every consecutive step pair must be an edge,
+    w_return=0 forbids immediate backtracking, and the walks are
+    identical across partitionings."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    eset = {frozenset(e) for e in edges}
+
+    def run(df):
+        return {
+            r["walk_id"]: [r[f"step_{i}"] for i in range(4)]
+            for r in analytics.node2vec_walks(
+                df, n_seeds=3, n_steps=3, w_return=0
+            ).collect()
+        }
+
+    walks = run(pairs)
+    for steps in walks.values():
+        for x, y in zip(steps, steps[1:]):
+            assert frozenset((x, y)) in eset
+        deg = {v: sum(1 for e in eset if v in e) for v in {1, 2, 3, 4}}
+        for x, mid, y in zip(steps, steps[1:], steps[2:]):
+            # w_return=0 forbids immediate backtracking EXCEPT at a
+            # dead end, where the uniform fallback must turn around
+            if deg[mid] > 1:
+                assert x != y
+    assert run(pairs.repartition(7)) == walks
