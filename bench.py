@@ -103,6 +103,11 @@ HEADLINE = [
     "tpch_q18",               # HAVING-subquery large-volume customers
     "tpch_q19",               # disjunctive brand/size/qty bands
     "mixture_sample",         # sqrt-damped per-source corpus shaping
+    "customer_similarity",    # bipartite-projection wedge scoring
+    "node2vec_parts",         # biased-walk corpus generation
+    "mis_geo",                # Luby MIS symmetry breaking
+    "token_rarity",           # vocab join + per-doc rarity rollup
+    "dedup_incremental",      # asymmetric new-vs-base band join
 ]
 
 
