@@ -4371,9 +4371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_spans": q_dedup_exact_spans,
         "tpch_q6": q_tpch_q6,
         # --- certification window ends here (50 entries; r4∪r5 driver
-        # rows then cover 100 distinct queries). The 42 entries between
-        # here and the r4-certified tail (tpch_q5 .. orders_above_
-        # customer_avg — every round-5 addition) are local-green
+        # rows then cover 100 distinct queries). The 49 entries between
+        # here and the r4-certified tail (every round-5 addition,
+        # tpch_q5 .. orders_above_customer_avg) are local-green
         # (tools/check_correctness.py full sweeps at sf0.01: 0 fail,
         # 1 rows-only-by-design) and MUST rotate into the first 50
         # slots in round 6; that single rotation completes driver
