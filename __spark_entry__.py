@@ -2853,6 +2853,51 @@ def q_degree_histogram(spark, sf_dir):
     )
 
 
+def q_butterfly_count(spark, sf_dir):
+    """Butterfly (2×2 biclique) count of the customer–part bipartite
+    graph — THE bipartite cohesion metric (Sanei-Mehri et al., KDD
+    2018): for every customer pair, C(shared_parts, 2) butterflies,
+    summed exactly in integers. Wedges are generated per part with the
+    same ≤100-buyer cap as customer_similarity (a part half the market
+    buys contributes quadratic wedges and no cohesion signal —
+    documented approximation, mirrored by the oracle). Returns one row
+    (n_wedge_pairs, n_butterflies)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    cp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    pdeg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("_pd"))
+    kept = cp.join(
+        F.broadcast(pdeg.where(F.col("_pd") <= 100).select("p")),
+        "p",
+        "left_semi",
+    )
+    w1 = kept.select("p", F.col("c").alias("c1"))
+    w2 = kept.select("p", F.col("c").alias("c2"))
+    pairs = (
+        w1.join(w2, "p")
+        .where(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    m = F.col("_m").cast("decimal(38,0)")
+    # Σ m(m-1) is even; one exact decimal halving at the end (the
+    # oracle's HUGEINT // 2 — never float division).
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_wedge_pairs"),
+        (F.sum(m * (m - 1)) / 2).cast("bigint").alias("n_butterflies"),
+    )
+
+
 def q_customer_similarity(spark, sf_dir):
     """Top-20 most similar CUSTOMER pairs by co-purchased parts —
     link_prediction_jaccard in bipartite-projection mode: parts are
@@ -4412,6 +4457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "eccentricity_parts": q_eccentricity_parts,
         "customer_similarity": q_customer_similarity,
+        "butterfly_count": q_butterfly_count,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
@@ -6054,6 +6100,29 @@ def oracle_sql() -> dict[str, str]:
                    MAX(lat) AS max_latency_s,
                    CAST(SUM(lat) AS DOUBLE) / COUNT(*) AS avg_latency_s
             FROM l
+        """,
+        "butterfly_count": """
+            WITH cp AS MATERIALIZED (
+              SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+              FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            ),
+            kept AS MATERIALIZED (
+              SELECT c, p FROM cp
+              WHERE p IN (SELECT p FROM cp GROUP BY p
+                          HAVING COUNT(*) <= 100)
+            ),
+            prs AS (
+              SELECT w1.c AS c1, w2.c AS c2,
+                     CAST(COUNT(*) AS HUGEINT) AS m
+              FROM kept w1 JOIN kept w2
+                ON w1.p = w2.p AND w1.c < w2.c
+              GROUP BY 1, 2
+            )
+            SELECT COUNT(*) AS n_wedge_pairs,
+                   CAST(SUM(m * (m - 1)) // 2 AS BIGINT)
+                     AS n_butterflies
+            FROM prs
         """,
         # The link_prediction oracle on the customer⊲part bipartite
         # graph: parts offset by 1e9, centers = parts only (high band,
