@@ -171,3 +171,72 @@ def test_ntile_distributed_matches_sql_semantics(rows, k):
                 expected[order[pos][1]] = tile
                 pos += 1
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_ktruss_invariant_every_edge_supported(edges):
+    """For any random graph, every edge surviving the 3-truss must have
+    >= 1 triangle among SURVIVORS, and the survivor set is identical
+    across partitionings (fixpoint self-consistency)."""
+    from akka_graph_db_spark.operators import analytics
+
+    spark = _SPARK["s"]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(1, 2)],
+        "a bigint, b bigint",
+    )
+    surv = [
+        (r["a"], r["b"], r["support"])
+        for r in analytics.ktruss(pairs, k=3).collect()
+    ]
+    eset = {(a, b) for a, b, _ in surv}
+    nbrs = {}
+    for a, b in eset:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for a, b, sup in surv:
+        tri = len(nbrs[a] & nbrs[b])
+        assert tri == sup and sup >= 1
+    again = {
+        (r["a"], r["b"])
+        for r in analytics.ktruss(pairs.repartition(5), k=3).collect()
+    }
+    assert again == eset
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 15), st.integers(1, 15)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_mis_invariant_independent_and_maximal(edges):
+    """For any random graph, the Luby MIS is independent and maximal."""
+    from akka_graph_db_spark.operators import analytics
+
+    spark = _SPARK["s"]
+    clean = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(
+        clean or [(1, 2)], "a bigint, b bigint"
+    )
+    mis = {
+        r["id"]
+        for r in analytics.maximal_independent_set(pairs).collect()
+    }
+    adj = {}
+    for a, b in clean or [(1, 2)]:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in mis:
+        assert not (adj.get(v, set()) & mis)
+    for v in set(adj) - mis:
+        assert adj[v] & mis
