@@ -63,6 +63,20 @@ AUDITED = [
     ("dedup_incremental", "asymmetric band join (new x base)"),
     ("walk_skipgrams", "per-walk positional self-join"),
     ("engagement_decay", "decimal decay-weighted rollup + in-plan ref date"),
+    ("customer_similarity", "bipartite-projection capped wedge scoring"),
+    ("butterfly_count", "per-part wedge pairs + exact biclique rollup"),
+    ("node2vec_parts", "classified-adjacency biased walk steps"),
+    ("mis_geo", "Luby round: neighbor-min keys + closed-set anti-joins"),
+    ("scc_event_types", "path-doubling closure + mutual-reachability meet"),
+    ("ktruss_parts", "per-round triangle-support semi-joins"),
+    ("modularity_geo", "arc tagging joins + exact decimal moments"),
+    ("weekly_revenue_growth", "window-over-aggregate LAG growth"),
+    ("degree_histogram", "two-sided degree agg + bit-length binning"),
+    ("embedding_outliers", "grid explode + label-centroid distance"),
+    ("tpch_q7", "nation-pair trade broadcast chain"),
+    ("tpch_q13", "LEFT join + double aggregation distribution"),
+    ("tpch_q15", "argmax-over-aggregate on exact decimal equality"),
+    ("tpch_q17", "decorrelated per-part AVG subquery join"),
 ]
 
 
