@@ -63,3 +63,21 @@ def read_csv(
         .option("multiLine", "true")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zlib"):
+    """ORC interchange (Spark-native columnar alternative to parquet —
+    common at Hive/Trino boundaries). Columnar + splittable + typed, so
+    unlike the text formats no explicit-schema discipline is needed;
+    compression defaults to zlib, ORC's widest-compatibility codec."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .orc(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC; the embedded schema is authoritative (predicate
+    pushdown and column pruning work as with parquet)."""
+    return spark.read.orc(path)

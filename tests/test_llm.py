@@ -1132,3 +1132,26 @@ def test_label_centroid_outliers(spark):
     assert got[0]["d2"] == 666667**2 + 666000**2
     # label 2 is its own centroid -> d2 = 0, never in top-2 over v1/v2
     assert {r["vec_id"] for r in got} <= {1, 2, 3}
+
+
+def test_orc_roundtrip_byte_fidelity(spark, tmp_path):
+    """ORC round-trip preserves types and values exactly, including
+    maps and arrays; pushdown predicates work on the re-read frame."""
+    from akka_graph_db_spark.sources import files as fsrc
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 3.5, ["x", "y"], {"k": "v"}),
+            (2, "beta", -0.25, [], {}),
+        ],
+        "id bigint, name string, score double, tags array<string>,"
+        " props map<string,string>",
+    )
+    path = str(tmp_path / "orc_rt")
+    fsrc.write_orc(df, path)
+    back = fsrc.read_orc(spark, path)
+    assert back.schema == df.schema
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["tags"] == ["x", "y"] and rows[1]["props"] == {"k": "v"}
+    assert rows[2]["score"] == -0.25 and rows[2]["tags"] == []
+    assert back.where("id = 2").count() == 1
