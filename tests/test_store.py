@@ -238,3 +238,43 @@ def test_crashed_writer_versions_are_invisible(spark, micro, tmp_path):
     v_next = store.save_snapshot(micro, root)
     assert v_next > v0 + 2
     assert store.list_version_kinds(root, spark)[-1] == (v_next, "base")
+
+
+def test_incremental_label_counts_matches_recount(spark, micro):
+    """Incremental per-label counts over a delta (new node, same-label
+    update, label change via upsert, delete) must equal a full recount
+    of the merged snapshot."""
+    from akka_graph_db_spark.model import PropertyGraph
+
+    root = tempfile.mkdtemp(prefix="snap_inc_")
+    store.save_snapshot(micro, root)  # v0 base
+    empty_map = F.create_map().cast("map<string,string>")
+    ups = spark.createDataFrame(
+        [(901,), (1,), (3,)], "id bigint"
+    ).select(
+        "id",
+        F.when(F.col("id") == 3, F.lit("robot"))
+        .otherwise(F.lit("person"))
+        .alias("label"),
+        empty_map.alias("props"),
+    )
+    # 901: brand-new person; 1: same-label update; 3: person -> robot
+    dels = spark.createDataFrame([(2,)], "id bigint")
+    delta = store.GraphDelta(
+        node_upserts=ups, node_deletes=dels, edge_deletes=dels.limit(0)
+    )
+    store.save_delta(root, delta, validate=False)
+
+    inc = {
+        r["label"]: r["n_nodes"]
+        for r in store.incremental_label_counts(spark, root).collect()
+    }
+    full = {
+        r["label"]: r["n"]
+        for r in store.load_snapshot(spark, root)
+        .nodes.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert inc == full
+    assert inc.get("robot") == 1  # the label move landed
