@@ -54,3 +54,42 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
     )
     return s.join(o, on + ["_salt"], how).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, key_cols: "list[str]", top_k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides whether
+    a key needs :func:`salted_join` BEFORE the straggler appears in
+    production: per-key row counts for the ``top_k`` heaviest keys,
+    each with its exact share of the total and the ratio to a perfectly
+    uniform key (share × distinct-key count — a hot key at 50× uniform
+    is a guaranteed straggler at any parallelism ≥ 50).
+
+    One aggregation + two 1-row broadcasts folded in-plan (total rows,
+    distinct keys); shares are single double divisions off exact
+    counts. Returns (key..., n_rows, share, x_uniform) ordered
+    heaviest-first.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        counts.orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_k)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_total")).alias(
+                "share"
+            ),
+            (
+                F.col("n_rows").cast("double")
+                * F.col("_n_keys")
+                / F.col("_total")
+            ).alias("x_uniform"),
+        )
+    )

@@ -1155,3 +1155,19 @@ def test_orc_roundtrip_byte_fidelity(spark, tmp_path):
     assert rows[1]["tags"] == ["x", "y"] and rows[1]["props"] == {"k": "v"}
     assert rows[2]["score"] == -0.25 and rows[2]["tags"] == []
     assert back.where("id = 2").count() == 1
+
+
+def test_skew_report_identifies_hot_key(spark):
+    """90 rows of key 'hot' + 10 singletons: the hot key leads with
+    share 0.9 and x_uniform = 0.9 * 11 keys = 9.9 exactly."""
+    from akka_graph_db_spark.functions import skew
+
+    rows = [("hot", i) for i in range(90)] + [
+        (f"k{i}", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    top = skew.skew_report(df, ["k"], top_k=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["n_rows"] == 90
+    assert top[0]["share"] == 0.9
+    assert abs(top[0]["x_uniform"] - 9.9) < 1e-12
+    assert all(r["n_rows"] == 1 for r in top[1:])
