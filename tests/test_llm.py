@@ -1171,3 +1171,25 @@ def test_skew_report_identifies_hot_key(spark):
     assert top[0]["share"] == 0.9
     assert abs(top[0]["x_uniform"] - 9.9) < 1e-12
     assert all(r["n_rows"] == 1 for r in top[1:])
+
+
+def test_zorder_key_interleaves_and_localizes(spark):
+    """Closed-form Morton values plus the quadrant property: every key
+    in the low 2x2 quadrant sorts before any key with a coordinate
+    >= 2."""
+    from akka_graph_db_spark.functions.zorder import zorder_key
+
+    pts = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key("x", "y").alias("z")
+        ).collect()
+    }
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+    assert got[(0, 1)] == 2 and got[(1, 1)] == 3
+    assert got[(2, 0)] == 4 and got[(3, 3)] == 15
+    low = {got[(x, y)] for x in (0, 1) for y in (0, 1)}
+    rest = {v for (x, y), v in got.items() if x > 1 or y > 1}
+    assert max(low) < min(rest)
