@@ -340,6 +340,27 @@ class GraphDB:
             pairs, max_doublings
         )
 
+    def degree_histogram(self, edge_labels=None) -> DataFrame:
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        return (
+            deg.select(
+                (F.length(F.bin("deg")) - 1)
+                .cast("int")
+                .alias("log2_bucket")
+            )
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("log2_bucket")
+        )
+
     def maximal_independent_set(
         self, edge_labels=None, max_rounds=12, salt="mis"
     ) -> DataFrame:
