@@ -3247,6 +3247,77 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_zorder_customers(spark, sf_dir):
+    """Morton z-order keys (functions/zorder.py) over (c_nationkey,
+    c_custkey) — the two-column data-skipping sort key, certified
+    cross-engine: the 50 smallest keys (≡ the locality-first corner of
+    the key plane) must match the oracle's identical shift/mask chain
+    bit for bit."""
+    from akka_graph_db_spark.functions.zorder import zorder_key
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            zorder_key(
+                F.col("c_nationkey").cast("long"),
+                F.col("c_custkey").cast("long"),
+            ).alias("zkey"),
+        )
+        .orderBy("zkey", "c_custkey")
+        .limit(50)
+    )
+
+
+def _zorder_sql(col: str) -> str:
+    """The functions/zorder.py spread chain as a DuckDB expression."""
+    masks = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    s = f"(CAST({col} AS BIGINT) & 2147483647)"
+    for shift, mask in masks:
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def q_skew_report_parts(spark, sf_dir):
+    """Hot-key diagnostics (functions/skew.py skew_report) on
+    lineitem.l_partkey — the measurement that decides whether a join
+    key needs salting: top-10 heaviest parts with exact share and
+    ratio-to-uniform (single double divisions off exact counts)."""
+    from akka_graph_db_spark.functions.skew import skew_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return skew_report(li, ["l_partkey"], top_k=10)
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """Columnar interchange (sources/files.py): documents export to ORC
+    and re-read (embedded schema authoritative, predicate pushdown
+    live); the post-round-trip aggregate must equal the oracle computed
+    on the original parquet — same fidelity contract as
+    jsonl_roundtrip, through the second format."""
+    import tempfile
+
+    from akka_graph_db_spark.sources import files
+
+    docs = read_documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    files.write_orc(docs, path)
+    back = files.read_orc(spark, path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+    )
+
+
 def q_events_outliers(spark, sf_dir):
     """Per-type z-score outliers (|z| > 3) with moments derived from
     exact decimal component sums — the outlier set and scores reproduce
@@ -4458,6 +4529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity_parts": q_eccentricity_parts,
         "customer_similarity": q_customer_similarity,
         "butterfly_count": q_butterfly_count,
+        "orc_roundtrip": q_orc_roundtrip,
+        "skew_report_parts": q_skew_report_parts,
+        "zorder_customers": q_zorder_customers,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
@@ -6283,6 +6357,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "jsonl_roundtrip": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM documents GROUP BY lang, source
+        """,
+        "zorder_customers": f"""
+            SELECT c_custkey, c_nationkey,
+                   ({_zorder_sql("c_nationkey")}
+                    | ({_zorder_sql("c_custkey")} << 1)) AS zkey
+            FROM customer
+            ORDER BY zkey, c_custkey
+            LIMIT 50
+        """,
+        "skew_report_parts": """
+            WITH c AS (
+              SELECT l_partkey, COUNT(*) AS n_rows
+              FROM lineitem GROUP BY l_partkey
+            ),
+            t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM c)
+            SELECT l_partkey, n_rows,
+                   CAST(n_rows AS DOUBLE) / total AS share,
+                   CAST(n_rows AS DOUBLE) * n_keys / total AS x_uniform
+            FROM (SELECT * FROM c ORDER BY n_rows DESC, l_partkey
+                  LIMIT 10), t
+        """,
+        "orc_roundtrip": """
             SELECT lang, source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
