@@ -3247,6 +3247,38 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_store_incremental_counts(spark, sf_dir):
+    """O(changes) materialized-view maintenance, certified: a base
+    snapshot plus a delta (one new probe node, one customer re-labeled
+    to probe, one supplier deleted) — store.incremental_label_counts
+    derives the new per-label counts from the DELTA files + an id probe
+    of the base, never a recount, and must equal the oracle's
+    literal-adjusted per-label counts exactly (new id +1, label move
+    −old +new, delete −1)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from akka_graph_db_spark import store
+
+    g = _g(spark, sf_dir).core()
+    root = tempfile.mkdtemp(prefix="spark_graft_inc_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store.save_snapshot(g, root)
+    empty_map = F.create_map().cast("map<string,string>")
+    ups = spark.createDataFrame(
+        [(97_500_001,), (CUSTOMER_BASE + 1,)], "id bigint"
+    ).select("id", F.lit("inc_probe").alias("label"), empty_map.alias("props"))
+    dels = spark.createDataFrame([(SUPPLIER_BASE + 1,)], "id bigint")
+    delta = store.GraphDelta(
+        node_upserts=ups,
+        node_deletes=dels,
+        edge_deletes=dels.limit(0),
+    )
+    store.save_delta(root, delta, validate=False)
+    return store.incremental_label_counts(spark, root).orderBy("label")
+
+
 def q_zorder_customers(spark, sf_dir):
     """Morton z-order keys (functions/zorder.py) over (c_nationkey,
     c_custkey) — the two-column data-skipping sort key, certified
@@ -4532,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "skew_report_parts": q_skew_report_parts,
         "zorder_customers": q_zorder_customers,
+        "store_incremental_counts": q_store_incremental_counts,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
@@ -6362,6 +6395,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(text)) AS BIGINT) AS sum_text_len,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM documents GROUP BY lang, source
+        """,
+        # Literal-adjusted base counts: the delta's three mutations are
+        # fixed, so the expected counts are base ± the adjustments.
+        "store_incremental_counts": _GRAPH_WITH + """
+            , inc_base AS (
+              SELECT label, COUNT(*) AS n FROM nodes_v GROUP BY label
+            ),
+            inc_adj(label, d) AS (
+              VALUES ('customer', -1), ('supplier', -1), ('inc_probe', 2)
+            )
+            SELECT COALESCE(b.label, a.label) AS label,
+                   CAST(COALESCE(b.n, 0) + COALESCE(a.d, 0) AS BIGINT)
+                     AS n_nodes
+            FROM inc_base b FULL JOIN inc_adj a ON b.label = a.label
+            WHERE COALESCE(b.n, 0) + COALESCE(a.d, 0) > 0
+            ORDER BY label
         """,
         "zorder_customers": f"""
             SELECT c_custkey, c_nationkey,
