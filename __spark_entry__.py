@@ -1504,6 +1504,18 @@ def q_node2vec_parts(spark, sf_dir):
     )
 
 
+def q_node2vec_skipgrams(spark, sf_dir):
+    """Skip-gram training pairs from the node2vec-BIASED walk corpus
+    (window 2) — graph → second-order walks → embedding data in one
+    plan, composing the two deterministic generators; the oracle embeds
+    the step-exact biased-walk oracle as a CTE and pairs positions
+    identically."""
+    walks = analytics.node2vec_walks(
+        _coorder_pairs(spark, sf_dir), n_seeds=64, n_steps=4
+    )
+    return analytics.walk_skipgram_pairs(walks, n_steps=4, window=2)
+
+
 def q_pagerank_weighted(spark, sf_dir):
     """Weighted PageRank over the full directed graph, 6 fixed
     iterations, edge weight = the `quantity` prop (contains edges carry
@@ -4565,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_parts": q_skew_report_parts,
         "zorder_customers": q_zorder_customers,
         "store_incremental_counts": q_store_incremental_counts,
+        "node2vec_skipgrams": q_node2vec_skipgrams,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
@@ -6076,6 +6089,24 @@ def oracle_sql() -> dict[str, str]:
         "modularity_geo": _modularity_geo_oracle(4),
         "mis_geo": _mis_geo_oracle(rounds=3),
         "node2vec_parts": _node2vec_oracle(n_steps=4, n_seeds=64),
+        "node2vec_skipgrams": f"""
+            WITH n2vs AS MATERIALIZED (
+              {_node2vec_oracle(n_steps=4, n_seeds=64)}
+            ),
+            n2vp AS (
+              SELECT walk_id, 0 AS pos, step_0 AS node FROM n2vs
+              UNION ALL SELECT walk_id, 1, step_1 FROM n2vs
+              UNION ALL SELECT walk_id, 2, step_2 FROM n2vs
+              UNION ALL SELECT walk_id, 3, step_3 FROM n2vs
+              UNION ALL SELECT walk_id, 4, step_4 FROM n2vs
+            )
+            SELECT a.node AS center, b.node AS context,
+                   COUNT(*) AS n_pairs
+            FROM n2vp a JOIN n2vp b
+              ON a.walk_id = b.walk_id AND a.pos <> b.pos
+             AND ABS(a.pos - b.pos) <= 2
+            GROUP BY 1, 2
+        """,
         "ktruss_parts": _ktruss_oracle(k=3, rounds=6, min_orders=2),
         # stream==batch equivalence: same gaps-and-islands SQL as the
         # batch events_session query
