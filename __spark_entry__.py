@@ -3102,6 +3102,27 @@ def q_funnel_events(spark, sf_dir):
     )
 
 
+def q_recency_histogram(spark, sf_dir):
+    """Customer recency distribution: days since each customer's LAST
+    order (relative to the dataset's max order date, folded in-plan),
+    bucketed into 30-day bins — the churn-analysis staple. All integer
+    date math: calendar-day diff of DATE casts, integer division for
+    the bin."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    last = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last")
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("_ref"))
+    days = F.datediff(F.to_date("_ref"), F.to_date("_last"))
+    return (
+        last.crossJoin(F.broadcast(ref))
+        .select(F.floor(days / 30).cast("int").alias("bucket_30d"))
+        .groupBy("bucket_30d")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("bucket_30d")
+    )
+
+
 def q_weekly_revenue_growth(spark, sf_dir):
     """Week-over-week revenue growth for 1996: exact decimal weekly
     sums, then a LAG window over the aggregated series with the percent
@@ -4578,6 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_customers": q_zorder_customers,
         "store_incremental_counts": q_store_incremental_counts,
         "node2vec_skipgrams": q_node2vec_skipgrams,
+        "recency_histogram": q_recency_histogram,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
@@ -6188,6 +6210,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS log2_bucket,
                    COUNT(*) AS n_nodes
             FROM dh
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # Integer day diffs of DATE casts; the 30-day bin is integer
+        # floor division in both engines.
+        "recency_histogram": """
+            WITH l AS (
+              SELECT o_custkey, MAX(o_orderdate) AS last_d FROM orders
+              GROUP BY o_custkey
+            ),
+            r AS (SELECT MAX(o_orderdate) AS ref FROM orders)
+            SELECT CAST(FLOOR(date_diff('day', CAST(last_d AS DATE),
+                                        CAST(ref AS DATE)) / 30.0)
+                        AS INTEGER) AS bucket_30d,
+                   COUNT(*) AS n_customers
+            FROM l, r
             GROUP BY 1
             ORDER BY 1
         """,
