@@ -3102,6 +3102,44 @@ def q_funnel_events(spark, sf_dir):
     )
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: every customer classified Recent (last order
+    within 180 days of the dataset max), Frequent (>= 20 orders), and
+    Monetary (exact decimal lifetime spend >= 150k), counted per
+    segment with the segment's exact total spend. One aggregation per
+    customer + one per segment; the R/F/M flags are integer/decimal
+    comparisons against fixed thresholds — no quantile estimation, so
+    the oracle reproduces the 8-way split exactly."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("_spend"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("_ref"))
+    days = F.datediff(F.to_date("_ref"), F.to_date("_last"))
+    flagged = per_cust.crossJoin(F.broadcast(ref)).select(
+        F.when(days <= 180, "R").otherwise("r").alias("_rf"),
+        F.when(F.col("_n") >= 20, "F").otherwise("f").alias("_ff"),
+        F.when(
+            F.col("_spend") >= F.lit(150000).cast("decimal(30,2)"), "M"
+        )
+        .otherwise("m")
+        .alias("_mf"),
+        "_spend",
+    )
+    return (
+        flagged.groupBy(
+            F.concat("_rf", "_ff", "_mf").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_spend").cast("double").alias("total_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
 def q_recency_histogram(spark, sf_dir):
     """Customer recency distribution: days since each customer's LAST
     order (relative to the dataset's max order date, folded in-plan),
@@ -4600,6 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_incremental_counts": q_store_incremental_counts,
         "node2vec_skipgrams": q_node2vec_skipgrams,
         "recency_histogram": q_recency_histogram,
+        "rfm_segments": q_rfm_segments,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
@@ -6212,6 +6251,32 @@ def oracle_sql() -> dict[str, str]:
             FROM dh
             GROUP BY 1
             ORDER BY 1
+        """,
+        # Fixed thresholds on integer days / counts / exact decimal
+        # spend — the 8-way split and per-segment decimal totals
+        # reproduce exactly.
+        "rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey, MAX(o_orderdate) AS last_d,
+                     COUNT(*) AS n,
+                     SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+              FROM orders GROUP BY o_custkey
+            ),
+            r AS (SELECT MAX(o_orderdate) AS ref FROM orders)
+            SELECT segment, COUNT(*) AS n_customers,
+                   CAST(SUM(spend) AS DOUBLE) AS total_spend
+            FROM (
+              SELECT (CASE WHEN date_diff('day', CAST(last_d AS DATE),
+                                          CAST(ref AS DATE)) <= 180
+                           THEN 'R' ELSE 'r' END)
+                     || (CASE WHEN n >= 20 THEN 'F' ELSE 'f' END)
+                     || (CASE WHEN spend >= CAST(150000 AS DECIMAL(30,2))
+                              THEN 'M' ELSE 'm' END) AS segment,
+                     spend
+              FROM pc, r
+            )
+            GROUP BY segment
+            ORDER BY segment
         """,
         # Integer day diffs of DATE casts; the 30-day bin is integer
         # floor division in both engines.
