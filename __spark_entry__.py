@@ -3102,6 +3102,69 @@ def q_funnel_events(spark, sf_dir):
     )
 
 
+def q_order_intervals(spark, sf_dir):
+    """Inter-order cadence: days between each customer's consecutive
+    orders (per-customer LAG over (date, orderkey) — the total order
+    makes ties deterministic), rolled up to global exact stats: interval
+    count, min/max, and the average from an exact BIGINT day sum."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+    )
+    return (
+        orders.select(gap.alias("_gap"))
+        .where(F.col("_gap").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.min("_gap").alias("min_days"),
+            F.max("_gap").alias("max_days"),
+            (
+                F.sum("_gap").cast("double") / F.count(F.lit(1))
+            ).alias("avg_days"),
+        )
+    )
+
+
+def q_revenue_concentration(spark, sf_dir):
+    """Supplier revenue concentration (the Pareto check): the exact
+    decimal share of total lineitem revenue carried by the top-10
+    suppliers — TakeOrdered top-k over per-supplier decimal sums, the
+    total folded in-plan via a 1-row broadcast; one double division at
+    the end."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(30,2)")
+        * (1 - F.col("l_discount").cast("decimal(30,2)"))
+    ).cast("decimal(38,4)")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    top = (
+        per_supp.orderBy(F.col("_rev").desc(), "l_suppkey")
+        .limit(10)
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.sum("_rev").alias("_top_rev"),
+        )
+    )
+    total = per_supp.agg(
+        F.sum("_rev").alias("_total"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "n_top",
+        "n_suppliers",
+        F.col("_top_rev").cast("double").alias("top10_revenue"),
+        (
+            F.col("_top_rev").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("top10_share"),
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM segmentation: every customer classified Recent (last order
     within 180 days of the dataset max), Frequent (>= 20 orders), and
@@ -4639,6 +4702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_skipgrams": q_node2vec_skipgrams,
         "recency_histogram": q_recency_histogram,
         "rfm_segments": q_rfm_segments,
+        "order_intervals": q_order_intervals,
+        "revenue_concentration": q_revenue_concentration,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
@@ -6251,6 +6316,42 @@ def oracle_sql() -> dict[str, str]:
             FROM dh
             GROUP BY 1
             ORDER BY 1
+        """,
+        "order_intervals": """
+            WITH g AS (
+              SELECT date_diff('day',
+                       CAST(LAG(o_orderdate) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+                            AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap
+              FROM orders
+            )
+            SELECT COUNT(*) AS n_intervals,
+                   MIN(gap) AS min_days, MAX(gap) AS max_days,
+                   CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_days
+            FROM g WHERE gap IS NOT NULL
+        """,
+        "revenue_concentration": """
+            WITH ps AS (
+              SELECT l_suppkey,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2))
+                              * (1 - CAST(l_discount AS DECIMAL(30,2)))
+                              AS DECIMAL(38,4))) AS rev
+              FROM lineitem GROUP BY l_suppkey
+            ),
+            tp AS (
+              SELECT COUNT(*) AS n_top, SUM(rev) AS top_rev
+              FROM (SELECT rev FROM ps
+                    ORDER BY rev DESC, l_suppkey LIMIT 10)
+            ),
+            tt AS (SELECT SUM(rev) AS total,
+                          COUNT(*) AS n_suppliers FROM ps)
+            SELECT n_top, n_suppliers,
+                   CAST(top_rev AS DOUBLE) AS top10_revenue,
+                   CAST(top_rev AS DOUBLE) / CAST(total AS DOUBLE)
+                     AS top10_share
+            FROM tp, tt
         """,
         # Fixed thresholds on integer days / counts / exact decimal
         # spend — the 8-way split and per-segment decimal totals
