@@ -3102,6 +3102,29 @@ def q_funnel_events(spark, sf_dir):
     )
 
 
+def q_activity_heatmap(spark, sf_dir):
+    """Weekday × hour activity profile of the event stream — the
+    capacity-planning heatmap. Day-of-week semantics are the classic
+    cross-engine trap: Spark's weekday() is 0=Monday while DuckDB's
+    dayofweek is 0=Sunday, so both sides are pinned to ISO numbering
+    (1=Monday ≡ weekday()+1 ≡ isodow). Counts plus exact decimal value
+    sums per cell."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            (F.weekday("ts") + 1).alias("iso_dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("iso_dow", "hour")
+    )
+
+
 def q_order_intervals(spark, sf_dir):
     """Inter-order cadence: days between each customer's consecutive
     orders (per-customer LAG over (date, orderkey) — the total order
@@ -4703,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_histogram": q_recency_histogram,
         "rfm_segments": q_rfm_segments,
         "order_intervals": q_order_intervals,
+        "activity_heatmap": q_activity_heatmap,
         "revenue_concentration": q_revenue_concentration,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
@@ -6316,6 +6340,18 @@ def oracle_sql() -> dict[str, str]:
             FROM dh
             GROUP BY 1
             ORDER BY 1
+        """,
+        # ISO weekday (1=Monday) on both sides: Spark weekday()+1,
+        # DuckDB isodow.
+        "activity_heatmap": """
+            SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+                   CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "order_intervals": """
             WITH g AS (
