@@ -4676,12 +4676,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_spans": q_dedup_exact_spans,
         "tpch_q6": q_tpch_q6,
         # --- certification window ends here (50 entries; r4∪r5 driver
-        # rows then cover 100 distinct queries). The 59 entries between
+        # rows then cover 100 distinct queries). The 60 entries between
         # here and the r4-certified tail (every round-5 addition,
-        # tpch_q5 .. revenue_concentration) are local-green
+        # tpch_q5 .. activity_heatmap) are local-green
         # (tools/check_correctness.py full sweeps at sf0.01: 0 fail,
         # 1 rows-only-by-design) and MUST rotate into the first 50
-        # slots in round 6 (the 9 overflow entries follow in round 7,
+        # slots in round 6 (the 10 overflow entries follow in round 7,
         # or sooner if the driver's cap allows).
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
