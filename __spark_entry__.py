@@ -3252,7 +3252,10 @@ def q_weekly_revenue_growth(spark, sf_dir):
     sums, then a LAG window over the aggregated series with the percent
     change as the only double op — the window-over-aggregate shape
     (tiny post-agg series, so the single-partition window is over ~52
-    rows, not the fact table)."""
+    rows, not the fact table). Buckets are (ISO year, ISO week), not
+    bare weekofyear: Dec 29-31 of a calendar year belong to ISO week 1
+    of the NEXT year and must not fold into early January's bucket
+    (they get their own trailing row instead)."""
     from pyspark.sql import Window
 
     lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
@@ -3261,14 +3264,18 @@ def q_weekly_revenue_growth(spark, sf_dir):
         (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
     )
     weekly = orders.groupBy(
-        F.weekofyear("o_orderdate").alias("week")
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+        .cast("int")
+        .alias("iso_year"),
+        F.weekofyear("o_orderdate").alias("week"),
     ).agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("_rev"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("week")
+    w = Window.orderBy("iso_year", "week")
     prev = F.lag("_rev").over(w)
     return weekly.select(
+        "iso_year",
         "week",
         F.col("_rev").cast("double").alias("revenue"),
         "n_orders",
@@ -3279,7 +3286,7 @@ def q_weekly_revenue_growth(spark, sf_dir):
                 / prev.cast("double")
             ),
         ).alias("wow_growth"),
-    ).orderBy("week")
+    ).orderBy("iso_year", "week")
 
 
 def q_conversion_latency(spark, sf_dir):
@@ -3432,7 +3439,11 @@ def q_store_incremental_counts(spark, sf_dir):
         node_deletes=dels,
         edge_deletes=dels.limit(0),
     )
-    store.save_delta(root, delta, validate=False)
+    # validate=True on purpose: incremental_label_counts is only correct
+    # under the per-delta id contract (unique upsert ids, no id in both
+    # upserts and deletes), so the certified path exercises the validated
+    # write, not a producer pinky-promise.
+    store.save_delta(root, delta, validate=True)
     return store.incremental_label_counts(spark, root).orderBy("label")
 
 
@@ -4617,72 +4628,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the correctness driver certifies the FIRST 50
-    # entries only. Round-5 rotation leads with the 46 queries that
-    # had no driver row in CORRECTNESS_r04.json; r4-green entries
-    # follow (r4 ∪ r5 then covers all oracled queries).
     return {
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "events_json_prop": q_events_json_prop,
-        "events_type_stats": q_events_type_stats,
-        "streaming_fold": q_streaming_fold,
-        "streaming_dedup": q_streaming_dedup,
-        "streaming_interval_join": q_streaming_interval_join,
-        "streaming_running_totals": q_streaming_running_totals,
-        "asof_purchase_click": q_asof_purchase_click,
-        "doc_split_hash": q_doc_split_hash,
-        "doc_chunks": q_doc_chunks,
+    # Order matters: the correctness driver certifies the FIRST 50
+    # entries only. Round-6 rotation: pack_chunks leads (value-correct in
+    # r5 but driver-red on an oracle HUGEINT dtype, now fixed with an
+    # explicit CAST), followed by the first 49 of the 60 entries that had
+    # no driver row in CORRECTNESS_r04/r05. r4 ∪ r5 ∪ r6 then covers 149
+    # distinct certified queries.
         "pack_chunks": q_pack_chunks,
-        "stratified_sample": q_stratified_sample,
-        "text_repetition": q_text_repetition,
-        "quality_topk": q_quality_topk,
-        "contamination": q_contamination,
-        "bm25_search": q_bm25_search,
-        "vocabulary": q_vocabulary,
-        "redact_pii": q_redact_pii,
-        "label_propagation_geo": q_label_propagation_geo,
-        "streaming_session": q_streaming_session,
-        "hits_top20": q_hits_top20,
-        "kcore_parts": q_kcore_parts,
-        "link_prediction_parts": q_link_prediction_parts,
-        "range_join_clicks": q_range_join_clicks,
-        "quantized_topk": q_quantized_topk,
-        "salted_join_orders": q_salted_join_orders,
-        "events_rollup_multi": q_events_rollup_multi,
-        "length_quantiles": q_length_quantiles,
-        "ppr_customer": q_ppr_customer,
-        "funnel_events": q_funnel_events,
-        "weighted_sample_docs": q_weighted_sample_docs,
-        "sql_interface": q_sql_interface,
-        "cube_order_stats": q_cube_order_stats,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "events_outliers": q_events_outliers,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "store_time_travel": q_store_time_travel,
-        "pipeline_e2e": q_pipeline_e2e,
-        "clustering_coefficient": q_clustering_coefficient,
-        "aggmsg_max_acctbal": q_aggmsg_max_acctbal,
-        "cohort_retention": q_cohort_retention,
-        "streaming_static_join": q_streaming_static_join,
-        "event_transitions": q_event_transitions,
-        "basket_lift": q_basket_lift,
-        # round-5 additions slot in before the r4-green block: the driver
-        # certifies the first 50 entries, and everything it displaces is
-        # already green in CORRECTNESS_r04.json.
-        "gopher_quality": q_gopher_quality,
-        "dedup_minhash_keep_best": q_dedup_minhash_keep_best,
-        "dedup_exact_spans": q_dedup_exact_spans,
-        "tpch_q6": q_tpch_q6,
-        # --- certification window ends here (50 entries; r4∪r5 driver
-        # rows then cover 100 distinct queries). The 60 entries between
-        # here and the r4-certified tail (every round-5 addition,
-        # tpch_q5 .. activity_heatmap) are local-green
-        # (tools/check_correctness.py full sweeps at sf0.01: 0 fail,
-        # 1 rows-only-by-design) and MUST rotate into the first 50
-        # slots in round 6 (the 10 overflow entries follow in round 7,
-        # or sooner if the driver's cap allows).
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
         "random_walks_parts": q_random_walks_parts,
@@ -4732,6 +4685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
         "tpch_q7": q_tpch_q7,
+        # --- certification window ends here (50 entries). ---
+        # ROTATION (round 7): the 11 overflow entries below MUST lead the
+        # round-7 window, followed by any round-6 additions in registry
+        # order (everything between this comment and the certified tail).
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
@@ -4743,6 +4700,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_priority_year": q_pivot_priority_year,
         "ntile_customer_deciles": q_ntile_customer_deciles,
         "orders_above_customer_avg": q_orders_above_customer_avg,
+        # --- round-6 additions slot in here, after the overflow block ---
+        # Certified tail: every entry below has a green driver row in
+        # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "events_json_prop": q_events_json_prop,
+        "events_type_stats": q_events_type_stats,
+        "streaming_fold": q_streaming_fold,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
+        "streaming_running_totals": q_streaming_running_totals,
+        "asof_purchase_click": q_asof_purchase_click,
+        "doc_split_hash": q_doc_split_hash,
+        "doc_chunks": q_doc_chunks,
+        "stratified_sample": q_stratified_sample,
+        "text_repetition": q_text_repetition,
+        "quality_topk": q_quality_topk,
+        "contamination": q_contamination,
+        "bm25_search": q_bm25_search,
+        "vocabulary": q_vocabulary,
+        "redact_pii": q_redact_pii,
+        "label_propagation_geo": q_label_propagation_geo,
+        "streaming_session": q_streaming_session,
+        "hits_top20": q_hits_top20,
+        "kcore_parts": q_kcore_parts,
+        "link_prediction_parts": q_link_prediction_parts,
+        "range_join_clicks": q_range_join_clicks,
+        "quantized_topk": q_quantized_topk,
+        "salted_join_orders": q_salted_join_orders,
+        "events_rollup_multi": q_events_rollup_multi,
+        "length_quantiles": q_length_quantiles,
+        "ppr_customer": q_ppr_customer,
+        "funnel_events": q_funnel_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "sql_interface": q_sql_interface,
+        "cube_order_stats": q_cube_order_stats,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "events_outliers": q_events_outliers,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "store_time_travel": q_store_time_travel,
+        "pipeline_e2e": q_pipeline_e2e,
+        "clustering_coefficient": q_clustering_coefficient,
+        "aggmsg_max_acctbal": q_aggmsg_max_acctbal,
+        "cohort_retention": q_cohort_retention,
+        "streaming_static_join": q_streaming_static_join,
+        "event_transitions": q_event_transitions,
+        "basket_lift": q_basket_lift,
+        "gopher_quality": q_gopher_quality,
+        "dedup_minhash_keep_best": q_dedup_minhash_keep_best,
+        "dedup_exact_spans": q_dedup_exact_spans,
+        "tpch_q6": q_tpch_q6,
         "get_node": q_get_node,
         "get_nodes_filtered": q_get_nodes_filtered,
         "get_nodes_all_labels": q_get_nodes_all_labels,
@@ -5065,7 +5074,7 @@ def oracle_sql() -> dict[str, str]:
             n_iter=3,
             final_sql="""
             SELECT a.c AS cluster, COUNT(*) AS n_docs,
-                   SUM(d.n_chars) AS total_chars,
+                   CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
                    COUNT(DISTINCT d.lang) AS n_langs
             FROM ka3 a JOIN documents d ON d.doc_id = a.vec_id
             GROUP BY 1 ORDER BY 1
@@ -5134,7 +5143,7 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             ),
             s AS (
-              SELECT doc_id, chunk AS chunk_idx,
+              SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
                      MIN(pos) AS start_word, COUNT(*) AS n_words
               FROM m GROUP BY 1, 2
             )
@@ -5336,7 +5345,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT shard, COUNT(*) AS n_docs,
-                   SUM(n_chars) AS total_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    ROUND(MIN(quality_score), 6) AS min_quality,
                    ROUND(MAX(quality_score), 6) AS max_quality
             FROM (SELECT ((rnk - 1) * 4) // n + 1 AS shard,
@@ -6021,7 +6030,7 @@ def oracle_sql() -> dict[str, str]:
                                         AND CURRENT ROW) - n AS bef
                   FROM j)
             SELECT doc_id, chunk_idx, lang,
-                   bef // 64 AS pack_id,
+                   CAST(bef // 64 AS BIGINT) AS pack_id,
                    CAST(bef - (bef // 64) * 64 AS BIGINT) AS pack_offset
             FROM w
         """,
@@ -6435,23 +6444,28 @@ def oracle_sql() -> dict[str, str]:
         # ratio is a double. weekofyear is ISO weeks in both engines.
         "weekly_revenue_growth": """
             WITH wk AS (
-              SELECT weekofyear(o_orderdate) AS week,
+              SELECT CAST(isoyear(o_orderdate) AS INTEGER) AS iso_year,
+                     weekofyear(o_orderdate) AS week,
                      SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev,
                      COUNT(*) AS n_orders
               FROM orders
               WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
                 AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-              GROUP BY 1
+              GROUP BY 1, 2
             )
-            SELECT week, CAST(rev AS DOUBLE) AS revenue, n_orders,
-                   CASE WHEN LAG(rev) OVER (ORDER BY week) IS NOT NULL
-                        THEN CAST(rev - LAG(rev) OVER (ORDER BY week)
+            SELECT iso_year, week, CAST(rev AS DOUBLE) AS revenue,
+                   n_orders,
+                   CASE WHEN LAG(rev) OVER (ORDER BY iso_year, week)
+                             IS NOT NULL
+                        THEN CAST(rev - LAG(rev)
+                                  OVER (ORDER BY iso_year, week)
                                   AS DOUBLE)
-                             / CAST(LAG(rev) OVER (ORDER BY week)
+                             / CAST(LAG(rev)
+                                    OVER (ORDER BY iso_year, week)
                                     AS DOUBLE)
                    END AS wow_growth
             FROM wk
-            ORDER BY week
+            ORDER BY iso_year, week
         """,
         # Latencies are integer epoch-second differences (both engines
         # truncate to whole seconds BEFORE comparing/subtracting); the
@@ -6964,10 +6978,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": """
             SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER)
                      AS ship_year,
-                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -7269,16 +7283,16 @@ def oracle_sql() -> dict[str, str]:
         "pivot_priority_year": """
             SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
                      AS order_year,
-                   SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                            THEN 1 ELSE 0 END) AS n_urgent,
-                   SUM(CASE WHEN o_orderpriority = '2-HIGH'
-                            THEN 1 ELSE 0 END) AS n_high,
-                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
-                            THEN 1 ELSE 0 END) AS n_medium,
-                   SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
-                            THEN 1 ELSE 0 END) AS n_notspec,
-                   SUM(CASE WHEN o_orderpriority = '5-LOW'
-                            THEN 1 ELSE 0 END) AS n_low
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                   CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                   CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+                   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low
             FROM orders
             GROUP BY order_year
             ORDER BY order_year
@@ -7342,7 +7356,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": """
             WITH g AS (
               SELECT source, COUNT(*) AS n_docs,
-                     SUM(CAST(n_chars AS BIGINT)) AS total_chars
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
               FROM documents GROUP BY source
             )
             SELECT source, n_docs, total_chars,

@@ -434,11 +434,19 @@ def minhash_dedup_cross(
     bands: int = 16,
     shingle_n: int = 1,
     arrow: bool = True,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """INCREMENTAL near-dup: which NEW documents near-duplicate any
     document of an EXISTING base corpus — the shape every production
     ingest runs (dedupe the day's crawl against the corpus, never the
     corpus against itself again).
+
+    PRECONDITION: the two corpora are id-DISJOINT. If an id can appear
+    on both sides (re-ingest of an already-indexed batch), every such
+    doc trivially matches itself at jaccard_sim 1.0 — pass
+    ``exclude_same_id=True`` to drop the self-pairs in that case (only
+    safe when the id spaces genuinely coincide; two corpora that happen
+    to reuse numbering would wrongly suppress real cross-corpus dups).
 
     Same shingle→minhash→band machinery as :func:`minhash_dedup_pairs`,
     but the band join is ASYMMETRIC (new × base on the bucket key, no
@@ -474,6 +482,8 @@ def minhash_dedup_cross(
         .select("new_id", "base_id")
         .distinct()
     )
+    if exclude_same_id:
+        cands = cands.where(F.col("new_id") != F.col("base_id"))
     shn = _shingle_sets(new_df, text_col, id_col, shingle_n).select(
         F.col("_sid").alias("new_id"),
         F.col("_sh").alias("_sha"),

@@ -95,6 +95,8 @@ def ntile_distributed(
     The rank→tile division runs in double and floors — exact while
     n < 2^53 rows, i.e. always.
     """
+    if k < 1:
+        raise ValueError(f"ntile_distributed: k must be >= 1, got {k}")
     ranked = global_rank(df, order_by, rank_col="_grank")
     n = ranked.count()  # checkpointed by global_rank — cheap action
     q, r = divmod(n, k)

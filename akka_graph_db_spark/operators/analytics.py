@@ -107,6 +107,11 @@ def connected_components(
 
 _CC_BROADCAST_MAX_VERTICES = 5_000_000
 
+# Driver-side MIS finish (maximal_independent_set) only ever collects a
+# remainder at most this many edges; beyond it the operator raises
+# instead of silently returning a non-maximal set.
+_MIS_SEQUENTIAL_FINISH_MAX_EDGES = 200_000
+
 
 def connected_components_from_pairs(
     vertices: DataFrame, pairs: DataFrame, max_iter: int = 50
@@ -925,38 +930,70 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     (id, core_degree) — the surviving nodes with their degree inside the
     core.
 
-    Each round is one degree aggregation + two semi-joins, all shuffled
-    on node id; the surviving edge frame only shrinks, so per-round cost
-    is bounded by the current subgraph, and rounds-to-fixpoint is small
-    in practice (degeneracy peeling removes whole shells per round, not
-    one node at a time). Lineage is truncated every round since the edge
-    frame is the loop state.
+    Each round is one degree aggregation (the only full shuffle of the
+    edge frame) followed by two semi-joins against the MATERIALIZED
+    kept-vertex frame — because ``keep`` is an eager localCheckpoint
+    with a known (and shrinking) size, AQE plans those semi-joins as
+    broadcasts once the survivor set is small, so the edge frame is not
+    reshuffled twice per round. Convergence is detected on the kept-
+    VERTEX count (peeling is monotone: keep_{r+1} ⊆ keep_r, so an equal
+    count means an identical set), which lets the fixpoint round break
+    BEFORE doing any edge join, and lets the fixpoint return ``keep``
+    itself — its ``deg`` is exactly the in-core degree when nothing was
+    peeled. Superseded checkpoints are unpersisted as the loop advances;
+    the surviving edge frame only shrinks, so per-round cost is bounded
+    by the current subgraph, and rounds-to-fixpoint is small in practice
+    (degeneracy peeling removes whole shells per round).
     """
     e = canonical_undirected(pairs)
     # symmetrize once so degree = count per endpoint in one groupBy
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    prev = sym.count()
-    for _ in range(max_iter):
-        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= k).select("a")
-        nxt = (
-            sym.join(keep, "a", "left_semi")
-            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+    prev_kept: int | None = None
+    stale: list[DataFrame] = []
+    try:
+        for _ in range(max_iter):
+            keep = (
+                sym.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .where(F.col("deg") >= k)
+                .localCheckpoint(eager=True)
+            )
+            stale.append(keep)
+            n_kept = keep.count()  # reuses the checkpoint blocks
+            if n_kept == prev_kept:
+                # Fixpoint: no vertex fell below k this round, so keep's
+                # deg column IS the core degree — no edge rejoin needed.
+                return keep.select(
+                    F.col("a").alias("id"), F.col("deg").alias("core_degree")
+                )
+            prev_kept = n_kept
+            if n_kept == 0:
+                return keep.select(
+                    F.col("a").alias("id"), F.col("deg").alias("core_degree")
+                )
+            nxt = (
+                sym.join(keep.select("a"), "a", "left_semi")
+                .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            stale.append(sym)
+            sym = nxt
+        # max_iter exhausted without a detected fixpoint: recount inside
+        # the final subgraph so the contract (in-core degrees) holds.
+        return (
+            sym.groupBy(F.col("a").alias("id"))
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .where(F.col("core_degree") >= k)
         )
-        after = nxt.count()  # the checkpoint materialization, reused
-        sym = nxt
-        if after == prev:
-            break
-        prev = after
-    return (
-        sym.groupBy(F.col("a").alias("id"))
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .where(F.col("core_degree") >= k)
-    )
+    finally:
+        # keep/sym frames still referenced by the returned plan are NOT in
+        # stale at return time only if returned directly; guard by leaving
+        # the last two entries persisted.
+        for df in stale[:-2]:
+            df.unpersist()
 
 
 def maximal_independent_set(
@@ -1040,6 +1077,57 @@ def maximal_independent_set(
         if sym.count() == 0:
             mis_parts.append(verts)  # all leftovers are isolated now
             break
+    else:
+        # max_rounds exhausted with edges remaining: silently dropping
+        # the survivors would yield an independent-but-not-MAXIMAL set
+        # (and diverge from the unrolled oracle). Finish deterministically
+        # on the driver — the remainder after O(log n) Luby rounds is
+        # tiny with overwhelming probability, and the gate makes the
+        # collect explicit rather than an unbounded scale hazard.
+        n_rem = sym.count()
+        if n_rem > _MIS_SEQUENTIAL_FINISH_MAX_EDGES:
+            raise RuntimeError(
+                f"maximal_independent_set: {n_rem} edges remain after "
+                f"{max_rounds} rounds (> sequential-finish cap "
+                f"{_MIS_SEQUENTIAL_FINISH_MAX_EDGES}); raise max_rounds"
+            )
+        spark = sym.sparkSession
+        adj: dict[int, set[int]] = {}
+        for row in sym.collect():  # gated: <= cap rows
+            adj.setdefault(row["a"], set()).add(row["b"])
+        import hashlib
+
+        def _prio(v: int) -> tuple[int, int]:
+            # same key family the distributed rounds use: md5_63 of
+            # "id:round:salt" with round = max_rounds (the finish round)
+            digest = hashlib.md5(
+                f"{v}:{max_rounds}:{salt}".encode()
+            ).digest()
+            return (
+                int.from_bytes(digest[:8], "little") & 0x7FFFFFFFFFFFFFFF,
+                v,
+            )
+
+        chosen: list[int] = []
+        blocked: set[int] = set()
+        for v in sorted(adj, key=_prio):
+            if v not in blocked:
+                chosen.append(v)
+                blocked.update(adj[v])
+        # survivors NOT incident to a remaining edge are isolated: in
+        mis_parts.append(
+            verts.join(
+                sym.select(F.col("a").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+        )
+        if chosen:
+            mis_parts.append(
+                spark.createDataFrame(
+                    [(int(v),) for v in chosen], verts.schema
+                )
+            )
     out = mis_parts[0]
     for p in mis_parts[1:]:
         out = out.unionByName(p)

@@ -606,6 +606,14 @@ def incremental_label_counts(
     When ``prev_counts`` is None the previous version is recounted (the
     bootstrap case). Returns (label, n_nodes). Verified equal to a full
     recount by the store test suite.
+
+    CONTRACT DEPENDENCY: correctness requires the per-delta id contract
+    that ``save_delta(validate=True)`` enforces — unique ids within the
+    delta's node_upserts, and no id in both node_upserts and
+    node_deletes. A duplicate upsert id would double-count (+1 twice);
+    an upsert+delete of the same id would net the wrong adjustment.
+    Write the delta validated (or via ``delta_from_graphs``, which
+    guarantees it by construction) before maintaining counts from it.
     """
     from pyspark.sql import functions as F
 

