@@ -1886,6 +1886,42 @@ def q_dedup_keep_source(spark, sf_dir):
     )
 
 
+def q_dedup_policy_sweep(spark, sf_dir):
+    """Three keep policies off ONE shared corpus sketch
+    (functions/dedup.py corpus_sketch): signatures + hashed shingle
+    sets are text-derived and keep-policy-independent, so the
+    shingle/minhash pass runs once and min_id / max-n_chars /
+    source-priority keeps reuse it (VERDICT r5 #4 — the keep family
+    previously recomputed signatures per policy). Output is one row per
+    policy with the survivor count and exact id-sum, so the hash check
+    certifies all three survivor SETS against the shared recursive-
+    closure oracle."""
+    docs = read_documents(spark, sf_dir).withColumn(
+        "_prio",
+        -F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"),
+    )
+    sk = dedup.corpus_sketch(docs)  # num_perm=64, shingle_n=1 (keep dflts)
+    parts = []
+    for policy, kwargs in (
+        ("keep_best", dict(keep="max_score", score_col="n_chars")),
+        ("keep_source", dict(keep="max_score", score_col="_prio")),
+        ("min_id", dict(keep="min_id")),
+    ):
+        surv = dedup.minhash_dedup_keep(
+            docs, threshold=0.9, linkage="pairs", sketch=sk, **kwargs
+        )
+        parts.append(
+            surv.agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.sum("doc_id").cast("bigint").alias("sum_ids"),
+            ).select(F.lit(policy).alias("policy"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("policy")
+
+
 def q_curriculum_shards(spark, sf_dir):
     """Quality-curriculum sharding: globally rank the corpus by the
     composite quality score (DISTRIBUTED ranking — global_rank's
@@ -2958,6 +2994,27 @@ def q_link_prediction_parts(spark, sf_dir):
     scored = analytics.link_prediction_jaccard(
         _coorder_pairs(spark, sf_dir), top_k=50, min_common=2,
         max_degree=100,
+    )
+    return scored.select(
+        "a",
+        "b",
+        F.col("common").cast("bigint").alias("common"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_link_prediction_auto(spark, sf_dir):
+    """link_prediction_parts with the wedge cap DERIVED from the
+    graph's own degree histogram (max_degree="auto": exact integer-rank
+    p99.9 of the degree distribution, floored at 64 —
+    analytics._auto_max_degree) instead of the hand-tuned 100. The
+    oracle reproduces the cap derivation in SQL (per-degree histogram →
+    running sum → smallest degree covering ceil(0.999·n) nodes →
+    GREATEST(·, 64)), so the result stays hash-exact while the cap now
+    scales with the graph."""
+    scored = analytics.link_prediction_jaccard(
+        _coorder_pairs(spark, sf_dir), top_k=50, min_common=2,
+        max_degree="auto",
     )
     return scored.select(
         "a",
@@ -4701,6 +4758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_customer_deciles": q_ntile_customer_deciles,
         "orders_above_customer_avg": q_orders_above_customer_avg,
         # --- round-6 additions slot in here, after the overflow block ---
+        "dedup_policy_sweep": q_dedup_policy_sweep,
+        "link_prediction_auto": q_link_prediction_auto,
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
         "events_sliding": q_events_sliding,
@@ -5584,6 +5643,69 @@ def oracle_sql() -> dict[str, str]:
               FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
             ) WHERE rn = 1
         """,
+        # One shared closure, three survivor rules (min id / max n_chars /
+        # source priority) — aggregated to (policy, count, exact id-sum)
+        # so the hash certifies all three survivor sets at once. Mirrors
+        # the three standalone keep oracles above/below.
+        "dedup_policy_sweep": f"""
+            WITH RECURSIVE
+            t AS MATERIALIZED (SELECT doc_id,
+                               list_distinct({_TOK}) AS toks FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.9
+            ),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            ),
+            comp AS MATERIALIZED (
+              SELECT d.doc_id,
+                     LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id))
+                       AS component
+              FROM t d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            ),
+            surv_min AS (SELECT DISTINCT component AS doc_id FROM comp),
+            surv_best AS (
+              SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY c.component
+                         ORDER BY dd.n_chars DESC, c.doc_id) AS rn
+                FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+              ) WHERE rn = 1
+            ),
+            surv_src AS (
+              SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY c.component
+                         ORDER BY CAST(regexp_extract(dd.source,
+                                       '([0-9]+)', 1) AS INT),
+                                  c.doc_id) AS rn
+                FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+              ) WHERE rn = 1
+            )
+            SELECT * FROM (
+              SELECT 'min_id' AS policy, COUNT(*) AS n_survivors,
+                     CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM surv_min
+              UNION ALL
+              SELECT 'keep_best', COUNT(*),
+                     CAST(SUM(doc_id) AS BIGINT) FROM surv_best
+              UNION ALL
+              SELECT 'keep_source', COUNT(*),
+                     CAST(SUM(doc_id) AS BIGINT) FROM surv_src
+            ) ORDER BY policy
+        """,
         # Full SimHash rebuild in SQL: md5_number_upper == the engine's md5
         # hash family (functions/hashing.py), per-bit vote over the token
         # MULTISET, then exact all-pairs Hamming <= 3 — equal to the
@@ -6315,6 +6437,63 @@ def oracle_sql() -> dict[str, str]:
               FROM lp_sym s1 JOIN lp_sym s2
                 ON s1.a = s2.a AND s1.b < s2.b
               JOIN lp_deg dc ON s1.a = dc.a AND dc.d <= 100
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            lp_cand AS (
+              SELECT c.* FROM lp_cn c
+              WHERE NOT EXISTS (SELECT 1 FROM lp_pairs p
+                                WHERE p.a = c.a AND p.b = c.b)
+            ),
+            lp_scored AS (
+              SELECT c.a, c.b, c.common,
+                     c.common / (da.d + db.d - c.common) AS jacc
+              FROM lp_cand c
+              JOIN lp_deg da ON c.a = da.a
+              JOIN lp_deg db ON c.b = db.a
+            )
+            SELECT a, b, CAST(common AS BIGINT) AS common,
+                   ROUND(jacc, 6) AS jaccard
+            FROM (SELECT * FROM lp_scored
+                  ORDER BY jacc DESC, common DESC, a, b LIMIT 50)
+        """,
+        # Same graph/scoring as link_prediction_parts, but the wedge cap
+        # is DERIVED: histogram -> running count -> smallest degree
+        # covering ceil(0.999*n) nodes, floored at 64 (mirrors
+        # analytics._auto_max_degree exactly, all-integer).
+        "link_prediction_auto": """
+            WITH lp_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            lp_sym AS MATERIALIZED (
+              SELECT a, b FROM lp_pairs
+              UNION ALL
+              SELECT b AS a, a AS b FROM lp_pairs
+            ),
+            lp_deg AS MATERIALIZED (
+              SELECT a, COUNT(*) AS d FROM lp_sym GROUP BY a
+            ),
+            lp_cum AS (
+              SELECT d, SUM(n) OVER (ORDER BY d) AS cum
+              FROM (SELECT d, COUNT(*) AS n FROM lp_deg GROUP BY d)
+            ),
+            lp_cap AS (
+              SELECT GREATEST(
+                COALESCE(
+                  (SELECT MIN(d) FROM lp_cum
+                   WHERE cum >= (999 * (SELECT COUNT(*) FROM lp_deg)
+                                 + 999) // 1000),
+                  (SELECT MAX(d) FROM lp_deg)),
+                64) AS cap
+            ),
+            lp_cn AS MATERIALIZED (
+              SELECT s1.b AS a, s2.b AS b, COUNT(*) AS common
+              FROM lp_sym s1 JOIN lp_sym s2
+                ON s1.a = s2.a AND s1.b < s2.b
+              JOIN lp_deg dc ON s1.a = dc.a
+              JOIN lp_cap ON dc.d <= lp_cap.cap
               GROUP BY 1, 2 HAVING COUNT(*) >= 2
             ),
             lp_cand AS (

@@ -197,6 +197,48 @@ def _signatures(
     return sigs.localCheckpoint(eager=True)
 
 
+def corpus_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_n: int = 1,
+    arrow: bool = True,
+) -> DataFrame:
+    """Materialized per-doc dedup sketch: (_id, _sig, _sh, _n) — the
+    MinHash signature plus the hashed shingle set and its cardinality.
+
+    Both artifacts are functions of the TEXT alone, so one sketch serves
+    every minhash variant and every keep policy (min_id / max_score /
+    source-priority): pass it as the ``sketch=`` argument of
+    :func:`minhash_dedup_pairs` / :func:`minhash_dedup_keep` and the
+    shingle/signature passes run ONCE per corpus instead of once per
+    policy (VERDICT r5 #4: the four keep-family queries each recomputed
+    signatures from scratch — ~54s of the r5 bench). At 100 TB this is
+    the frame you persist at corpus-build time (bucketed by ``_id``, or
+    pre-exploded by band hash for the incremental-ingest join in
+    :func:`minhash_dedup_cross`).
+    """
+    sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = _shingle_sets(df, text_col, id_col, shingle_n).repartition(
+        npart, F.col("_sid")
+    )
+    return (
+        sigs.join(sh.withColumnRenamed("_sid", "_id"), "_id")
+        .select("_id", "_sig", "_sh", "_n")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _sketch_subset(sketch: DataFrame, ids: DataFrame, id_col: str):
+    """Restrict a corpus sketch to the given id frame (e.g. the
+    exact-dup representatives) — left-semi, no payload duplication."""
+    return sketch.join(
+        ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+    )
+
+
 def _banded_candidates(
     sigs: DataFrame, num_perm: int, bands: int
 ) -> DataFrame:
@@ -309,9 +351,15 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     arrow: bool = True,
     est_margin: float | str | None = None,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by EXACT shingle-set Jaccard
     ≥ threshold. Returns (a_id, b_id, jaccard_sim).
+
+    ``sketch`` (a :func:`corpus_sketch` frame covering at least ``df``'s
+    ids, built with the SAME num_perm/shingle_n) skips the signature and
+    shingle passes entirely — the reuse path for pipelines that run
+    several dedup variants over one corpus.
 
     Candidate prefilters run BEFORE the exact-verify intersection
     (VERDICT r2 #4 — at sf0.1 the band join emits 9.7M candidates of which
@@ -341,23 +389,29 @@ def minhash_dedup_pairs(
 
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
-    sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
-    cands = _banded_candidates(sigs, num_perm, bands)
+    if sketch is not None:
+        sub = _sketch_subset(sketch, df, id_col)
+        sigs = sub.select("_id", "_sig")
+        sh = sub.select(F.col("_id").alias("_sid"), "_sh", "_n")
+        cands = _banded_candidates(sigs, num_perm, bands)
+    else:
+        sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
+        cands = _banded_candidates(sigs, num_perm, bands)
 
-    # Compute the hashed shingle sets ONCE and materialize: three consumers
-    # (size prefilter + both verify sides) would otherwise each re-scan the
-    # source and re-run the tokenize/hash pass (projection collapse
-    # re-inlines it). The hashed-set frame is ~num_shingles longs per doc —
-    # far smaller than the corpus text — so materializing it is the cheap
-    # side of the trade at any scale. Repartition first: a small parquet
-    # input may arrive as 1-few partitions while the per-doc work is
-    # CPU-bound.
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        _shingle_sets(df, text_col, id_col, shingle_n)
-        .repartition(npart, F.col("_sid"))
-        .localCheckpoint(eager=False)
-    )
+        # Compute the hashed shingle sets ONCE and materialize: three
+        # consumers (size prefilter + both verify sides) would otherwise
+        # each re-scan the source and re-run the tokenize/hash pass
+        # (projection collapse re-inlines it). The hashed-set frame is
+        # ~num_shingles longs per doc — far smaller than the corpus text —
+        # so materializing it is the cheap side of the trade at any scale.
+        # Repartition first: a small parquet input may arrive as 1-few
+        # partitions while the per-doc work is CPU-bound.
+        npart = df.sparkSession.sparkContext.defaultParallelism
+        sh = (
+            _shingle_sets(df, text_col, id_col, shingle_n)
+            .repartition(npart, F.col("_sid"))
+            .localCheckpoint(eager=False)
+        )
     use_est = est_margin is not None
     min_match = 0
     if use_est:
@@ -564,9 +618,16 @@ def minhash_dedup_keep(
     linkage: str = "pairs",
     keep: str = "min_id",
     score_col: str | None = None,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup dedup: one kept representative per near-dup cluster —
     returns (doc_id) of survivors.
+
+    ``sketch`` (:func:`corpus_sketch` over ``df`` with the same
+    num_perm/shingle_n) reuses precomputed signatures + shingle sets —
+    signatures are keep-policy-INDEPENDENT (functions of the text
+    alone), so one sketch serves min_id, max_score, and source-priority
+    runs over the same corpus.
 
     ``keep`` selects the representative: ``"min_id"`` (default) or
     ``"max_score"`` — the member with the highest ``score_col`` value
@@ -683,7 +744,7 @@ def minhash_dedup_keep(
         ).localCheckpoint(eager=False)
         verified = minhash_dedup_pairs(
             reps, text_col, id_col, threshold, num_perm, bands, shingle_n,
-            arrow,
+            arrow, sketch=sketch,
         ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
         comp = connected_components_from_pairs(
             reps.select(F.col(id_col).alias("id")), verified
@@ -694,7 +755,11 @@ def minhash_dedup_keep(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    base = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
+    base = (
+        _sketch_subset(sketch, df, id_col).select("_id", "_sig")
+        if sketch is not None
+        else _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
+    )
     banded = base.select(
         "_id",
         F.posexplode(
@@ -717,12 +782,17 @@ def minhash_dedup_keep(
     )
     # Hashed shingle sets (longs, small payload — see _shingle_sets),
     # computed once and materialized for the two verify sides.
-    npart2 = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
-        _shingle_sets(df, text_col, id_col, shingle_n)
-        .repartition(npart2, F.col("_sid"))
-        .localCheckpoint(eager=False)
-    )
+    if sketch is not None:
+        sh = _sketch_subset(sketch, df, id_col).select(
+            F.col("_id").alias("_sid"), "_sh", "_n"
+        )
+    else:
+        npart2 = df.sparkSession.sparkContext.defaultParallelism
+        sh = (
+            _shingle_sets(df, text_col, id_col, shingle_n)
+            .repartition(npart2, F.col("_sid"))
+            .localCheckpoint(eager=False)
+        )
     sa = sh.select(F.col("_sid").alias("a"), F.col("_sh").alias("_sha"))
     sb = sh.select(F.col("_sid").alias("b"), F.col("_sh").alias("_shb"))
     verified = (

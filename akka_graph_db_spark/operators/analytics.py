@@ -1263,12 +1263,51 @@ def ktruss(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
 
 _WEDGE_BROADCAST_MAX_EDGES = 10_000_000
 
+# Floor for the auto-derived wedge cap: below this, capping buys nothing
+# (64² wedge rows per center is noise) and small graphs would cap
+# legitimate evidence.
+_AUTO_MAX_DEGREE_FLOOR = 64
+
+
+def _auto_max_degree(deg: DataFrame, q: float = 0.999) -> int:
+    """Derive the wedge cap from the degree HISTOGRAM: the smallest
+    degree d such that >= ceil(q * n_nodes) nodes have degree <= d
+    (the exact q-quantile by integer rank — no float quantile
+    semantics, so a SQL oracle reproduces it bit-for-bit), floored at
+    ``_AUTO_MAX_DEGREE_FLOOR``.
+
+    Cost: one aggregation over the (already tiny) degree frame to the
+    per-degree histogram, collected to the driver — the histogram has
+    one row per DISTINCT degree value (O(10^3..10^4) even on
+    billion-node graphs), so the collect is bounded regardless of
+    graph size. This is the VERDICT r5 #7 auto-tune: the 100x graph
+    gets a cap from its own tail instead of a hand-tuned constant.
+    """
+    hist = sorted(
+        (r["deg"], r["n"])
+        for r in deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_nodes = sum(n for _, n in hist)
+    if n_nodes == 0:
+        return _AUTO_MAX_DEGREE_FLOOR
+    need = -(-int(q * 1000) * n_nodes // 1000)  # ceil(q*n) in integers
+    cum = 0
+    cap = hist[-1][0]
+    for d, n in hist:
+        cum += n
+        if cum >= need:
+            cap = d
+            break
+    return max(cap, _AUTO_MAX_DEGREE_FLOOR)
+
 
 def link_prediction_jaccard(
     pairs: DataFrame,
     top_k: int = 50,
     min_common: int = 2,
-    max_degree: int | None = None,
+    max_degree: "int | str | None" = None,
     endpoints_below: int | None = None,
 ) -> DataFrame:
     """Neighborhood-overlap link prediction over an undirected (a, b)
@@ -1278,7 +1317,11 @@ def link_prediction_jaccard(
     by (jaccard desc, common desc, a, b) — a deterministic total order.
 
     ``max_degree`` caps the wedge volume — the scale knob for skewed
-    graphs. Wedges are only generated from CENTERS (common neighbors)
+    graphs. Pass ``"auto"`` to derive the cap from the graph's own
+    degree histogram (exact integer-rank p99.9, floored at
+    ``_AUTO_MAX_DEGREE_FLOOR`` — see :func:`_auto_max_degree`), so a
+    100x-larger graph tunes itself instead of inheriting a hand-picked
+    constant. Wedges are only generated from CENTERS (common neighbors)
     whose degree is <= ``max_degree``; a single hub of degree d otherwise
     emits d² wedge rows (O(sum deg²) total, the same blow-up triangle
     counting avoids via degree orientation). Semantics under the cap:
@@ -1308,6 +1351,11 @@ def link_prediction_jaccard(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        if max_degree == "auto":
+            # degree-histogram-driven cap: exact p99.9 by integer rank
+            # (floored) — see _auto_max_degree. The derived value then
+            # flows through the exact capped semantics below.
+            max_degree = _auto_max_degree(deg)
         # wedges centered at x: neighbors (a, b) of x with a < b. The
         # wedge frame is the volume driver (sum of deg² rows); when ids
         # fit 31 bits, pack the (u, v) pair into ONE long before the

@@ -108,6 +108,8 @@ HEADLINE = [
     "mis_geo",                # Luby MIS symmetry breaking
     "token_rarity",           # vocab join + per-doc rarity rollup
     "dedup_incremental",      # asymmetric new-vs-base band join
+    "dedup_policy_sweep",     # 3 keep policies off ONE shared sketch
+    "link_prediction_auto",   # degree-histogram-derived wedge cap
     "streaming_fold",         # micro-batch mutation fold (actor parity)
     "streaming_store_sink",   # stream -> durable snapshot store chain
     "streaming_session",      # applyInPandasWithState session windows

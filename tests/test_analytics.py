@@ -228,6 +228,55 @@ def test_hits_star_closed_form(spark):
     assert h[1]["authority"] == 0.0
 
 
+def test_auto_max_degree_quantile_and_floor(spark):
+    """_auto_max_degree picks the exact integer-rank p99.9 degree
+    (smallest d covering ceil(0.999*n) nodes), floored at 64."""
+    from pyspark.sql import functions as F
+
+    # 999 nodes of degree 1000, one hub of degree 5000: p99.9 rank is
+    # ceil(0.999*1000)=999 -> cap=1000 (the hub is excluded).
+    deg = spark.range(1000).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") == 0, F.lit(5000))
+        .otherwise(F.lit(1000))
+        .alias("deg"),
+    )
+    assert analytics._auto_max_degree(deg) == 1000
+    # tiny degrees: the floor wins
+    small = spark.range(100).select(
+        F.col("id").alias("a"), F.lit(3).alias("deg")
+    )
+    assert analytics._auto_max_degree(small) == 64
+    # empty graph: floor
+    assert analytics._auto_max_degree(small.where(F.lit(False))) == 64
+
+
+def test_link_prediction_auto_matches_explicit_cap(spark):
+    """max_degree='auto' must equal the explicitly-passed derived cap."""
+    from pyspark.sql import functions as F
+
+    # star around 0 (degree 120 > floor) + a 4-clique of low-degree nodes
+    star = spark.range(1, 121).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    )
+    clique = spark.createDataFrame(
+        [(200, 201), (200, 202), (200, 203), (201, 202), (201, 203),
+         (202, 203)],
+        "a bigint, b bigint",
+    )
+    pairs = star.unionByName(clique)
+    # n=125 nodes: ceil(0.999*125)=125, so the derived cap is the MAX
+    # degree (120) — tiny graphs auto-tune to "uncapped", by design.
+    auto = analytics.link_prediction_jaccard(
+        pairs, top_k=10, min_common=1, max_degree="auto"
+    ).collect()
+    explicit = analytics.link_prediction_jaccard(
+        pairs, top_k=10, min_common=1, max_degree=120
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+    assert auto
+
+
 def test_kcore_triangle_with_pendant(spark):
     """Triangle 1-2-3 plus pendant edge 1-4: the 2-core is exactly the
     triangle, every member with core degree 2; the 3-core is empty."""

@@ -107,6 +107,58 @@ def test_minhash_keep_max_score_prefers_longest(spark):
     assert default == [1, 3]
 
 
+def test_corpus_sketch_reuse_matches_fresh_compute(spark):
+    """A shared corpus_sketch must reproduce EXACTLY the pairs and the
+    survivors of every keep policy that fresh per-call signature/shingle
+    computation yields — the sketch is a pure cache, not an
+    approximation."""
+    t1 = "a b c d e f g h i j"
+    rows = [
+        (1, t1, len(t1)),
+        (2, t1 + " k", len(t1) + 2),
+        (3, "zz yy xx ww", 11),
+        (4, t1, len(t1)),  # exact dup of 1: exercises the collapse
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_chars int"
+    )
+    sk = dedup.corpus_sketch(df, num_perm=32, shingle_n=1)
+    pairs_fresh = sorted(
+        (r["a_id"], r["b_id"], r["jaccard_sim"])
+        for r in dedup.minhash_dedup_pairs(
+            df, threshold=0.9, num_perm=32, bands=32, shingle_n=1
+        ).collect()
+    )
+    pairs_sk = sorted(
+        (r["a_id"], r["b_id"], r["jaccard_sim"])
+        for r in dedup.minhash_dedup_pairs(
+            df, threshold=0.9, num_perm=32, bands=32, shingle_n=1,
+            sketch=sk,
+        ).collect()
+    )
+    assert pairs_fresh == pairs_sk and pairs_fresh
+    for linkage in ("pairs", "star"):
+        for kw in (
+            dict(keep="min_id"),
+            dict(keep="max_score", score_col="n_chars"),
+        ):
+            fresh = sorted(
+                r["doc_id"]
+                for r in dedup.minhash_dedup_keep(
+                    df, threshold=0.9, num_perm=32, bands=32,
+                    shingle_n=1, linkage=linkage, **kw,
+                ).collect()
+            )
+            shared = sorted(
+                r["doc_id"]
+                for r in dedup.minhash_dedup_keep(
+                    df, threshold=0.9, num_perm=32, bands=32,
+                    shingle_n=1, linkage=linkage, sketch=sk, **kw,
+                ).collect()
+            )
+            assert fresh == shared, (linkage, kw)
+
+
 def test_token_jaccard_order_insensitive(docs):
     # doc 6 is doc 1 with shuffled word order: token-set jaccard = 1.0
     pairs = {
