@@ -4257,6 +4257,239 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: the fixture has no
+    partsupp table, so supply cost evidence comes from lineitem — a
+    part's unit cost from a supplier is MIN(l_extendedprice /
+    l_quantity) over that supplier's shipments. Keeps Q2's real shape:
+    a correlated scalar-min subquery decorrelated into a groupBy +
+    equality join back, with every dimension side broadcast. For
+    STANDARD parts of size >= 20 supplied from EUROPE, the suppliers
+    achieving each part's minimum unit cost, top-20 by account balance.
+    The min and the join-back compare the SAME correctly-rounded double
+    division in both engines, so equality (and the result) is exact."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    region = rd("region").where(F.col("r_name") == "EUROPE")
+    nation = rd("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = rd("supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    part = rd("part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 20)
+    ).select("p_partkey", "p_size")
+    costs = (
+        rd("lineitem")
+        .where(F.col("l_quantity") > 0)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_size",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("_uc"),
+        )
+    )
+    min_cost = costs.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("_uc").alias("_min_uc")
+    )
+    return (
+        costs.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("_uc") == F.col("_min_uc")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_size",
+            F.round("_uc", 6).alias("unit_cost"),
+        )
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), "s_name", "n_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: no partsupp, so line
+    cost is p_retailprice * l_quantity instead of ps_supplycost *
+    l_quantity (deterministic and exact — both factors live on the
+    joined row). PROMO parts stand in for the %green% name filter.
+    Profit per supplier nation per order year; the fact table joins
+    orders (date), supplier->nation, and the broadcast part filter —
+    the classic snowflake probe with one wide fact scan."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    d = lambda c: F.col(c).cast("decimal(30,2)")  # noqa: E731
+    part = rd("part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = rd("supplier").join(
+        F.broadcast(rd("nation").select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    amount = (
+        (d("l_extendedprice") * (1 - d("l_discount"))).cast("decimal(38,4)")
+        - (d("p_retailprice") * d("l_quantity")).cast("decimal(38,4)")
+    )
+    return (
+        rd("lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            rd("orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted: per-part "inventory value"
+    is the exact decimal shipment value SUM(l_extendedprice) from
+    suppliers in nations 0-12 (no partsupp/availqty in the fixture).
+    Keeps Q11's defining shape — a HAVING against a scalar fraction of
+    the GLOBAL total, decorrelated into a 1-row broadcast cross join
+    (never collected). The threshold is SCALE-FREE: 1.6x the MEAN
+    per-part value (TPC-H's fixed 0.0001/SF fraction bakes the scale
+    factor into the query; dividing by the part count does the same
+    thing without knowing SF). Both engines derive it from the same
+    exact decimal total and integer count, so the strict > is
+    deterministic."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    supp = rd("supplier").where(F.col("s_nationkey") < 13).select(
+        "s_suppkey"
+    )
+    vals = (
+        rd("lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias(
+                "_v"
+            )
+        )
+    )
+    total = vals.agg(
+        F.sum("_v").alias("_tot"), F.count(F.lit(1)).alias("_np")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_v").cast("double")
+            > F.col("_tot").cast("double") / F.col("_np") * F.lit(1.6)
+        )
+        .select("partkey", F.col("_v").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: without
+    partsupp.availqty, a supplier qualifies when it shipped MORE THAN
+    HALF of a PROMO part's total 1996 volume (the dominant-supplier
+    reading of availqty > 0.5*sum(qty)). Keeps Q20's nested semi-join
+    chain: part filter -> per-(part,supplier) volume vs per-part total
+    -> LEFT SEMI into supplier, output (s_name, nation). Quantities are
+    integers, 0.5*total is exact in double — no boundary ambiguity."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    part = rd("part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    li = (
+        rd("lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_sq")
+    )
+    per_p = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("_tq")
+    )
+    dominant = (
+        per_ps.join(F.broadcast(per_p), F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("_sq") > F.lit(0.5) * F.col("_tq"))
+        .select("l_suppkey")
+    )
+    return (
+        rd("supplier")
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .join(
+            F.broadcast(rd("nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    fixture's narrower lineitem (no receipt/commit dates): a line is
+    LATE when it shipped more than 60 days after the order date (the
+    q4 adaptation). A supplier is counted for an order when it has a
+    late line there, the order involves >= 2 distinct suppliers, and
+    NO other supplier was late — the exists/not-exists pair expressed
+    as one per-order aggregation (distinct suppliers, distinct late
+    suppliers) instead of two correlated probes; integer counts only."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    orders = rd("orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = (
+        rd("lineitem")
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("_late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_n_late"),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_late_supp"
+        ),
+    )
+    waits = per_order.where(
+        (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+    )
+    return (
+        waits.join(
+            F.broadcast(
+                rd("supplier").select("s_suppkey", "s_name")
+            ),
+            F.col("_late_supp") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 def q_token_rarity(spark, sf_dir):
     """Corpus-statistics quality: the 50 documents most dominated by
     rare tokens (hapax-heavy docs are the classic mojibake/boilerplate
@@ -4760,6 +4993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions slot in here, after the overflow block ---
         "dedup_policy_sweep": q_dedup_policy_sweep,
         "link_prediction_auto": q_link_prediction_auto,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
         "events_sliding": q_events_sliding,
@@ -6512,6 +6750,128 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(jacc, 6) AS jaccard
             FROM (SELECT * FROM lp_scored
                   ORDER BY jacc DESC, common DESC, a, b LIMIT 50)
+        """,
+        # TPC-H Q2 adapted (no partsupp): unit cost = extendedprice /
+        # quantity from lineitem; same correctly-rounded double division
+        # and min/equality in both engines.
+        "tpch_q2": """
+            WITH eur_supp AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'
+            ),
+            pf AS (SELECT p_partkey, p_size FROM part
+                   WHERE p_type = 'STANDARD' AND p_size >= 20),
+            costs AS (
+              SELECT p.p_partkey, p.p_size, s.s_suppkey, s.s_name,
+                     s.s_acctbal, s.n_name,
+                     l.l_extendedprice / l.l_quantity AS uc
+              FROM lineitem l
+              JOIN pf p ON l.l_partkey = p.p_partkey
+              JOIN eur_supp s ON l.l_suppkey = s.s_suppkey
+              WHERE l.l_quantity > 0
+            ),
+            mc AS (SELECT p_partkey, MIN(uc) AS min_uc
+                   FROM costs GROUP BY 1)
+            SELECT DISTINCT s_acctbal, s_name, n_name,
+                   c.p_partkey AS p_partkey, p_size,
+                   ROUND(uc, 6) AS unit_cost
+            FROM costs c JOIN mc ON c.p_partkey = mc.p_partkey
+                               AND c.uc = mc.min_uc
+            ORDER BY s_acctbal DESC, s_name, n_name, p_partkey
+            LIMIT 20
+        """,
+        # TPC-H Q9 adapted: cost = p_retailprice * l_quantity (no
+        # partsupp); same decimal idiom the certified q5 oracle uses.
+        "tpch_q9": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER)
+                     AS o_year,
+                   CAST(SUM(
+                     CAST(CAST(l.l_extendedprice AS DECIMAL(30,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(30,2)))
+                          AS DECIMAL(38,4))
+                     - CAST(CAST(p.p_retailprice AS DECIMAL(30,2))
+                            * CAST(l.l_quantity AS DECIMAL(30,2))
+                            AS DECIMAL(38,4))
+                   ) AS DOUBLE) AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                       AND p.p_type = 'PROMO'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        # TPC-H Q11 adapted: value = exact decimal shipment totals;
+        # threshold = double(total) * 0.001 in both engines.
+        "tpch_q11": """
+            WITH vals AS (
+              SELECT l.l_partkey AS partkey,
+                     SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS v
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              WHERE s.s_nationkey < 13
+              GROUP BY 1
+            ),
+            tot AS (SELECT SUM(v) AS t, COUNT(*) AS np FROM vals)
+            SELECT partkey, CAST(v AS DOUBLE) AS value
+            FROM vals, tot
+            WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) / np * 1.6
+            ORDER BY value DESC, partkey
+        """,
+        # TPC-H Q20 adapted: dominant supplier = shipped > half a PROMO
+        # part's 1996 volume; integer quantities, exact 0.5*total.
+        "tpch_q20": """
+            WITH pf AS (SELECT p_partkey FROM part
+                        WHERE p_type = 'PROMO'),
+            li AS (
+              SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+              JOIN pf ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            ),
+            ps AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+                   FROM li GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, SUM(l_quantity) AS tq
+                   FROM li GROUP BY 1),
+            dom AS (SELECT DISTINCT ps.l_suppkey
+                    FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+                    WHERE ps.sq > 0.5 * pt.tq)
+            SELECT s.s_name, n.n_name AS nation
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+            ORDER BY s.s_name
+        """,
+        # TPC-H Q21 adapted: late = shipped > orderdate + 60 days; the
+        # exists/not-exists pair folded into one per-order aggregation.
+        "tpch_q21": """
+            WITH li AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                       AS late
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+            ),
+            po AS (
+              SELECT l_orderkey,
+                     COUNT(DISTINCT l_suppkey) AS n_supp,
+                     COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late,
+                     MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+              FROM li GROUP BY 1
+            )
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM po JOIN supplier s ON po.late_supp = s.s_suppkey
+            WHERE po.n_supp >= 2 AND po.n_late = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         # floor(log2) via binary digit count (length(bin(x)) - 1) —
         # pure integer/string, no float log.

@@ -110,6 +110,11 @@ HEADLINE = [
     "dedup_incremental",      # asymmetric new-vs-base band join
     "dedup_policy_sweep",     # 3 keep policies off ONE shared sketch
     "link_prediction_auto",   # degree-histogram-derived wedge cap
+    "tpch_q2",                # decorrelated min-cost supplier join-back
+    "tpch_q9",                # snowflake probe, decimal profit
+    "tpch_q11",               # scalar-threshold HAVING (1-row broadcast)
+    "tpch_q20",               # nested semi-join chain
+    "tpch_q21",               # exists/not-exists as one per-order agg
     "streaming_fold",         # micro-batch mutation fold (actor parity)
     "streaming_store_sink",   # stream -> durable snapshot store chain
     "streaming_session",      # applyInPandasWithState session windows
