@@ -771,6 +771,48 @@ def _kmeans_oracle(
     return "WITH " + ",\n".join(ctes) + final
 
 
+def _coreness_oracle(rounds: int = 24) -> str:
+    """q_coreness_parts' oracle: h-index iteration unrolled as DuckDB
+    CTEs over the part co-order graph. h⁰ = degree; each round's H
+    operator is MAX(LEAST(h, rn)) over the vertex's neighbor h values
+    ranked descending. The sequence is monotone NON-INCREASING per
+    vertex (Lü et al. 2016 Thm 1), so unrolling past the measured
+    fixpoint (10 rounds at sf0.001, 19 at sf0.01; 24 here) is a no-op
+    tail, exactly the kcore/ktruss unroll contract."""
+    ctes = [
+        """cr_pairs AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )""",
+        """cr_sym AS MATERIALIZED (
+            SELECT a, b FROM cr_pairs
+            UNION ALL
+            SELECT b AS a, a AS b FROM cr_pairs
+        )""",
+        """cr_h0 AS MATERIALIZED (
+            SELECT a, COUNT(*) AS h FROM cr_sym GROUP BY a
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""cr_h{i} AS MATERIALIZED (
+            SELECT a, MAX(LEAST(h, rn)) AS h FROM (
+              SELECT s.a, p.h,
+                     ROW_NUMBER() OVER (PARTITION BY s.a
+                                        ORDER BY p.h DESC) AS rn
+              FROM cr_sym s JOIN cr_h{i - 1} p ON s.b = p.a
+            ) GROUP BY a
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a AS id, h AS coreness FROM cr_h{rounds} ORDER BY id
+        """
+    )
+
+
 def _hits_oracle(n_iter: int = 8) -> str:
     """q_hits_top20's oracle: HITS unrolled as DuckDB CTEs over the
     derived graph — per half-step, sum incoming scores then L1-normalize
@@ -1686,6 +1728,31 @@ def q_kmeans_embeddings(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+def q_semantic_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings corpus
+    (similarity.semantic_prune): the bit-reproducible k-means clusters
+    bound the quadratic, then within each cluster any vector with a
+    lower-id cluster-mate at cosine >= 9/20 is pruned. The decision is
+    all-integer on the 1e-6 grid (den²·dot² vs num²·|u|²·|v|² in
+    decimal(38,0) / HUGEINT), so survivors hash-match the unrolled
+    SQL replica exactly — no float threshold boundary anywhere."""
+    emb = read_embeddings(spark, sf_dir)
+    return similarity.semantic_prune(
+        emb, k=8, n_iter=3, threshold_num=9, threshold_den=20
+    ).orderBy("vec_id")
+
+
+def q_coreness_parts(spark, sf_dir):
+    """FULL core decomposition of the part co-order graph — every
+    vertex's core number in one run (analytics.coreness, h-index
+    iteration) instead of kcore's single-k membership; fixpoint in 10
+    rounds at sf0.001 / 19 at sf0.01, oracled against a 24-round
+    unrolled SQL replica (monotone non-increasing, so the tail rounds
+    are no-ops). coreness(v) >= k  <=>  v in kcore(k) — pytest-pinned
+    against the kcore operator."""
+    return analytics.coreness(_coorder_pairs(spark, sf_dir)).orderBy("id")
 
 
 def q_eccentricity_parts(spark, sf_dir):
@@ -4998,6 +5065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11": q_tpch_q11,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "semantic_prune": q_semantic_prune,
+        "coreness_parts": q_coreness_parts,
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
         "events_sliding": q_events_sliding,
@@ -5366,6 +5435,33 @@ def oracle_sql() -> dict[str, str]:
             n_iter=6, damping=0.85
         ),
         "kmeans_embeddings": _kmeans_oracle(k=8, n_iter=3),
+        "coreness_parts": _coreness_oracle(rounds=24),
+        # SemDeDup prune over the same unrolled kmeans: within-cluster
+        # lower-id neighbor at cos >= 9/20, decided in exact integer
+        # arithmetic (HUGEINT squares of grid dot products).
+        "semantic_prune": _kmeans_oracle(
+            k=8,
+            n_iter=3,
+            final_sql="""
+            SELECT s.vec_id, s.c AS cluster
+            FROM (SELECT a.vec_id, a.c, q.v,
+                         CAST(list_dot_product(q.v, q.v) AS HUGEINT) AS n2
+                  FROM ka3 a JOIN kq q USING (vec_id)) s
+            WHERE NOT EXISTS (
+              SELECT 1
+              FROM (SELECT a.vec_id, a.c, q.v,
+                           CAST(list_dot_product(q.v, q.v) AS HUGEINT)
+                             AS n2
+                    FROM ka3 a JOIN kq q USING (vec_id)) t
+              WHERE t.c = s.c AND t.vec_id < s.vec_id
+                AND list_dot_product(t.v, s.v) > 0
+                AND 400 * CAST(list_dot_product(t.v, s.v) AS HUGEINT)
+                        * CAST(list_dot_product(t.v, s.v) AS HUGEINT)
+                    >= 81 * t.n2 * s.n2
+            )
+            ORDER BY vec_id
+            """,
+        ),
         "kmeans_quality_profile": _kmeans_oracle(
             k=8,
             n_iter=3,

@@ -532,6 +532,100 @@ def _kmeans_assign(q: DataFrame, cents, id_col: str) -> DataFrame:
     )
 
 
+def semantic_prune(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): k-means clusters bound the quadratic, then within each
+    cluster a vector is PRUNED when a lower-id cluster-mate lies within
+    the cosine threshold (the deterministic reading of SemDeDup's
+    keep-one-per-epsilon-ball greedy — fixed id order, drop on any
+    lower-id near neighbor). Returns the SURVIVORS as (id_col, cluster).
+
+    The prune decision is BIT-EXACT, not float-boundary-fragile: with
+    vectors on the 1e-6 integer grid (the :func:`kmeans_quantized`
+    quantizer), cos(u,v) >= num/den iff
+
+        dot > 0  AND  den²·dot² >= num²·|u|²·|v|²
+
+    — integer dot products stay below 2^53 (exact even in double) and
+    the squared products (~10^30) are carried in decimal(38,0), so every
+    engine, partitioning, and summation order prunes the same set.
+
+    Scale: the only quadratic is the per-cluster self-join — pick k so
+    the largest cluster's pairs fit a shuffle partition (SemDeDup's own
+    contract: clustering exists exactly to bound this); the cluster key
+    is the shuffle key, so one oversized cluster is a skew hotspot
+    (salt or split it, or raise k).
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    assigned, _ = kmeans_quantized(
+        corpus, k, n_iter, vec_col, id_col, grid
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * grid, 0).cast("bigint"),
+    )
+    base = (
+        corpus.select(F.col(id_col), qv.alias("_qv"))
+        .join(assigned.select(id_col, "cluster"), id_col)
+        .select(
+            F.col(id_col),
+            "cluster",
+            "_qv",
+            idot(F.col("_qv"), F.col("_qv")).alias("_n2"),
+        )
+        .localCheckpoint(eager=True)  # two consumers of the same frame
+    )
+    a = base.select(
+        F.col(id_col).alias("_aid"),
+        "cluster",
+        F.col("_qv").alias("_va"),
+        F.col("_n2").alias("_n2a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("_bid"),
+        "cluster",
+        F.col("_qv").alias("_vb"),
+        F.col("_n2").alias("_n2b"),
+    )
+    d = idot(F.col("_va"), F.col("_vb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    close = (d > 0) & (
+        dec(d) * dec(d) * F.lit(threshold_den * threshold_den)
+        >= dec(F.col("_n2a"))
+        * dec(F.col("_n2b"))
+        * F.lit(threshold_num * threshold_num)
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("_bid") < F.col("_aid"))
+        .where(close)
+        .select(F.col("_aid").alias(id_col))
+        .distinct()
+    )
+    return (
+        base.join(dropped, id_col, "left_anti")
+        .select(id_col, "cluster")
+    )
+
+
 def label_centroid_outliers(
     corpus: DataFrame,
     top_k: int = 20,

@@ -996,6 +996,74 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             df.unpersist()
 
 
+def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """FULL core decomposition — every vertex's core number in one run
+    (vs :func:`kcore`'s single-k membership) — by h-index iteration
+    (Lü et al. 2016, Sci. Rep. 6:22241): h⁰(v) = deg(v), hⁿ⁺¹(v) =
+    H(neighbor hⁿ values) where H is the h-index operator (largest k
+    with k neighbors at value >= k); the sequence decreases
+    monotonically to the coreness, so a SQL oracle can unroll a FIXED
+    round count past the measured fixpoint (the kcore/ktruss cadence —
+    extra rounds are no-ops).
+
+    Per round: one equi-join to fetch neighbor h values + one groupBy
+    computing H via sort_array/zip_with (pure JVM expressions). The
+    per-vertex collected array is degree-bounded — the same per-vertex
+    cost bound a rank-window variant would have; for graphs with
+    multi-million-degree hubs, cap hubs first (their coreness can also
+    be resolved by peeling the low shells). Fixpoint-detected via a
+    changed-count that only scans the two small (id, h) frames.
+    Returns (id, coreness).
+    """
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    h = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    stale: list[DataFrame] = []
+    try:
+        for _ in range(max_iter):
+            nh = sym.join(
+                h.select(F.col("a").alias("b"), F.col("h").alias("_nh")),
+                "b",
+            ).select("a", "_nh")
+            hs = F.sort_array(F.collect_list("_nh"), asc=False)
+            hnew = (
+                nh.groupBy("a")
+                .agg(hs.alias("_hs"))
+                .select(
+                    "a",
+                    F.array_max(
+                        F.zip_with(
+                            F.col("_hs"),
+                            F.sequence(F.lit(1), F.size("_hs")),
+                            lambda v, i: F.least(v, i.cast("bigint")),
+                        )
+                    ).alias("h"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                hnew.join(
+                    h.select(F.col("a"), F.col("h").alias("_prev")), "a"
+                )
+                .where(F.col("h") != F.col("_prev"))
+                .count()
+            )
+            stale.append(h)
+            h = hnew
+            if changed == 0:
+                break
+        return h.select(F.col("a").alias("id"), F.col("h").alias("coreness"))
+    finally:
+        for df in stale:
+            df.unpersist()
+
+
 def maximal_independent_set(
     pairs: DataFrame,
     vertices: DataFrame | None = None,

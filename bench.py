@@ -115,6 +115,8 @@ HEADLINE = [
     "tpch_q11",               # scalar-threshold HAVING (1-row broadcast)
     "tpch_q20",               # nested semi-join chain
     "tpch_q21",               # exists/not-exists as one per-order agg
+    "semantic_prune",         # SemDeDup: cluster-bounded integer prune
+    "coreness_parts",         # full core decomposition (h-index iter)
     "streaming_fold",         # micro-batch mutation fold (actor parity)
     "streaming_store_sink",   # stream -> durable snapshot store chain
     "streaming_session",      # applyInPandasWithState session windows

@@ -277,6 +277,28 @@ def test_link_prediction_auto_matches_explicit_cap(spark):
     assert auto
 
 
+def test_coreness_matches_kcore_membership(spark):
+    """coreness(v) >= k  <=>  v survives kcore(k): cross-check the
+    h-index decomposition against degree peeling on a two-shell graph
+    (a 4-clique with a pendant path) for every k it contains."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+         (4, 5), (5, 6)],  # pendant path
+        "a bigint, b bigint",
+    )
+    core = {
+        r["id"]: r["coreness"] for r in analytics.coreness(pairs).collect()
+    }
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+    for k in (1, 2, 3):
+        members = {
+            r["id"] for r in analytics.kcore(pairs, k=k).collect()
+        }
+        assert members == {v for v, c in core.items() if c >= k}, k
+
+
 def test_kcore_triangle_with_pendant(spark):
     """Triangle 1-2-3 plus pendant edge 1-4: the 2-core is exactly the
     triangle, every member with core degree 2; the 3-core is empty."""

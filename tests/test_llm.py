@@ -1015,6 +1015,46 @@ def test_kmeans_quantized_two_groups_exact(spark):
     assert all(v == 2 * 50_000**2 for v in d2.values())
 
 
+def test_semantic_prune_within_cluster_only(spark):
+    """Prune drops the HIGHER id of a within-cluster near-dup pair and
+    never reaches across clusters: (1,3) are near-identical directions
+    in cluster A (cos ≈ 1 ≥ 0.45 → 3 pruned), (2,4) sit in cluster B at
+    cos = 0 (orthogonal, < 0.45 → both kept) even though 4 is also
+    orthogonal to 1 and 3 — different cluster, never compared."""
+    from akka_graph_db_spark.functions import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 10.0, 0.0]),
+            (3, [1.001, 0.0, 0.0]),
+            (4, [0.0, 0.0, 10.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_prune(
+            emb, k=2, n_iter=2, threshold_num=9, threshold_den=20
+        ).collect()
+    )
+    assert kept == [1, 2, 4]
+
+
+def test_semantic_prune_threshold_validation(spark):
+    from akka_graph_db_spark.functions import similarity
+
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        similarity.semantic_prune(emb, threshold_num=0)
+    with _pytest.raises(ValueError):
+        similarity.semantic_prune(emb, threshold_num=3, threshold_den=2)
+
+
 def test_minhash_keep_source_priority_exact_dup(spark):
     """Exact duplicates in DIFFERENT sources: the keep-policy-aware
     collapse must keep the PREFERRED source's copy even though the
