@@ -2326,6 +2326,38 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (search.rrf_fuse,
+    Cormack et al. 2009): the BM25 top-20 for a 3-term lexical query
+    fused with the exact-cosine top-20 for an embedding query (vec_id 0;
+    doc_id <-> vec_id is the fixture's correspondence), score(d) =
+    1/(60+rank_bm25) + 1/(60+rank_ann) over a FULL outer join — only
+    RANKS enter, so no score calibration and the two-term double sum is
+    bit-identical across engines. The RAG retrieval shape: lexical and
+    semantic evidence without a learned reranker."""
+    from akka_graph_db_spark.functions import search
+    from pyspark.sql import Window
+
+    docs = read_documents(spark, sf_dir)
+    bm = search.bm25_topk(docs, ["spark", "join", "window"], k=20)
+    bm_ranked = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rank"),  # <= 20-row frame: the 1-partition window is fine
+    )
+    emb = read_embeddings(spark, sf_dir)
+    ann = similarity.topk_bruteforce(
+        emb, emb.where(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return search.rrf_fuse(bm_ranked, ann, k=60, top_k=10).select(
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "rank_a",
+        "rank_b",
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-10 for a 3-term query (rational-idf variant — transcendental
     ln() is not bit-reproducible across engines; docstring in
@@ -5067,6 +5099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": q_tpch_q21,
         "semantic_prune": q_semantic_prune,
         "coreness_parts": q_coreness_parts,
+        "hybrid_search": q_hybrid_search,
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
         "events_sliding": q_events_sliding,
@@ -6636,6 +6669,78 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) AS n_query_terms_matched
               FROM bm_scored GROUP BY doc_id
               ORDER BY score DESC, doc_id LIMIT 10
+            )
+        """,
+        # Hybrid RRF: the bm25_search CTE chain (top-20) fused with the
+        # similarity_topk cosine idiom (top-20 for vec_id 0) — only
+        # integer RANKS cross into the fusion, whose two-term double sum
+        # is engine-identical; order on the unrounded score, then round.
+        "hybrid_search": f"""
+            WITH bm_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            bm_base AS (
+              SELECT doc_id, len(toks) AS dl,
+                     list_filter(toks, x -> list_contains(
+                       ['spark', 'join', 'window'], x)) AS qtok
+              FROM bm_t
+            ),
+            bm_corpus AS (
+              SELECT COUNT(*) AS n_docs,
+                     SUM(dl) / COUNT(*) AS avgdl
+              FROM bm_base
+            ),
+            bm_tf AS (
+              SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, dl, unnest(qtok) AS term FROM bm_base
+              ) GROUP BY doc_id, dl, term
+            ),
+            bm_df AS (SELECT term, COUNT(*) AS df FROM bm_tf
+                      GROUP BY term),
+            bm_scored AS (
+              SELECT f.doc_id,
+                     CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                          / (df + CAST(0.5 AS DOUBLE)))
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + (CAST(0.75 AS DOUBLE) * dl) / avgdl))
+                       AS DECIMAL(38,12)) AS term_score
+              FROM bm_tf f JOIN bm_df USING (term) CROSS JOIN bm_corpus
+            ),
+            bm_rank AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                       AS rank_a
+              FROM (
+                SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+                FROM bm_scored GROUP BY doc_id
+                ORDER BY score DESC, doc_id LIMIT 20
+              )
+            ),
+            ann AS (
+              SELECT neighbor_id AS doc_id, rank_b FROM (
+                SELECT e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                         ORDER BY list_cosine_similarity(
+                           q.qv, e.embedding::DOUBLE[]) DESC,
+                         e.vec_id) AS rank_b
+                FROM embeddings e
+                CROSS JOIN (SELECT embedding::DOUBLE[] AS qv
+                            FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0
+              ) WHERE rank_b <= 20
+            )
+            SELECT doc_id, ROUND(rrf_score, 6) AS rrf_score,
+                   CAST(rank_a AS INTEGER) AS rank_a,
+                   CAST(rank_b AS INTEGER) AS rank_b
+            FROM (
+              SELECT doc_id,
+                     COALESCE(1.0 / (60 + rank_a), CAST(0 AS DOUBLE))
+                     + COALESCE(1.0 / (60 + rank_b), CAST(0 AS DOUBLE))
+                       AS rrf_score,
+                     rank_a, rank_b
+              FROM bm_rank FULL JOIN ann USING (doc_id)
+              ORDER BY rrf_score DESC, doc_id LIMIT 10
             )
         """,
         "vocabulary": f"""

@@ -277,6 +277,15 @@ class GraphDB:
         pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         return analytics.kcore(pairs, k, max_iter)
 
+    def coreness(self, edge_labels=None, max_iter=30) -> DataFrame:
+        """Full core decomposition: (id, coreness) for every vertex with
+        an edge — coreness(v) >= k iff v survives :meth:`kcore` at k."""
+        e = self.graph.edges
+        if edge_labels:
+            e = e.where(F.col("label").isin(list(edge_labels)))
+        pairs = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        return analytics.coreness(pairs, max_iter)
+
     def ktruss(self, k, edge_labels=None, max_iter=30) -> DataFrame:
         e = self.graph.edges
         if edge_labels:

@@ -120,3 +120,43 @@ def bm25_topk(
     # orderBy + limit plans as TakeOrderedAndProject — a distributed
     # per-partition top-k merged on the driver, never a global sort.
     return totals.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    rankings: score(d) = Σ 1/(k + rank_i(d)) over the systems that
+    ranked d (FULL outer join — a doc surfaced by only one system still
+    scores). The hybrid-retrieval standard: fuse lexical BM25 with
+    embedding ANN without score calibration, since only RANKS enter.
+
+    Exact-by-construction: each addend is one double division of small
+    integers and the sum has two terms — identical IEEE results on any
+    engine, so a SQL oracle reproduces the fused ranking bit-for-bit.
+    Returns (id_col, rrf_score, rank_a, rank_b) top-k by
+    (rrf_score desc, id).
+    """
+    ra = a.select(F.col(id_col), F.col(rank_col).alias("rank_a"))
+    rb = b.select(F.col(id_col), F.col(rank_col).alias("rank_b"))
+    fused = ra.join(rb, id_col, "full").select(
+        id_col,
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("rank_a")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("rank_b")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+        F.col("rank_a").cast("int").alias("rank_a"),
+        F.col("rank_b").cast("int").alias("rank_b"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    ).limit(top_k)

@@ -117,6 +117,7 @@ HEADLINE = [
     "tpch_q21",               # exists/not-exists as one per-order agg
     "semantic_prune",         # SemDeDup: cluster-bounded integer prune
     "coreness_parts",         # full core decomposition (h-index iter)
+    "hybrid_search",          # BM25 + ANN reciprocal-rank fusion
     "streaming_fold",         # micro-batch mutation fold (actor parity)
     "streaming_store_sink",   # stream -> durable snapshot store chain
     "streaming_session",      # applyInPandasWithState session windows

@@ -74,6 +74,12 @@ def test_facade_kcore_and_link_prediction(micro):
     assert core == {1: 2, 2: 2, 3: 2}
     lp = db.link_prediction(edge_labels=["knows"], min_common=1).collect()
     assert all(r["jaccard"] <= 1.0 for r in lp)
+    # full decomposition agrees with single-k membership on the facade
+    cn = {
+        r["id"]: r["coreness"]
+        for r in db.coreness(edge_labels=["knows"]).collect()
+    }
+    assert {v for v, c in cn.items() if c >= 2} == set(core)
 
 
 def test_facade_ktruss_and_modularity(micro):

@@ -521,6 +521,27 @@ def test_contamination_short_doc_full_shingle(spark):
     assert row["n_ngrams"] == 1 and row["contamination"] == 1.0
 
 
+def test_rrf_fuse_full_outer_and_order(spark):
+    """RRF: a doc ranked by BOTH systems outranks single-system docs of
+    comparable rank; docs from only one side still score (full outer);
+    the score is exactly 1/(k+ra) + 1/(k+rb)."""
+    from akka_graph_db_spark.functions.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id bigint, rank int"
+    )
+    rows = rrf_fuse(a, b, k=60, top_k=10).collect()
+    scores = {r["doc_id"]: r["rrf_score"] for r in rows}
+    assert scores[2] == 1.0 / 62 + 1.0 / 61  # both systems
+    assert scores[1] == 1.0 / 61  # a only
+    assert scores[4] == 1.0 / 62  # b only (full outer kept it)
+    assert rows[0]["doc_id"] == 2  # fused winner leads
+    assert rows[0]["rank_a"] == 2 and rows[0]["rank_b"] == 1
+
+
 def test_bm25_ranks_matching_docs(spark):
     corpus = spark.createDataFrame(
         [

@@ -77,6 +77,15 @@ AUDITED = [
     ("tpch_q13", "LEFT join + double aggregation distribution"),
     ("tpch_q15", "argmax-over-aggregate on exact decimal equality"),
     ("tpch_q17", "decorrelated per-part AVG subquery join"),
+    ("tpch_q2", "decorrelated scalar-min join-back (broadcast dims)"),
+    ("tpch_q9", "snowflake profit probe (part/supplier broadcast)"),
+    ("tpch_q11", "1-row broadcast scalar threshold HAVING"),
+    ("tpch_q20", "nested semi-join chain (dominant supplier)"),
+    ("tpch_q21", "per-order distinct aggregation (no correlated probes)"),
+    ("link_prediction_auto", "degree-histogram-derived wedge cap"),
+    ("dedup_policy_sweep", "3 keep policies over one materialized sketch"),
+    ("semantic_prune", "cluster-bounded integer-exact cosine prune"),
+    ("coreness_parts", "h-index rounds: neighbor join + sorted-list agg"),
 ]
 
 
