@@ -756,6 +756,28 @@ def test_maximal_independent_set_properties(spark):
     assert again == mis
 
 
+def test_maximal_independent_set_sequential_finish(spark):
+    """max_rounds=0 forces the gated driver-side finish: the result must
+    still be independent AND maximal (ADVICE r5 — exhausting rounds used
+    to silently drop survivors, returning a non-maximal set)."""
+    edges = [(i, i + 1) for i in range(1, 9)]  # path 1-2-...-9
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    mis = {
+        r["id"]
+        for r in analytics.maximal_independent_set(
+            pairs, max_rounds=0
+        ).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independent: no two members adjacent
+    assert all(adj[v].isdisjoint(mis) for v in mis)
+    # maximal: every non-member has a member neighbor
+    assert all(adj[v] & mis for v in adj if v not in mis)
+
+
 def test_maximal_independent_set_triangle(spark):
     """A triangle's MIS is exactly one vertex."""
     pairs = spark.createDataFrame(
