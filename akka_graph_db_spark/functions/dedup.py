@@ -390,7 +390,13 @@ def minhash_dedup_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     if sketch is not None:
-        sub = _sketch_subset(sketch, df, id_col)
+        # Materialize the subset ONCE: five consumers (banding, size
+        # prefilter, both verify sides x payload) would otherwise each
+        # re-run the semi-join and re-shuffle the _sh arrays — measured
+        # 132s vs ~40s for the 3-policy sweep at sf0.1 without this.
+        sub = _sketch_subset(sketch, df, id_col).localCheckpoint(
+            eager=False
+        )
         sigs = sub.select("_id", "_sig")
         sh = sub.select(F.col("_id").alias("_sid"), "_sh", "_n")
         cands = _banded_candidates(sigs, num_perm, bands)
@@ -756,7 +762,9 @@ def minhash_dedup_keep(
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
     base = (
-        _sketch_subset(sketch, df, id_col).select("_id", "_sig")
+        _sketch_subset(sketch, df, id_col)
+        .select("_id", "_sig")
+        .localCheckpoint(eager=False)
         if sketch is not None
         else _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
     )
@@ -783,8 +791,10 @@ def minhash_dedup_keep(
     # Hashed shingle sets (longs, small payload — see _shingle_sets),
     # computed once and materialized for the two verify sides.
     if sketch is not None:
-        sh = _sketch_subset(sketch, df, id_col).select(
-            F.col("_id").alias("_sid"), "_sh", "_n"
+        sh = (
+            _sketch_subset(sketch, df, id_col)
+            .select(F.col("_id").alias("_sid"), "_sh", "_n")
+            .localCheckpoint(eager=False)
         )
     else:
         npart2 = df.sparkSession.sparkContext.defaultParallelism
@@ -805,6 +815,100 @@ def minhash_dedup_keep(
         base.select(F.col("_id").alias("id")), verified
     )
     return _survivors(comp)
+
+
+def minhash_dedup_keep_multi(
+    df: DataFrame,
+    policies: "dict[str, str | None]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    arrow: bool = True,
+) -> DataFrame:
+    """Every keep policy from ONE clustering. The near-dup graph is a
+    function of the TEXTS alone — signatures, candidate edges, and exact
+    Jaccard never read ids or scores — so the expensive pipeline
+    (exact-dup collapse, band join, verify, connected components) is
+    policy-INDEPENDENT and runs once; each policy then reduces to a
+    per-component argmax over the full member set. Survivor sets equal
+    running ``minhash_dedup_keep(linkage="pairs")`` once per policy
+    (pytest-pinned; the collapse there is component-preserving for any
+    score, so both paths pick the policy argmax of the same component).
+
+    ``policies`` maps a policy name to its score column (``None`` =
+    min-id keep; a column name = max-score keep with min-id ties).
+    Returns (policy, doc_id) survivors.
+    """
+    from akka_graph_db_spark.operators.analytics import (
+        connected_components_from_pairs,
+    )
+
+    if not policies:
+        raise ValueError("policies must be non-empty")
+    score_cols = sorted({c for c in policies.values() if c is not None})
+    digested = df.select(
+        F.col(id_col), F.col(text_col), *score_cols
+    ).withColumn("_digest", F.sha2(F.col(text_col), 256))
+    # canonical min-id collapse: component structure is invariant to
+    # WHICH member represents an identical-text group (identical texts
+    # have identical signatures and Jaccard to any third doc)
+    reps = (
+        digested.groupBy("_digest")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias(id_col),
+                    F.col(text_col).alias(text_col),
+                )
+            ).alias("_r")
+        )
+        .select("_digest", f"_r.{id_col}", f"_r.{text_col}")
+        .localCheckpoint(eager=False)
+    )
+    verified = minhash_dedup_pairs(
+        reps.drop("_digest"), text_col, id_col, threshold, num_perm,
+        bands, shingle_n, arrow,
+    ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    comp = connected_components_from_pairs(
+        reps.select(F.col(id_col).alias("id")), verified
+    )
+    members = (
+        digested.select(F.col(id_col), "_digest", *score_cols)
+        .join(
+            reps.select("_digest", F.col(id_col).alias("_rep")), "_digest"
+        )
+        .join(comp.select(F.col("id").alias("_rep"), "component"), "_rep")
+        .select(id_col, "component", *score_cols)
+        .localCheckpoint(eager=False)  # one shuffle, N policy consumers
+    )
+    parts = []
+    for name in sorted(policies):
+        score_col = policies[name]
+        if score_col is None:
+            surv = members.groupBy("component").agg(
+                F.min(id_col).alias(id_col)
+            )
+        else:
+            surv = (
+                members.groupBy("component")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col(score_col).alias("s"),
+                            (-F.col(id_col)).alias("nid"),
+                        )
+                    ).alias("_b")
+                )
+                .select((-F.col("_b.nid")).alias(id_col))
+            )
+        parts.append(surv.select(F.lit(name).alias("policy"), id_col))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # --------------------------------------------------------------------------

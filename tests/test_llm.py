@@ -1076,6 +1076,51 @@ def test_semantic_prune_threshold_validation(spark):
         similarity.semantic_prune(emb, threshold_num=3, threshold_den=2)
 
 
+def test_keep_multi_equals_per_policy_singles(spark):
+    """minhash_dedup_keep_multi must reproduce EXACTLY the survivor set
+    of a standalone minhash_dedup_keep run per policy — one clustering,
+    N argmaxes, same answers (including exact-dup groups where the
+    policy-chosen representative differs from the min-id one)."""
+    from akka_graph_db_spark.functions import dedup
+
+    t1 = "a b c d e f g h i j"
+    rows = [
+        (1, t1, 5, "src5"),
+        (2, t1 + " k", 9, "src3"),   # near-dup of 1/4
+        (3, "zz yy xx ww", 2, "src9"),
+        (4, t1, 7, "src1"),          # exact dup of 1, higher score
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_chars int, source string"
+    ).withColumn(
+        "_prio",
+        -F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"),
+    )
+    multi = {}
+    for r in dedup.minhash_dedup_keep_multi(
+        df,
+        policies={"best": "n_chars", "src": "_prio", "min_id": None},
+        threshold=0.9, num_perm=32, bands=32, shingle_n=1,
+    ).collect():
+        multi.setdefault(r["policy"], set()).add(r["doc_id"])
+    for name, kw in (
+        ("best", dict(keep="max_score", score_col="n_chars")),
+        ("src", dict(keep="max_score", score_col="_prio")),
+        ("min_id", dict(keep="min_id")),
+    ):
+        single = {
+            r["doc_id"]
+            for r in dedup.minhash_dedup_keep(
+                df, threshold=0.9, num_perm=32, bands=32, shingle_n=1,
+                linkage="pairs", **kw,
+            ).collect()
+        }
+        assert multi[name] == single, name
+    assert multi["best"] == {2, 3}      # longest member wins
+    assert multi["src"] == {3, 4}       # src1 beats src3/src5
+    assert multi["min_id"] == {1, 3}
+
+
 def test_minhash_keep_source_priority_exact_dup(spark):
     """Exact duplicates in DIFFERENT sources: the keep-policy-aware
     collapse must keep the PREFERRED source's copy even though the
