@@ -2356,6 +2356,36 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (search.cms_sketch/cms_estimate):
+    a 4x1024 fixed-memory sketch of the token stream, point-queried for
+    the exact top-20 terms — (term, exact_count, cms_estimate) rows
+    certify the whole sketch machinery because the hash draw is pinned
+    (md5 family), making the CMS deterministic: the oracle rebuilds the
+    identical counters and minima in SQL. est >= exact always; the gap
+    is the surviving collision mass."""
+    from akka_graph_db_spark.functions import search
+    from akka_graph_db_spark.functions.text import tokens as _tokens
+
+    docs = read_documents(spark, sf_dir)
+    toks = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=False)  # sketch + exact-count consumers
+    sk = search.cms_sketch(toks, width=1024, depth=4)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "term")
+        .limit(20)
+    )
+    est = search.cms_estimate(sk, top, width=1024, depth=4)
+    return (
+        top.join(est, "term")
+        .select("term", "exact_count", "cms_estimate")
+        .orderBy(F.col("exact_count").desc(), "term")
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-10 for a 3-term query (rational-idf variant — transcendental
     ln() is not bit-reproducible across engines; docstring in
@@ -3108,7 +3138,15 @@ def q_link_prediction_auto(spark, sf_dir):
     oracle reproduces the cap derivation in SQL (per-degree histogram →
     running sum → smallest degree covering ceil(0.999·n) nodes →
     GREATEST(·, 64)), so the result stays hash-exact while the cap now
-    scales with the graph."""
+    scales with the graph.
+
+    BENCH NOTE: the fixture's co-order graph is HUB-FREE (sf0.1 degree
+    p50=119, max=222), so the derived cap (206) barely excludes anyone
+    and this query pays near-full Σdeg² wedge volume (~5x the
+    cap-100 row, which silently drops >half the centers — p50 > 100).
+    That is the honest exact cost on a hubless graph; on the power-law
+    graphs the cap exists for, p99.9 excludes the hubs that carry the
+    quadratic."""
     scored = analytics.link_prediction_jaccard(
         _coorder_pairs(spark, sf_dir), top_k=50, min_common=2,
         max_degree="auto",
@@ -5100,6 +5138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_prune": q_semantic_prune,
         "coreness_parts": q_coreness_parts,
         "hybrid_search": q_hybrid_search,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
         "events_sliding": q_events_sliding,
@@ -6742,6 +6781,40 @@ def oracle_sql() -> dict[str, str]:
               FROM bm_rank FULL JOIN ann USING (doc_id)
               ORDER BY rrf_score DESC, doc_id LIMIT 10
             )
+        """,
+        # Count-min sketch rebuilt in SQL with the same pinned md5-family
+        # hash draw: identical counters, identical row-minima.
+        "cms_heavy_hitters": f"""
+            WITH cms_toks AS (
+              SELECT unnest({_TOK}) AS term FROM documents
+            ),
+            cms_sk AS (
+              SELECT row, bucket, COUNT(*) AS cnt FROM (
+                SELECT d.d AS row,
+                       CAST(md5_number_upper('cms:' || d.d || ':' || term)
+                            & 9223372036854775807 AS BIGINT) % 1024
+                         AS bucket
+                FROM cms_toks
+                CROSS JOIN (SELECT unnest(range(4)) AS d) d
+              ) GROUP BY 1, 2
+            ),
+            cms_exact AS (
+              SELECT term, COUNT(*) AS exact_count FROM cms_toks
+              GROUP BY term
+              ORDER BY exact_count DESC, term LIMIT 20
+            ),
+            cms_probes AS (
+              SELECT e.term, e.exact_count, d.d AS row,
+                     CAST(md5_number_upper('cms:' || d.d || ':' || e.term)
+                          & 9223372036854775807 AS BIGINT) % 1024
+                       AS bucket
+              FROM cms_exact e
+              CROSS JOIN (SELECT unnest(range(4)) AS d) d
+            )
+            SELECT p.term, p.exact_count, MIN(s.cnt) AS cms_estimate
+            FROM cms_probes p JOIN cms_sk s USING (row, bucket)
+            GROUP BY 1, 2
+            ORDER BY exact_count DESC, term
         """,
         "vocabulary": f"""
             WITH vo_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),

@@ -160,3 +160,75 @@ def rrf_fuse(
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col)
     ).limit(top_k)
+
+
+def cms_sketch(
+    df: DataFrame,
+    term_col: str = "term",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of a term stream as a (row, bucket, cnt) frame —
+    depth x width counters, FIXED memory regardless of corpus size (the
+    100 TB heavy-hitter shape: the sketch frame is ~depth*width rows no
+    matter how many tokens flow through). Bucket i of row d is
+    ``md5_63("cms:<d>:" || term) % width`` — the repo's cross-engine
+    hash family, so a SQL engine rebuilds the identical sketch and the
+    estimates are deterministic, not probabilistic-per-run (the CMS
+    guarantee est >= true, est <= true + eps*N holds per FIXED hash
+    draw; this implementation pins the draw).
+
+    One explode + one groupBy per call; rows share the single shuffle
+    via the posexplode over depth replicas.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    rows = F.posexplode(
+        F.array(
+            *[
+                md5_63(
+                    F.concat(F.lit(f"cms:{d}:"), F.col(term_col))
+                ) % width
+                for d in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(F.col(term_col), rows.alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the count-min sketch for each term: estimate =
+    MIN over rows of the term's counter. The sketch side is depth*width
+    rows — broadcast — so estimation is a map-side join per term.
+    Returns (term, cms_estimate). est >= true count always; equality
+    whenever no collision survives the row-min (pytest-pinned)."""
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    probes = terms.select(
+        F.col(term_col),
+        F.posexplode(
+            F.array(
+                *[
+                    md5_63(
+                        F.concat(F.lit(f"cms:{d}:"), F.col(term_col))
+                    ) % width
+                    for d in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(term_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -118,6 +118,7 @@ HEADLINE = [
     "semantic_prune",         # SemDeDup: cluster-bounded integer prune
     "coreness_parts",         # full core decomposition (h-index iter)
     "hybrid_search",          # BM25 + ANN reciprocal-rank fusion
+    "cms_heavy_hitters",      # fixed-memory count-min heavy hitters
     "streaming_fold",         # micro-batch mutation fold (actor parity)
     "streaming_store_sink",   # stream -> durable snapshot store chain
     "streaming_session",      # applyInPandasWithState session windows

@@ -521,6 +521,36 @@ def test_contamination_short_doc_full_shingle(spark):
     assert row["n_ngrams"] == 1 and row["contamination"] == 1.0
 
 
+def test_cms_overestimates_never_under(spark):
+    """CMS invariant: estimate >= true count for EVERY term (row-min of
+    counters can only add collision mass); on a tiny vocabulary vs a
+    4x1024 sketch there are no collisions, so estimates are exact."""
+    from akka_graph_db_spark.functions.search import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "term string"
+    )
+    sk = cms_sketch(toks, width=1024, depth=4)
+    exact = {"a": 5, "b": 3, "c": 1}
+    terms = spark.createDataFrame([(t,) for t in exact], "term string")
+    est = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_estimate(sk, terms, width=1024, depth=4).collect()
+    }
+    assert est == exact  # no collisions at this scale
+    # a term depth*width can't avoid: force collisions with width=1
+    sk1 = cms_sketch(toks, width=1, depth=2)
+    est1 = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_estimate(sk1, terms, width=1, depth=2).collect()
+    }
+    assert all(est1[t] >= exact[t] for t in exact)
+    assert est1["a"] == 9  # every token lands in the one bucket
+
+
 def test_rrf_fuse_full_outer_and_order(spark):
     """RRF: a doc ranked by BOTH systems outranks single-system docs of
     comparable rank; docs from only one side still score (full outer);
