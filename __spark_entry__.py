@@ -3639,6 +3639,46 @@ def q_store_incremental_counts(spark, sf_dir):
     return store.incremental_label_counts(spark, root).orderBy("label")
 
 
+def q_store_incremental_degrees(spark, sf_dir):
+    """O(changes) DEGREE maintenance (store.incremental_degrees — the
+    materialized-view companion of incremental_label_counts): a base
+    snapshot plus one delta exercising all three edge-mutation shapes —
+    a NEW edge (customer 1 -> order 1), a RETARGET of customer 2's
+    located_in edge to nation 0, and a DELETE of order 1's placed edge.
+    The new per-node (out_degree, in_degree) table is derived from the
+    delta files + an id probe of the base — never a recount — and must
+    equal the oracle's literally-adjusted full recount exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from akka_graph_db_spark import store
+    from akka_graph_db_spark.sources.tpch import LOCATED_IN_CUST_BASE
+
+    g = _g(spark, sf_dir).core()
+    root = tempfile.mkdtemp(prefix="spark_graft_incdeg_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store.save_snapshot(g, root)
+    empty_map = F.create_map().cast("map<string,string>")
+    ups = spark.createDataFrame(
+        [
+            (97_600_001, "inc_probe_edge", CUSTOMER_BASE + 1,
+             ORDER_BASE + 1),
+            (LOCATED_IN_CUST_BASE + 2, "located_in", CUSTOMER_BASE + 2,
+             NATION_BASE + 0),
+        ],
+        "id bigint, label string, src bigint, dst bigint",
+    ).withColumn("props", empty_map)
+    dels = spark.createDataFrame([(PLACED_BASE + 1,)], "id bigint")
+    delta = store.GraphDelta(
+        edge_upserts=ups,
+        edge_deletes=dels,
+        node_deletes=dels.limit(0),
+    )
+    store.save_delta(root, delta, validate=True)
+    return store.incremental_degrees(spark, root).orderBy("id")
+
+
 def q_zorder_customers(spark, sf_dir):
     """Morton z-order keys (functions/zorder.py) over (c_nationkey,
     c_custkey) — the two-column data-skipping sort key, certified
@@ -5139,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_parts": q_coreness_parts,
         "hybrid_search": q_hybrid_search,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "store_incremental_degrees": q_store_incremental_degrees,
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
         "events_sliding": q_events_sliding,
@@ -7509,6 +7550,44 @@ def oracle_sql() -> dict[str, str]:
             FROM inc_base b FULL JOIN inc_adj a ON b.label = a.label
             WHERE COALESCE(b.n, 0) + COALESCE(a.d, 0) > 0
             ORDER BY label
+        """,
+        # Full recount over the derived edges plus the three literal
+        # adjustments the delta makes (new edge, retarget, delete); the
+        # engine derives the same table from delta files + an id probe.
+        "store_incremental_degrees": _GRAPH_WITH + f"""
+            , deg_base AS (
+              SELECT id, SUM(o) AS o, SUM(i) AS i FROM (
+                SELECT src AS id, 1 AS o, 0 AS i FROM edges_v
+                UNION ALL
+                SELECT dst AS id, 0 AS o, 1 AS i FROM edges_v
+              ) GROUP BY id
+            ),
+            deg_adj AS (
+              SELECT {CUSTOMER_BASE} + 1 AS id, 1 AS o, 0 AS i
+              UNION ALL SELECT {ORDER_BASE} + 1, 0, 1
+              UNION ALL SELECT (SELECT o_custkey + {CUSTOMER_BASE}
+                                FROM orders WHERE o_orderkey = 1), -1, 0
+              UNION ALL SELECT {ORDER_BASE} + 1, 0, -1
+              UNION ALL SELECT {NATION_BASE} + 0, 0, 1
+              UNION ALL SELECT (SELECT c_nationkey + {NATION_BASE}
+                                FROM customer WHERE c_custkey = 2), 0, -1
+            ),
+            deg_adj_g AS (
+              SELECT id, SUM(o) AS o, SUM(i) AS i FROM deg_adj GROUP BY id
+            )
+            SELECT id,
+                   CAST(COALESCE(b_o, 0) + COALESCE(a_o, 0) AS BIGINT)
+                     AS out_degree,
+                   CAST(COALESCE(b_i, 0) + COALESCE(a_i, 0) AS BIGINT)
+                     AS in_degree
+            FROM (
+              SELECT COALESCE(b.id, a.id) AS id, b.o AS b_o, b.i AS b_i,
+                     a.o AS a_o, a.i AS a_i
+              FROM deg_base b FULL JOIN deg_adj_g a ON b.id = a.id
+            )
+            WHERE COALESCE(b_o, 0) + COALESCE(a_o, 0) > 0
+               OR COALESCE(b_i, 0) + COALESCE(a_i, 0) > 0
+            ORDER BY id
         """,
         "zorder_customers": f"""
             SELECT c_custkey, c_nationkey,

@@ -669,3 +669,126 @@ def incremental_label_counts(
         )
         .where(F.col("n_nodes") > 0)
     )
+
+
+def incremental_degrees(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    prev_degrees: DataFrame | None = None,
+) -> DataFrame:
+    """Maintain per-node (out_degree, in_degree) across versions
+    incrementally: degrees at ``version`` = ``prev_degrees`` (degrees at
+    version-1) adjusted by reading ONLY that version's EDGE delta files
+    plus an id-probe of the previous snapshot's edges — never a full
+    recount. The degree-materialized-view companion of
+    :func:`incremental_label_counts`.
+
+    Mutation shapes, handled exactly: a genuinely-new edge id is +1 out
+    at its src and +1 in at its dst; an upsert of an EXISTING edge id
+    contributes +new −old at both endpoints (a same-endpoint props-only
+    update nets to zero; a retarget moves the degree); a delete of an
+    existing id is −1 at each old endpoint (deleting a missing id is a
+    no-op — merge-on-read semantics). The probe joins the delta's small
+    id set against the previous version's (id, src, dst) projection;
+    id-clustered row groups skip most parts, so cost tracks the delta.
+
+    CONTRACT DEPENDENCY: the per-delta id contract of
+    ``save_delta(validate=True)`` (unique edge-upsert ids, no id in
+    both edge upserts and deletes) — same as incremental_label_counts.
+
+    ``version`` must be a DELTA version (defaults to latest). Returns
+    (id, out_degree, in_degree) for nodes with at least one incident
+    edge, equal to a full recount over the merged snapshot.
+    """
+    from pyspark.sql import functions as F
+
+    kinds = dict(list_version_kinds(root, spark))
+    if version is None:
+        version = max(kinds)
+    if kinds.get(version) != "delta":
+        raise ValueError(
+            f"incremental_degrees needs a delta version, got "
+            f"{version!r} ({kinds.get(version)})"
+        )
+    prev_version = max(v for v in kinds if v < version)
+    prev_edges = load_snapshot(spark, root, version=prev_version).edges
+
+    def _degrees(e: DataFrame) -> DataFrame:
+        arcs = e.select(
+            F.col("src").alias("id"),
+            F.lit(1).alias("_out"),
+            F.lit(0).alias("_in"),
+        ).unionByName(
+            e.select(
+                F.col("dst").alias("id"),
+                F.lit(0).alias("_out"),
+                F.lit(1).alias("_in"),
+            )
+        )
+        return arcs.groupBy("id").agg(
+            F.sum("_out").alias("out_degree"),
+            F.sum("_in").alias("in_degree"),
+        )
+
+    if prev_degrees is None:
+        prev_degrees = _degrees(prev_edges)
+    vdir = _join(root, f"v={version}")
+    ups = spark.read.schema(EDGE_SCHEMA).parquet(
+        _join(vdir, "edges_upserts")
+    ).select("id", "src", "dst")
+    dels = spark.read.schema(_ID_SCHEMA).parquet(
+        _join(vdir, "edge_deletes")
+    )
+    old = prev_edges.select(
+        "id", F.col("src").alias("_osrc"), F.col("dst").alias("_odst")
+    )
+    up_probe = ups.join(old, "id", "left")
+    removed_arcs = (
+        # old endpoints of REPLACED edges ...
+        up_probe.where(F.col("_osrc").isNotNull()).select(
+            F.col("_osrc").alias("src"), F.col("_odst").alias("dst")
+        )
+        # ... and of DELETED edges
+        .unionByName(
+            dels.join(old, "id", "inner").select(
+                F.col("_osrc").alias("src"), F.col("_odst").alias("dst")
+            )
+        )
+    )
+    sign = lambda e, s: (  # noqa: E731
+        e.select(
+            F.col("src").alias("id"),
+            F.lit(s).alias("_out"),
+            F.lit(0).alias("_in"),
+        ).unionByName(
+            e.select(
+                F.col("dst").alias("id"),
+                F.lit(0).alias("_out"),
+                F.lit(s).alias("_in"),
+            )
+        )
+    )
+    adj = (
+        sign(ups.select("src", "dst"), 1)
+        .unionByName(sign(removed_arcs, -1))
+        .groupBy("id")
+        .agg(
+            F.sum("_out").alias("_dout"), F.sum("_in").alias("_din")
+        )
+    )
+    return (
+        prev_degrees.join(adj, "id", "full")
+        .select(
+            "id",
+            (
+                F.coalesce(F.col("out_degree"), F.lit(0))
+                + F.coalesce(F.col("_dout"), F.lit(0))
+            ).cast("bigint").alias("out_degree"),
+            (
+                F.coalesce(F.col("in_degree"), F.lit(0))
+                + F.coalesce(F.col("_din"), F.lit(0))
+            ).cast("bigint").alias("in_degree"),
+        )
+        .where((F.col("out_degree") > 0) | (F.col("in_degree") > 0))
+    )

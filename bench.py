@@ -119,6 +119,7 @@ HEADLINE = [
     "coreness_parts",         # full core decomposition (h-index iter)
     "hybrid_search",          # BM25 + ANN reciprocal-rank fusion
     "cms_heavy_hitters",      # fixed-memory count-min heavy hitters
+    "store_incremental_degrees",  # O(changes) degree maintenance
     "streaming_fold",         # micro-batch mutation fold (actor parity)
     "streaming_store_sink",   # stream -> durable snapshot store chain
     "streaming_session",      # applyInPandasWithState session windows

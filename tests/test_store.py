@@ -240,6 +240,44 @@ def test_crashed_writer_versions_are_invisible(spark, micro, tmp_path):
     assert store.list_version_kinds(root, spark)[-1] == (v_next, "base")
 
 
+def test_incremental_degrees_matches_recount(spark, micro):
+    """Incremental per-node degrees over a delta exercising all three
+    edge-mutation shapes (new edge, retarget-upsert of an existing id,
+    delete) must equal a full degree recount of the merged snapshot."""
+    root = tempfile.mkdtemp(prefix="snap_incdeg_")
+    store.save_snapshot(micro, root)  # v0 base
+    empty_map = F.create_map().cast("map<string,string>")
+    some_edge = micro.edges.orderBy("id").limit(2).collect()
+    e_keep, e_retarget = some_edge[0], some_edge[1]
+    ups = spark.createDataFrame(
+        [
+            (977_001, "knows", 1, 8),  # brand-new edge
+            # retarget an existing edge id to new endpoints
+            (e_retarget["id"], e_retarget["label"], 8, 1),
+        ],
+        "id bigint, label string, src bigint, dst bigint",
+    ).withColumn("props", empty_map)
+    dels = spark.createDataFrame([(e_keep["id"],)], "id bigint")
+    delta = store.GraphDelta(
+        edge_upserts=ups, edge_deletes=dels, node_deletes=dels.limit(0)
+    )
+    store.save_delta(root, delta, validate=True)
+
+    inc = {
+        r["id"]: (r["out_degree"], r["in_degree"])
+        for r in store.incremental_degrees(spark, root).collect()
+    }
+    merged = store.load_snapshot(spark, root).edges
+    full = {}
+    for r in merged.select("src", "dst").collect():
+        full[r["src"]] = (full.get(r["src"], (0, 0))[0] + 1,
+                          full.get(r["src"], (0, 0))[1])
+        full[r["dst"]] = (full.get(r["dst"], (0, 0))[0],
+                          full.get(r["dst"], (0, 0))[1] + 1)
+    assert inc == full
+    assert inc[8][0] >= 1  # the retarget landed at its new src
+
+
 def test_incremental_label_counts_matches_recount(spark, micro):
     """Incremental per-label counts over a delta (new node, same-label
     update, label change via upsert, delete) must equal a full recount
