@@ -5151,10 +5151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_geo": q_mis_geo,
         "tpch_q7": q_tpch_q7,
         # --- certification window ends here (50 entries). ---
-        # ROTATION (round 7): the 21 entries between here and the
-        # certified tail (11 round-5 overflow + 10 round-6 additions, all
+        # ROTATION (round 7): the 23 entries between here and the
+        # certified tail (11 round-5 overflow + 12 round-6 additions, all
         # local-green at sf0.001 AND sf0.01, 2026-08-14 sweeps) MUST lead
-        # the round-7 window, in this order; the remaining 29 slots can
+        # the round-7 window, in this order; the remaining 27 slots can
         # re-certify tail entries or carry round-7 additions.
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,

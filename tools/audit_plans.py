@@ -86,6 +86,8 @@ AUDITED = [
     ("dedup_policy_sweep", "3 keep policies over one materialized sketch"),
     ("semantic_prune", "cluster-bounded integer-exact cosine prune"),
     ("coreness_parts", "h-index rounds: neighbor join + sorted-list agg"),
+    ("hybrid_search", "BM25 + cosine rankings fused on integer ranks"),
+    ("cms_heavy_hitters", "fixed-memory sketch + broadcast point queries"),
 ]
 
 
