@@ -5095,11 +5095,67 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
-    # entries only. Round-6 rotation: pack_chunks leads (value-correct in
-    # r5 but driver-red on an oracle HUGEINT dtype, now fixed with an
-    # explicit CAST), followed by the first 49 of the 60 entries that had
-    # no driver row in CORRECTNESS_r04/r05. r4 ∪ r5 ∪ r6 then covers 149
-    # distinct certified queries.
+    # entries only. Round-7 rotation: the 23 never-driver-certified
+    # entries lead (11 round-5 overflow + 12 round-6 additions, all
+    # local-green at sf0.001 and sf0.01), then round-7 additions, then
+    # re-certs drawn from the oldest (r4-certified) window to fill 50.
+    # r4 u r5 u r6 covered 149 distinct queries; this window closes the
+    # remaining 23 for full-registry driver coverage.
+        "tpch_q8": q_tpch_q8,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "node2vec_parts": q_node2vec_parts,
+        "degree_histogram": q_degree_histogram,
+        "scc_event_types": q_scc_event_types,
+        "transition_reciprocity": q_transition_reciprocity,
+        "pivot_priority_year": q_pivot_priority_year,
+        "ntile_customer_deciles": q_ntile_customer_deciles,
+        "orders_above_customer_avg": q_orders_above_customer_avg,
+        "dedup_policy_sweep": q_dedup_policy_sweep,
+        "link_prediction_auto": q_link_prediction_auto,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "semantic_prune": q_semantic_prune,
+        "coreness_parts": q_coreness_parts,
+        "hybrid_search": q_hybrid_search,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "store_incremental_degrees": q_store_incremental_degrees,
+        # --- round-7 additions go here (displace re-certs below) ---
+        # --- re-certs (r4-certified, oldest driver window) ---
+        "triangles_coorder": q_triangles_coorder,
+        "similarity_lsh": q_similarity_lsh,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ivf": q_similarity_ivf,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_keep": q_dedup_minhash_keep,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_dedup_pairs": q_embedding_dedup,
+        "sssp_weighted": q_sssp_weighted,
+        "pagerank_top20": q_pagerank_top20,
+        "khop_features": q_khop_features,
+        "motif_supply_chain": q_motif_supply_chain,
+        "paths_to": q_paths_to,
+        "paths_to_undirected": q_paths_to_undirected,
+        "paths_to_hydrated": q_paths_to_hydrated,
+        "connected_components_geo": q_connected_components_geo,
+        "degrees": q_degrees,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "multimodal_meta": q_multimodal_meta,
+        "events_tumbling": q_events_tumbling,
+        "window_rank_customers": q_window_rank_customers,
+        # --- certification window ends here (50 entries). ---
+        # Certified tail: every entry below has a green driver row in
+        # CORRECTNESS_r04/r05/r06.json (r6 covered pack_chunks..tpch_q7).
         "pack_chunks": q_pack_chunks,
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
@@ -5150,38 +5206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "mis_geo": q_mis_geo,
         "tpch_q7": q_tpch_q7,
-        # --- certification window ends here (50 entries). ---
-        # ROTATION (round 7): the 23 entries between here and the
-        # certified tail (11 round-5 overflow + 12 round-6 additions, all
-        # local-green at sf0.001 AND sf0.01, 2026-08-14 sweeps) MUST lead
-        # the round-7 window, in this order; the remaining 27 slots can
-        # re-certify tail entries or carry round-7 additions.
-        "tpch_q8": q_tpch_q8,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
-        "tpch_q17": q_tpch_q17,
-        "node2vec_parts": q_node2vec_parts,
-        "degree_histogram": q_degree_histogram,
-        "scc_event_types": q_scc_event_types,
-        "transition_reciprocity": q_transition_reciprocity,
-        "pivot_priority_year": q_pivot_priority_year,
-        "ntile_customer_deciles": q_ntile_customer_deciles,
-        "orders_above_customer_avg": q_orders_above_customer_avg,
-        # --- round-6 additions slot in here, after the overflow block ---
-        "dedup_policy_sweep": q_dedup_policy_sweep,
-        "link_prediction_auto": q_link_prediction_auto,
-        "tpch_q2": q_tpch_q2,
-        "tpch_q9": q_tpch_q9,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q20": q_tpch_q20,
-        "tpch_q21": q_tpch_q21,
-        "semantic_prune": q_semantic_prune,
-        "coreness_parts": q_coreness_parts,
-        "hybrid_search": q_hybrid_search,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "store_incremental_degrees": q_store_incremental_degrees,
-        # Certified tail: every entry below has a green driver row in
-        # CORRECTNESS_r04.json or CORRECTNESS_r05.json.
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
         "events_json_prop": q_events_json_prop,
@@ -5238,9 +5262,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_edges_filtered": q_get_edges_filtered,
         "egress_edges": q_egress_edges,
         "ingress_edges": q_ingress_edges,
-        "paths_to": q_paths_to,
-        "paths_to_hydrated": q_paths_to_hydrated,
-        "paths_to_undirected": q_paths_to_undirected,
         "get_nodes_unlabeled_prop": q_get_nodes_unlabeled_prop,
         "get_edges_hydrated": q_get_edges_hydrated,
         "add_nodes": q_add_nodes,
@@ -5252,35 +5273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_edges_predicate": q_remove_edges_predicate,
         "store_delta_merge": q_store_delta_merge,
         "codec_roundtrip": q_codec_roundtrip,
-        "degrees": q_degrees,
-        "connected_components_geo": q_connected_components_geo,
         "connected_components_two_phase_geo": q_connected_components_two_phase_geo,
-        "pagerank_top20": q_pagerank_top20,
-        "sssp_weighted": q_sssp_weighted,
-        "khop_features": q_khop_features,
-        "triangles_coorder": q_triangles_coorder,
-        "motif_supply_chain": q_motif_supply_chain,
-        "window_rank_customers": q_window_rank_customers,
         "rollup_order_stats": q_rollup_order_stats,
         "set_ops_customers": q_set_ops_customers,
         "topk_orders": q_topk_orders,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_dedup_pairs": q_embedding_dedup,
-        "similarity_topk": q_similarity_topk,
-        "similarity_lsh": q_similarity_lsh,
-        "similarity_ivf": q_similarity_ivf,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "events_tumbling": q_events_tumbling,
     }
 
 
