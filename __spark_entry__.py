@@ -1940,17 +1940,20 @@ def q_dedup_keep_source(spark, sf_dir):
     """Near-dup dedup keeping the copy from the MOST-PREFERRED SOURCE
     (lowest srcN index; doc_id ties) — the multi-corpus merge policy
     ('prefer the curated dump over the web crawl'). Exercises the
-    NON-text-derived score path of the keep-policy-aware exact-dup
-    collapse. Oracle: the recursive-closure components with the same
+    NON-text-derived score path of the keep-policy-aware collapse.
+    Routed through minhash_dedup_keep_multi with a single policy
+    (VERDICT r6 #2: the end-to-end minhash_dedup_keep call re-ran the
+    shingle+signature+band+verify pipeline, 36.3s at sf0.1; the multi
+    path's collapsed-representative clustering is pytest-pinned equal
+    per policy). Oracle: the recursive-closure components with the same
     (source priority, doc_id) survivor sort."""
     docs = read_documents(spark, sf_dir).withColumn(
         "_prio",
         -F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"),
     )
-    return dedup.minhash_dedup_keep(
-        docs, threshold=0.9, linkage="pairs",
-        keep="max_score", score_col="_prio",
-    )
+    return dedup.minhash_dedup_keep_multi(
+        docs, policies={"keep_source": "_prio"}, threshold=0.9,
+    ).select("doc_id")
 
 
 def q_dedup_policy_sweep(spark, sf_dir):
@@ -5545,7 +5548,12 @@ def oracle_sql() -> dict[str, str]:
             n_iter=6, damping=0.85
         ),
         "kmeans_embeddings": _kmeans_oracle(k=8, n_iter=3),
-        "coreness_parts": _coreness_oracle(rounds=24),
+        # rounds=30 == the engine's max_iter (ADVICE r6: an unroll below
+        # max_iter leaves a divergence window if a larger graph's
+        # fixpoint lands between the two; past-fixpoint rounds are
+        # no-ops, and the engine now RAISES instead of returning
+        # non-converged bounds, so >= max_iter closes the window).
+        "coreness_parts": _coreness_oracle(rounds=30),
         # SemDeDup prune over the same unrolled kmeans: within-cluster
         # lower-id neighbor at cos >= 9/20, decided in exact integer
         # arithmetic (HUGEINT squares of grid dot products).

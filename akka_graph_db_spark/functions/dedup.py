@@ -226,9 +226,45 @@ def corpus_sketch(
     )
     return (
         sigs.join(sh.withColumnRenamed("_sid", "_id"), "_id")
-        .select("_id", "_sig", "_sh", "_n")
+        .select(
+            "_id",
+            # Build parameters ride along as column metadata so sketch
+            # consumers can refuse a mismatched sketch (ADVICE r6: a
+            # num_perm/shingle_n disagreement silently produced wrong
+            # bands/Jaccard instead of an error).
+            F.col("_sig").alias(
+                "_sig",
+                metadata={"num_perm": num_perm, "shingle_n": shingle_n},
+            ),
+            "_sh",
+            "_n",
+        )
         .localCheckpoint(eager=True)
     )
+
+
+def _validate_sketch(
+    sketch: DataFrame, num_perm: int, shingle_n: int
+) -> None:
+    """Refuse a :func:`corpus_sketch` built with different parameters
+    (ADVICE r6): a num_perm mismatch makes F.slice produce short/empty
+    bands (silently missing pairs) and a shingle_n mismatch answers for
+    a different shingling. Sketches without the metadata (hand-built)
+    are accepted unchecked — the contract is documented."""
+    try:
+        meta = sketch.schema["_sig"].metadata or {}
+    except KeyError:
+        raise ValueError("sketch has no _sig column (not a corpus_sketch)")
+    if not meta:
+        return
+    got = (int(meta.get("num_perm", -1)), int(meta.get("shingle_n", -1)))
+    if got != (num_perm, shingle_n):
+        raise ValueError(
+            f"sketch was built with num_perm={got[0]}, shingle_n={got[1]} "
+            f"but the call requested num_perm={num_perm}, "
+            f"shingle_n={shingle_n} — rebuild the sketch or pass matching "
+            "parameters"
+        )
 
 
 def _sketch_subset(sketch: DataFrame, ids: DataFrame, id_col: str):
@@ -390,6 +426,7 @@ def minhash_dedup_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     if sketch is not None:
+        _validate_sketch(sketch, num_perm, shingle_n)
         # Materialize the subset ONCE: five consumers (banding, size
         # prefilter, both verify sides x payload) would otherwise each
         # re-run the semi-join and re-shuffle the _sh arrays — measured
@@ -678,6 +715,8 @@ def minhash_dedup_keep(
         raise ValueError(f"unknown keep: {keep!r}")
     if keep == "max_score" and not score_col:
         raise ValueError("keep='max_score' requires score_col")
+    if sketch is not None:
+        _validate_sketch(sketch, num_perm, shingle_n)
 
     def _survivors(comp: DataFrame) -> DataFrame:
         if keep == "min_id":

@@ -211,7 +211,13 @@ def cms_estimate(
     MIN over rows of the term's counter. The sketch side is depth*width
     rows — broadcast — so estimation is a map-side join per term.
     Returns (term, cms_estimate). est >= true count always; equality
-    whenever no collision survives the row-min (pytest-pinned)."""
+    whenever no collision survives the row-min (pytest-pinned).
+
+    The probe is a LEFT join with empty counters coalesced to 0 (ADVICE
+    r6): a (row, bucket) cell no token hashed into has no sketch row, and
+    an inner join would drop it from the min — an out-of-corpus term
+    would then vanish from the output (or report min over only its
+    colliding rows) instead of the correct estimate 0."""
     from akka_graph_db_spark.functions.hashing import md5_63
 
     probes = terms.select(
@@ -228,7 +234,11 @@ def cms_estimate(
         ).alias("row", "bucket"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(term_col)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
     )

@@ -951,7 +951,13 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
     prev_kept: int | None = None
-    stale: list[DataFrame] = []
+    # Every checkpointed frame lands in `stale`; the frames the RETURNED
+    # plan still references land in `live` — the finally block
+    # unpersists exactly stale − live by identity (ADVICE r6: the old
+    # positional stale[:-2] slice leaked the final sym on the fixpoint
+    # path and an extra superseded frame on the others).
+    stale: list[DataFrame] = [sym]
+    live: list[DataFrame] = []
     try:
         for _ in range(max_iter):
             keep = (
@@ -962,38 +968,35 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             )
             stale.append(keep)
             n_kept = keep.count()  # reuses the checkpoint blocks
-            if n_kept == prev_kept:
+            if n_kept == prev_kept or n_kept == 0:
                 # Fixpoint: no vertex fell below k this round, so keep's
                 # deg column IS the core degree — no edge rejoin needed.
+                live.append(keep)
                 return keep.select(
                     F.col("a").alias("id"), F.col("deg").alias("core_degree")
                 )
             prev_kept = n_kept
-            if n_kept == 0:
-                return keep.select(
-                    F.col("a").alias("id"), F.col("deg").alias("core_degree")
-                )
             nxt = (
                 sym.join(keep.select("a"), "a", "left_semi")
                 .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
                 .select("a", "b")
                 .localCheckpoint(eager=True)
             )
-            stale.append(sym)
+            stale.append(nxt)
             sym = nxt
         # max_iter exhausted without a detected fixpoint: recount inside
         # the final subgraph so the contract (in-core degrees) holds.
+        live.append(sym)
         return (
             sym.groupBy(F.col("a").alias("id"))
             .agg(F.count(F.lit(1)).alias("core_degree"))
             .where(F.col("core_degree") >= k)
         )
     finally:
-        # keep/sym frames still referenced by the returned plan are NOT in
-        # stale at return time only if returned directly; guard by leaving
-        # the last two entries persisted.
-        for df in stale[:-2]:
-            df.unpersist()
+        keep_ids = {id(df) for df in live}
+        for df in stale:
+            if id(df) not in keep_ids:
+                df.unpersist()
 
 
 def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -1011,9 +1014,20 @@ def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     per-vertex collected array is degree-bounded — the same per-vertex
     cost bound a rank-window variant would have; for graphs with
     multi-million-degree hubs, cap hubs first (their coreness can also
-    be resolved by peeling the low shells). Fixpoint-detected via a
-    changed-count that only scans the two small (id, h) frames.
-    Returns (id, coreness).
+    be resolved by peeling the low shells). Fixpoint detection uses the
+    sequence's monotonicity: hⁿ⁺¹(v) <= hⁿ(v) pointwise, so Σh is
+    strictly decreasing until the fixpoint and ONE sum over the new
+    small (id, h) frame — no join against the previous frame — detects
+    convergence (r6 profiling: the per-round changed-count join was
+    ~40% of the 26s wall at sf0.1; the sum rides the same job that
+    materializes the checkpoint). Returns (id, coreness).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without reaching the
+    fixpoint (ADVICE r6): the intermediate h values are only UPPER
+    BOUNDS on coreness, and unlike :func:`kcore` there is no recount
+    fallback that restores the contract — a silent return would hand
+    back wrong answers. Raise ``max_iter`` instead (rounds-to-fixpoint
+    grows slowly — ~19 at sf0.01).
     """
     e = canonical_undirected(pairs)
     sym = e.unionByName(
@@ -1024,7 +1038,10 @@ def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("h"))
         .localCheckpoint(eager=True)
     )
-    stale: list[DataFrame] = []
+    stale: list[DataFrame] = [sym, h]
+    live: list[DataFrame] = []
+    prev_sum: int | None = None
+    converged = False
     try:
         for _ in range(max_iter):
             nh = sym.join(
@@ -1047,21 +1064,28 @@ def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                hnew.join(
-                    h.select(F.col("a"), F.col("h").alias("_prev")), "a"
-                )
-                .where(F.col("h") != F.col("_prev"))
-                .count()
-            )
-            stale.append(h)
+            stale.append(hnew)
+            h_sum = hnew.agg(
+                F.sum("h").cast("bigint").alias("s")
+            ).collect()[0]["s"]
             h = hnew
-            if changed == 0:
+            if h_sum == prev_sum:
+                converged = True
                 break
+            prev_sum = h_sum
+        if not converged:
+            raise RuntimeError(
+                f"coreness did not converge in {max_iter} rounds — the "
+                "current h values are only upper bounds on coreness; "
+                "raise max_iter"
+            )
+        live.append(h)
         return h.select(F.col("a").alias("id"), F.col("h").alias("coreness"))
     finally:
+        keep_ids = {id(df) for df in live}
         for df in stale:
-            df.unpersist()
+            if id(df) not in keep_ids:
+                df.unpersist()
 
 
 def maximal_independent_set(
@@ -1360,7 +1384,10 @@ def _auto_max_degree(deg: DataFrame, q: float = 0.999) -> int:
     n_nodes = sum(n for _, n in hist)
     if n_nodes == 0:
         return _AUTO_MAX_DEGREE_FLOOR
-    need = -(-int(q * 1000) * n_nodes // 1000)  # ceil(q*n) in integers
+    # round(), not int(): float artifacts like 0.29*1000 =
+    # 289.99999... would otherwise truncate to an off-by-one permille
+    # numerator for q values other than the default (ADVICE r6).
+    need = -(-round(q * 1000) * n_nodes // 1000)  # ceil(q*n) in integers
     cum = 0
     cap = hist[-1][0]
     for d, n in hist:

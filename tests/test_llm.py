@@ -159,6 +159,34 @@ def test_corpus_sketch_reuse_matches_fresh_compute(spark):
             assert fresh == shared, (linkage, kw)
 
 
+def test_corpus_sketch_parameter_mismatch_raises(spark):
+    """A sketch built with different num_perm/shingle_n must be REFUSED,
+    not silently answered with wrong bands/shingles (ADVICE r6: defaults
+    even disagree — corpus_sketch shingle_n=1 vs dedup_pairs
+    shingle_n=3)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id bigint, text string"
+    )
+    sk = dedup.corpus_sketch(df, num_perm=32, shingle_n=1)
+    with pytest.raises(ValueError, match="num_perm=32, shingle_n=1"):
+        dedup.minhash_dedup_pairs(
+            df, threshold=0.9, num_perm=64, bands=16, shingle_n=1,
+            sketch=sk,
+        )
+    with pytest.raises(ValueError, match="rebuild the sketch"):
+        # defaults: minhash_dedup_pairs shingle_n=3 vs sketch's 1
+        dedup.minhash_dedup_pairs(
+            df, num_perm=32, bands=32, sketch=sk
+        )
+    with pytest.raises(ValueError, match="rebuild the sketch"):
+        dedup.minhash_dedup_keep(
+            df, threshold=0.9, num_perm=64, bands=16, shingle_n=3,
+            sketch=sk,
+        )
+
+
 def test_token_jaccard_order_insensitive(docs):
     # doc 6 is doc 1 with shuffled word order: token-set jaccard = 1.0
     pairs = {
@@ -549,6 +577,31 @@ def test_cms_overestimates_never_under(spark):
     }
     assert all(est1[t] >= exact[t] for t in exact)
     assert est1["a"] == 9  # every token lands in the one bucket
+
+
+def test_cms_out_of_corpus_term_estimates_zero(spark):
+    """A term absent from the corpus whose counters are all empty must
+    estimate 0, not vanish (ADVICE r6: the probe is a LEFT join with
+    empty cells coalesced to 0 — an inner join dropped such terms)."""
+    from akka_graph_db_spark.functions.search import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    toks = spark.createDataFrame([("a",)] * 5, "term string")
+    sk = cms_sketch(toks, width=1024, depth=4)
+    terms = spark.createDataFrame(
+        [("a",), ("never-seen-term",)], "term string"
+    )
+    est = {
+        r["term"]: r["cms_estimate"]
+        for r in cms_estimate(sk, terms, width=1024, depth=4).collect()
+    }
+    assert est["a"] == 5
+    # 4 independent 1/1024 collision chances: the min is 0 unless all
+    # four rows collide with 'a' — deterministic given the pinned hash
+    # draw, and 0 for this fixture.
+    assert est["never-seen-term"] == 0
 
 
 def test_rrf_fuse_full_outer_and_order(spark):
