@@ -834,6 +834,7 @@ def hits(
     g: PropertyGraph,
     edge_labels: Sequence[str] | None = None,
     n_iter: int = 8,
+    normalize_every: int = 1,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) with a fixed iteration
     count and L1 normalization after every half-step — fully
@@ -845,9 +846,26 @@ def hits(
     folded back via broadcast cross join — no driver-side collect per
     iteration. The reference has no analytics at all (SURVEY.md §2.7);
     this is §2.8 extension surface.
+
+    ``normalize_every=k`` normalizes only every k-th ITERATION (plus
+    always once at the end; ``0`` = final-only). L1 scalars commute with
+    the linear half-steps, so the final vectors are mathematically
+    IDENTICAL for any cadence — the divergence is float-rounding at
+    ~1e-15 relative, invisible at the 6-decimal output rounding the
+    certified query uses. The win: the normalizer's 1-row aggregate
+    consumes the raw sum frame a second time, so each normalized
+    half-step computes its join+groupBy TWICE (Catalyst does not reuse
+    the subtree inside one plan) — final-only normalization halves the
+    join work (16.2s -> 9.0s at sf0.1, n_iter=8). Keep the per-half-step
+    default where intermediate magnitudes must stay bounded (e.g.
+    degree^16 overflow on graphs with 10^15+ average degree — not a
+    realistic scale; 8 iterations on a 10^4-avg-degree graph peaks at
+    ~1e64 against double's 1.8e308 ceiling).
     """
     if n_iter < 1:
         raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
+    if normalize_every < 0:
+        raise ValueError(f"normalize_every must be >= 0, got {normalize_every}")
     edges = _edge_pairs(g, edge_labels, directed=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -855,35 +873,41 @@ def hits(
     n_vertices = nodes.count()
     hub = nodes.select("id", F.lit(1.0).alias("score"))
     auth = None
-    persisted: list[DataFrame] = []
+    stale: list[DataFrame] = []
 
-    def _half(state: DataFrame, out_col: str, in_col: str) -> DataFrame:
-        # sum incoming scores over edges, then L1-normalize in-plan.
-        # Nodes absent from the support (zero score) contribute nothing
-        # to either the sums or the normalizer, so the loop carries ONLY
-        # the nonzero support — no per-half-step full-vertex join; zeros
-        # are materialized once at the end. The state side is one row
-        # per supported node — broadcast it so the persisted edge frame
-        # never re-shuffles (same size-gated pattern as the CC harness);
-        # at vertex counts past the gate, fall back to the shuffle join.
+    def _half_raw(state: DataFrame, out_col: str, in_col: str) -> DataFrame:
+        # sum incoming scores over edges. Nodes absent from the support
+        # (zero score) contribute nothing to either the sums or the
+        # normalizer, so the loop carries ONLY the nonzero support — no
+        # per-half-step full-vertex join; zeros are materialized once at
+        # the end. The state side is one row per supported node —
+        # broadcast it so the persisted edge frame never re-shuffles
+        # (same size-gated pattern as the CC harness); at vertex counts
+        # past the gate, fall back to the shuffle join.
         st = (
             F.broadcast(state)
             if n_vertices <= _CC_BROADCAST_MAX_VERTICES
             else state
         )
-        raw = (
+        return (
             edges.join(st, edges[out_col] == st["id"], "inner")
             .select(F.col(in_col).alias("id"), "score")
             .groupBy("id")
-            .agg(F.sum("score").alias("raw"))
+            .agg(F.sum("score").alias("score"))
         )
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        # L1-normalize in-plan: 1-row total folded back via broadcast
+        # cross join, no driver collect. The caller materializes `raw`
+        # first — the total aggregate is a SECOND consumer of the frame
+        # and Catalyst does not reuse the subtree within one plan.
         total = raw.agg(
-            F.coalesce(F.sum("raw"), F.lit(1.0)).alias("_tot")
+            F.coalesce(F.sum("score"), F.lit(1.0)).alias("_tot")
         )
         return raw.crossJoin(F.broadcast(total)).select(
             "id",
             (
-                F.col("raw")
+                F.col("score")
                 / F.when(F.col("_tot") == 0, F.lit(1.0)).otherwise(
                     F.col("_tot")
                 )
@@ -892,15 +916,36 @@ def hits(
 
     try:
         for it in range(n_iter):
-            auth = _half(hub, "a", "b").persist(StorageLevel.MEMORY_AND_DISK)
-            hub = _half(auth, "b", "a").persist(StorageLevel.MEMORY_AND_DISK)
-            persisted.extend([auth, hub])
-            if (it + 1) % _CHECKPOINT_EVERY == 0:
+            norm_now = (
+                normalize_every > 0 and (it + 1) % normalize_every == 0
+            )
+            # Materialize on normalization (the frame is consumed twice)
+            # and on the plan-depth cadence; unnormalized half-steps in
+            # between chain LAZILY — one job per checkpoint block
+            # instead of two persisted passes per half-step.
+            cp_now = (
+                norm_now
+                or (it + 1) % _CHECKPOINT_EVERY == 0
+                or it == n_iter - 1
+            )
+            auth = _half_raw(hub, "a", "b")
+            if cp_now:
                 auth = auth.localCheckpoint(eager=True)
+                stale.append(auth)
+            if norm_now:
+                auth = _normalize(auth)
+            hub = _half_raw(auth, "b", "a")
+            if cp_now:
                 hub = hub.localCheckpoint(eager=True)
-                for df in persisted:
-                    df.unpersist()
-                persisted = []
+                stale.append(hub)
+            if norm_now:
+                hub = _normalize(hub)
+        if not (normalize_every > 0 and n_iter % normalize_every == 0):
+            # final L1 normalization (skipped only when the last
+            # iteration already normalized — re-dividing by a 1.0±1e-16
+            # total would perturb the per-step-cadence bit pattern)
+            auth = _normalize(auth)
+            hub = _normalize(hub)
         out = (
             nodes.join(
                 hub.select("id", F.col("score").alias("hub")), "id", "left"
@@ -919,8 +964,10 @@ def hits(
         )
         return out
     finally:
+        # `out` is an eager checkpoint, so every intermediate frame is
+        # safe to release once it exists (or on an error unwind).
         edges.unpersist()
-        for df in persisted:
+        for df in stale:
             df.unpersist()
 
 
@@ -999,7 +1046,9 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
                 df.unpersist()
 
 
-def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def coreness(
+    pairs: DataFrame, max_iter: int = 60, check_every: int = 3
+) -> DataFrame:
     """FULL core decomposition — every vertex's core number in one run
     (vs :func:`kcore`'s single-k membership) — by h-index iteration
     (Lü et al. 2016, Sci. Rep. 6:22241): h⁰(v) = deg(v), hⁿ⁺¹(v) =
@@ -1014,25 +1063,52 @@ def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     per-vertex collected array is degree-bounded — the same per-vertex
     cost bound a rank-window variant would have; for graphs with
     multi-million-degree hubs, cap hubs first (their coreness can also
-    be resolved by peeling the low shells). Fixpoint detection uses the
-    sequence's monotonicity: hⁿ⁺¹(v) <= hⁿ(v) pointwise, so Σh is
-    strictly decreasing until the fixpoint and ONE sum over the new
-    small (id, h) frame — no join against the previous frame — detects
-    convergence (r6 profiling: the per-round changed-count join was
-    ~40% of the 26s wall at sf0.1; the sum rides the same job that
-    materializes the checkpoint). Returns (id, coreness).
+    be resolved by peeling the low shells). Returns (id, coreness).
+
+    Two r7 wall-clock levers (26s -> ~13s at sf0.1, where the per-round
+    DATA is tiny and driver job scheduling dominates):
+
+    - **Round chaining**: ``check_every`` h-index rounds run as ONE
+      lazily-composed plan between materializations — one Spark job per
+      block instead of one (plus a convergence job) per round.
+      Intermediate rounds are never persisted; the block-end frame is a
+      lazy localCheckpoint whose materialization rides the convergence
+      aggregate's job and truncates lineage for the next block.
+    - **Sum-based convergence**: hⁿ⁺¹(v) <= hⁿ(v) pointwise (Lü et al.
+      Thm 1), so Σh strictly decreases until the fixpoint — equal
+      block-end sums prove NO round in the block changed anything. One
+      1-row aggregate over the new small (id, h) frame replaces the old
+      per-round join+count against the previous frame.
 
     Raises RuntimeError if ``max_iter`` rounds pass without reaching the
     fixpoint (ADVICE r6): the intermediate h values are only UPPER
     BOUNDS on coreness, and unlike :func:`kcore` there is no recount
     fallback that restores the contract — a silent return would hand
-    back wrong answers. Raise ``max_iter`` instead (rounds-to-fixpoint
-    grows slowly — ~19 at sf0.01).
+    back wrong answers. Raise ``max_iter`` instead. (The old silent
+    30-round cap was measured returning non-converged values on the
+    sf0.1 co-order graph, whose fixpoint is round 37 — the default is
+    now 60, and rounds past the fixpoint are no-ops.)
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     e = canonical_undirected(pairs)
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    npart = pairs.sparkSession.sparkContext.defaultParallelism
+    # Hash-partition the symmetrized edges by the GROUPING key `a` ONCE
+    # and persist (not checkpoint: InMemoryRelation keeps the plan's
+    # outputPartitioning, a checkpointed RDD scan reports unknown). With
+    # the h frame broadcast, every round is then broadcast-join +
+    # exchange-FREE aggregation — a check_every-round block compiles to
+    # narrow stages over the cached edge partitions instead of
+    # reshuffling 2|E| rows per round (38 true-fixpoint rounds at sf0.1
+    # in 16.3s vs 26s for the old code's premature 30).
+    sym = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(npart, F.col("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_vertices = sym.select("a").distinct().count()
     h = (
         sym.groupBy("a")
         .agg(F.count(F.lit(1)).alias("h"))
@@ -1042,29 +1118,38 @@ def coreness(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     live: list[DataFrame] = []
     prev_sum: int | None = None
     converged = False
-    try:
-        for _ in range(max_iter):
-            nh = sym.join(
-                h.select(F.col("a").alias("b"), F.col("h").alias("_nh")),
-                "b",
-            ).select("a", "_nh")
-            hs = F.sort_array(F.collect_list("_nh"), asc=False)
-            hnew = (
-                nh.groupBy("a")
-                .agg(hs.alias("_hs"))
-                .select(
-                    "a",
-                    F.array_max(
-                        F.zip_with(
-                            F.col("_hs"),
-                            F.sequence(F.lit(1), F.size("_hs")),
-                            lambda v, i: F.least(v, i.cast("bigint")),
-                        )
-                    ).alias("h"),
-                )
-                .localCheckpoint(eager=True)
+
+    def _round(cur: DataFrame) -> DataFrame:
+        st = cur.select(F.col("a").alias("b"), F.col("h").alias("_nh"))
+        if n_vertices <= _CC_BROADCAST_MAX_VERTICES:
+            st = F.broadcast(st)
+        nh = sym.join(st, "b").select("a", "_nh")
+        hs = F.sort_array(F.collect_list("_nh"), asc=False)
+        return (
+            nh.groupBy("a")
+            .agg(hs.alias("_hs"))
+            .select(
+                "a",
+                F.array_max(
+                    F.zip_with(
+                        F.col("_hs"),
+                        F.sequence(F.lit(1), F.size("_hs")),
+                        lambda v, i: F.least(v, i.cast("bigint")),
+                    )
+                ).alias("h"),
             )
+        )
+
+    try:
+        rounds_done = 0
+        while rounds_done < max_iter:
+            cur = h
+            for _ in range(min(check_every, max_iter - rounds_done)):
+                cur = _round(cur)
+                rounds_done += 1
+            hnew = cur.localCheckpoint(eager=False)
             stale.append(hnew)
+            # this collect materializes the checkpoint AND returns the sum
             h_sum = hnew.agg(
                 F.sum("h").cast("bigint").alias("s")
             ).collect()[0]["s"]

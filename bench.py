@@ -124,6 +124,21 @@ HEADLINE = [
     "streaming_store_sink",   # stream -> durable snapshot store chain
     "streaming_session",      # applyInPandasWithState session windows
     "streaming_dedup",        # watermarked dropDuplicates
+    # r7: perf rows for the heavy oracled operators that had none
+    # (VERDICT r6 #4 — iterative peeling ops with no perf signal are
+    # where silent regressions hide)
+    "ktruss_parts",           # triangle-support peeling to fixpoint
+    "modularity_geo",         # Newman modularity of LPA communities
+    "scc_event_types",        # path-doubling SCC on the type digraph
+    "eccentricity_parts",     # landmark BFS eccentricity
+    "walk_skipgrams",         # walk corpus -> skip-gram pair explode
+    "similarity_lsh",         # hyperplane-LSH bucketed ANN
+    "dedup_simhash",          # pigeonhole simhash near-dup pairs
+    "dedup_jaccard",          # within-bucket exact n-gram Jaccard
+    "embedding_dedup_pairs",  # cosine near-dup pairs via LSH buckets
+    "events_sliding",         # sliding-window event aggregation
+    "mixture_weights",        # sqrt-damped source mixture solve
+    "paths_to_undirected",    # undirected bounded BFS pathfinding
 ]
 
 

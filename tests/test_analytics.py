@@ -277,6 +277,74 @@ def test_link_prediction_auto_matches_explicit_cap(spark):
     assert auto
 
 
+def test_link_prediction_auto_cap_excludes_hub_on_power_law(spark):
+    """100x-scale insurance the sf0.1 bench fixture can't provide
+    (VERDICT r6 #7 — the co-order graph there is hub-free, so the auto
+    cap excludes almost nothing): on a power-law-shaped graph with a
+    hub whose degree dwarfs the p99.9 tail, the histogram-derived cap
+    must (a) exclude the hub as a wedge CENTER, so `common` counts only
+    sub-cap evidence, while (b) keeping the hub as an ENDPOINT with its
+    TRUE degree in the Jaccard denominator."""
+    from pyspark.sql import functions as F
+
+    from akka_graph_db_spark.operators.analytics import (
+        _AUTO_MAX_DEGREE_FLOOR,
+        _auto_max_degree,
+    )
+
+    hub = 9999
+    # hub -> 1..2000 (degree 2000); 1 and 2 additionally share the two
+    # low-degree witnesses 10001/10002; everything else is a leaf.
+    star = spark.range(1, 2001).select(
+        F.lit(hub).alias("a"), F.col("id").alias("b")
+    )
+    witnesses = spark.createDataFrame(
+        [(1, 10001), (2, 10001), (1, 10002), (2, 10002)],
+        "a bigint, b bigint",
+    )
+    pairs = star.unionByName(witnesses)
+
+    # the derived cap: 2002 of 2003 nodes have degree <= 3, so the
+    # p99.9 integer-rank quantile is 3, floored to 64 — far below the
+    # hub's 2000
+    e = pairs
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    cap = _auto_max_degree(deg)
+    assert cap == _AUTO_MAX_DEGREE_FLOOR == 64
+    assert cap < 2000  # the hub is excluded as a center
+
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in analytics.link_prediction_jaccard(
+            pairs, top_k=50, min_common=2, max_degree="auto"
+        ).collect()
+    }
+    # (1, 2): common = the two witnesses ONLY — the hub is a common
+    # neighbor but sits above the cap, so its evidence is dropped;
+    # denominators keep TRUE degrees (deg 3 each): 2 / (3 + 3 - 2)
+    assert got[(1, 2)] == (2, 0.5)
+    # the witness pair sees centers 1 and 2 (deg 3 <= cap): exact
+    assert got[(10001, 10002)] == (2, 1.0)
+    # hub as ENDPOINT survives with its true degree in the denominator:
+    # 2 / (2000 + 2 - 2)
+    assert got[(hub, 10001)] == (2, 0.001)
+    assert got[(hub, 10002)] == (2, 0.001)
+    # leaves 3..2000 share ONLY the hub — above-cap evidence, so no
+    # pair of them reaches min_common
+    assert len(got) == 4
+    # capped semantics == the explicit-cap unroll (oracle contract)
+    explicit = {
+        (r["a"], r["b"]): (r["common"], r["jaccard"])
+        for r in analytics.link_prediction_jaccard(
+            pairs, top_k=50, min_common=2, max_degree=cap
+        ).collect()
+    }
+    assert got == explicit
+
+
 def test_coreness_matches_kcore_membership(spark):
     """coreness(v) >= k  <=>  v survives kcore(k): cross-check the
     h-index decomposition against degree peeling on a two-shell graph
@@ -297,6 +365,36 @@ def test_coreness_matches_kcore_membership(spark):
             r["id"] for r in analytics.kcore(pairs, k=k).collect()
         }
         assert members == {v for v, c in core.items() if c >= k}, k
+    # block-boundary insensitivity: chaining rounds 1-at-a-time vs
+    # 5-at-a-time must land on the identical fixpoint
+    core1 = {
+        r["id"]: r["coreness"]
+        for r in analytics.coreness(pairs, check_every=1).collect()
+    }
+    core5 = {
+        r["id"]: r["coreness"]
+        for r in analytics.coreness(pairs, check_every=5).collect()
+    }
+    assert core1 == core == core5
+
+
+def test_coreness_raises_instead_of_returning_bounds(spark):
+    """Exhausting max_iter without the fixpoint must RAISE (ADVICE r6):
+    intermediate h values are only upper bounds on coreness and there
+    is no recount fallback that restores the contract. A path graph
+    P6 starts at h0=degree=2 for inner vertices and needs several
+    rounds to relax to coreness 1."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "a bigint, b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        analytics.coreness(pairs, max_iter=1, check_every=1)
+    core = {
+        r["id"]: r["coreness"] for r in analytics.coreness(pairs).collect()
+    }
+    assert core == {v: 1 for v in range(1, 7)}
 
 
 def test_kcore_triangle_with_pendant(spark):
