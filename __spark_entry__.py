@@ -771,6 +771,42 @@ def _kmeans_oracle(
     return "WITH " + ",\n".join(ctes) + final
 
 
+def _hll_oracle(p: int = 10) -> str:
+    """q_hll_distinct_events' oracle: the identical HLL registers in
+    DuckDB — md5-family hash, bucket = h % m, rho = trailing zeros of
+    the remaining bits via the same bit_count((w & -w) - 1) + 1 integer
+    formula, harmonic sum as an exact BIGINT of power-of-two terms, and
+    ONE final float division by the same driver-side literal the engine
+    inlines (functions/search.py hll_estimate)."""
+    from akka_graph_db_spark.functions.search import _HLL_RHO_CAP, _hll_alpha
+
+    m = 1 << p
+    c = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_CAP)
+    return f"""
+        WITH hll_h AS (
+          SELECT CAST(md5_number_upper('hll:' || CAST(event_id AS VARCHAR))
+                      & 9223372036854775807 AS BIGINT) AS h
+          FROM events
+        ),
+        hll_b AS (SELECT h % {m} AS bucket, h >> {p} AS w FROM hll_h),
+        hll_regs AS (
+          SELECT bucket,
+                 MAX(LEAST(bit_count((w & -w) - 1) + 1, {_HLL_RHO_CAP}))
+                   AS register
+          FROM hll_b GROUP BY bucket
+        ),
+        hll_s AS (
+          SELECT CAST(SUM(CAST(1 AS BIGINT)
+                          << ({_HLL_RHO_CAP} - COALESCE(r.register, 0)))
+                      AS BIGINT) AS s
+          FROM range({m}) t LEFT JOIN hll_regs r ON t.range = r.bucket
+        )
+        SELECT (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact,
+               ROUND({c!r} / CAST(s AS DOUBLE), 4) AS hll_estimate
+        FROM hll_s
+    """
+
+
 def _coreness_oracle(rounds: int = 24) -> str:
     """q_coreness_parts' oracle: h-index iteration unrolled as DuckDB
     CTEs over the part co-order graph. h⁰ = degree; each round's H
@@ -2389,6 +2425,29 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_hll_distinct_events(spark, sf_dir):
+    """HyperLogLog distinct count of event ids vs the exact answer —
+    the fixed-memory COUNT DISTINCT for 100 TB streams (1024 registers
+    regardless of input size; search.hll_sketch/hll_estimate). The hash
+    draw is pinned (md5 family) and every register op is INTEGER
+    (trailing zeros via bit_count, harmonic sum as exact BIGINT), so
+    the sketch — and therefore the estimate, whose only float op is one
+    final literal/S division — is deterministic and the oracle rebuilds
+    it bit-for-bit in SQL. Raw estimator (no ln()-based small-range
+    correction): accurate above ~2.5m values; the sf0.001 fixture's
+    1000 ids sit below that and both sides agree on the same biased
+    value, which is the point of the certification."""
+    from akka_graph_db_spark.functions import search
+
+    ev_df = read_events(spark, sf_dir)
+    sk = search.hll_sketch(ev_df, "event_id", p=10)
+    est = search.hll_estimate(sk, p=10)
+    exact = ev_df.agg(F.countDistinct("event_id").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact", F.round("hll_estimate", 4).alias("hll_estimate")
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-10 for a 3-term query (rational-idf variant — transcendental
     ln() is not bit-reproducible across engines; docstring in
@@ -2518,6 +2577,29 @@ def q_events_sliding(spark, sf_dir):
 def q_events_session(spark, sf_dir):
     ensure_query_conf(spark)
     return ev.session(read_events(spark, sf_dir), "10 minutes")
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Ordinal sessionization (ev.sessionize): gaps-and-islands with
+    per-user session SEQUENCE numbers — one LAG to flag >10-min gaps,
+    one running SUM to number the islands, one groupBy for per-session
+    stats. Deterministic total order (ts, event_id) and integer epoch
+    arithmetic, so the SQL-window oracle reproduces it exactly.
+    Complements events_session (session_window), which aggregates the
+    same islands but cannot produce the ordinal."""
+    s = ev.sessionize(read_events(spark, sf_dir), gap_minutes=10)
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "start_ts"
+        ),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "end_ts"
+        ),
+        "duration_sec",
+    )
 
 
 def q_events_json_prop(spark, sf_dir):
@@ -5132,7 +5214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "store_incremental_degrees": q_store_incremental_degrees,
-        # --- round-7 additions go here (displace re-certs below) ---
+        # --- round-7 additions (displace re-certs below) ---
+        "hll_distinct_events": q_hll_distinct_events,
+        "sessionize_events": q_sessionize_events,
         # --- re-certs (r4-certified, oldest driver window) ---
         "triangles_coorder": q_triangles_coorder,
         "similarity_lsh": q_similarity_lsh,
@@ -5159,11 +5243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "multimodal_meta": q_multimodal_meta,
-        "events_tumbling": q_events_tumbling,
-        "window_rank_customers": q_window_rank_customers,
         # --- certification window ends here (50 entries). ---
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04/r05/r06.json (r6 covered pack_chunks..tpch_q7).
+        "events_tumbling": q_events_tumbling,
+        "window_rank_customers": q_window_rank_customers,
         "pack_chunks": q_pack_chunks,
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
@@ -6867,6 +6951,38 @@ def oracle_sql() -> dict[str, str]:
             FROM cms_probes p JOIN cms_sk s USING (row, bucket)
             GROUP BY 1, 2
             ORDER BY exact_count DESC, term
+        """,
+        # Engine-side cms_estimate is a LEFT join (out-of-corpus terms
+        # estimate 0, ADVICE r6); the inner join here is equivalent for
+        # THIS query because every probe is an in-corpus top-20 term
+        # whose own tokens occupy all four probed counters.
+        "hll_distinct_events": _hll_oracle(),
+        # Strict > on TRUNCATED epoch seconds mirrors ev.sessionize
+        # (unix_timestamp truncates); LAG NULL on the first event falls
+        # to ELSE 0 in both engines.
+        "sessionize_events": """
+            WITH sz AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN FLOOR(epoch(ts))
+                               - FLOOR(epoch(LAG(ts) OVER w)) > 600
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sn AS (
+              SELECT user_id, ts,
+                     CAST(SUM(brk) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT)
+                       AS session_seq
+              FROM sz
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+                   CAST(FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts)))
+                        AS BIGINT) AS duration_sec
+            FROM sn GROUP BY user_id, session_seq
         """,
         "vocabulary": f"""
             WITH vo_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),

@@ -273,3 +273,63 @@ def event_transitions(
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization with ORDINAL session numbers:
+    assigns each user's events to sessions (a new session starts when
+    the gap to the previous event exceeds ``gap_minutes``) and returns
+    one row per session — (user_id, session_seq, n_events, start_ts,
+    end_ts, duration_sec) with session_seq = 1 for the user's first
+    session. :func:`session` (session_window) aggregates the same
+    islands but cannot say WHICH session a row was — the ordinal is
+    what session-ordered analyses (first-session conversion, returning
+    behavior) need.
+
+    Two windows partitioned by ``user_col`` ordered by (ts, event_id)
+    — a deterministic total order even with timestamp ties — one LAG to
+    flag boundaries, one running SUM to number them; then a single
+    groupBy. All arithmetic is integer epoch seconds, so a SQL oracle
+    reproduces it exactly. Scale: per-user partitions; a window never
+    sees more than one user's events, and the per-session output is
+    strictly smaller than the input.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    flagged = events.select(
+        user_col,
+        ts_col,
+        id_col,
+        F.when(
+            ep - F.lag(ep).over(w) > gap_minutes * 60, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    numbered = flagged.select(
+        user_col,
+        ts_col,
+        (F.sum("_new").over(w) + 1).alias("session_seq"),
+    )
+    return (
+        numbered.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+        .withColumn(
+            "duration_sec",
+            (
+                F.unix_timestamp("end_ts") - F.unix_timestamp("start_ts")
+            ).cast("bigint"),
+        )
+    )

@@ -242,3 +242,88 @@ def cms_estimate(
             .alias("cms_estimate")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (pinned hash draw, integer registers)
+# --------------------------------------------------------------------------
+
+_HLL_RHO_CAP = 50  # keeps the integer harmonic sum inside BIGINT
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m >= 128 registers (Flajolet et
+    al. 2007 §4) — computed driver-side and inlined as ONE literal so a
+    SQL oracle interpolates the identical float."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """HyperLogLog registers for COUNT DISTINCT of ``value_col`` —
+    m = 2**p rows of (bucket, register), FIXED memory no matter how many
+    values stream through (the 100 TB companion to :func:`cms_sketch`:
+    CMS answers "how often", HLL answers "how many distinct").
+
+    The hash draw is pinned to the repo's cross-engine MD5 family:
+    h = md5_63('hll:' || value); bucket = h % m; the remaining bits
+    w = h >> p contribute rho = trailing-zero count + 1 (computed in
+    pure integer ops — bit_count((w & -w) - 1) + 1 — NOT float log2,
+    so DuckDB rebuilds the identical registers), capped at
+    ``_HLL_RHO_CAP`` so the estimator's harmonic sum stays an exact
+    BIGINT. One groupBy over m buckets; empty buckets are materialized
+    by :func:`hll_estimate`, not stored.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    m = 1 << p
+    h = md5_63(
+        F.concat(F.lit("hll:"), F.col(value_col).cast("string"))
+    )
+    w = F.shiftright(h, p)
+    low = w.bitwiseAND(-w)
+    rho = F.least(
+        F.bit_count(low - F.lit(1)) + F.lit(1), F.lit(_HLL_RHO_CAP)
+    )
+    return (
+        df.select((h % m).alias("bucket"), rho.alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").cast("int").alias("register"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 10) -> DataFrame:
+    """1-row raw HLL estimate from a :func:`hll_sketch` frame.
+
+    DETERMINISTIC across engines: the harmonic sum is computed as the
+    exact integer S = sum over all m buckets of 2**(RHO_CAP - register)
+    (empty bucket = 2**RHO_CAP), and the only float op is the single
+    final division C / S where C = alpha_m * m^2 * 2**RHO_CAP is one
+    driver-side literal — no per-row float accumulation whose order
+    could differ between engines. Returns (hll_estimate double). This
+    is the RAW estimator (no small/large-range corrections — the
+    small-range path needs ln(), which the oracle contract bans); for
+    cardinalities well above 5m/2 the raw estimate is the standard one.
+    """
+    m = 1 << p
+    spark = sketch.sparkSession
+    buckets = spark.range(m).select(F.col("id").alias("bucket"))
+    c = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_CAP)
+    s = (
+        buckets.join(sketch, "bucket", "left")
+        .select(
+            # SQL expr: the DataFrame shiftleft() helper only accepts a
+            # Python-int shift amount, the SQL form takes a column
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"{_HLL_RHO_CAP} - coalesce(register, 0))"
+            ).alias("_term")
+        )
+        .agg(F.sum("_term").cast("bigint").alias("_s"))
+    )
+    return s.select(
+        (F.lit(c) / F.col("_s").cast("double")).alias("hll_estimate")
+    )

@@ -604,6 +604,33 @@ def test_cms_out_of_corpus_term_estimates_zero(spark):
     assert est["never-seen-term"] == 0
 
 
+def test_hll_fixed_memory_accuracy_and_determinism(spark):
+    """HLL sketch: at most m register rows no matter the input size;
+    the raw estimator lands within the ~3.25% standard error band of
+    the true cardinality for n >> 2.5m; duplicates change NOTHING
+    (registers are maxes of a value-determined rho); and the estimate
+    is a pure function of the value set (pinned hash draw)."""
+    from pyspark.sql import functions as F
+
+    from akka_graph_db_spark.functions.search import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    n = 50_000
+    vals = spark.range(n).select(F.col("id").alias("v"))
+    sk = hll_sketch(vals, "v", p=10)
+    assert sk.count() <= 1024
+    est = hll_estimate(sk, p=10).collect()[0]["hll_estimate"]
+    assert abs(est - n) / n < 0.10  # 3 sigma of 1.04/sqrt(1024)
+    # duplicates are invisible: 3 copies of every value, same registers
+    dup = vals.unionByName(vals).unionByName(vals)
+    est_dup = hll_estimate(
+        hll_sketch(dup, "v", p=10), p=10
+    ).collect()[0]["hll_estimate"]
+    assert est_dup == est
+
+
 def test_rrf_fuse_full_outer_and_order(spark):
     """RRF: a doc ranked by BOTH systems outranks single-system docs of
     comparable rank; docs from only one side still score (full outer);
@@ -793,6 +820,34 @@ def test_salted_join_identical_to_plain(spark):
         map(tuple, left.join(right, "k").select("k", "tag").collect())
     )
     assert got == want
+
+
+def test_sessionize_ordinals_and_gap_boundary(spark):
+    """Ordinal sessionization: a gap of EXACTLY the threshold stays in
+    the same session (strict >); the session_seq numbers islands 1..n
+    per user in time order; a second user's numbering is independent."""
+    from akka_graph_db_spark.functions import events as ev
+
+    rows = [
+        # user 1: two events 600s apart (same session), then 601s gap
+        (1, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-01 00:10:00", 10),
+        (3, "2024-01-01 00:20:01", 10),
+        # user 2: one lone event
+        (4, "2024-01-01 05:00:00", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, s string, user_id bigint"
+    ).select("event_id", F.to_timestamp("s").alias("ts"), "user_id")
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_sec"])
+        for r in ev.sessionize(df, gap_minutes=10).collect()
+    }
+    assert got == {
+        (10, 1): (2, 600),   # exact-gap event joined session 1
+        (10, 2): (1, 0),     # 601s gap opened session 2
+        (20, 1): (1, 0),
+    }
 
 
 def test_hierarchical_rollup_composes(spark):
