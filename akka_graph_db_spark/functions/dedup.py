@@ -1223,3 +1223,105 @@ def exact_span_dedup(
             cleaned.alias("clean_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin family)
+# --------------------------------------------------------------------------
+
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold join via prefix filtering
+    (the PPJoin family, Xiao et al. WWW'08) — the deterministic-recall
+    alternative to MinHash LSH: no banding misses, every qualifying
+    pair is found, with candidate volume bounded by RARE-token postings
+    instead of hash buckets. Returns (a_id, b_id, jaccard_sim).
+
+    The filter: order each doc's shingle set by GLOBAL frequency
+    ascending (ties by shingle hash — any consistent total order
+    works); if J(A,B) >= t then A and B must share an element within
+    their PREFIXES of length |S| - ceil(t*|S|) + 1 (else even perfect
+    overlap of the remaining suffixes leaves the intersection below
+    t/(1+t)*(|A|+|B|)). Candidates therefore come from a self-equi-join
+    of the exploded PREFIX postings — the frequency ordering pushes
+    prefixes toward rare shingles, whose posting lists are short, so
+    the join output is far below the share-ANY-token join an oracle
+    uses. ceil(t*n) is computed in INTEGER permille arithmetic
+    ((tm*n + 999) div 1000) — a float ceil(0.8*5) = ceil(4.0000000004)
+    = 5 would SHORTEN the prefix and silently drop pairs.
+
+    Verification is the same exact hashed-shingle-set Jaccard as
+    :func:`minhash_dedup_pairs` (size-ratio prefilter first), so
+    equality at the threshold is boundary-safe. 100 TB shape: one
+    frequency aggregation, one per-doc sort (degree-bounded arrays),
+    one equi-join on prefix shingles, no all-pairs step anywhere.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tm = round(threshold * 1000)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        _shingle_sets(df, text_col, id_col, shingle_n)
+        .repartition(npart, F.col("_sid"))
+        .localCheckpoint(eager=False)
+    )
+    # global shingle frequencies -> (freq, shingle) sort key; the pack
+    # freq*2^64+shingle is not needed — sort a struct instead
+    freq = (
+        sh.select(F.explode("_sh").alias("_e"))
+        .groupBy("_e")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    prefix_len = F.expr(f"CAST(_n - (({tm} * _n + 999) DIV 1000) + 1 AS INT)")
+    prefixes = (
+        sh.select(F.col("_sid"), F.explode("_sh").alias("_e"), "_n")
+        .join(freq, "_e")
+        .groupBy("_sid", "_n")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_f, _e))),"
+                " s -> s._e)"
+            ).alias("_ordered")
+        )
+        .select(
+            "_sid",
+            F.explode(F.slice(F.col("_ordered"), 1, prefix_len)).alias(
+                "_p"
+            ),
+        )
+    )
+    cand = (
+        prefixes.select(F.col("_sid").alias("a_id"), "_p")
+        .join(prefixes.select(F.col("_sid").alias("b_id"), "_p"), "_p")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sizes_a = sh.select(F.col("_sid").alias("a_id"), F.col("_n").alias("_na"))
+    sizes_b = sh.select(F.col("_sid").alias("b_id"), F.col("_n").alias("_nb"))
+    cand = (
+        cand.join(sizes_a, "a_id")
+        .join(sizes_b, "b_id")
+        .where(
+            (F.least("_na", "_nb") / F.greatest("_na", "_nb"))
+            >= F.lit(threshold)
+        )
+        .select("a_id", "b_id")
+    )
+    a = sh.select(F.col("_sid").alias("a_id"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_sid").alias("b_id"), F.col("_sh").alias("_shb"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            jaccard(F.col("_sha"), F.col("_shb")).alias("jaccard_sim"),
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+    )

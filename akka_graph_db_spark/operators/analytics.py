@@ -1810,6 +1810,83 @@ def aggregate_messages(
     return msgs.where(F.col("msg").isNotNull()).groupBy("id").agg(agg)
 
 
+def rich_club(
+    pairs: DataFrame, ks: Sequence[int] = (16, 32, 64, 96)
+) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k − 1)) for each
+    requested k, where N_k = nodes of degree > k and E_k = edges whose
+    BOTH endpoints have degree > k (Zhou & Mondragón 2004) — "how
+    densely do the hubs talk to each other", the connectivity
+    complement of :func:`degree_assortativity`.
+
+    One degree aggregation, two (broadcast-gated) degree joins, then a
+    SINGLE global aggregate computing every k's node and edge counts as
+    conditional integer sums — len(ks) never multiplies the edge-frame
+    work, and the only float op per k is the final 2E/(N(N−1))
+    division, so a SQL oracle reproduces φ exactly. Returns one row per
+    k: (k, n_nodes, n_edges, phi), phi = 0.0 when N_k < 2.
+    """
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    ks = sorted(set(int(k) for k in ks))
+    e = canonical_undirected(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        nodes_row = deg.agg(
+            *[
+                F.sum((F.col("deg") > k).cast("long")).alias(f"_n{k}")
+                for k in ks
+            ]
+        )
+        dx = deg.select(F.col("a"), F.col("deg").alias("_da"))
+        dy = deg.select(F.col("a").alias("b"), F.col("deg").alias("_db"))
+        if e.count() <= _WEDGE_BROADCAST_MAX_EDGES:
+            dx = F.broadcast(dx)
+            dy = F.broadcast(dy)
+        mind = F.least("_da", "_db")
+        edges_row = (
+            e.join(dx, "a")
+            .join(dy, "b")
+            .agg(
+                *[
+                    F.sum((mind > k).cast("long")).alias(f"_e{k}")
+                    for k in ks
+                ]
+            )
+        )
+        combined = nodes_row.crossJoin(F.broadcast(edges_row))
+        per_k = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.coalesce(F.col(f"_n{k}"), F.lit(0)).alias("n_nodes"),
+                    F.coalesce(F.col(f"_e{k}"), F.lit(0)).alias("n_edges"),
+                )
+                for k in ks
+            ]
+        )
+        rows = combined.select(
+            F.explode(per_k).alias("_r")
+        ).select("_r.k", "_r.n_nodes", "_r.n_edges")
+        return rows.select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.when(
+                F.col("n_nodes") >= 2,
+                (F.lit(2) * F.col("n_edges")).cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
 def degree_assortativity(pairs: DataFrame) -> DataFrame:
     """Newman's degree assortativity coefficient r of an undirected
     (a, b) pair frame: the Pearson correlation of the degrees at the two

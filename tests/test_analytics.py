@@ -345,6 +345,25 @@ def test_link_prediction_auto_cap_excludes_hub_on_power_law(spark):
     assert got == explicit
 
 
+def test_rich_club_clique_with_pendant(spark):
+    """4-clique {1..4} + pendant 4-5: above k=1 and k=2 the club is the
+    clique (deg 3,3,3,4) and is fully connected (phi = 1.0); above k=3
+    only node 4 remains, so phi = 0 by the N < 2 convention."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a bigint, b bigint",
+    )
+    got = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in analytics.rich_club(pairs, ks=(1, 2, 3)).collect()
+    }
+    assert got == {
+        1: (4, 6, 1.0),
+        2: (4, 6, 1.0),
+        3: (1, 0, 0.0),
+    }
+
+
 def test_coreness_matches_kcore_membership(spark):
     """coreness(v) >= k  <=>  v survives kcore(k): cross-check the
     h-index decomposition against degree peeling on a two-shell graph

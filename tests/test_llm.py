@@ -159,6 +159,37 @@ def test_corpus_sketch_reuse_matches_fresh_compute(spark):
             assert fresh == shared, (linkage, kw)
 
 
+def test_set_similarity_join_exact_recall(spark):
+    """Prefix filtering is LOSSLESS: the join must equal brute-force
+    Jaccard >= t over all pairs — including a pair at exactly the
+    threshold with |S| = 5, where a float ceil(0.8*5) = ceil(4.0000004)
+    = 5 would shorten the prefix to 1 and drop pairs (the integer
+    permille arithmetic keeps it 2)."""
+    rows = [
+        # docs 1, 2: unigram sets {a b c d e} vs {a b c d f}:
+        # J = 4/6 < 0.8 -> excluded
+        (1, "a b c d e"),
+        (2, "a b c d f"),
+        # docs 3, 4: {a b c d e} vs {b c d e a} -> J = 1.0
+        (3, "p q r s t"),
+        (4, "t s r q p"),
+        # docs 5, 6: J exactly 4/5 = 0.8 (|A|=|B|=... ) {w x y z u} vs
+        # {w x y z v}: inter 4, union 6 -> 2/3, no. Use |A|=4,|B|=4,
+        # inter 4? that's 1.0. Exactly 0.8: inter=4, union=5 ->
+        # |A|=4 |B|=5 sharing all of A: {g h i j} vs {g h i j k}
+        (5, "g h i j"),
+        (6, "g h i j k"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["a_id"], r["b_id"], round(r["jaccard_sim"], 9))
+        for r in dedup.set_similarity_join(
+            df, threshold=0.8, shingle_n=1
+        ).collect()
+    )
+    assert got == [(3, 4, 1.0), (5, 6, 0.8)]
+
+
 def test_corpus_sketch_parameter_mismatch_raises(spark):
     """A sketch built with different num_perm/shingle_n must be REFUSED,
     not silently answered with wrong bands/shingles (ADVICE r6: defaults
