@@ -1972,6 +1972,16 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE tokenizer-training merge (textf.bpe_pair_counts):
+    corpus-wide adjacent-character-pair frequencies within words, top-20
+    by (count desc, pair). One explode + one map-side-combinable count —
+    the word-count shuffle shape; the grouped state is the pair
+    vocabulary, not the corpus."""
+    docs = read_documents(spark, sf_dir)
+    return textf.bpe_pair_counts(docs, top_k=20)
+
+
 def q_rich_club_parts(spark, sf_dir):
     """Rich-club coefficient of the part co-order graph at k = 16, 32,
     64, 96 (analytics.rich_club): how densely the high-degree parts
@@ -5250,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "set_similarity_join": q_set_similarity_join,
         "rich_club_parts": q_rich_club_parts,
+        "bpe_pair_counts": q_bpe_pair_counts,
         # --- re-certs (r4-certified, oldest driver window) ---
         "triangles_coorder": q_triangles_coorder,
         "similarity_lsh": q_similarity_lsh,
@@ -5273,10 +5284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
         # --- certification window ends here (50 entries). ---
         # Certified tail: every entry below has a green driver row in
         # CORRECTNESS_r04/r05/r06.json (r6 covered pack_chunks..tpch_q7).
+        "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "multimodal_meta": q_multimodal_meta,
         "events_tumbling": q_events_tumbling,
@@ -6990,6 +7001,18 @@ def oracle_sql() -> dict[str, str]:
         # THIS query because every probe is an in-corpus top-20 term
         # whose own tokens occupy all four probed counters.
         "hll_distinct_events": _hll_oracle(),
+        "bpe_pair_counts": f"""
+            WITH bp_w AS (
+              SELECT unnest({_TOK}) AS w FROM documents
+            ),
+            bp_p AS (
+              SELECT unnest(list_transform(range(1, len(w)),
+                            i -> substring(w, i, 2))) AS pair
+              FROM bp_w WHERE len(w) >= 2
+            )
+            SELECT pair, COUNT(*) AS pair_count FROM bp_p GROUP BY pair
+            ORDER BY pair_count DESC, pair LIMIT 20
+        """,
         "rich_club_parts": """
             WITH rc_pairs AS MATERIALIZED (
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b

@@ -783,3 +783,40 @@ def token_rarity_stats(
             (F.col("_n_rare").cast("double") / n).alias("rare_ratio"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """The first merge step of BPE tokenizer training: corpus-wide
+    frequencies of ADJACENT CHARACTER PAIRS within words — the argmax
+    pair is what byte-pair encoding would merge first, and iterating
+    this aggregation IS the training loop (Sennrich et al. 2016).
+
+    Pure column expressions: words from the standard tokenizer, each
+    word's pairs via transform over an index sequence (no Python in the
+    hot path), one explode + one count aggregation — map-side
+    combinable, the same one-shuffle shape as a word count; at 100 TB
+    the grouped state is the PAIR VOCABULARY (tiny), not the corpus.
+    Single-character words contribute nothing. Returns the ``top_k``
+    (pair, pair_count) rows by (count desc, pair) — a deterministic
+    total order.
+    """
+    w = F.explode(tokens(F.col(text_col))).alias("_w")
+    pairs = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("_w") - 1),
+            lambda i: F.col("_w").substr(i, F.lit(2)),
+        )
+    )
+    return (
+        df.select(w)
+        .where(F.length("_w") >= 2)
+        .select(pairs.alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(top_k)
+    )

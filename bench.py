@@ -139,6 +139,12 @@ HEADLINE = [
     "events_sliding",         # sliding-window event aggregation
     "mixture_weights",        # sqrt-damped source mixture solve
     "paths_to_undirected",    # undirected bounded BFS pathfinding
+    # r7 additions
+    "hll_distinct_events",    # fixed-memory HLL distinct count
+    "sessionize_events",      # gaps-and-islands ordinal sessions
+    "set_similarity_join",    # exact-recall prefix-filtered Jaccard join
+    "rich_club_parts",        # hub-density coefficient per k
+    "bpe_pair_counts",        # BPE first-merge pair frequencies
 ]
 
 

@@ -159,6 +159,24 @@ def test_corpus_sketch_reuse_matches_fresh_compute(spark):
             assert fresh == shared, (linkage, kw)
 
 
+def test_bpe_pair_counts_first_merge(spark):
+    """'banana apple' -> pairs from 'banana' (ba an na an na) and
+    'apple' (ap pp pl le); the argmax pair 'an'/'na' (2 each) is what
+    BPE would merge first; single-char words contribute nothing."""
+    from akka_graph_db_spark.functions import text as textf
+
+    df = spark.createDataFrame(
+        [(1, "banana apple a")], "doc_id bigint, text string"
+    )
+    got = {
+        r["pair"]: r["pair_count"]
+        for r in textf.bpe_pair_counts(df, top_k=10).collect()
+    }
+    assert got == {
+        "an": 2, "na": 2, "ap": 1, "ba": 1, "le": 1, "pl": 1, "pp": 1
+    }
+
+
 def test_set_similarity_join_exact_recall(spark):
     """Prefix filtering is LOSSLESS: the join must equal brute-force
     Jaccard >= t over all pairs — including a pair at exactly the
