@@ -88,6 +88,11 @@ AUDITED = [
     ("coreness_parts", "h-index rounds: neighbor join + sorted-list agg"),
     ("hybrid_search", "BM25 + cosine rankings fused on integer ranks"),
     ("cms_heavy_hitters", "fixed-memory sketch + broadcast point queries"),
+    ("hll_distinct_events", "HLL registers + exact-integer harmonic sum"),
+    ("sessionize_events", "per-user LAG + running-sum islands"),
+    ("set_similarity_join", "prefix-posting equi-join + exact verify"),
+    ("rich_club_parts", "conditional integer sums over one edge pass"),
+    ("bpe_pair_counts", "pair explode + map-side-combinable count"),
 ]
 
 
