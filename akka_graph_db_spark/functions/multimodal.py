@@ -10,6 +10,12 @@ NOT available in this container, so the decode step is STUBBED: it raises
 clearly-marked deterministic fake available for pipeline testing. The
 Spark-side plumbing — schema, Arrow batching via mapInPandas, partition
 shape — is real and tested.
+
+Container check log (the gate is re-probed every round): PIL and ffmpeg
+absent in the round-6 AND round-7 containers (``import PIL`` →
+ModuleNotFoundError, ``shutil.which("ffmpeg")`` → None), so the real
+decode paths stay environment-gated; if either ever appears, wire the
+real path behind the same seam and keep the fake for tests.
 """
 
 from __future__ import annotations
