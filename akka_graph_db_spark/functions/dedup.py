@@ -1263,7 +1263,12 @@ def set_similarity_join(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    tm = round(threshold * 1000)
+    # FLOOR, never round: a permille that rounded UP (e.g. t=0.8006 ->
+    # 801) would SHORTEN the prefix below the lossless length and
+    # silently drop qualifying pairs. Flooring can only lengthen the
+    # prefix (extra candidates), and the exact verify filters with the
+    # original float threshold.
+    tm = int(threshold * 1000)
     npart = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         _shingle_sets(df, text_col, id_col, shingle_n)

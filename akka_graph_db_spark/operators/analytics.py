@@ -938,6 +938,13 @@ def hits(
             if cp_now:
                 hub = hub.localCheckpoint(eager=True)
                 stale.append(hub)
+                # Later iterations only read the newest (auth, hub)
+                # checkpoint pair — release everything older now instead
+                # of holding 2*n_iter O(V) frames until the return (r7
+                # review finding; the finally block frees the last two).
+                for df in stale[:-2]:
+                    df.unpersist()
+                stale = stale[-2:]
             if norm_now:
                 hub = _normalize(hub)
         if not (normalize_every > 0 and n_iter % normalize_every == 0):
@@ -1116,7 +1123,14 @@ def coreness(
     )
     stale: list[DataFrame] = [sym, h]
     live: list[DataFrame] = []
-    prev_sum: int | None = None
+    # Seed with the h0 = degree sum: a graph already at its fixpoint
+    # (every h-index equals the degree) then converges on the FIRST
+    # block instead of needing an extra confirming block — and, with a
+    # tight max_iter, instead of spuriously raising after the budget is
+    # spent on no-op rounds (r7 review finding).
+    prev_sum: int | None = h.agg(
+        F.sum("h").cast("bigint").alias("s")
+    ).collect()[0]["s"]
     converged = False
 
     def _round(cur: DataFrame) -> DataFrame:

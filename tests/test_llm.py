@@ -191,10 +191,8 @@ def test_set_similarity_join_exact_recall(spark):
         # docs 3, 4: {a b c d e} vs {b c d e a} -> J = 1.0
         (3, "p q r s t"),
         (4, "t s r q p"),
-        # docs 5, 6: J exactly 4/5 = 0.8 (|A|=|B|=... ) {w x y z u} vs
-        # {w x y z v}: inter 4, union 6 -> 2/3, no. Use |A|=4,|B|=4,
-        # inter 4? that's 1.0. Exactly 0.8: inter=4, union=5 ->
-        # |A|=4 |B|=5 sharing all of A: {g h i j} vs {g h i j k}
+        # docs 5, 6: {g h i j} vs {g h i j k} — inter 4, union 5,
+        # J = 4/5 = 0.8 EXACTLY (the threshold-boundary pair)
         (5, "g h i j"),
         (6, "g h i j k"),
     ]
