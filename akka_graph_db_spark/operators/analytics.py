@@ -2392,26 +2392,50 @@ def betweenness_landmarks(
 
     Scale shape: all landmarks advance in the SAME superstep joins
     (state keyed by (landmark, node) like
-    :func:`landmark_hop_distances`); per layer one adjacency join + one
-    (landmark, node) aggregation, per backward step one join per BFS-DAG
-    edge layer + one aggregation — nothing materializes more than the
-    per-layer DAG edges. Returns (id, betweenness) for every node with a
-    nonzero score.
+    :func:`landmark_hop_distances`). r7 plan shape: TWO co-partitioned
+    persisted copies of the symmetric edge frame — hashed by ``b`` for
+    the forward sweep (whose aggregation groups on the reached node)
+    and by ``a`` for the backward sweep (which groups on the
+    predecessor) — with every (landmark, node) state frame broadcast
+    behind a size gate. Each superstep is then broadcast-join +
+    exchange-FREE aggregation over the cached edge partitions
+    (HashPartitioning on a subset of the grouping keys satisfies the
+    clustered distribution): the per-layer DAG-edge volume
+    (landmarks × Σdeg) is never reshuffled. Past the gate, the joins
+    fall back to shuffles — the still-correct big-graph path. Returns
+    (id, betweenness) for every node with a nonzero score.
     """
     e = canonical_undirected(pairs)
-    sym = e.unionByName(
+    npart = pairs.sparkSession.sparkContext.defaultParallelism
+    base_sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    persisted: list[DataFrame] = []
+    )
+    sym_b = (
+        base_sym.repartition(npart, F.col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym_a = (
+        base_sym.repartition(npart, F.col("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    persisted: list[DataFrame] = [sym_a, sym_b]
     try:
+        n_vertices = sym_a.select("a").distinct().count()
         if isinstance(landmarks, int):
             seed_ids = (
-                sym.select("a").distinct().orderBy("a").limit(landmarks)
+                sym_a.select("a").distinct().orderBy("a").limit(landmarks)
             )
+            n_land = landmarks
         else:
-            seed_ids = sym.sparkSession.createDataFrame(
+            seed_ids = sym_a.sparkSession.createDataFrame(
                 [(int(x),) for x in landmarks], "a bigint"
             )
+            n_land = len(landmarks)
+        small = n_land * n_vertices <= _CC_BROADCAST_MAX_VERTICES
+
+        def bc(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
         l0 = seed_ids.select(
             F.col("a").alias("s"),
             F.col("a").alias("id"),
@@ -2422,10 +2446,16 @@ def betweenness_landmarks(
         persisted.append(visited)
         for _d in range(1, max_depth + 1):
             nxt = (
-                layers[-1]
-                .join(sym, layers[-1]["id"] == sym["a"], "inner")
+                sym_b.join(
+                    bc(
+                        layers[-1].select(
+                            "s", F.col("id").alias("a"), "sig"
+                        )
+                    ),
+                    "a",
+                )
                 .select("s", F.col("b").alias("id"), "sig")
-                .join(visited, ["s", "id"], "left_anti")
+                .join(bc(visited), ["s", "id"], "left_anti")
                 .groupBy("s", "id")
                 .agg(F.sum("sig").alias("sig"))
                 .localCheckpoint(eager=True)
@@ -2444,20 +2474,34 @@ def betweenness_landmarks(
         )
         for d in range(len(layers) - 1, 0, -1):
             pe = (
-                layers[d - 1]
-                .select("s", F.col("id").alias("v"), F.col("sig").alias("_sv"))
-                .join(sym, F.col("v") == sym["a"], "inner")
-                .select("s", "v", "_sv", F.col("b").alias("id"))
+                sym_a.join(
+                    bc(
+                        layers[d - 1].select(
+                            "s",
+                            F.col("id").alias("a"),
+                            F.col("sig").alias("_sv"),
+                        )
+                    ),
+                    "a",
+                )
+                .select(
+                    "s", F.col("a").alias("v"), "_sv",
+                    F.col("b").alias("id"),
+                )
                 .join(
-                    layers[d].select(
-                        "s", "id", F.col("sig").alias("_sw")
+                    bc(
+                        layers[d].select(
+                            "s", "id", F.col("sig").alias("_sw")
+                        )
                     ),
                     ["s", "id"],
                     "inner",
                 )
                 .join(
-                    delta_cur.select(
-                        "s", "id", F.col("delta").alias("_dw")
+                    bc(
+                        delta_cur.select(
+                            "s", "id", F.col("delta").alias("_dw")
+                        )
                     ),
                     ["s", "id"],
                     "left",
@@ -2492,6 +2536,5 @@ def betweenness_landmarks(
             .localCheckpoint(eager=True)
         )
     finally:
-        sym.unpersist()
         for df in persisted:
             df.unpersist()
