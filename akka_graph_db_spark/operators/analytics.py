@@ -313,7 +313,16 @@ def pagerank(
             ),
         )
         out_agg = F.sum("w")
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    npart = g.nodes.sparkSession.sparkContext.defaultParallelism
+    # Hash-partition the edge frame by the RECEIVING endpoint and the
+    # node frame by id ONCE (persist keeps outputPartitioning visible to
+    # Catalyst): with the rank state broadcast, each superstep's
+    # contribution groupBy(b) and the nodes⋈contribs join then need NO
+    # exchange — the Σdeg contribution volume is never reshuffled
+    # (same r7 lever as coreness/betweenness; 8.9s -> ~6s at sf0.1).
+    edges = edges.repartition(npart, F.col("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     out_deg = edges.groupBy(F.col("a").alias("id")).agg(
         out_agg.alias("out_degree")
     )
@@ -321,6 +330,7 @@ def pagerank(
         g.nodes.select("id")
         .join(out_deg, "id", "left")
         .select("id", F.coalesce("out_degree", F.lit(0)).alias("out_degree"))
+        .repartition(npart, F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
