@@ -1010,10 +1010,20 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     (degeneracy peeling removes whole shells per round).
     """
     e = canonical_undirected(pairs)
-    # symmetrize once so degree = count per endpoint in one groupBy
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    npart = pairs.sparkSession.sparkContext.defaultParallelism
+    # Symmetrize once, hash-partitioned by the degree-grouping key and
+    # PERSISTED (persist keeps outputPartitioning visible; localCheckpoint
+    # would hide it): every round's degree groupBy is then exchange-free,
+    # and because the semi-joins against the small checkpointed keep
+    # frame broadcast (AQE), the shrinking edge frame KEEPS that
+    # partitioning through all rounds without ever reshuffling.
+    sym = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(npart, F.col("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     prev_kept: int | None = None
     # Every checkpointed frame lands in `stale`; the frames the RETURNED
     # plan still references land in `live` — the finally block
@@ -1040,21 +1050,27 @@ def kcore(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
                     F.col("a").alias("id"), F.col("deg").alias("core_degree")
                 )
             prev_kept = n_kept
+            # persist, not checkpoint: the broadcast semi-joins preserve
+            # sym's hash(a) partitioning, so the next round's groupBy
+            # stays exchange-free; round count is small (whole shells
+            # peel per round), so the lineage stays shallow.
             nxt = (
                 sym.join(keep.select("a"), "a", "left_semi")
                 .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
                 .select("a", "b")
-                .localCheckpoint(eager=True)
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
             stale.append(nxt)
             sym = nxt
         # max_iter exhausted without a detected fixpoint: recount inside
         # the final subgraph so the contract (in-core degrees) holds.
-        live.append(sym)
+        # Materialize eagerly — sym is now a persisted (not checkpointed)
+        # chain that the finally block unpersists.
         return (
             sym.groupBy(F.col("a").alias("id"))
             .agg(F.count(F.lit(1)).alias("core_degree"))
             .where(F.col("core_degree") >= k)
+            .localCheckpoint(eager=True)
         )
     finally:
         keep_ids = {id(df) for df in live}
