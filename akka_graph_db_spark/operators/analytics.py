@@ -876,7 +876,17 @@ def hits(
         raise ValueError(f"hits() needs n_iter >= 1, got {n_iter}")
     if normalize_every < 0:
         raise ValueError(f"normalize_every must be >= 0, got {normalize_every}")
-    edges = _edge_pairs(g, edge_labels, directed=True).persist(
+    base_edges = _edge_pairs(g, edge_labels, directed=True)
+    npart = g.nodes.sparkSession.sparkContext.defaultParallelism
+    # Two persisted copies, each hash-partitioned by the half-step's
+    # GROUPING endpoint (auth sums group on b, hub sums on a): with the
+    # state broadcast, every half-step is broadcast-join +
+    # exchange-free aggregation over cached edge partitions — the same
+    # dual-copy lever as the Brandes sweeps.
+    edges_by_b = base_edges.repartition(npart, F.col("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges_by_a = base_edges.repartition(npart, F.col("a")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     nodes = g.nodes.select("id")
@@ -894,6 +904,7 @@ def hits(
         # broadcast it so the persisted edge frame never re-shuffles
         # (same size-gated pattern as the CC harness); at vertex counts
         # past the gate, fall back to the shuffle join.
+        edges = edges_by_b if in_col == "b" else edges_by_a
         st = (
             F.broadcast(state)
             if n_vertices <= _CC_BROADCAST_MAX_VERTICES
@@ -983,7 +994,8 @@ def hits(
     finally:
         # `out` is an eager checkpoint, so every intermediate frame is
         # safe to release once it exists (or on an error unwind).
-        edges.unpersist()
+        edges_by_b.unpersist()
+        edges_by_a.unpersist()
         for df in stale:
             df.unpersist()
 
