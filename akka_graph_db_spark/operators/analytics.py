@@ -2358,26 +2358,42 @@ def landmark_hop_distances(
     Scale shape: one BFS frontier per landmark advances CONCURRENTLY in
     the same superstep join (state rows are (landmark, node) pairs, so k
     landmarks cost one k×-wider frontier, not k sequential BFS runs).
-    Per step: frontier ⋈ adjacency, per-layer distinct, anti-join
-    against the visited set — all keyed on node id — with periodic
-    localCheckpoint truncation, the traverse.py loop pattern. Visited
-    state is bounded by k·|V|; keep k modest (its purpose is sampling,
-    not all-pairs).
+    The adjacency is hash-partitioned by the REACHED endpoint once and
+    persisted; with the (landmark, node) frontier/visited frames
+    broadcast behind a k·|V| size gate, each step's expansion join,
+    per-layer distinct, and visited anti-join all run WITHOUT an
+    exchange (HashPartitioning on the reached node is a subset of every
+    grouping/join key set). Past the gate, the joins fall back to
+    shuffles. Periodic localCheckpoint truncation, the traverse.py loop
+    pattern; keep k modest (its purpose is sampling, not all-pairs).
     """
     e = canonical_undirected(pairs)
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    npart = pairs.sparkSession.sparkContext.defaultParallelism
+    sym = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(npart, F.col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     persisted: list[DataFrame] = []
     try:
+        n_vertices = sym.select("a").distinct().count()
         if isinstance(landmarks, int):
             seed_ids = (
                 sym.select("a").distinct().orderBy("a").limit(landmarks)
             )
+            n_land = landmarks
         else:
             seed_ids = sym.sparkSession.createDataFrame(
                 [(int(x),) for x in landmarks], "a bigint"
             )
+            n_land = len(landmarks)
+        small = n_land * n_vertices <= _CC_BROADCAST_MAX_VERTICES
+
+        def bc(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
         visited = seed_ids.select(
             F.col("a").alias("landmark"),
             F.col("a").alias("id"),
@@ -2386,10 +2402,21 @@ def landmark_hop_distances(
         frontier = visited
         for d in range(1, max_depth + 1):
             nxt = (
-                frontier.join(sym, frontier["id"] == sym["a"], "inner")
+                sym.join(
+                    bc(
+                        frontier.select(
+                            "landmark", F.col("id").alias("a")
+                        )
+                    ),
+                    "a",
+                )
                 .select("landmark", F.col("b").alias("id"))
                 .distinct()
-                .join(visited, ["landmark", "id"], "left_anti")
+                .join(
+                    bc(visited.select("landmark", "id")),
+                    ["landmark", "id"],
+                    "left_anti",
+                )
                 .select("landmark", "id", F.lit(d).alias("dist"))
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
