@@ -1492,6 +1492,10 @@ def ktruss(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
 
 _WEDGE_BROADCAST_MAX_EDGES = 10_000_000
 
+# Walk frames above this size stop fitting a broadcast; random_walks
+# falls back to the globally-ranked-adjacency shuffle-join regime.
+_WALK_BROADCAST_MAX_SEEDS = 65_536
+
 # Floor for the auto-derived wedge cap: below this, capping buys nothing
 # (64² wedge rows per center is noise) and small graphs would cap
 # legitimate evidence.
@@ -2109,39 +2113,59 @@ def random_walks(
     across runs, partitionings, and engines (the md5-derived value is
     reproducible in SQL, functions/hashing.py).
 
-    Scale shape: the adjacency is ranked once (one window shuffle keyed
-    by node — the same layout a bucketed adjacency table gives for
-    free), then every step is two bounded equi-joins: walk-frame ⋈
-    degree (to compute the target rank) and walk-frame ⋈ adjacency on
-    (node, rank) — one output row per walk per step, NEVER a
-    Σdeg-sized candidate explosion. Walk count scales linearly and
-    independently of graph skew.
+    Scale shape, two regimes gated statically on ``n_seeds`` (a
+    driver-side integer, so the choice costs nothing at plan time):
+
+    - ``n_seeds <= _WALK_BROADCAST_MAX_SEEDS``: NOTHING global is ever
+      ranked or aggregated. Each step broadcast-semi-joins the
+      persisted symmetric edge frame down to the frontier's adjacency
+      (≤ walks × max-degree rows — the only frame a 64-walk query
+      actually needs), ranks THAT with a window whose input is
+      frontier-sized, and picks rank ``target`` per walk. The full
+      edge frame is only ever scanned (broadcast hash join, no
+      exchange); per-step cost is O(frontier adjacency), independent
+      of |E| beyond the scan.
+    - larger ``n_seeds`` (embedding-corpus generation, walks from every
+      node): the walk frame no longer fits a broadcast, so the
+      adjacency is ranked ONCE globally (one window shuffle keyed by
+      node — the layout a bucketed adjacency table gives for free) and
+      each step is a shuffle equi-join walk ⋈ adjacency on
+      (node, rank) — one output row per walk per step, never a
+      Σdeg-sized candidate explosion.
+
+    Both regimes rank a node's full adjacency identically, so the
+    md5-rank pick — and the SQL oracle that ranks globally — is
+    unchanged by the gate.
 
     Returns one row per walk: (walk_id, step_0, ..., step_{n_steps}).
     """
     from pyspark.sql import Window
 
+    broadcast_walks = n_seeds <= _WALK_BROADCAST_MAX_SEEDS
     e = canonical_undirected(pairs)
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    adj = None
     try:
-        adj = sym.select(
-            "a",
-            "b",
-            F.row_number()
-            .over(Window.partitionBy("a").orderBy("b"))
-            .alias("_idx"),
-        ).localCheckpoint(eager=True)
-        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
         state = (
-            deg.select("a")
+            sym.select("a")
+            .distinct()
             .orderBy("a")
             .limit(n_seeds)
             .select(
                 F.col("a").alias("walk_id"), F.col("a").alias("step_0")
             )
+            .localCheckpoint(eager=True)
         )
+        if not broadcast_walks:
+            nwin = Window.partitionBy("a")
+            adj = sym.select(
+                "a",
+                "b",
+                F.row_number().over(nwin.orderBy("b")).alias("_idx"),
+                F.count(F.lit(1)).over(nwin).alias("_deg"),
+            ).localCheckpoint(eager=True)
         from akka_graph_db_spark.functions.hashing import md5_63
 
         for t in range(1, n_steps + 1):
@@ -2154,20 +2178,34 @@ def random_walks(
                     F.lit(salt),
                 )
             )
-            # The walk frame (n_seeds rows) is always the small side —
-            # broadcast IT, never the per-node degree/adjacency frames,
-            # which grow with the graph.
-            with_target = F.broadcast(
-                deg.withColumnRenamed("a", cur)
-                .join(F.broadcast(state), cur)
-                .withColumn("_target", F.pmod(draw, F.col("_deg")) + 1)
-            )
-            state = (
-                with_target.join(
-                    adj,
-                    (F.col(cur) == adj["a"])
-                    & (F.col("_target") == adj["_idx"]),
+            if broadcast_walks:
+                # Frontier-gated adjacency: only the current nodes'
+                # edges leave the scan. Per-node rank/degree computed
+                # on this subset are identical to the global values (a
+                # node's whole adjacency is either in or out).
+                frontier = state.select(
+                    F.col(cur).alias("_cn")
+                ).distinct()
+                fadj = sym.join(
+                    F.broadcast(frontier), sym["a"] == F.col("_cn")
+                ).select("a", "b")
+                nwin = Window.partitionBy("a")
+                ranked = fadj.select(
+                    "a",
+                    "b",
+                    F.row_number().over(nwin.orderBy("b")).alias("_idx"),
+                    F.count(F.lit(1)).over(nwin).alias("_deg"),
                 )
+                state = F.broadcast(state).join(
+                    ranked, F.col(cur) == ranked["a"]
+                )
+            else:
+                state = state.join(adj, F.col(cur) == adj["a"])
+            state = (
+                state.withColumn(
+                    "_target", F.pmod(draw, F.col("_deg")) + 1
+                )
+                .where(F.col("_idx") == F.col("_target"))
                 .drop("a", "_idx", "_deg", "_target")
                 .withColumnRenamed("b", f"step_{t}")
             )

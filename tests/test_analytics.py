@@ -591,6 +591,24 @@ def test_random_walks_triangle_matches_hash_replay(spark):
     assert got == expected
 
 
+def test_random_walks_shuffle_regime_matches_broadcast(spark, monkeypatch):
+    """The n_seeds gate picks between frontier-broadcast and
+    globally-ranked-adjacency shuffle joins; both must emit identical
+    walks since they rank a node's full adjacency the same way."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5)],
+        "a bigint, b bigint",
+    )
+    want = sorted(
+        map(tuple, analytics.random_walks(pairs, 5, 4).collect())
+    )
+    monkeypatch.setattr(analytics, "_WALK_BROADCAST_MAX_SEEDS", 0)
+    got = sorted(
+        map(tuple, analytics.random_walks(pairs, 5, 4).collect())
+    )
+    assert got == want
+
+
 def test_pagerank_weighted_closed_form(spark):
     """1->2 (w=2) and 1->3 (w=6), one iteration: node 1's rank splits
     1/4 : 3/4 by weight; 2 and 3 are dangling (mass 2.0 over n=3)."""
