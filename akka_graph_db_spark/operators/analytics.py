@@ -2209,6 +2209,11 @@ def random_walks(
                 .drop("a", "_idx", "_deg", "_target")
                 .withColumnRenamed("b", f"step_{t}")
             )
+            if broadcast_walks:
+                # Materialize the (n_seeds-row) walk frame so step t+1's
+                # frontier doesn't lazily recompute steps 1..t — each of
+                # which rescans the full edge frame in this regime.
+                state = state.localCheckpoint(eager=True)
         return state.select(
             "walk_id", *[f"step_{t}" for t in range(n_steps + 1)]
         )
