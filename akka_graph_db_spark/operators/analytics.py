@@ -2251,7 +2251,9 @@ def node2vec_walks(
     adjacency, and picks with one windowed cumulative sum partitioned
     per walk — per-step cost O(Σ deg(cur) over walks), linear in walk
     count and independent of global graph size. The walk frame stays
-    the broadcast side; adjacency never ships.
+    the broadcast side; adjacency never ships. Step 1's uniform rank
+    is frontier-gated under ``_WALK_BROADCAST_MAX_SEEDS`` (see
+    :func:`random_walks`) so small seed sets never rank |E| globally.
 
     Returns one row per walk: (walk_id, step_0, ..., step_{n_steps}).
     """
@@ -2264,10 +2266,14 @@ def node2vec_walks(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        adj = sym.localCheckpoint(eager=True)
-        deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+        # sym is already persisted; a localCheckpoint on top would pay a
+        # second full materialization for a lineage cut nothing needs
+        # (every loop join re-reads the SAME cached frame).
+        sym.count()
+        adj = sym
         state = (
-            deg.select("a")
+            adj.select("a")
+            .distinct()
             .orderBy("a")
             .limit(n_seeds)
             .select(
@@ -2275,13 +2281,6 @@ def node2vec_walks(
             )
             .localCheckpoint(eager=True)
         )
-        ranked = sym.select(
-            "a",
-            "b",
-            F.row_number()
-            .over(Window.partitionBy("a").orderBy("b"))
-            .alias("_idx"),
-        ).localCheckpoint(eager=True)
 
         def _draw(t):
             return md5_63(
@@ -2293,18 +2292,40 @@ def node2vec_walks(
                 )
             )
 
-        # step 1: uniform over cur's ranked adjacency
-        with_target = F.broadcast(
-            deg.withColumnRenamed("a", "step_0")
-            .join(F.broadcast(state), "step_0")
-            .withColumn("_target", F.pmod(_draw(1), F.col("_deg")) + 1)
-        )
-        state = (
-            with_target.join(
-                ranked,
-                (F.col("step_0") == ranked["a"])
-                & (F.col("_target") == ranked["_idx"]),
+        # step 1: uniform over cur's ranked adjacency (no prev yet —
+        # the random_walks rule). Small seed sets rank only the
+        # frontier's adjacency (see random_walks: a node's subset rank
+        # equals its global rank); large seed sets rank globally once.
+        nwin = Window.partitionBy("a")
+        if n_seeds <= _WALK_BROADCAST_MAX_SEEDS:
+            frontier = state.select(
+                F.col("step_0").alias("_cn")
+            ).distinct()
+            fadj = adj.join(
+                F.broadcast(frontier), adj["a"] == F.col("_cn")
+            ).select("a", "b")
+            ranked = fadj.select(
+                "a",
+                "b",
+                F.row_number().over(nwin.orderBy("b")).alias("_idx"),
+                F.count(F.lit(1)).over(nwin).alias("_deg"),
             )
+            state = F.broadcast(state).join(
+                ranked, F.col("step_0") == ranked["a"]
+            )
+        else:
+            ranked = adj.select(
+                "a",
+                "b",
+                F.row_number().over(nwin.orderBy("b")).alias("_idx"),
+                F.count(F.lit(1)).over(nwin).alias("_deg"),
+            )
+            state = state.join(ranked, F.col("step_0") == ranked["a"])
+        state = (
+            state.withColumn(
+                "_target", F.pmod(_draw(1), F.col("_deg")) + 1
+            )
+            .where(F.col("_idx") == F.col("_target"))
             .drop("a", "_idx", "_deg", "_target")
             .withColumnRenamed("b", "step_1")
             .localCheckpoint(eager=True)
@@ -2318,10 +2339,23 @@ def node2vec_walks(
                 ),
                 cur,
             )
-            # classify: return / common (nbr adjacent to prev) / far
+            # classify: return / common (nbr adjacent to prev) / far.
+            # A left-semi join can only broadcast its RIGHT side, so
+            # joining cand against the full adjacency would shuffle |E|
+            # every step; gate prev's adjacency down to the walks' prev
+            # nodes first (frontier-sized) and broadcast THAT.
             prev_adj = adj.select(
                 F.col("a").alias(prev), F.col("b").alias("_nbr")
             )
+            if n_seeds <= _WALK_BROADCAST_MAX_SEEDS:
+                pfront = state.select(F.col(prev).alias("_pn")).distinct()
+                prev_adj = F.broadcast(
+                    prev_adj.join(
+                        F.broadcast(pfront),
+                        F.col(prev) == F.col("_pn"),
+                        "left_semi",
+                    )
+                )
             common = cand.join(prev_adj, [prev, "_nbr"], "left_semi")
             cand = cand.join(
                 common.select("walk_id", "_nbr").withColumn(
