@@ -126,19 +126,30 @@ def connected_components_from_pairs(
     enough (size-gated, same pattern as traverse.py's frontier broadcast)
     we hint broadcast on the state/message side so each iteration is a
     map-side hash join over the cached edge partitions — no edge shuffle,
-    no per-iteration sort. Large vertex sets fall back to the shuffle join.
+    no per-iteration sort. In that regime the symmetric edge frame is
+    hash-partitioned by the MESSAGE endpoint once up front (and persisted
+    — InMemoryRelation preserves outputPartitioning), so the per-round
+    groupBy needs no exchange either, and TWO propagation rounds chain
+    lazily into each materialized job (min-propagation is monotone, so an
+    overshot round is a no-op — the coreness/kcore cadence trick). Large
+    vertex sets fall back to the shuffle join, one round per job.
     """
     edges = pairs.select("a", "b").unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     state = vertices.select("id", F.col("id").alias("component")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     small = state.count() <= _CC_BROADCAST_MAX_VERTICES
+    if small:
+        npart = pairs.sparkSession.sparkContext.defaultParallelism
+        edges = edges.repartition(npart, F.col("b"))
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    check_every = 2 if small else 1
     try:
-        for it in range(max_iter):
-            st = F.broadcast(state) if small else state
+
+        def _round(st_frame):
+            st = F.broadcast(st_frame) if small else st_frame
             msgs = (
                 edges.join(st, edges["a"] == st["id"], "inner")
                 .groupBy(F.col("b").alias("id"))
@@ -146,22 +157,34 @@ def connected_components_from_pairs(
             )
             if small:
                 msgs = F.broadcast(msgs)
-            new_state = (
-                state.join(msgs, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"), F.coalesce("msg", F.col("component"))
-                    ).alias("component"),
-                    (F.coalesce("msg", F.col("component")) < F.col("component"))
-                    .cast("int")
-                    .alias("_chg"),
-                )
+            # (No pointer-doubling here: c ← c[c] needs a broadcast of
+            # the CURRENT round's state, and broadcasting an
+            # unmaterialized plan re-executes its whole lineage — with
+            # chained rounds that's exponential recomputation, measured
+            # 7.5s → 46s on the sf0.1 near-dup graph.)
+            return st_frame.join(msgs, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("msg", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("msg", F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("_chg"),
             )
-            if (it + 1) % _CHECKPOINT_EVERY == 0:
+
+        it = 0
+        while it < max_iter:
+            new_state = state
+            for _ in range(min(check_every, max_iter - it)):
+                new_state = _round(new_state.drop("_chg"))
+                it += 1
+            if it % (_CHECKPOINT_EVERY * check_every) == 0:
                 new_state = new_state.localCheckpoint(eager=True)
             else:
                 new_state = new_state.persist(StorageLevel.MEMORY_AND_DISK)
+            # _chg of the LAST chained round alone decides convergence:
+            # if the final round moved nothing, the fixpoint is reached
+            # regardless of what earlier chained rounds did.
             changed = new_state.agg(F.sum("_chg")).collect()[0][0] or 0
             old = state
             state = new_state.drop("_chg")
