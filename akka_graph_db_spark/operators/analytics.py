@@ -1515,6 +1515,12 @@ def ktruss(pairs: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
 
 _WEDGE_BROADCAST_MAX_EDGES = 10_000_000
 
+# Wedge counts above this shuffle raw packed rows to a width derived
+# from the exact wedge volume before aggregating (see
+# link_prediction_jaccard) — below it the default two-phase agg never
+# builds a map big enough to spill.
+_WEDGE_REPART_MIN_ROWS = 8_000_000
+
 # Walk frames above this size stop fitting a broadcast; random_walks
 # falls back to the globally-ranked-adjacency shuffle-join regime.
 _WALK_BROADCAST_MAX_SEEDS = 65_536
@@ -1628,10 +1634,15 @@ def link_prediction_jaccard(
             else F.when(F.col("deg") <= max_degree, F.col("deg"))
         )
         gate = deg.agg(
-            F.max("a").alias("_mx"), F.sum(kept_deg).alias("_ne")
+            F.max("a").alias("_mx"),
+            F.sum(kept_deg).alias("_ne"),
+            F.sum(
+                (kept_deg * (kept_deg - 1) / 2).cast("bigint")
+            ).alias("_nw"),
         ).collect()[0]
         max_id = gate["_mx"] or 0
         n_sym = gate["_ne"] or 0
+        n_wedges = gate["_nw"] or 0
         centers = sym
         if endpoints_below is not None:
             # Bipartite-projection mode: only HIGH-band centers can emit
@@ -1654,18 +1665,43 @@ def link_prediction_jaccard(
         if n_sym <= _WEDGE_BROADCAST_MAX_EDGES:
             n2 = F.broadcast(n2)
         wedges = n1.join(n2, "x").where(F.col("u") < F.col("v"))
+        # The wedge frame explodes an edge-sized input into ~sum C(deg,2)
+        # rows, and counting it with the default two-phase hash agg
+        # builds MAP-side hash tables over tens of millions of
+        # mostly-low-multiplicity pair keys — borderline-heap spills and
+        # 2-4x run-to-run variance (measured 19-24s vs a stable 14s at
+        # sf0.1, 147M wedges). Past the gate, shuffle the RAW packed
+        # rows to a width derived from the EXACT wedge count (already
+        # computed in the gate agg) and aggregate clustered data
+        # locally: a user repartition's shuffle origin blocks AQE
+        # coalescing, each reduce task owns every copy of its keys, and
+        # no oversized partial-agg map ever exists. ~1.5M wedge rows per
+        # task keeps the per-task final-agg map tens of MB.
+        wedge_npart = 0
+        if n_wedges > _WEDGE_REPART_MIN_ROWS:
+            wedge_npart = int(
+                min(
+                    1024,
+                    max(
+                        pairs.sparkSession.sparkContext.defaultParallelism,
+                        n_wedges // 1_500_000,
+                    ),
+                )
+            )
         if 0 <= max_id < (1 << 31):
             # Cast to long BEFORE the shift: on IntegerType the JVM masks
             # the shift amount to 5 bits, so shiftleft(u, 32) == u — a
             # silently wrong pack that still passes the value-range gate.
+            packed = wedges.select(
+                (
+                    F.shiftleft(F.col("u").cast("long"), 32)
+                    + F.col("v").cast("long")
+                ).alias("_uv")
+            )
+            if wedge_npart:
+                packed = packed.repartition(wedge_npart, "_uv")
             cn = (
-                wedges.select(
-                    (
-                        F.shiftleft(F.col("u").cast("long"), 32)
-                        + F.col("v").cast("long")
-                    ).alias("_uv")
-                )
-                .groupBy("_uv")
+                packed.groupBy("_uv")
                 .agg(F.count(F.lit(1)).alias("common"))
                 .where(F.col("common") >= min_common)
                 .select(
@@ -1678,8 +1714,13 @@ def link_prediction_jaccard(
                 )
             )
         else:
+            unpacked = wedges.select(
+                F.col("u").alias("a"), F.col("v").alias("b")
+            )
+            if wedge_npart:
+                unpacked = unpacked.repartition(wedge_npart, "a", "b")
             cn = (
-                wedges.groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+                unpacked.groupBy("a", "b")
                 .agg(F.count(F.lit(1)).alias("common"))
                 .where(F.col("common") >= min_common)
             )

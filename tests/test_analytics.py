@@ -609,6 +609,31 @@ def test_random_walks_shuffle_regime_matches_broadcast(spark, monkeypatch):
     assert got == want
 
 
+def test_node2vec_shuffle_regime_matches_broadcast(spark, monkeypatch):
+    """node2vec's step-1 rank and per-step prev-adjacency gating switch
+    on the seed-count gate; the shuffle regime must emit walks identical
+    to the broadcast regime (both rank adjacency by neighbor id and draw
+    from the same md5 stream — a subset rank equals the global rank)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5)],
+        "a bigint, b bigint",
+    )
+    want = sorted(
+        map(
+            tuple,
+            analytics.node2vec_walks(pairs, n_seeds=5, n_steps=4).collect(),
+        )
+    )
+    monkeypatch.setattr(analytics, "_WALK_BROADCAST_MAX_SEEDS", 0)
+    got = sorted(
+        map(
+            tuple,
+            analytics.node2vec_walks(pairs, n_seeds=5, n_steps=4).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_pagerank_weighted_closed_form(spark):
     """1->2 (w=2) and 1->3 (w=6), one iteration: node 1's rank splits
     1/4 : 3/4 by weight; 2 and 3 are dangling (mass 2.0 over n=3)."""
