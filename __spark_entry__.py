@@ -1982,6 +1982,72 @@ def q_bpe_pair_counts(spark, sf_dir):
     return textf.bpe_pair_counts(docs, top_k=20)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint sets (textf.winnow_fingerprints — the MOSS
+    algorithm): per-document distinct window-min 4-shingle hashes with
+    window w=5, md5 hash family so DuckDB reproduces both the values
+    and the MIN ordering. One explode + one per-doc window (a single
+    shuffle on doc_id) + distinct."""
+    docs = read_documents(spark, sf_dir)
+    return textf.winnow_fingerprints(
+        docs, k=4, w=5, hash_family="md5"
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Content-overlap report (textf.winnow_pairs): document pairs
+    sharing >= 2 winnowed fingerprints, via a posting-list self-join on
+    fp_hash with stop-fingerprints (postings > 100 docs) dropped first —
+    the MOSS near-dup report, robust to local edits and reordering where
+    exact-dup hashing is not. The oracle replays selection, cap, and
+    join exactly."""
+    docs = read_documents(spark, sf_dir)
+    return textf.winnow_pairs(
+        docs, k=4, w=5, min_shared=2, max_postings=100,
+        hash_family="md5",
+    )
+
+
+def q_ngram_diversity(spark, sf_dir):
+    """Corpus diversity profile (textf.ngram_diversity): per-language
+    distinct/total n-gram ratios for n = 1, 2, 3 — the repetitiveness /
+    template-spam dashboard. Three word-count-shaped aggregations
+    unioned; grouped state is the n-gram vocabulary."""
+    docs = read_documents(spark, sf_dir)
+    return textf.ngram_diversity(docs, ns=(1, 2, 3)).orderBy("lang", "n")
+
+
+def q_blocklist_report(spark, sf_dir):
+    """Blocklist impact report (textf.blocklist_report): per-term
+    document frequencies for a 5-term blocklist (one term deliberately
+    absent from the corpus — the zero row proves the left join), plus
+    textf.blocklist_filter survivor count as a __survivors__ row.
+    Explode-distinct-tokens + broadcast semi-join + count."""
+    terms = ["join", "window", "stream", "quantum", "zz_absent"]
+    docs = read_documents(spark, sf_dir)
+    rep = textf.blocklist_report(docs, terms)
+    surv = textf.blocklist_filter(docs, terms).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).select(F.lit("__survivors__").alias("term"), "n_docs")
+    return rep.unionByName(surv).orderBy("term")
+
+
+def q_profile_orders(spark, sf_dir):
+    """Exact dataset profile of the orders table
+    (profile.profile_columns): per-column (n_rows, n_nulls, n_distinct)
+    in ONE aggregation pass (multi-count-distinct via Spark's Expand +
+    two-phase agg), pivoted to one row per column by a literal-array
+    explode."""
+    from akka_graph_db_spark.functions.profile import profile_columns
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).orderBy("column")
+
+
 def q_rich_club_parts(spark, sf_dir):
     """Rich-club coefficient of the part co-order graph at k = 16, 32,
     64, 96 (analytics.rich_club): how densely the high-degree parts
@@ -5414,6 +5480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
+        # --- round-7 late additions: round-8 rotation candidates ---
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
+        "ngram_diversity": q_ngram_diversity,
+        "blocklist_report": q_blocklist_report,
+        "profile_orders": q_profile_orders,
     }
 
 
@@ -7012,6 +7084,166 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, COUNT(*) AS pair_count FROM bp_p GROUP BY pair
             ORDER BY pair_count DESC, pair LIMIT 20
+        """,
+        # Winnowing (MOSS): same 4-shingle md5_63 hashes as the engine,
+        # same w=5 sliding MIN window, same full-window rule with the
+        # short-doc trailing-prefix exception (pos = m-1). The selected
+        # fingerprint is the window MIN, so DISTINCT over (doc, value)
+        # needs no tie-position bookkeeping.
+        "winnow_fingerprints": f"""
+            WITH wf_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            wf_sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 4 THEN
+                  list_transform(range(1, len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+                ELSE [array_to_string(toks, ' ')] END AS shingles
+              FROM wf_t
+            ),
+            wf_h AS (
+              SELECT doc_id,
+                list_transform(shingles,
+                  s -> CAST(md5_number_upper(s) & 9223372036854775807
+                            AS BIGINT)) AS hs
+              FROM wf_sh
+            ),
+            wf_p AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos, hs[i + 1] AS h,
+                     len(hs) AS m
+              FROM wf_h, unnest(range(len(hs))) AS t(i)
+            ),
+            wf_m AS (
+              SELECT doc_id, pos, m,
+                MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  AS fp_hash
+              FROM wf_p
+            )
+            SELECT DISTINCT doc_id, fp_hash FROM wf_m
+            WHERE pos >= 4 OR pos = m - 1
+        """,
+        "winnow_pairs": f"""
+            WITH wf_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            wf_sh AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 4 THEN
+                  list_transform(range(1, len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+                ELSE [array_to_string(toks, ' ')] END AS shingles
+              FROM wf_t
+            ),
+            wf_h AS (
+              SELECT doc_id,
+                list_transform(shingles,
+                  s -> CAST(md5_number_upper(s) & 9223372036854775807
+                            AS BIGINT)) AS hs
+              FROM wf_sh
+            ),
+            wf_p AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos, hs[i + 1] AS h,
+                     len(hs) AS m
+              FROM wf_h, unnest(range(len(hs))) AS t(i)
+            ),
+            wf_m AS (
+              SELECT doc_id, pos, m,
+                MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  AS fp_hash
+              FROM wf_p
+            ),
+            wf_fp AS (
+              SELECT DISTINCT doc_id, fp_hash FROM wf_m
+              WHERE pos >= 4 OR pos = m - 1
+            ),
+            wf_keep AS (
+              SELECT fp_hash FROM wf_fp GROUP BY fp_hash
+              HAVING COUNT(*) <= 100
+            ),
+            wf_c AS (SELECT doc_id, fp_hash FROM wf_fp
+                     WHERE fp_hash IN (SELECT fp_hash FROM wf_keep))
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   COUNT(*) AS n_shared
+            FROM wf_c a JOIN wf_c b
+              ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        """,
+        "ngram_diversity": f"""
+            WITH nd_t AS (SELECT lang, {_TOK} AS toks FROM documents),
+            nd_g AS (
+              SELECT lang, 1 AS n, unnest(toks) AS g FROM nd_t
+              UNION ALL
+              SELECT lang, 2 AS n,
+                unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                ELSE [] END) AS g
+              FROM nd_t
+              UNION ALL
+              SELECT lang, 3 AS n,
+                unnest(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [] END) AS g
+              FROM nd_t
+            )
+            SELECT lang, CAST(n AS INTEGER) AS n,
+                   COUNT(*) AS total_ngrams,
+                   COUNT(DISTINCT g) AS distinct_ngrams,
+                   ROUND(COUNT(DISTINCT g) / COUNT(*), 6) AS diversity
+            FROM nd_g GROUP BY lang, n
+            ORDER BY lang, n
+        """,
+        "blocklist_report": f"""
+            WITH bl(term) AS (VALUES ('join'), ('quantum'), ('stream'),
+                                     ('window'), ('zz_absent')),
+            bl_tok AS (
+              SELECT doc_id, unnest(list_distinct({_TOK})) AS term
+              FROM documents
+            ),
+            bl_hits AS (
+              SELECT t.term, COUNT(*) AS n_docs
+              FROM bl_tok t JOIN bl USING (term) GROUP BY t.term
+            ),
+            bl_surv AS (
+              SELECT '__survivors__' AS term,
+                     COUNT(*) AS n_docs
+              FROM documents
+              WHERE NOT EXISTS (
+                SELECT 1 FROM bl
+                WHERE list_contains({_TOK}, bl.term)
+              )
+            )
+            SELECT term, CAST(COALESCE(h.n_docs, 0) AS BIGINT) AS n_docs
+            FROM bl LEFT JOIN bl_hits h USING (term)
+            UNION ALL
+            SELECT term, CAST(n_docs AS BIGINT) FROM bl_surv
+            ORDER BY term
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   COUNT(DISTINCT o_custkey) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   COUNT(*) - COUNT(o_orderstatus),
+                   COUNT(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice),
+                   COUNT(DISTINCT o_totalprice) FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*),
+                   COUNT(*) - COUNT(o_orderdate),
+                   COUNT(DISTINCT o_orderdate) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   COUNT(*) - COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority) FROM orders
+            ORDER BY "column"
         """,
         "rich_club_parts": """
             WITH rc_pairs AS MATERIALIZED (

@@ -820,3 +820,230 @@ def bpe_pair_counts(
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(top_k)
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# --------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-token shingle, slide a window of ``w``
+    consecutive shingle hashes, and select each window's MINIMUM — the
+    selected hash SET is the document fingerprint. Guarantees every
+    shared run of at least w+k-1 tokens between two documents yields at
+    least one shared fingerprint, while storing only ~2/(w+1) of the
+    shingle hashes — the local-edit-robust dedup/provenance sketch
+    (:func:`fingerprint`'s ``min_shingle_hash`` is the degenerate
+    w=∞ case).
+
+    Returns distinct (id_col, fp_hash BIGINT). Documents shorter than k
+    tokens contribute their single full-text shingle
+    (:func:`shingles` semantics); a document with fewer than w shingles
+    contributes the minimum of what it has (the trailing window).
+
+    Plan shape: one explode (map-side) + one window over (doc, pos) —
+    a single shuffle on the document id, per-doc state bounded by the
+    doc's own shingle count, then a map-side-combinable distinct. At
+    100 TB this is embarrassingly parallel in the document dimension.
+
+    ``hash_family="md5"`` uses the sign-masked MD5 family
+    (:mod:`hashing`) so DuckDB reproduces hash values AND their
+    ordering exactly (MIN over signed vs unsigned views agrees).
+    """
+    from pyspark.sql import Window
+
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    if hash_family == "xxhash64":
+        h = F.xxhash64
+    elif hash_family == "md5":
+        h = md5_63
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    sh = shingles(tokens(F.col(text_col)), k)
+    hashed = df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(sh, lambda s: h(s))).alias("pos", "_h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    per_doc = Window.partitionBy(id_col)
+    return (
+        hashed.withColumn("_wmin", F.min("_h").over(win))
+        .withColumn("_m", F.count(F.lit(1)).over(per_doc))
+        # full windows only — except the last prefix window of a doc
+        # with fewer than w shingles, which covers the whole doc
+        .where(
+            (F.col("pos") >= F.lit(w - 1))
+            | (F.col("pos") == F.col("_m") - 1)
+        )
+        .select(F.col(id_col), F.col("_wmin").alias("fp_hash"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_postings: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints
+    (a_id < b_id, n_shared) — content-overlap detection robust to local
+    edits and reordering, the MOSS report.
+
+    The pair join is a posting-list self-join on fp_hash: cost is
+    sum over hashes of C(postings, 2). ``max_postings`` drops hashes
+    appearing in more than that many documents first (stop-fingerprint
+    removal — boilerplate shared by everything identifies nothing and
+    quadratically dominates the join; the standard winnowing-index
+    mitigation). Deterministic either way, so the oracle mirrors the
+    cap exactly.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_family)
+    if max_postings is not None:
+        keep = (
+            fps.groupBy("fp_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_postings)
+            .select("fp_hash")
+        )
+        fps = fps.join(keep, "fp_hash", "left_semi")
+    a = fps.select(F.col(id_col).alias("a_id"), "fp_hash")
+    b = fps.select(F.col(id_col).alias("b_id"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram diversity
+# --------------------------------------------------------------------------
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n-gram ratio per group — the corpus diversity /
+    repetitiveness profile (low distinct-to-total ratios flag template
+    spam and synthetic loops; the dataset-analysis counterpart of the
+    per-document :func:`repetition_features`).
+
+    For each n in ``ns`` and each group: total n-gram occurrences,
+    distinct n-grams, and diversity = distinct/total rounded to 6 dp.
+    Documents with fewer than n tokens contribute no n-grams (no
+    short-doc fallback shingle here — a 2-token doc has no trigrams).
+
+    One explode + count-distinct aggregation per n, unioned: each is
+    the word-count shuffle shape (map-side combinable counts; the
+    distinct is Spark's two-phase partial aggregation). Grouped state
+    is the n-gram vocabulary, never the corpus.
+    """
+    tok = tokens(F.col(text_col))
+    parts = []
+    for n in ns:
+        grams = F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        parts.append(
+            df.select(F.col(group_col), F.explode(grams).alias("_g"))
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("total_ngrams"),
+                F.countDistinct("_g").alias("distinct_ngrams"),
+            )
+            .select(
+                F.col(group_col),
+                F.lit(n).cast("int").alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "diversity",
+        F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6),
+    )
+
+
+# --------------------------------------------------------------------------
+# Blocklist filtering
+# --------------------------------------------------------------------------
+
+def blocklist_filter(
+    df: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Drop documents whose token set intersects ``terms`` (the
+    badword/keyword filter stage; token-exact match, case-insensitive —
+    no substring false positives). Pure map-side predicate: no shuffle,
+    pipelines off the scan at any scale."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    bad = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    return df.where(~F.arrays_overlap(tokens(F.col(text_col)), bad))
+
+
+def blocklist_report(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-term document-frequency report for a blocklist: (term,
+    n_docs) for every term, zeros included — what you review before
+    committing a filter. One explode over per-doc DISTINCT tokens +
+    a broadcast semi-join against the (tiny) terms frame, then a
+    map-side-combinable count."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tdf = df.sparkSession.createDataFrame(
+        [(t.lower(),) for t in sorted(set(terms))], "term string"
+    )
+    hits = (
+        df.select(
+            F.explode(
+                F.array_distinct(tokens(F.col(text_col)))
+            ).alias("term")
+        )
+        .join(F.broadcast(tdf), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # broadcast the aggregated (<= len(terms) rows) hit side — Spark
+    # cannot build-left a left-outer broadcast join
+    return (
+        tdf.join(F.broadcast(hits), "term", "left")
+        .select(
+            "term",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias(
+                "n_docs"
+            ),
+        )
+    )

@@ -145,6 +145,12 @@ HEADLINE = [
     "set_similarity_join",    # exact-recall prefix-filtered Jaccard join
     "rich_club_parts",        # hub-density coefficient per k
     "bpe_pair_counts",        # BPE first-merge pair frequencies
+    # r7 late additions
+    "winnow_fingerprints",    # MOSS winnowing fingerprint sets
+    "winnow_pairs",           # shared-fingerprint overlap report
+    "ngram_diversity",        # distinct/total n-gram corpus profile
+    "blocklist_report",       # blocklist document-frequency report
+    "profile_orders",         # one-pass per-column dataset profile
 ]
 
 

@@ -1536,3 +1536,147 @@ def test_zorder_key_interleaves_and_localizes(spark):
     low = {got[(x, y)] for x in (0, 1) for y in (0, 1)}
     rest = {v for (x, y), v in got.items() if x > 1 or y > 1}
     assert max(low) < min(rest)
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints
+# --------------------------------------------------------------------------
+
+def _md5_63_py(s: str) -> int:
+    """Python replica of hashing.md5_63 (little-endian first 8 MD5 bytes,
+    sign bit masked)."""
+    d = hashlib.md5(s.encode()).digest()
+    return int.from_bytes(d[:8], "little") & ((1 << 63) - 1)
+
+
+def _winnow_py(text: str, k: int = 4, w: int = 5) -> set:
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) >= k:
+        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        sh = [" ".join(toks)]
+    hs = [_md5_63_py(s) for s in sh]
+    m = len(hs)
+    return {
+        min(hs[max(0, p - w + 1) : p + 1])
+        for p in range(m)
+        if p >= w - 1 or p == m - 1
+    }
+
+
+def test_winnow_fingerprints_matches_reference_replica(docs):
+    got = {}
+    for r in textf.winnow_fingerprints(
+        docs, k=4, w=5, hash_family="md5"
+    ).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    want = {
+        r["doc_id"]: _winnow_py(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_winnow_shared_run_yields_shared_fingerprint(spark):
+    # Winnowing guarantee: any shared token run of >= w + k - 1 tokens
+    # produces at least one shared fingerprint — here docs differ at both
+    # ends but share a 12-token middle run (k=4, w=5 -> guarantee at 8).
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(1, "x1 y1 " + shared + " z1"), (2, "x2 " + shared + " z2 w2")],
+        "doc_id bigint, text string",
+    )
+    pairs = textf.winnow_pairs(
+        df, k=4, w=5, min_shared=1, hash_family="md5"
+    ).collect()
+    assert len(pairs) == 1 and pairs[0]["n_shared"] >= 1
+
+
+def test_winnow_pairs_max_postings_drops_stop_fingerprints(spark):
+    # Every doc shares the same 4 tokens -> its fingerprint appears in
+    # all 3 docs; max_postings=2 removes it, leaving no qualifying pair.
+    df = spark.createDataFrame(
+        [(i, "common run of words") for i in range(1, 4)],
+        "doc_id bigint, text string",
+    )
+    with_cap = textf.winnow_pairs(
+        df, k=4, w=5, min_shared=1, max_postings=2, hash_family="md5"
+    ).count()
+    without = textf.winnow_pairs(
+        df, k=4, w=5, min_shared=1, hash_family="md5"
+    ).count()
+    assert with_cap == 0 and without == 3
+
+
+# --------------------------------------------------------------------------
+# n-gram diversity
+# --------------------------------------------------------------------------
+
+def test_ngram_diversity_exact_small_case(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "a a", "en"), (3, "x", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {
+        (r["lang"], r["n"]): (
+            r["total_ngrams"], r["distinct_ngrams"], r["diversity"]
+        )
+        for r in textf.ngram_diversity(df, ns=(1, 2, 3)).collect()
+    }
+    # en unigrams: a a b a a -> 5 total, 2 distinct
+    assert rows[("en", 1)] == (5, 2, 0.4)
+    # en bigrams: 'a a','a b' + 'a a' -> 3 total, 2 distinct
+    assert rows[("en", 2)] == (3, 2, round(2 / 3, 6))
+    # en trigrams: only doc 1 -> 'a a b'
+    assert rows[("en", 3)] == (1, 1, 1.0)
+    # fr has a single 1-token doc: no bigrams/trigrams rows
+    assert rows[("fr", 1)] == (1, 1, 1.0)
+    assert ("fr", 2) not in rows and ("fr", 3) not in rows
+
+
+# --------------------------------------------------------------------------
+# Blocklist
+# --------------------------------------------------------------------------
+
+def test_blocklist_filter_token_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "clean text here"), (2, "contains BadWord now"),
+         (3, "badwordish but not exact")],
+        "doc_id bigint, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in textf.blocklist_filter(df, ["badword"]).collect()
+    )
+    # case-insensitive token match; NO substring match on doc 3
+    assert kept == [1, 3]
+
+
+def test_blocklist_report_includes_zero_rows(docs):
+    rep = {
+        r["term"]: r["n_docs"]
+        for r in textf.blocklist_report(
+            docs, ["fox", "zz_missing"]
+        ).collect()
+    }
+    assert rep == {"fox": 4, "zz_missing": 0}  # docs 1, 2, 3, 6
+
+
+# --------------------------------------------------------------------------
+# Column profiling
+# --------------------------------------------------------------------------
+
+def test_profile_columns_exact(spark):
+    from akka_graph_db_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k bigint, v string",
+    )
+    rows = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in profile_columns(df).collect()
+    }
+    assert rows == {"k": (4, 1, 2), "v": (4, 1, 2)}
+    with pytest.raises(ValueError):
+        profile_columns(df, ["nope"])
