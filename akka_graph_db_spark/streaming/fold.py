@@ -147,11 +147,16 @@ class StreamingGraphFold:
     """Holds the evolving snapshot across micro-batches; attach `step` to
     ``writeStream.foreachBatch``.
 
-    Every step MATERIALIZES the new snapshot (localCheckpoint) before the
-    callback returns: a foreachBatch DataFrame is only valid inside its
+    Every step materializes the BATCH (localCheckpoint) before the
+    callback returns — a foreachBatch DataFrame is only valid inside its
     callback, so deferring evaluation would re-read expired micro-batches
-    (fine for file sources, wrong or crashing for Kafka/rate). This also
-    truncates cross-batch lineage as a side effect.
+    (fine for file sources, wrong or crashing for Kafka/rate). The
+    snapshot itself stays a lazy plan over (previous state, checkpointed
+    batch): materializing the whole graph per micro-batch is O(graph)
+    work for an O(changes) event, and was the fold's dominant cost.
+    ``checkpoint_every`` truncates the stacked CRUD lineage on a cadence;
+    base-snapshot persists and compactions additionally swap the state
+    onto the just-written parquet (same rows, file-backed scans).
 
     ``store_root`` makes the fold DURABLE: every ``store_every`` batches
     the fold persists to the base+delta snapshot store — the first persist
@@ -168,40 +173,134 @@ class StreamingGraphFold:
     store_root: str | None = None
     store_every: int = 1
     compact_every: int | None = None
+    # Full-snapshot localCheckpoint cadence (see step()); 0/None disables
+    # and relies on persists to bound lineage.
+    checkpoint_every: int | None = 4
     _persisted: PropertyGraph | None = field(default=None, repr=False)
     _deltas_since_base: int = field(default=0, repr=False)
+    # Touched-id frames accumulated since the last persist (None = no
+    # commands tracked yet). The fold KNOWS which ids its mutation
+    # batches touched, so the persisted delta never needs the full-graph
+    # diff: restricting both diff sides to the touched ids makes the
+    # delta computation O(touched) joins over semi-join-pruned scans —
+    # at 100 TB the full-outer join of two whole snapshots per persist
+    # is the cost that matters, and it is avoidable by construction.
+    _touched_nodes: DataFrame | None = field(default=None, repr=False)
+    _touched_edges: DataFrame | None = field(default=None, repr=False)
 
     def step(self, batch: DataFrame, batch_id: int) -> None:
-        g = apply_mutation_batch(self.graph, batch.orderBy("seq"))
-        self.graph = PropertyGraph(
-            g.nodes.localCheckpoint(eager=True),
-            g.edges.localCheckpoint(eager=True),
-        )
+        # Materialize the BATCH, not the graph: a foreachBatch frame is
+        # only valid inside its callback, but its localCheckpoint copy
+        # survives — so the new snapshot can stay a LAZY plan over
+        # (previous state, checkpointed batch). Eagerly materializing
+        # the whole multi-million-row snapshot per micro-batch was the
+        # fold's dominant cost and is O(graph) where the batch is
+        # O(changes).
+        b = batch.orderBy("seq").localCheckpoint(eager=True)
+        if self.store_root is not None:
+            # must run BEFORE apply: node-removal cascade victims are
+            # read from the pre-apply edge frame
+            self._track_touched(b)
+        g = apply_mutation_batch(self.graph, b)
         self.batches_applied += 1
+        if (
+            self.checkpoint_every
+            and self.batches_applied % self.checkpoint_every == 0
+        ):
+            # cadence-controlled lineage truncation: without it the
+            # snapshot plan stacks one CRUD layer per micro-batch and
+            # planning time grows without bound
+            g = PropertyGraph(
+                g.nodes.localCheckpoint(eager=True),
+                g.edges.localCheckpoint(eager=True),
+            )
+        self.graph = g
         if (
             self.store_root is not None
             and self.batches_applied % self.store_every == 0
         ):
             self._persist()
 
+    def _track_touched(self, batch: DataFrame) -> None:
+        """Accumulate the ids this batch can change: every command's own
+        id, plus — for node removals — the incident edge ids the CRUD
+        cascade will delete (two equi-semi-joins against the pre-apply
+        edge frame, never an OR-condition join). All frames here are
+        O(batch); ``batch`` is already the checkpointed copy."""
+        b = batch.select("op", "kind", "id")
+        tn = b.where(F.col("kind") == "node").select("id")
+        te = b.where(F.col("kind") == "edge").select("id")
+        removed = b.where(
+            (F.col("op") == "remove") & (F.col("kind") == "node")
+        ).select(F.col("id").alias("_rid"))
+        if removed.limit(1).count() > 0:
+            for end in ("src", "dst"):
+                te = te.unionByName(
+                    self.graph.edges.join(
+                        removed, F.col(end) == F.col("_rid"), "left_semi"
+                    ).select("id")
+                )
+
+        def _acc(cur: DataFrame | None, add: DataFrame) -> DataFrame:
+            out = add if cur is None else cur.unionByName(add)
+            return out.distinct().localCheckpoint(eager=True)
+
+        self._touched_nodes = _acc(self._touched_nodes, tn)
+        self._touched_edges = _acc(self._touched_edges, te)
+
     def _persist(self) -> None:
         from akka_graph_db_spark import store
 
         spark = self.graph.nodes.sparkSession
+        touched_covers_gap = True
         if self._persisted is None:
             if not store.list_versions(self.store_root, spark):
                 store.save_snapshot(self.graph, self.store_root)
-                self._persisted = self.graph
+                # swap in the parquet-backed read of what was just
+                # written: same rows, but future evaluations scan files
+                # instead of replaying the CRUD lineage — lineage
+                # truncation for free, no extra materialization pass
+                self._persisted = store.load_snapshot(
+                    spark, self.store_root
+                )
+                self.graph = self._persisted
                 self._deltas_since_base = 0
+                self._touched_nodes = self._touched_edges = None
                 return
-            # resumed fold: diff against the store's current state
+            # resumed fold: diff against the store's current state — the
+            # gap between the store and this object's starting graph was
+            # never tracked, so the touched-id restriction is unsound
+            # for THIS persist only
             self._persisted = store.load_snapshot(spark, self.store_root)
-        store.save_delta(
-            self.store_root,
-            store.delta_from_graphs(self._persisted, self.graph),
-            validate=False,
-        )
+            touched_covers_gap = False
+        if touched_covers_gap and self._touched_nodes is not None:
+            # O(touched) diff: ids outside the touched sets are
+            # unchanged by construction (CRUD only alters command ids +
+            # cascade victims), so both diff sides shrink to semi-joined
+            # slices and the full-outer join is over O(changes) rows.
+            # materialize the four O(changes) slices ONCE: save_delta
+            # runs one write action per delta frame, and without the
+            # barrier each action would re-scan the full snapshot plans
+            # behind the semi-joins (4 writes x 2 diff sides)
+            def _slice(frame: DataFrame, touched: DataFrame) -> DataFrame:
+                return frame.join(touched, "id", "left_semi").localCheckpoint(
+                    eager=True
+                )
+
+            old = PropertyGraph(
+                _slice(self._persisted.nodes, self._touched_nodes),
+                _slice(self._persisted.edges, self._touched_edges),
+            )
+            new = PropertyGraph(
+                _slice(self.graph.nodes, self._touched_nodes),
+                _slice(self.graph.edges, self._touched_edges),
+            )
+            delta = store.delta_from_graphs(old, new)
+        else:
+            delta = store.delta_from_graphs(self._persisted, self.graph)
+        store.save_delta(self.store_root, delta, validate=False)
         self._persisted = self.graph
+        self._touched_nodes = self._touched_edges = None
         self._deltas_since_base += 1
         if (
             self.compact_every is not None
@@ -209,6 +308,9 @@ class StreamingGraphFold:
         ):
             store.compact(self.store_root, spark)
             self._deltas_since_base = 0
+            # re-based: swap both views onto the fresh parquet base
+            self._persisted = store.load_snapshot(spark, self.store_root)
+            self.graph = self._persisted
 
     def run(self, mutation_stream: DataFrame, checkpoint_dir: str):
         """Consume an entire available stream (Trigger.AvailableNow) and

@@ -101,3 +101,50 @@ def test_streaming_fold_durable_deltas(spark, micro):
     assert kinds[0] == (0, "base")
     assert any(k == "delta" for _, k in kinds[1:])
     assert any(k == "base" for _, k in kinds[1:])
+
+
+def test_durable_delta_is_o_changes(spark, micro):
+    """The persisted delta must contain ONLY the ids the mutation batches
+    touched (plus cascade victims) — never a rewrite of untouched rows.
+    Pins the touched-id-restricted diff in StreamingGraphFold._persist."""
+    from akka_graph_db_spark import store
+
+    tmp = tempfile.mkdtemp(prefix="fold_oc_")
+    root = os.path.join(tmp, "store")
+    # batch 0 -> base snapshot of micro + the added node
+    b0 = [(1, "add", "node", 70, "t", None, None, {})]
+    # batch 1 -> delta: one update + one node remove cascading to an edge
+    b1 = [
+        (2, "update", "node", 70, None, None, None, {"v": '"x"'}),
+        (3, "remove", "node", 1, None, None, None, None),
+    ]
+    fold = StreamingGraphFold(micro, store_root=root, store_every=1)
+    for i, rows in enumerate((b0, b1)):
+        log_dir = os.path.join(tmp, f"log{i}")
+        spark.createDataFrame(rows, MUTATION_SCHEMA).coalesce(1).write.json(
+            log_dir
+        )
+        fold.run(
+            spark.readStream.schema(MUTATION_SCHEMA).json(log_dir),
+            os.path.join(tmp, f"ckpt{i}"),
+        )
+    kinds = store.list_version_kinds(root)
+    assert kinds == [(0, "base"), (1, "delta")]
+    vdir = os.path.join(root, "v=1")
+    n_up = spark.read.parquet(os.path.join(vdir, "nodes_upserts"))
+    n_del = spark.read.parquet(os.path.join(vdir, "node_deletes"))
+    e_del = spark.read.parquet(os.path.join(vdir, "edge_deletes"))
+    assert ids(n_up) == [70]          # only the updated node rewrites
+    assert ids(n_del) == [1]          # only the removed node deletes
+    # micro's edges incident to node 1 cascade-delete, nothing else
+    incident = {
+        r["id"]
+        for r in micro.edges.where(
+            (micro.edges.src == 1) | (micro.edges.dst == 1)
+        ).collect()
+    }
+    assert set(ids(e_del)) == incident and incident
+    # and the merged read-back equals the in-memory fold state
+    persisted = store.load_snapshot(spark, root)
+    assert ids(persisted.nodes) == ids(fold.graph.nodes)
+    assert ids(persisted.edges) == ids(fold.graph.edges)
