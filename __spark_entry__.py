@@ -1972,6 +1972,25 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs C(a→b) = |Sₐ∩S_b|/|Sₐ| ≥ 0.8
+    (dedup.containment_join): the asymmetric near-superset mode Jaccard
+    structurally misses (a short doc quoted whole inside a long one has
+    C = 1.0, J ≈ |Sₐ|/|S_b|). Candidates via the containment-adapted
+    prefix filter — a's rarest |Sₐ|-⌈t|Sₐ|⌉+1 tokens joined against the
+    full posting index — then exact hashed-set verify; integer-exact
+    output (n_a, n_common), no all-pairs step. The oracle is the
+    quadratic all-ordered-pairs ground truth the prefix filter must
+    reproduce losslessly."""
+    docs = read_documents(spark, sf_dir)
+    return dedup.containment_join(docs, threshold=0.8, shingle_n=3).select(
+        "a_id",
+        "b_id",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """First BPE tokenizer-training merge (textf.bpe_pair_counts):
     corpus-wide adjacent-character-pair frequencies within words, top-20
@@ -5481,6 +5500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-7 late additions: round-8 rotation candidates ---
+        "dedup_containment": q_dedup_containment,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "ngram_diversity": q_ngram_diversity,
@@ -6230,6 +6250,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / (len(a.toks) + len(b.toks)
                      - len(list_intersect(a.toks, b.toks))) >= 0.8
+        """,
+        # Quadratic all-ordered-pairs containment ground truth; the
+        # engine's prefix-filtered join must reproduce it losslessly.
+        # Engine intersects xxhash64(token) sets — same cardinalities as
+        # the string sets up to 64-bit collisions (~1e-11 here).
+        "dedup_containment": f"""
+            WITH ct_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            ct AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM ct_t
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(a.sh) AS BIGINT) AS n_a,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                     AS n_common
+            FROM ct a JOIN ct b ON a.doc_id <> b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(a.sh) >= 0.8
         """,
         # Exact all-pairs Jaccard >= 0.9 -> symmetric transitive closure
         # (recursive CTE) -> min-id per component: the ground truth the

@@ -1330,3 +1330,112 @@ def set_similarity_join(
         )
         .where(F.col("jaccard_sim") >= threshold)
     )
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    shingle_n: int = 1,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """EXACT directed containment join: every ordered pair (a, b), a ≠ b,
+    with C(a→b) = |Sₐ∩S_b| / |Sₐ| >= threshold — "a is (nearly) contained
+    in b". The asymmetric dedup mode Jaccard misses: a short document
+    quoted whole inside a much longer one has containment 1.0 but
+    Jaccard |Sₐ|/|S_b| ≈ 0, so neither MinHash-LSH (which estimates
+    Jaccard) nor :func:`set_similarity_join` can find it. Returns
+    integer-exact (a_id, b_id, n_a, n_common) — callers derive
+    containment as n_common / n_a.
+
+    Candidate generation is the prefix-filter adapted to containment:
+    if |Sₐ∩S_b| >= ceil(t·|Sₐ|) then Sₐ's rarest
+    |Sₐ| - ceil(t·|Sₐ|) + 1 shingles (global-frequency-ascending order)
+    cannot ALL miss S_b — so candidates come from an equi-join of a's
+    PREFIX postings against the FULL shingle index. Unlike the Jaccard
+    prefix filter, the index side cannot be prefix-truncated (b only
+    needs to contain a's shingles anywhere), so candidate volume is
+    Σ_{e ∈ prefix(a)} freq(e): bounded by construction because the
+    frequency-ascending order fills prefixes with the RAREST shingles.
+    ceil is computed in integer permille arithmetic ((tm·n + 999) DIV
+    1000) with tm = floor(t·1000): flooring can only LENGTHEN the
+    prefix (extra candidates, never a miss) and the exact verify
+    re-filters with the original float threshold. A size prefilter
+    (|S_b| >= ceil(t·|Sₐ|)) prunes impossible pairs before the verify
+    join ships any shingle arrays.
+
+    ``max_posting`` is the LOSSY scale knob: drop index postings longer
+    than the cap (stop-shingles) before the candidate join. Pairs whose
+    ONLY shared prefix shingles are stop-shingles are then missed —
+    leave None (default, exact) unless the corpus has degenerate
+    all-stopword documents. 100 TB shape: one frequency aggregation,
+    one per-doc sort of degree-bounded arrays, one prefix×index
+    equi-join, no all-pairs or cross join anywhere.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    tm = int(threshold * 1000)
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        _shingle_sets(df, text_col, id_col, shingle_n)
+        .repartition(npart, F.col("_sid"))
+        .localCheckpoint(eager=False)
+    )
+    freq = (
+        sh.select(F.explode("_sh").alias("_e"))
+        .groupBy("_e")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    # ceil(t*n) >= 1 always (tm > 0, _n >= 1), so prefix_len <= _n
+    need = f"(({tm} * _n + 999) DIV 1000)"
+    prefix_len = F.expr(f"CAST(_n - {need} + 1 AS INT)")
+    prefixes = (
+        sh.select(F.col("_sid"), F.explode("_sh").alias("_e"), "_n")
+        .join(freq, "_e")
+        .groupBy("_sid", "_n")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(_f, _e))),"
+                " s -> s._e)"
+            ).alias("_ordered")
+        )
+        .select(
+            "_sid",
+            F.explode(F.slice(F.col("_ordered"), 1, prefix_len)).alias("_p"),
+        )
+    )
+    idx = sh.select(F.col("_sid").alias("b_id"), F.explode("_sh").alias("_e"))
+    if max_posting is not None:
+        idx = idx.join(
+            freq.where(F.col("_f") <= max_posting).select("_e"), "_e"
+        )
+    cand = (
+        prefixes.select(F.col("_sid").alias("a_id"), "_p")
+        .join(idx, prefixes["_p"] == idx["_e"])
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sizes_a = sh.select(F.col("_sid").alias("a_id"), F.col("_n").alias("_na"))
+    sizes_b = sh.select(F.col("_sid").alias("b_id"), F.col("_n").alias("_nb"))
+    cand = (
+        cand.join(sizes_a, "a_id")
+        .join(sizes_b, "b_id")
+        .where(F.expr(f"_nb >= (({tm} * _na + 999) DIV 1000)"))
+        .select("a_id", "b_id")
+    )
+    a = sh.select(F.col("_sid").alias("a_id"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_sid").alias("b_id"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size("_sha").alias("n_a"),
+            inter.alias("n_common"),
+        )
+        .where(F.col("n_common") / F.col("n_a") >= F.lit(threshold))
+    )

@@ -1680,3 +1680,54 @@ def test_profile_columns_exact(spark):
     assert rows == {"k": (4, 1, 2), "v": (4, 1, 2)}
     with pytest.raises(ValueError):
         profile_columns(df, ["nope"])
+
+
+def test_containment_join_finds_asymmetric_subsets(spark):
+    """Containment catches what Jaccard structurally misses: a short doc
+    fully quoted inside a long one (C = 1.0, J = 0.3), and the prefix
+    filter is LOSSLESS — the join equals brute-force containment over
+    all ordered pairs, including a pair at exactly the threshold."""
+    rows = [
+        (1, "alpha beta gamma"),
+        # doc 1 ⊂ doc 2: C(1→2) = 1.0, J = 3/10
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # {alpha beta nu}: C(3→2) = 2/3 < 0.9 -> excluded at t=0.9
+        (3, "alpha beta nu"),
+        # |S|=10, 9 of them in doc 2: C(4→2) = 9/10 = 0.9 EXACTLY
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota MISS"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["n_a"], r["n_common"])
+        for r in dedup.containment_join(df, threshold=0.9).collect()
+    )
+    # 1⊂2 and 1⊂4 (C=1.0, J=0.3); 2↔4 differ in one token (C=0.9 both
+    # ways, exactly at threshold); 3 excluded (C=2/3)
+    assert got == [(1, 2, 3, 3), (1, 4, 3, 3), (2, 4, 10, 9), (4, 2, 10, 9)]
+    # brute-force equality at a lower threshold (more pairs, both
+    # directions possible)
+    toks = {r[0]: set(r[1].split()) for r in rows}
+    want = sorted(
+        (a, b, len(toks[a]), len(toks[a] & toks[b]))
+        for a in toks
+        for b in toks
+        if a != b and len(toks[a] & toks[b]) / len(toks[a]) >= 0.5
+    )
+    got_lo = sorted(
+        (r["a_id"], r["b_id"], r["n_a"], r["n_common"])
+        for r in dedup.containment_join(df, threshold=0.5).collect()
+    )
+    assert got_lo == want
+
+
+def test_containment_join_max_posting_drops_stop_shingles(spark):
+    """The lossy scale knob: with max_posting=1 every shared token is a
+    stop-shingle, so no candidates survive; default (None) finds the
+    pair."""
+    rows = [(1, "x y"), (2, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert dedup.containment_join(df, threshold=0.9).count() == 1
+    assert (
+        dedup.containment_join(df, threshold=0.9, max_posting=1).count()
+        == 0
+    )
