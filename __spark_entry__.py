@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from akka_graph_db_spark.functions import dedup, events as ev
 from akka_graph_db_spark.functions import multimodal, similarity
+from akka_graph_db_spark.functions import search as searchf
 from akka_graph_db_spark.functions import text as textf
 from akka_graph_db_spark.model import (
     prop_bool,
@@ -1989,6 +1990,26 @@ def q_dedup_containment(spark, sf_dir):
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_common").cast("long").alias("n_common"),
     )
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Per-doc top-3 distinctive terms (search.distinctive_terms):
+    keyword extraction by lexicographic (tf DESC, doc-freq ASC, term)
+    rank — monotone in tf·idf for any decreasing idf but integer-exact
+    (no ln()). Two map-side-combinable aggs + a term equi-join + a
+    per-doc window bounded by document length."""
+    docs = read_documents(spark, sf_dir)
+    return searchf.distinctive_terms(docs, k=3)
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve (search.vocab_growth): cum
+    tokens vs cum distinct types per 50-doc id bucket. Running distinct
+    decomposes exactly into new-type-at-first-occurrence (min id per
+    term), so the heavy aggs are distributed and the ordered cumsum
+    runs over the 10-row bucket frame only."""
+    docs = read_documents(spark, sf_dir)
+    return searchf.vocab_growth(docs, step=50)
 
 
 def q_bpe_pair_counts(spark, sf_dir):
@@ -5501,6 +5522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-7 late additions: round-8 rotation candidates ---
         "dedup_containment": q_dedup_containment,
+        "distinctive_terms": q_distinctive_terms,
+        "vocab_growth": q_vocab_growth,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "ngram_diversity": q_ngram_diversity,
@@ -6250,6 +6273,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / (len(a.toks) + len(b.toks)
                      - len(list_intersect(a.toks, b.toks))) >= 0.8
+        """,
+        # Lexicographic (tf DESC, df ASC, term) rank — integer-exact
+        # keyword extraction, monotone in tf*idf for decreasing idf.
+        "distinctive_terms": f"""
+            WITH dt_tok AS (SELECT doc_id AS id, unnest({_TOK}) AS term
+                            FROM documents),
+            dt_tf AS (SELECT id, term, COUNT(*) AS tf
+                      FROM dt_tok GROUP BY id, term),
+            dt_df AS (SELECT term, COUNT(*) AS df FROM dt_tf GROUP BY term)
+            SELECT id, rank, term, tf, df FROM (
+              SELECT t.id, t.term,
+                     CAST(t.tf AS BIGINT) AS tf,
+                     CAST(d.df AS BIGINT) AS df,
+                     ROW_NUMBER() OVER (PARTITION BY t.id
+                       ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+              FROM dt_tf t JOIN dt_df d USING (term)
+            ) WHERE rank <= 3
+        """,
+        # Running-distinct decomposed as new-type-at-first-occurrence;
+        # windowed SUMs cast (DuckDB widens to HUGEINT).
+        "vocab_growth": f"""
+            WITH vg_tok AS (SELECT doc_id AS id, unnest({_TOK}) AS term
+                            FROM documents),
+            vg_pb AS (SELECT id // 50 AS bucket, COUNT(*) AS toks
+                      FROM vg_tok GROUP BY 1),
+            vg_fs AS (SELECT term, MIN(id) AS first_id
+                      FROM vg_tok GROUP BY term),
+            vg_nt AS (SELECT first_id // 50 AS bucket, COUNT(*) AS types
+                      FROM vg_fs GROUP BY 1)
+            SELECT bucket,
+                   CAST(SUM(toks) OVER (ORDER BY bucket) AS BIGINT)
+                     AS cum_tokens,
+                   CAST(SUM(COALESCE(types, 0)) OVER (ORDER BY bucket)
+                        AS BIGINT) AS cum_types
+            FROM vg_pb LEFT JOIN vg_nt USING (bucket)
         """,
         # Quadratic all-ordered-pairs containment ground truth; the
         # engine's prefix-filtered join must reproduce it losslessly.

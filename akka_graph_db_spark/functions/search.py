@@ -327,3 +327,99 @@ def hll_estimate(sketch: DataFrame, p: int = 10) -> DataFrame:
     return s.select(
         (F.lit(c) / F.col("_s").cast("double")).alias("hll_estimate")
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """Per-document top-k DISTINCTIVE terms: ranked by (tf DESC,
+    doc-frequency ASC, term ASC) — a term beats another if it occurs
+    more often in THIS document, ties broken toward the corpus-rarer
+    term. The exact-integer keyword-extraction analogue of tf-idf:
+    lexicographic (tf, -df) ordering is monotone in tf·idf for any
+    strictly-decreasing idf, with no transcendental ln() so every
+    comparison is integer-exact and oracle-reproducible. Returns
+    (id, rank, term, tf, df). ``max_doc_frequency`` drops corpus-wide
+    stop-terms before ranking.
+
+    100 TB shape: one (doc, term) count aggregation (map-side
+    combinable), one doc-frequency aggregation over the DISTINCT
+    (doc, term) frame (no second corpus scan), an equi-join on term,
+    and a per-document window whose partition is the document's own
+    vocabulary — bounded by document length, never corpus size.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_doc_frequency is not None:
+        dfreq = dfreq.where(F.col("df") <= max_doc_frequency)
+    w = Window.partitionBy("id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "rank", "term", "tf", "df")
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    step: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative token count vs
+    cumulative DISTINCT-type count as the corpus is consumed in id
+    order, sampled per ``step``-sized id bucket. The corpus-sizing
+    diagnostic for tokenizer training: how fast is the type inventory
+    still growing? Returns (bucket, cum_tokens, cum_types) with
+    bucket = floor(id / step).
+
+    A running distinct count is not windowable at scale; the exact
+    decomposition is: a type is NEW in the bucket of its FIRST
+    occurrence (min id per term — one aggregation), so per-bucket
+    new-type counts + per-bucket token counts are two map-side-
+    combinable aggregations, and the cumulative sums run over the
+    BUCKET-level frame — n_ids/step rows, bounded and tiny, so its
+    single-partition ordered window is a deliberate driver-scale step,
+    never a corpus-sized one.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    bucket = (F.col("id") / step).cast("long")
+    per_bucket = tok.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("toks")
+    )
+    firsts = tok.groupBy("term").agg(F.min("id").alias("first_id"))
+    new_types = firsts.groupBy(
+        (F.col("first_id") / step).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("types"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("types"), F.lit(0)))
+            .over(w)
+            .alias("cum_types"),
+        )
+    )

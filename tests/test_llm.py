@@ -1731,3 +1731,44 @@ def test_containment_join_max_posting_drops_stop_shingles(spark):
         dedup.containment_join(df, threshold=0.9, max_posting=1).count()
         == 0
     )
+
+
+def test_distinctive_terms_rank_order(spark):
+    """(tf DESC, df ASC, term ASC) rank: within a doc a more-frequent
+    term always wins; at equal tf the corpus-rarer term wins; stop-term
+    cap drops ubiquitous terms before ranking."""
+    rows = [
+        (1, "apple apple banana common"),
+        (2, "banana banana cherry common"),
+        (3, "common cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in search.distinctive_terms(df, k=2).collect()
+    }
+    # doc 1: apple tf=2 first; banana (df=2) beats common (df=3) at tf=1
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("banana", 1, 2)
+    # doc 3: at tf=1 everywhere, cherry (df=2) beats common (df=3)
+    assert got[(3, 1)] == ("cherry", 1, 2)
+    # stop-term cap: common (df=3) excluded entirely
+    capped = search.distinctive_terms(df, k=5, max_doc_frequency=2)
+    assert "common" not in {r["term"] for r in capped.collect()}
+
+
+def test_vocab_growth_curve(spark):
+    """Cumulative tokens/types per id bucket: types count at FIRST
+    occurrence only; final cum_types equals the corpus vocabulary."""
+    rows = [
+        (0, "a b a"),      # bucket 0: 3 toks, types {a, b}
+        (1, "b c"),        # bucket 0: 2 toks, new type {c}
+        (10, "c d d d"),   # bucket 1: 4 toks, new type {d}
+        (20, "a b"),       # bucket 2: 2 toks, no new types
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["bucket"], r["cum_tokens"], r["cum_types"])
+        for r in search.vocab_growth(df, step=10).collect()
+    )
+    assert got == [(0, 5, 3), (1, 9, 4), (2, 11, 4)]
