@@ -2012,6 +2012,19 @@ def q_vocab_growth(spark, sf_dir):
     return searchf.vocab_growth(docs, step=50)
 
 
+def q_quantile_filter_docs(spark, sf_dir):
+    """Per-source top-quartile gate (textf.quantile_filter): keep docs
+    with n_chars at or above their source's exact discrete p75 — the
+    rank-based threshold (smallest value whose at-or-below count reaches
+    ceil(0.75·n), integer permille) so the cut is an observed value,
+    float-rule-free. Ordered window only over per-source distinct
+    values; thresholds broadcast into the filter join."""
+    docs = read_documents(spark, sf_dir)
+    return textf.quantile_filter(docs, col="n_chars", q=0.75).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """First BPE tokenizer-training merge (textf.bpe_pair_counts):
     corpus-wide adjacent-character-pair frequencies within words, top-20
@@ -5524,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "distinctive_terms": q_distinctive_terms,
         "vocab_growth": q_vocab_growth,
+        "quantile_filter_docs": q_quantile_filter_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "ngram_diversity": q_ngram_diversity,
@@ -6273,6 +6287,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / (len(a.toks) + len(b.toks)
                      - len(list_intersect(a.toks, b.toks))) >= 0.8
+        """,
+        # Same explicit rank arithmetic as the engine (NOT quantile_disc,
+        # whose index convention need not match ceil(q*n)).
+        "quantile_filter_docs": """
+            WITH qf_c AS (SELECT source, n_chars, COUNT(*) AS cnt
+                          FROM documents GROUP BY 1, 2),
+            qf_cum AS (
+              SELECT source, n_chars,
+                     SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars)
+                       AS cum,
+                     SUM(cnt) OVER (PARTITION BY source) AS n
+              FROM qf_c
+            ),
+            qf_thr AS (
+              SELECT source, MIN(n_chars) AS t FROM qf_cum
+              WHERE cum >= (750 * n + 999) // 1000 GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN qf_thr USING (source)
+            WHERE d.n_chars >= t
         """,
         # Lexicographic (tf DESC, df ASC, term) rank — integer-exact
         # keyword extraction, monotone in tf*idf for decreasing idf.

@@ -1047,3 +1047,54 @@ def blocklist_report(
             ),
         )
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    col: str = "n_chars",
+    q: float = 0.75,
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Keep rows at or above their GROUP's exact discrete q-quantile of
+    ``col`` — the per-source quality gate of a curation pipeline ("keep
+    each source's top quartile"), where one global threshold would let a
+    low-quality source dominate. The threshold is rank-based (the
+    smallest value whose at-or-below count reaches ceil(q·n), computed
+    in integer permille arithmetic), not interpolated: it is always an
+    OBSERVED value, identical under any engine's float rules.
+
+    Scale shape: the ordered window runs over the per-group (value,
+    count) frame — bounded by the number of DISTINCT values of ``col``
+    per group (use an integer score), never group row count; thresholds
+    are one row per group and broadcast into the filter join. No window
+    over the corpus anywhere.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    qm = int(q * 1000)
+    gc = list(group_cols)
+    counts = df.groupBy(*gc, col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = (
+        Window.partitionBy(*gc)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*gc)
+    cum = counts.select(
+        *gc,
+        F.col(col),
+        F.sum("_cnt").over(w).alias("_cum"),
+        F.sum("_cnt").over(wg).alias("_n"),
+    )
+    thr = (
+        cum.where(F.expr(f"_cum >= (({qm} * _n + 999) DIV 1000)"))
+        .groupBy(*gc)
+        .agg(F.min(col).alias("_thr"))
+    )
+    return (
+        df.join(F.broadcast(thr), gc)
+        .where(F.col(col) >= F.col("_thr"))
+        .drop("_thr")
+    )

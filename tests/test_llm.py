@@ -1772,3 +1772,24 @@ def test_vocab_growth_curve(spark):
         for r in search.vocab_growth(df, step=10).collect()
     )
     assert got == [(0, 5, 3), (1, 9, 4), (2, 11, 4)]
+
+
+def test_quantile_filter_exact_rank_threshold(spark):
+    """The p75 cut is rank-based ceil(q*n): with n=4 values per group
+    the threshold is the 3rd smallest (ceil(3.0) — the integer-divisible
+    case where float arithmetic would off-by-one to the 4th)."""
+    rows = [
+        (1, "s1", 10), (2, "s1", 20), (3, "s1", 30), (4, "s1", 40),
+        (5, "s2", 100), (6, "s2", 200), (7, "s2", 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string,"
+                               " n_chars bigint")
+    kept = sorted(
+        r["doc_id"]
+        for r in textf.quantile_filter(df, q=0.75).collect()
+    )
+    # s1: ceil(0.75*4)=3 -> threshold 30 -> keep 30, 40
+    # s2: ceil(0.75*3)=3 -> threshold 300 -> keep 300
+    assert kept == [3, 4, 7]
+    with pytest.raises(ValueError):
+        textf.quantile_filter(df, q=1.5)
