@@ -3098,6 +3098,38 @@ def q_streaming_running_totals(spark, sf_dir):
     )
 
 
+def q_streaming_cms(spark, sf_dir):
+    """§2.9 mergeable streaming sketch (streaming/sketch.py): a 4×1024
+    count-min sketch accumulated over a 4-micro-batch event stream
+    (maxFilesPerTrigger=1 forces real multi-batch merging), then
+    point-queried for every event type. CMS counters ADD, so the merged
+    sketch is bit-identical to the batch sketch of the same rows — the
+    oracle rebuilds that batch sketch in SQL from the pinned md5 hash
+    draw and takes the same row-min. Fixed-memory streaming frequency:
+    state is ≤ depth×width rows regardless of stream volume."""
+    import os
+    import tempfile
+
+    from akka_graph_db_spark.functions import search
+    from akka_graph_db_spark.streaming.sketch import StreamingCMS
+
+    ev_df = read_events(spark, sf_dir).select(
+        F.col("event_type").alias("term")
+    )
+    tmp = tempfile.mkdtemp(prefix="scms_")
+    src = os.path.join(tmp, "src")
+    ev_df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cms = StreamingCMS(term_col="term", width=1024, depth=4)
+    sketch = cms.run(stream, os.path.join(tmp, "ckpt"))
+    terms = ev_df.select("term").distinct()
+    return search.cms_estimate(sketch, terms, width=1024, depth=4)
+
+
 def q_streaming_session(spark, sf_dir):
     """§2.9 streaming session windows, batch-equivalence oracle: the
     events table runs as a watermarked file stream through
@@ -5538,6 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "vocab_growth": q_vocab_growth,
         "quantile_filter_docs": q_quantile_filter_docs,
+        "streaming_cms": q_streaming_cms,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "ngram_diversity": q_ngram_diversity,
@@ -6287,6 +6320,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / (len(a.toks) + len(b.toks)
                      - len(list_intersect(a.toks, b.toks))) >= 0.8
+        """,
+        # Stream≡batch for a MERGEABLE sketch: CMS counters add, so the
+        # 4-micro-batch accumulated sketch equals the batch sketch of the
+        # same rows — rebuilt here from the same pinned md5 hash draw.
+        # Inner probe join is safe: every probed term is in-corpus.
+        "streaming_cms": """
+            WITH sc_sk AS (
+              SELECT row, bucket, COUNT(*) AS cnt FROM (
+                SELECT d.d AS row,
+                       CAST(md5_number_upper('cms:' || d.d || ':'
+                              || event_type)
+                            & 9223372036854775807 AS BIGINT) % 1024
+                         AS bucket
+                FROM events
+                CROSS JOIN (SELECT unnest(range(4)) AS d) d
+              ) GROUP BY 1, 2
+            ),
+            sc_probes AS (
+              SELECT t.term, d.d AS row,
+                     CAST(md5_number_upper('cms:' || d.d || ':' || t.term)
+                          & 9223372036854775807 AS BIGINT) % 1024
+                       AS bucket
+              FROM (SELECT DISTINCT event_type AS term FROM events) t
+              CROSS JOIN (SELECT unnest(range(4)) AS d) d
+            )
+            SELECT p.term, CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate
+            FROM sc_probes p JOIN sc_sk s USING (row, bucket)
+            GROUP BY 1
         """,
         # Same explicit rank arithmetic as the engine (NOT quantile_disc,
         # whose index convention need not match ceil(q*n)).

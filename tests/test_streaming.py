@@ -148,3 +148,43 @@ def test_durable_delta_is_o_changes(spark, micro):
     persisted = store.load_snapshot(spark, root)
     assert ids(persisted.nodes) == ids(fold.graph.nodes)
     assert ids(persisted.edges) == ids(fold.graph.edges)
+
+
+def test_streaming_cms_merge_equals_batch(spark):
+    """CMS counters ADD: the sketch accumulated over N micro-batches is
+    bit-identical to the batch sketch of the same rows, and estimates
+    for in-corpus terms are >= exact counts."""
+    import os
+    import tempfile
+
+    from akka_graph_db_spark.functions import search
+    from akka_graph_db_spark.streaming.sketch import StreamingCMS
+
+    rows = [(t,) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 2]
+    df = spark.createDataFrame(rows, "term string")
+    tmp = tempfile.mkdtemp(prefix="scms_t_")
+    src = os.path.join(tmp, "src")
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cms = StreamingCMS(width=64, depth=3)
+    sketch = cms.run(stream, os.path.join(tmp, "ckpt"))
+    assert cms.batches_applied == 3
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in search.cms_sketch(df, width=64, depth=3).collect()
+    }
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in sketch.collect()
+    }
+    assert merged == batch
+    est = {
+        r["term"]: r["cms_estimate"]
+        for r in search.cms_estimate(
+            sketch, df.select("term").distinct(), width=64, depth=3
+        ).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 2
