@@ -151,6 +151,11 @@ HEADLINE = [
     "ngram_diversity",        # distinct/total n-gram corpus profile
     "blocklist_report",       # blocklist document-frequency report
     "profile_orders",         # one-pass per-column dataset profile
+    "dedup_containment",      # prefix-filtered directed containment join
+    "distinctive_terms",      # integer-exact per-doc keyword extraction
+    "vocab_growth",           # Heaps-law cumulative type curve
+    "quantile_filter_docs",   # per-source discrete-quantile gate
+    "streaming_cms",          # mergeable micro-batch count-min sketch
 ]
 
 
