@@ -1988,8 +1988,21 @@ def q_dedup_containment(spark, sf_dir):
         "a_id",
         "b_id",
         F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
         F.col("n_common").cast("long").alias("n_common"),
     )
+
+
+def q_dedup_containment_prune(spark, sf_dir):
+    """Subset pruning (dedup.containment_prune): documents >= 0.8
+    contained in a dominating doc (strictly larger shingle set, or
+    equal-size with smaller id) are dropped; maximal docs survive.
+    One-shot dominance — order-free and unique, so the quadratic oracle
+    reproduces it with a NOT EXISTS anti-join."""
+    docs = read_documents(spark, sf_dir)
+    return dedup.containment_prune(
+        docs, threshold=0.8, shingle_n=3
+    ).select("doc_id", "source", "n_chars")
 
 
 def q_distinctive_terms(spark, sf_dir):
@@ -3128,6 +3141,37 @@ def q_streaming_cms(spark, sf_dir):
     sketch = cms.run(stream, os.path.join(tmp, "ckpt"))
     terms = ev_df.select("term").distinct()
     return search.cms_estimate(sketch, terms, width=1024, depth=4)
+
+
+def q_streaming_hll(spark, sf_dir):
+    """§2.9 mergeable streaming HLL (streaming/sketch.py StreamingHLL):
+    registers merge by per-bucket MAX across a 4-micro-batch event
+    stream, so the streamed sketch is bit-identical to the batch sketch
+    — the oracle is q_hll_distinct_events' register rebuild verbatim.
+    Fixed-memory streaming COUNT DISTINCT: 2**p rows of state whatever
+    the stream volume."""
+    import os
+    import tempfile
+
+    from akka_graph_db_spark.functions import search
+    from akka_graph_db_spark.streaming.sketch import StreamingHLL
+
+    ev_df = read_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="shll_")
+    src = os.path.join(tmp, "src")
+    ev_df.select("event_id").repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hll = StreamingHLL(value_col="event_id", p=10)
+    sketch = hll.run(stream, os.path.join(tmp, "ckpt"))
+    est = search.hll_estimate(sketch, p=10)
+    exact = ev_df.agg(F.countDistinct("event_id").alias("n_exact"))
+    return exact.crossJoin(est).select(
+        "n_exact", F.round("hll_estimate", 4).alias("hll_estimate")
+    )
 
 
 def q_streaming_session(spark, sf_dir):
@@ -5567,10 +5611,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-7 late additions: round-8 rotation candidates ---
         "dedup_containment": q_dedup_containment,
+        "dedup_containment_prune": q_dedup_containment_prune,
         "distinctive_terms": q_distinctive_terms,
         "vocab_growth": q_vocab_growth,
         "quantile_filter_docs": q_quantile_filter_docs,
         "streaming_cms": q_streaming_cms,
+        "streaming_hll": q_streaming_hll,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "ngram_diversity": q_ngram_diversity,
@@ -6404,6 +6450,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cum_types
             FROM vg_pb LEFT JOIN vg_nt USING (bucket)
         """,
+        # Dominance anti-join over the same quadratic containment
+        # ground truth (dominating = strictly larger shingle set, or
+        # equal size with smaller id).
+        "dedup_containment_prune": f"""
+            WITH cp_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            cp AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM cp_t
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN cp a ON d.doc_id = a.doc_id
+            WHERE NOT EXISTS (
+              SELECT 1 FROM cp b
+              WHERE b.doc_id <> a.doc_id
+                AND (len(b.sh) > len(a.sh)
+                     OR (len(b.sh) = len(a.sh) AND b.doc_id < a.doc_id))
+                AND len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(a.sh) >= 0.8
+            )
+        """,
         # Quadratic all-ordered-pairs containment ground truth; the
         # engine's prefix-filtered join must reproduce it losslessly.
         # Engine intersects xxhash64(token) sets — same cardinalities as
@@ -6420,6 +6490,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                    CAST(len(a.sh) AS BIGINT) AS n_a,
+                   CAST(len(b.sh) AS BIGINT) AS n_b,
                    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
                      AS n_common
             FROM ct a JOIN ct b ON a.doc_id <> b.doc_id
@@ -7268,6 +7339,9 @@ def oracle_sql() -> dict[str, str]:
         # THIS query because every probe is an in-corpus top-20 term
         # whose own tokens occupy all four probed counters.
         "hll_distinct_events": _hll_oracle(),
+        # StreamingHLL merges registers by MAX -> identical final
+        # registers, so the streamed estimate shares the batch oracle.
+        "streaming_hll": _hll_oracle(),
         "bpe_pair_counts": f"""
             WITH bp_w AS (
               SELECT unnest({_TOK}) AS w FROM documents

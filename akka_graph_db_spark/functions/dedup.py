@@ -1346,7 +1346,7 @@ def containment_join(
     quoted whole inside a much longer one has containment 1.0 but
     Jaccard |Sₐ|/|S_b| ≈ 0, so neither MinHash-LSH (which estimates
     Jaccard) nor :func:`set_similarity_join` can find it. Returns
-    integer-exact (a_id, b_id, n_a, n_common) — callers derive
+    integer-exact (a_id, b_id, n_a, n_b, n_common) — callers derive
     containment as n_common / n_a.
 
     Candidate generation is the prefix-filter adapted to containment:
@@ -1435,7 +1435,46 @@ def containment_join(
             "a_id",
             "b_id",
             F.size("_sha").alias("n_a"),
+            F.size("_shb").alias("n_b"),
             inter.alias("n_common"),
         )
         .where(F.col("n_common") / F.col("n_a") >= F.lit(threshold))
+    )
+
+
+def containment_prune(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Subset pruning: drop every document that is >= threshold contained
+    in a DOMINATING document — one with a strictly larger shingle set, or
+    an equal-size set with a smaller id (the deterministic tiebreak that
+    keeps exactly one of two mutually-containing equals). The actionable
+    form of :func:`containment_join`: quotes, excerpts, and boilerplate
+    subsets vanish while the maximal documents survive.
+
+    One-shot dominance, not greedy iteration: a is removed if ANY other
+    document dominates it, whether or not that document is itself
+    removed (a ⊆ b ⊆ c removes both a and b). Order-free, so the result
+    is unique and oracle-reproducible. Cost is the containment join plus
+    one anti-join — no new shuffle family.
+    """
+    pairs = containment_join(
+        df, text_col=text_col, id_col=id_col,
+        threshold=threshold, shingle_n=shingle_n,
+    )
+    dominated = (
+        pairs.where(
+            (F.col("n_b") > F.col("n_a"))
+            | ((F.col("n_b") == F.col("n_a"))
+               & (F.col("b_id") < F.col("a_id")))
+        )
+        .select(F.col("a_id").alias("_dom"))
+        .distinct()
+    )
+    return df.join(
+        dominated, df[id_col] == dominated["_dom"], "left_anti"
     )

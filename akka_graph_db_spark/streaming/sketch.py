@@ -71,3 +71,47 @@ class StreamingCMS:
                 [], "row int, bucket bigint, cnt bigint"
             )
         return self.sketch
+
+
+@dataclass
+class StreamingHLL:
+    """HyperLogLog registers accumulated across micro-batches: registers
+    merge by per-bucket MAX, so — like the CMS — the streamed sketch is
+    bit-identical to the batch sketch of the same rows, and the state is
+    at most 2**p rows regardless of stream volume. The fixed-memory
+    streaming COUNT DISTINCT (CMS answers "how often", HLL "how many
+    distinct")."""
+
+    value_col: str
+    p: int = 10
+    sketch: DataFrame | None = field(default=None, repr=False)
+    batches_applied: int = 0
+
+    def step(self, batch: DataFrame, batch_id: int) -> None:
+        from akka_graph_db_spark.functions.search import hll_sketch
+
+        part = hll_sketch(batch, self.value_col, p=self.p)
+        merged = (
+            part
+            if self.sketch is None
+            else self.sketch.unionByName(part)
+            .groupBy("bucket")
+            .agg(F.max("register").cast("int").alias("register"))
+        )
+        self.sketch = merged.localCheckpoint(eager=True)
+        self.batches_applied += 1
+
+    def run(self, value_stream: DataFrame, checkpoint_dir: str) -> DataFrame:
+        """Consume an entire available stream (Trigger.AvailableNow) and
+        return the accumulated register frame (bucket, register)."""
+        q = (
+            value_stream.writeStream.foreachBatch(self.step)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark = value_stream.sparkSession
+        if self.sketch is None:
+            return spark.createDataFrame([], "bucket bigint, register int")
+        return self.sketch

@@ -156,6 +156,8 @@ HEADLINE = [
     "vocab_growth",           # Heaps-law cumulative type curve
     "quantile_filter_docs",   # per-source discrete-quantile gate
     "streaming_cms",          # mergeable micro-batch count-min sketch
+    "dedup_containment_prune",  # dominance subset pruning
+    "streaming_hll",          # mergeable micro-batch HLL registers
 ]
 
 

@@ -1793,3 +1793,21 @@ def test_quantile_filter_exact_rank_threshold(spark):
     assert kept == [3, 4, 7]
     with pytest.raises(ValueError):
         textf.quantile_filter(df, q=1.5)
+
+
+def test_containment_prune_dominance(spark):
+    """Subset pruning keeps maximal docs: strict subsets vanish, equal
+    sets keep the smaller id, chains remove every dominated layer."""
+    rows = [
+        (1, "a b c"),                  # ⊂ 2 -> pruned
+        (2, "a b c d e"),              # ⊂ 3 (5/5 of its set) -> pruned
+        (3, "a b c d e f g"),          # maximal -> kept
+        (4, "x y z"),                  # unrelated -> kept
+        (5, "z y x"),                  # equal set as 4, larger id -> pruned
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.containment_prune(df, threshold=0.9).collect()
+    )
+    assert kept == [3, 4]

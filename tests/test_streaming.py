@@ -188,3 +188,34 @@ def test_streaming_cms_merge_equals_batch(spark):
         ).collect()
     }
     assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 2
+
+
+def test_streaming_hll_merge_equals_batch(spark):
+    """HLL registers merge by MAX: streamed registers == batch registers
+    bit-for-bit, so the estimate is identical too."""
+    import os
+    import tempfile
+
+    from akka_graph_db_spark.functions import search
+    from akka_graph_db_spark.streaming.sketch import StreamingHLL
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 300).select(F.col("id").alias("v"))
+    tmp = tempfile.mkdtemp(prefix="shll_t_")
+    src = os.path.join(tmp, "src")
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hll = StreamingHLL(value_col="v", p=6)
+    sketch = hll.run(stream, os.path.join(tmp, "ckpt"))
+    assert hll.batches_applied == 3
+    batch = {
+        r["bucket"]: r["register"]
+        for r in search.hll_sketch(df, "v", p=6).collect()
+    }
+    merged = {r["bucket"]: r["register"] for r in sketch.collect()}
+    assert merged == batch
