@@ -93,6 +93,11 @@ AUDITED = [
     ("set_similarity_join", "prefix-posting equi-join + exact verify"),
     ("rich_club_parts", "conditional integer sums over one edge pass"),
     ("bpe_pair_counts", "pair explode + map-side-combinable count"),
+    ("dedup_containment", "prefix-posting x full-index containment join"),
+    ("dedup_containment_prune", "dominance anti-join over containment"),
+    ("distinctive_terms", "tf/df aggs + per-doc vocabulary window"),
+    ("vocab_growth", "first-occurrence decomposition + bucket cumsum"),
+    ("quantile_filter_docs", "distinct-value window + broadcast threshold"),
 ]
 
 
