@@ -2005,6 +2005,18 @@ def q_dedup_containment_prune(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc novelty vs everything before it (textf.doc_novelty): how
+    many of the doc's distinct 3-gram shingles first occur HERE (min
+    doc_id per shingle — the vocab_growth first-occurrence decomposition
+    at per-doc granularity). The no-pairwise redundancy signal for
+    continuous ingest; integer-exact (n_shingles, n_novel)."""
+    docs = read_documents(spark, sf_dir)
+    return textf.doc_novelty(docs, shingle_n=3).select(
+        "id", "n_shingles", F.col("n_novel").cast("long").alias("n_novel")
+    )
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Per-doc top-3 distinctive terms (search.distinctive_terms):
     keyword extraction by lexicographic (tf DESC, doc-freq ASC, term)
@@ -5612,6 +5624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 late additions: round-8 rotation candidates ---
         "dedup_containment": q_dedup_containment,
         "dedup_containment_prune": q_dedup_containment_prune,
+        "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
         "vocab_growth": q_vocab_growth,
         "quantile_filter_docs": q_quantile_filter_docs,
@@ -6414,6 +6427,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN qf_thr USING (source)
             WHERE d.n_chars >= t
+        """,
+        # First-occurrence decomposition at per-doc granularity; novel =
+        # shingles whose corpus-min doc_id is this doc.
+        "doc_novelty": f"""
+            WITH dn_t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            dn_sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [array_to_string(toks, ' ')] END)) AS sh
+              FROM dn_t
+            ),
+            dn_first AS (SELECT sh, MIN(doc_id) AS fd FROM dn_sh GROUP BY sh)
+            SELECT s.doc_id AS id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM dn_sh s JOIN dn_first f USING (sh)
+            GROUP BY s.doc_id
         """,
         # Lexicographic (tf DESC, df ASC, term) rank — integer-exact
         # keyword extraction, monotone in tf*idf for decreasing idf.

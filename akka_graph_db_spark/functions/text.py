@@ -1098,3 +1098,41 @@ def quantile_filter(
         .where(F.col(col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def doc_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document novelty against everything BEFORE it (id order): of
+    the document's distinct ``shingle_n``-gram shingles, how many occur
+    for the FIRST time in this document? The streaming-ingest curation
+    signal — a near-zero-novelty document is redundant with the corpus
+    already ingested, without running any pairwise dedup. Returns
+    integer-exact (id, n_shingles, n_novel); callers derive the ratio.
+
+    Same first-occurrence decomposition as :func:`search.vocab_growth`:
+    "first seen at" is min(id) per shingle — one map-side-combinable
+    aggregation — so novelty needs no ordered scan and no pairwise
+    comparison: one explode, one min-agg, one equi-join back on the
+    shingle, one per-doc count. All shuffles are keyed by shingle or id;
+    nothing is corpus-quadratic.
+    """
+    tok = tokens(F.col(text_col))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(tok, shingle_n))).alias("_sh"),
+    )
+    firsts = sh.groupBy("_sh").agg(F.min("id").alias("_first"))
+    return (
+        sh.join(firsts, "_sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )

@@ -158,6 +158,7 @@ HEADLINE = [
     "streaming_cms",          # mergeable micro-batch count-min sketch
     "dedup_containment_prune",  # dominance subset pruning
     "streaming_hll",          # mergeable micro-batch HLL registers
+    "doc_novelty",            # first-occurrence per-doc novelty signal
 ]
 
 

@@ -1811,3 +1811,19 @@ def test_containment_prune_dominance(spark):
         for r in dedup.containment_prune(df, threshold=0.9).collect()
     )
     assert kept == [3, 4]
+
+
+def test_doc_novelty_first_occurrence(spark):
+    """Novelty counts a shingle only in its FIRST document (by id): a
+    full repeat scores 0 novel; partial overlap scores the new tail."""
+    rows = [
+        (1, "a b c d"),    # shingles {abc, bcd} both novel
+        (2, "a b c d"),    # identical -> 0 novel
+        (3, "b c d e"),    # {bcd, cde}: bcd seen in doc 1 -> 1 novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["id"]: (r["n_shingles"], r["n_novel"])
+        for r in textf.doc_novelty(df, shingle_n=3).collect()
+    }
+    assert got == {1: (2, 2), 2: (2, 0), 3: (2, 1)}

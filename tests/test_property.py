@@ -240,3 +240,39 @@ def test_mis_invariant_independent_and_maximal(edges):
         assert not (adj.get(v, set()) & mis)
     for v in set(adj) - mis:
         assert adj[v] & mis
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(token_lists=docs_strategy, t=st.sampled_from([0.5, 0.75, 0.9]))
+def test_containment_join_lossless(token_lists, t):
+    """The containment prefix filter must be LOSSLESS for any corpus and
+    threshold: containment_join == brute-force over all ordered pairs of
+    distinct-token sets."""
+    from akka_graph_db_spark.functions import dedup
+
+    spark = _SPARK["s"]
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r["a_id"], r["b_id"], r["n_a"], r["n_b"], r["n_common"])
+        for r in dedup.containment_join(df, threshold=t).collect()
+    )
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    want = sorted(
+        (a, b, len(sets[a]), len(sets[b]), len(sets[a] & sets[b]))
+        for a in sets
+        for b in sets
+        if a != b and len(sets[a] & sets[b]) / len(sets[a]) >= t
+    )
+    assert got == want
