@@ -1388,6 +1388,31 @@ def q_store_time_travel(spark, sf_dir):
     return _state(v0, "v0").crossJoin(_state(head, "v1"))
 
 
+def q_store_version_summary(spark, sf_dir):
+    """Store audit log (store.version_summary): per-version part row
+    counts read from parquet footers — base = full snapshot, delta = its
+    O(changes) footprint (here: 1 node update + supplier-1 removal whose
+    cascade deletes its located_in and supplied_by edges). The oracle
+    derives every count relationally from the fixture, so the row pins
+    the writer's delta sizing end-to-end."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from akka_graph_db_spark import store
+
+    g = _g(spark, sf_dir).core()
+    g2 = crud.update_nodes(
+        g, {CUSTOMER_BASE + 1: {"mktsegment": "TRAVELED"}}
+    )
+    g2 = crud.remove_nodes_by_id(g2, [SUPPLIER_BASE + 1])
+    root = tempfile.mkdtemp(prefix="spark_graft_vs_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store.save_snapshot(g, root)
+    store.save_delta(root, store.delta_from_graphs(g, g2), validate=False)
+    return store.version_summary(root, spark)
+
+
 def q_codec_roundtrip(spark, sf_dir):
     """§2.5 codec: JSON-fragment props decode back to typed values with full
     precision (anyRefToJson/jsValueToAny, Neo4jGraph.scala:37-119; we keep
@@ -5626,6 +5651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LEAD round 8's first-50 window; all are local-green at sf0.001
         # AND sf0.01 as of r7 session 2.)
         "dedup_containment": q_dedup_containment,
+        "store_version_summary": q_store_version_summary,
         "dedup_containment_prune": q_dedup_containment_prune,
         "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
@@ -6430,6 +6456,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN qf_thr USING (source)
             WHERE d.n_chars >= t
+        """,
+        # Every count derived relationally: base = graph cardinalities,
+        # delta = 1 updated node + 1 removed node + its incident edges.
+        "store_version_summary": f"""
+            {_GRAPH_WITH}
+            SELECT 0 AS version, 'base' AS kind,
+                   (SELECT COUNT(*) FROM nodes_v) AS n_node_upserts,
+                   (SELECT COUNT(*) FROM edges_v) AS n_edge_upserts,
+                   CAST(0 AS BIGINT) AS n_node_deletes,
+                   CAST(0 AS BIGINT) AS n_edge_deletes
+            UNION ALL
+            SELECT 1, 'delta', 1, 0, 1,
+                   (SELECT COUNT(*) FROM edges_v
+                    WHERE src = {SUPPLIER_BASE} + 1
+                       OR dst = {SUPPLIER_BASE} + 1)
         """,
         # First-occurrence decomposition at per-doc granularity; novel =
         # shingles whose corpus-min doc_id is this doc.

@@ -792,3 +792,51 @@ def incremental_degrees(
         )
         .where((F.col("out_degree") > 0) | (F.col("in_degree") > 0))
     )
+
+
+def version_summary(
+    root: str, spark: SparkSession | None = None
+) -> DataFrame:
+    """Audit log of the store: one row per COMPLETE version with the row
+    counts each part contributed — (version, kind, n_node_upserts,
+    n_edge_upserts, n_node_deletes, n_edge_deletes). A base counts as
+    all-upserts; a delta's counts are the O(changes) footprint the
+    writer persisted, so the summary answers "what did version N touch"
+    without merging anything.
+
+    Counting reads parquet FOOTER metadata (count() on an untransformed
+    parquet scan), so the cost is per-file metadata, not data. The loop
+    over versions runs driver-side — version count is operational
+    metadata bounded by compaction cadence (compact() resets the chain),
+    never data-sized.
+    """
+    spark = _active_spark(spark)
+    rows = []
+    for v, kind in list_version_kinds(root, spark):
+        vdir = _join(root, f"v={v}")
+
+        def _cnt(part: str) -> int:
+            try:
+                return spark.read.parquet(_join(vdir, part)).count()
+            except AnalysisException:
+                return 0
+
+        if kind == "base":
+            rows.append((v, kind, _cnt("nodes"), _cnt("edges"), 0, 0))
+        else:
+            rows.append(
+                (
+                    v,
+                    kind,
+                    _cnt("nodes_upserts"),
+                    _cnt("edges_upserts"),
+                    _cnt("node_deletes"),
+                    _cnt("edge_deletes"),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "version int, kind string, n_node_upserts bigint,"
+        " n_edge_upserts bigint, n_node_deletes bigint,"
+        " n_edge_deletes bigint",
+    )

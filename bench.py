@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_containment_prune",  # dominance subset pruning
     "streaming_hll",          # mergeable micro-batch HLL registers
     "doc_novelty",            # first-occurrence per-doc novelty signal
+    "store_version_summary",  # per-version O(changes) audit counts
 ]
 
 

@@ -316,3 +316,36 @@ def test_incremental_label_counts_matches_recount(spark, micro):
     }
     assert inc == full
     assert inc.get("robot") == 1  # the label move landed
+
+
+def test_version_summary_counts(spark, micro):
+    """One row per complete version; base = full counts, delta = its
+    exact O(changes) footprint."""
+    import tempfile
+
+    from akka_graph_db_spark import store
+    from akka_graph_db_spark.operators import crud
+
+    root = tempfile.mkdtemp(prefix="vs_t_")
+    store.save_snapshot(micro, root)
+    g2 = crud.remove_nodes_by_id(micro, [1])
+    store.save_delta(
+        root, store.delta_from_graphs(micro, g2), validate=False
+    )
+    rows = {
+        r["version"]: r
+        for r in store.version_summary(root, spark).collect()
+    }
+    n_nodes = micro.nodes.count()
+    n_edges = micro.edges.count()
+    incident = micro.edges.where(
+        (micro.edges.src == 1) | (micro.edges.dst == 1)
+    ).count()
+    b = rows[0]
+    assert (b["kind"], b["n_node_upserts"], b["n_edge_upserts"]) == (
+        "base", n_nodes, n_edges,
+    )
+    d = rows[1]
+    assert (d["kind"], d["n_node_upserts"], d["n_node_deletes"],
+            d["n_edge_deletes"]) == ("delta", 0, 1, incident)
+    assert incident > 0
