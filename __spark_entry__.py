@@ -2658,6 +2658,30 @@ def q_hll_distinct_events(spark, sf_dir):
     )
 
 
+def q_hll_grouped_events(spark, sf_dir):
+    """Per-event-type distinct-user profile in ONE pass
+    (search.hll_sketch_grouped/hll_estimate_grouped): 2**10 registers
+    per group, no per-group shuffle of distinct values — the 100 TB
+    per-partition cardinality profile. Same pinned md5 draw as the
+    global HLL, so the oracle rebuilds every group's registers and the
+    per-group harmonic sums bit-for-bit."""
+    from akka_graph_db_spark.functions import search
+
+    ev_df = read_events(spark, sf_dir)
+    sk = search.hll_sketch_grouped(
+        ev_df, "user_id", group_cols=("event_type",), p=10
+    )
+    est = search.hll_estimate_grouped(sk, group_cols=("event_type",), p=10)
+    exact = ev_df.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round("hll_estimate", 4).alias("hll_estimate"),
+    )
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 top-10 for a 3-term query (rational-idf variant — transcendental
     ln() is not bit-reproducible across engines; docstring in
@@ -5652,6 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # AND sf0.01 as of r7 session 2.)
         "dedup_containment": q_dedup_containment,
         "store_version_summary": q_store_version_summary,
+        "hll_grouped_events": q_hll_grouped_events,
         "dedup_containment_prune": q_dedup_containment_prune,
         "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
@@ -7419,6 +7444,44 @@ def oracle_sql() -> dict[str, str]:
         # StreamingHLL merges registers by MAX -> identical final
         # registers, so the streamed estimate shares the batch oracle.
         "streaming_hll": _hll_oracle(),
+        # Grouped HLL: identical register construction per event_type,
+        # per-group exact-BIGINT harmonic sums, one float div per group.
+        "hll_grouped_events": """
+            WITH gh AS (
+              SELECT event_type,
+                     CAST(md5_number_upper('hll:' || CAST(user_id AS VARCHAR))
+                          & 9223372036854775807 AS BIGINT) AS h
+              FROM events
+            ),
+            gb AS (SELECT event_type, h % 1024 AS bucket, h >> 10 AS w
+                   FROM gh),
+            gregs AS (
+              SELECT event_type, bucket,
+                     MAX(LEAST(bit_count((w & -w) - 1) + 1, 50))
+                       AS register
+              FROM gb GROUP BY 1, 2
+            ),
+            ggrid AS (
+              SELECT g.event_type, t.range AS bucket
+              FROM (SELECT DISTINCT event_type FROM events) g
+              CROSS JOIN range(1024) t
+            ),
+            gsum AS (
+              SELECT ggrid.event_type,
+                     CAST(SUM(CAST(1 AS BIGINT)
+                              << (50 - COALESCE(r.register, 0)))
+                          AS BIGINT) AS s
+              FROM ggrid LEFT JOIN gregs r
+                ON ggrid.event_type = r.event_type
+               AND ggrid.bucket = r.bucket
+              GROUP BY 1
+            ),
+            gex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+                    FROM events GROUP BY 1)
+            SELECT gex.event_type, gex.n_exact,
+                   ROUND(8.506643816603716e+20 / CAST(s AS DOUBLE), 4) AS hll_estimate
+            FROM gex JOIN gsum USING (event_type)
+        """,
         "bpe_pair_counts": f"""
             WITH bp_w AS (
               SELECT unnest({_TOK}) AS w FROM documents

