@@ -2449,6 +2449,43 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_asof_view_next_purchase(spark, sf_dir):
+    """Forward as-of join (functions/asof.py asof_join_forward): each
+    view event picks up the user's NEXT purchase at-or-after its
+    timestamp — the conversion-latency primitive. Same one-shuffle
+    union-merge as the backward join, running FIRST over the forward
+    frame; oracle is the quadratic LEFT JOIN + QUALIFY (ts ASC)."""
+    from akka_graph_db_spark.functions import asof
+
+    ev_df = read_events(spark, sf_dir)
+    views = ev_df.where(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev_df.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = asof.latest_per_key_ts(
+        purchases, ["user_id"], "ts", "event_id"
+    )
+    j = asof.asof_join_forward(
+        views,
+        purchases,
+        "ts",
+        ["user_id"],
+        ["event_id", "value"],
+        suffix="_next",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        F.unix_micros(F.col("ts_next")).alias("next_ts_us"),
+        F.col("event_id_next").alias("next_event_id"),
+        F.col("value_next").alias("next_value"),
+    )
+
+
 def q_asof_purchase_click(spark, sf_dir):
     """As-of join (most-recent-prior match): each purchase event picks up
     the user's latest click at-or-before its timestamp. Spark side is the
@@ -5677,6 +5714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "store_version_summary": q_store_version_summary,
         "hll_grouped_events": q_hll_grouped_events,
+        "asof_view_next_purchase": q_asof_view_next_purchase,
         "dedup_containment_prune": q_dedup_containment_prune,
         "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
@@ -7118,6 +7156,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the quadratic reference formulation of the as-of join the engine
         # computes with a union-merge + running-last window (one shuffle)
+        # Forward mirror of asof_purchase_click: smallest purchase ts
+        # at-or-after each view; purchases deduped per (user, ts) by max
+        # event_id, same as the backward oracle.
+        "asof_view_next_purchase": """
+            WITH v AS (SELECT event_id, ts, user_id, value
+                       FROM events WHERE event_type = 'view'),
+            p0 AS (SELECT user_id, ts, event_id, value
+                   FROM events WHERE event_type = 'purchase'),
+            p AS (
+              SELECT user_id, ts, event_id, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM p0) WHERE rn = 1
+            )
+            SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us, v.value,
+                   epoch_us(p.ts) AS next_ts_us,
+                   p.event_id AS next_event_id, p.value AS next_value
+            FROM v LEFT JOIN p
+              ON v.user_id = p.user_id AND p.ts >= v.ts
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY v.event_id
+                ORDER BY p.ts ASC NULLS LAST) = 1
+        """,
         "asof_purchase_click": """
             WITH p AS (SELECT event_id, ts, user_id, value
                        FROM events WHERE event_type = 'purchase'),

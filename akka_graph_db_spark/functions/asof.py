@@ -114,3 +114,71 @@ def asof_join_backward(
         *[m[c].alias(f"{c}{suffix}") for c in value_cols],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Mirror of :func:`asof_join_backward` looking FORWARD: for each
+    left row, attach the right row with the smallest
+    ``right.ts_col >= left.ts_col`` within the same ``by_cols`` key
+    (NULLs when no later right row exists) — "the next purchase after
+    this view". Right must be unique per (by_cols, ts_col).
+
+    Same single-shuffle union-merge shape: one window per key ordered by
+    (ts, side) with a running FIRST over the following frame; at an
+    equal timestamp the left row sorts before the right row so the
+    match is inclusive. ``tolerance_seconds`` nulls matches further
+    than the window ahead.
+    """
+    by_cols = list(by_cols)
+    value_cols = list(value_cols)
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]
+    )
+    r = right.select(
+        *by_cols,
+        F.col(ts_col).alias(ts_col),
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+    )
+    for c in left_cols:
+        if c not in by_cols and c != ts_col:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    merged = l.unionByName(r.select(*l.columns))
+    # _side DESC: left (1) sorts before right (0) at an equal ts, so the
+    # forward frame [current, following] still sees same-ts right rows →
+    # inclusive >= semantics
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = merged.withColumn(
+        "_m", F.first("_p", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    m = F.col("_m")
+    if tolerance_seconds is not None:
+        too_new = m["_ts"] > F.col(ts_col) + F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+        matched = matched.withColumn(
+            "_m", F.when(too_new, F.lit(None)).otherwise(m)
+        )
+    return matched.select(
+        *left_cols,
+        m["_ts"].alias(f"{ts_col}{suffix}"),
+        *[m[c].alias(f"{c}{suffix}") for c in value_cols],
+    )

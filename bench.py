@@ -161,6 +161,7 @@ HEADLINE = [
     "doc_novelty",            # first-occurrence per-doc novelty signal
     "store_version_summary",  # per-version O(changes) audit counts
     "hll_grouped_events",     # one-pass per-group HLL cardinality profile
+    "asof_view_next_purchase",  # forward as-of (conversion latency)
 ]
 
 

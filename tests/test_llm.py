@@ -1857,3 +1857,37 @@ def test_hll_grouped_matches_global_per_group(spark):
         ).collect()
     }
     assert set(est) == {0, 1, 2} and all(v > 0 for v in est.values())
+
+
+def test_asof_forward_inclusive_and_tolerance(spark):
+    """Forward as-of: smallest right ts >= left ts, inclusive at equal
+    timestamps, NULL when nothing follows, tolerance nulls far matches."""
+    from datetime import datetime
+
+    from akka_graph_db_spark.functions import asof
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10), 5), (2, T(2024, 1, 1, 12), 5),
+         (3, T(2024, 1, 1, 23), 5)],
+        "event_id bigint, ts timestamp, user_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(T(2024, 1, 1, 10), 5, 100), (T(2024, 1, 1, 13), 5, 200)],
+        "ts timestamp, user_id bigint, rid bigint",
+    )
+    j = {
+        r["event_id"]: r["rid_next"]
+        for r in asof.asof_join_forward(
+            left, right, "ts", ["user_id"], ["rid"], suffix="_next"
+        ).collect()
+    }
+    assert j == {1: 100, 2: 200, 3: None}  # 1 matches EQUAL ts (inclusive)
+    jt = {
+        r["event_id"]: r["rid_next"]
+        for r in asof.asof_join_forward(
+            left, right, "ts", ["user_id"], ["rid"],
+            suffix="_next", tolerance_seconds=1800,
+        ).collect()
+    }
+    assert jt == {1: 100, 2: None, 3: None}  # 13:00 is >30min after 12:00
