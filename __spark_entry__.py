@@ -2486,6 +2486,22 @@ def q_asof_view_next_purchase(spark, sf_dir):
     )
 
 
+def q_event_rate_features(spark, sf_dir):
+    """Per-event rolling rate features (ev.rate_features): same-user
+    event count in the preceding hour (integer-microsecond RANGE frame,
+    exclusive) + gap to the previous event — the float-free feature-
+    engineering primitive for ML on event streams. One shuffle on
+    user_id; both windows share its ordering."""
+    ev_df = read_events(spark, sf_dir)
+    return ev.rate_features(ev_df, window_seconds=3600).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "n_prev",
+        "gap_us",
+    )
+
+
 def q_asof_purchase_click(spark, sf_dir):
     """As-of join (most-recent-prior match): each purchase event picks up
     the user's latest click at-or-before its timestamp. Spark side is the
@@ -5715,6 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_version_summary": q_store_version_summary,
         "hll_grouped_events": q_hll_grouped_events,
         "asof_view_next_purchase": q_asof_view_next_purchase,
+        "event_rate_features": q_event_rate_features,
         "dedup_containment_prune": q_dedup_containment_prune,
         "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
@@ -7156,6 +7173,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the quadratic reference formulation of the as-of join the engine
         # computes with a union-merge + running-last window (one shuffle)
+        # Integer-microsecond RANGE frame (exclusive of the current ts)
+        # + deterministic LAG; count over an empty frame is 0 both sides.
+        "event_rate_features": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(COUNT(*) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+                     AS BIGINT) AS n_prev,
+                   CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                     AS BIGINT) AS gap_us
+            FROM events
+        """,
         # Forward mirror of asof_purchase_click: smallest purchase ts
         # at-or-after each view; purchases deduped per (user, ts) by max
         # event_id, same as the backward oracle.

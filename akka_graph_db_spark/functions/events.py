@@ -333,3 +333,46 @@ def sessionize(
             ).cast("bigint"),
         )
     )
+
+
+def rate_features(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event rolling rate features for ML on event streams: how many
+    of the SAME key's events landed in the preceding ``window_seconds``
+    (exclusive of the event itself and its exact timestamp — a RANGE
+    frame on epoch micros), and the gap to the key's previous event.
+    Returns the input plus ``n_prev``, ``gap_us`` (NULL for a key's
+    first event).
+
+    Exactness: the frame bound is integer microseconds, the count an
+    integer, the gap a BIGINT difference — no floats anywhere, so any
+    engine reproduces the values. Scale shape: ONE shuffle on the key;
+    both window functions share the same (key, epoch) ordering, and the
+    partition is one key's events — bounded by per-key activity, never
+    corpus size (the per-user skew knob is the key choice itself).
+    """
+    e = F.unix_micros(F.col(ts_col))
+    from pyspark.sql import Window
+
+    gc = list(key_cols)
+    wr = (
+        Window.partitionBy(*gc)
+        .orderBy(e)
+        .rangeBetween(-window_seconds * 1_000_000, -1)
+    )
+    wl = Window.partitionBy(*gc).orderBy(e, F.col(id_col))
+    return (
+        events.withColumn("_e", e)
+        .withColumn(
+            "n_prev", F.count(F.lit(1)).over(wr).cast("bigint")
+        )
+        .withColumn(
+            "gap_us", (F.col("_e") - F.lag("_e").over(wl)).cast("bigint")
+        )
+        .drop("_e")
+    )

@@ -162,6 +162,7 @@ HEADLINE = [
     "store_version_summary",  # per-version O(changes) audit counts
     "hll_grouped_events",     # one-pass per-group HLL cardinality profile
     "asof_view_next_purchase",  # forward as-of (conversion latency)
+    "event_rate_features",    # integer-range-frame rolling features
 ]
 
 

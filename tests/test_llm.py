@@ -1891,3 +1891,32 @@ def test_asof_forward_inclusive_and_tolerance(spark):
         ).collect()
     }
     assert jt == {1: 100, 2: None, 3: None}  # 13:00 is >30min after 12:00
+
+
+def test_rate_features_range_frame(spark):
+    """n_prev counts strictly-earlier same-key events within the window
+    (exclusive of equal timestamps); gap_us NULL on a key's first."""
+    from datetime import datetime
+
+    from akka_graph_db_spark.functions import events as ev
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1, 10, 0), 7),
+        (2, T(2024, 1, 1, 10, 30), 7),
+        (3, T(2024, 1, 1, 11, 15), 7),   # 10:30 in window, 10:00 is not
+        (4, T(2024, 1, 1, 11, 15), 7),   # equal ts -> excluded from frame
+        (5, T(2024, 1, 1, 9, 0), 8),     # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    )
+    got = {
+        r["event_id"]: (r["n_prev"], r["gap_us"])
+        for r in ev.rate_features(df, window_seconds=3600).collect()
+    }
+    assert got[1] == (0, None)
+    assert got[2] == (1, 30 * 60 * 1_000_000)
+    assert got[3] == (1, 45 * 60 * 1_000_000)   # only 10:30 in (10:15,11:15)
+    assert got[4] == (1, 0)                     # same frame; gap to id 3
+    assert got[5] == (0, None)
