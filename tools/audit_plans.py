@@ -98,6 +98,10 @@ AUDITED = [
     ("distinctive_terms", "tf/df aggs + per-doc vocabulary window"),
     ("vocab_growth", "first-occurrence decomposition + bucket cumsum"),
     ("quantile_filter_docs", "distinct-value window + broadcast threshold"),
+    ("doc_novelty", "first-occurrence min-agg + shingle equi-join"),
+    ("hll_grouped_events", "per-group registers + grid-bounded estimate"),
+    ("asof_view_next_purchase", "forward union-merge as-of (one shuffle)"),
+    ("event_rate_features", "shared-ordering RANGE + LAG windows"),
 ]
 
 
