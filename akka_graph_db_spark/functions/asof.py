@@ -18,9 +18,10 @@ shuffle). ``pandas merge_asof`` via cogrouped ``applyInPandas`` would give
 the same result but moves every row through Arrow; the window formulation
 stays entirely JVM-side.
 
-Ordering ties: right rows sort BEFORE left rows at an equal timestamp
-(inclusive match — a quote at exactly the trade's ts matches), and the
-caller must make right unique per (key, ts) for deterministic output
+Ordering ties: the side column sorts so that same-timestamp right rows
+are visible from the left row's frame in BOTH directions (inclusive
+match — a quote at exactly the trade's ts matches), and the caller must
+make right unique per (key, ts) for deterministic output
 (:func:`latest_per_key_ts` does this by max tiebreak column).
 """
 
@@ -49,25 +50,22 @@ def latest_per_key_ts(
     )
 
 
-def asof_join_backward(
+def _asof_union_merge(
     left: DataFrame,
     right: DataFrame,
     ts_col: str,
     by_cols: Sequence[str],
     value_cols: Sequence[str],
-    suffix: str = "_asof",
-    tolerance_seconds: int | None = None,
+    suffix: str,
+    tolerance_seconds: int | None,
+    forward: bool,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right.ts_col <= left.ts_col`` within the same ``by_cols`` key
-    (NULLs when no prior right row exists). Right must be unique per
-    (by_cols, ts_col) — see :func:`latest_per_key_ts`.
-
-    Output = all left columns + each ``value_cols`` as ``<col><suffix>``
-    + ``<ts_col><suffix>`` (the matched right timestamp).
-
-    ``tolerance_seconds`` (optional, like pandas ``merge_asof``): matches
-    older than the tolerance window are nulled out.
+    """Shared union-merge machinery for both as-of directions. Only four
+    things differ by direction: the _side sort order at an equal ts, the
+    window frame, last-vs-first over it, and which way the tolerance
+    comparison points — everything else (payload struct, null-padding of
+    left-only columns, output shape) is direction-free and lives ONCE
+    here so the two public joins cannot drift apart.
     """
     by_cols = list(by_cols)
     value_cols = list(value_cols)
@@ -91,29 +89,68 @@ def asof_join_backward(
         if c not in by_cols and c != ts_col:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     merged = l.unionByName(r.select(*l.columns))
-    # _side=0 (right) sorts before _side=1 (left) at an equal ts → inclusive
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if forward:
+        # left (1) sorts before right (0) at an equal ts, so the forward
+        # frame [current, following] still sees same-ts right rows
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first("_p", ignorenulls=True)
+    else:
+        # right (0) sorts before left (1) at an equal ts → inclusive
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(ts_col, "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last("_p", ignorenulls=True)
+    matched = merged.withColumn("_m", pick.over(w)).where(
+        F.col("_side") == 1
     )
-    matched = merged.withColumn(
-        "_m", F.last("_p", ignorenulls=True).over(w)
-    ).where(F.col("_side") == 1)
     m = F.col("_m")
     if tolerance_seconds is not None:
-        too_old = m["_ts"] < F.col(ts_col) - F.expr(
-            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        tol = F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        out_of_window = (
+            m["_ts"] > F.col(ts_col) + tol
+            if forward
+            else m["_ts"] < F.col(ts_col) - tol
         )
         matched = matched.withColumn(
-            "_m", F.when(too_old, F.lit(None)).otherwise(m)
+            "_m", F.when(out_of_window, F.lit(None)).otherwise(m)
         )
-    out = matched.select(
+    return matched.select(
         *left_cols,
         m["_ts"].alias(f"{ts_col}{suffix}"),
         *[m[c].alias(f"{c}{suffix}") for c in value_cols],
     )
-    return out
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right.ts_col <= left.ts_col`` within the same ``by_cols`` key
+    (NULLs when no prior right row exists). Right must be unique per
+    (by_cols, ts_col) — see :func:`latest_per_key_ts`.
+
+    Output = all left columns + each ``value_cols`` as ``<col><suffix>``
+    + ``<ts_col><suffix>`` (the matched right timestamp).
+
+    ``tolerance_seconds`` (optional, like pandas ``merge_asof``): matches
+    older than the tolerance window are nulled out.
+    """
+    return _asof_union_merge(
+        left, right, ts_col, by_cols, value_cols, suffix,
+        tolerance_seconds, forward=False,
+    )
 
 
 def asof_join_forward(
@@ -131,54 +168,9 @@ def asof_join_forward(
     (NULLs when no later right row exists) — "the next purchase after
     this view". Right must be unique per (by_cols, ts_col).
 
-    Same single-shuffle union-merge shape: one window per key ordered by
-    (ts, side) with a running FIRST over the following frame; at an
-    equal timestamp the left row sorts before the right row so the
-    match is inclusive. ``tolerance_seconds`` nulls matches further
-    than the window ahead.
+    ``tolerance_seconds`` nulls matches further than the window ahead.
     """
-    by_cols = list(by_cols)
-    value_cols = list(value_cols)
-    payload = F.struct(
-        F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]
-    )
-    r = right.select(
-        *by_cols,
-        F.col(ts_col).alias(ts_col),
-        F.lit(0).alias("_side"),
-        payload.alias("_p"),
-    )
-    left_cols = left.columns
-    l = left.select(
-        *left_cols,
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
-    )
-    for c in left_cols:
-        if c not in by_cols and c != ts_col:
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    merged = l.unionByName(r.select(*l.columns))
-    # _side DESC: left (1) sorts before right (0) at an equal ts, so the
-    # forward frame [current, following] still sees same-ts right rows →
-    # inclusive >= semantics
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    matched = merged.withColumn(
-        "_m", F.first("_p", ignorenulls=True).over(w)
-    ).where(F.col("_side") == 1)
-    m = F.col("_m")
-    if tolerance_seconds is not None:
-        too_new = m["_ts"] > F.col(ts_col) + F.expr(
-            f"INTERVAL {int(tolerance_seconds)} SECONDS"
-        )
-        matched = matched.withColumn(
-            "_m", F.when(too_new, F.lit(None)).otherwise(m)
-        )
-    return matched.select(
-        *left_cols,
-        m["_ts"].alias(f"{ts_col}{suffix}"),
-        *[m[c].alias(f"{c}{suffix}") for c in value_cols],
+    return _asof_union_merge(
+        left, right, ts_col, by_cols, value_cols, suffix,
+        tolerance_seconds, forward=True,
     )

@@ -251,6 +251,31 @@ def cms_estimate(
 _HLL_RHO_CAP = 50  # keeps the integer harmonic sum inside BIGINT
 
 
+def _hll_bucket_rho(value_col: str, p: int):
+    """(bucket, rho) expressions of the PINNED hash draw shared by the
+    global, grouped, and streaming HLL paths — the oracle-reproducibility
+    contract lives HERE, in one place: h = md5_63('hll:' || value),
+    bucket = h % 2**p, rho = trailing zeros of h >> p (pure integer
+    bit_count) + 1, capped at _HLL_RHO_CAP."""
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    m = 1 << p
+    h = md5_63(F.concat(F.lit("hll:"), F.col(value_col).cast("string")))
+    w = F.shiftright(h, p)
+    low = w.bitwiseAND(-w)
+    rho = F.least(
+        F.bit_count(low - F.lit(1)) + F.lit(1), F.lit(_HLL_RHO_CAP)
+    )
+    return (h % m), rho
+
+
+# exact-BIGINT harmonic term per bucket; empty bucket = register 0
+_HLL_TERM_SQL = (
+    "shiftleft(CAST(1 AS BIGINT), "
+    f"{_HLL_RHO_CAP} - coalesce(register, 0))"
+)
+
+
 def _hll_alpha(m: int) -> float:
     """Standard HLL bias constant for m >= 128 registers (Flajolet et
     al. 2007 §4) — computed driver-side and inlined as ONE literal so a
@@ -277,19 +302,9 @@ def hll_sketch(
     BIGINT. One groupBy over m buckets; empty buckets are materialized
     by :func:`hll_estimate`, not stored.
     """
-    from akka_graph_db_spark.functions.hashing import md5_63
-
-    m = 1 << p
-    h = md5_63(
-        F.concat(F.lit("hll:"), F.col(value_col).cast("string"))
-    )
-    w = F.shiftright(h, p)
-    low = w.bitwiseAND(-w)
-    rho = F.least(
-        F.bit_count(low - F.lit(1)) + F.lit(1), F.lit(_HLL_RHO_CAP)
-    )
+    bucket, rho = _hll_bucket_rho(value_col, p)
     return (
-        df.select((h % m).alias("bucket"), rho.alias("_rho"))
+        df.select(bucket.alias("bucket"), rho.alias("_rho"))
         .groupBy("bucket")
         .agg(F.max("_rho").cast("int").alias("register"))
     )
@@ -314,14 +329,9 @@ def hll_estimate(sketch: DataFrame, p: int = 10) -> DataFrame:
     c = _hll_alpha(m) * m * m * float(1 << _HLL_RHO_CAP)
     s = (
         buckets.join(sketch, "bucket", "left")
-        .select(
-            # SQL expr: the DataFrame shiftleft() helper only accepts a
-            # Python-int shift amount, the SQL form takes a column
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), "
-                f"{_HLL_RHO_CAP} - coalesce(register, 0))"
-            ).alias("_term")
-        )
+        # SQL expr: the DataFrame shiftleft() helper only accepts a
+        # Python-int shift amount, the SQL form takes a column
+        .select(F.expr(_HLL_TERM_SQL).alias("_term"))
         .agg(F.sum("_term").cast("bigint").alias("_s"))
     )
     return s.select(
@@ -401,13 +411,15 @@ def vocab_growth(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     )
-    bucket = (F.col("id") / step).cast("long")
+    # integer DIV, not float `/`+cast: bigint/int returns DOUBLE, whose
+    # 53-bit mantissa misrounds ids beyond 2^53 into the wrong bucket
+    bucket = F.expr(f"id DIV {int(step)}")
     per_bucket = tok.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("toks")
     )
     firsts = tok.groupBy("term").agg(F.min("id").alias("first_id"))
     new_types = firsts.groupBy(
-        (F.col("first_id") / step).cast("long").alias("bucket")
+        F.expr(f"first_id DIV {int(step)}").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("types"))
     w = (
         Window.orderBy("bucket")
@@ -437,17 +449,9 @@ def hll_sketch_grouped(
     per-group shuffle of distinct values). Same pinned md5 hash draw as
     :func:`hll_sketch`, so registers are SQL-reproducible. Returns
     (group..., bucket, register)."""
-    from akka_graph_db_spark.functions.hashing import md5_63
-
-    m = 1 << p
-    h = md5_63(F.concat(F.lit("hll:"), F.col(value_col).cast("string")))
-    w = F.shiftright(h, p)
-    low = w.bitwiseAND(-w)
-    rho = F.least(
-        F.bit_count(low - F.lit(1)) + F.lit(1), F.lit(_HLL_RHO_CAP)
-    )
+    bucket, rho = _hll_bucket_rho(value_col, p)
     return (
-        df.select(*group_cols, (h % m).alias("bucket"), rho.alias("_rho"))
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("_rho").cast("int").alias("register"))
     )
@@ -473,13 +477,7 @@ def hll_estimate_grouped(
     return (
         groups.crossJoin(buckets)
         .join(sketch, gc + ["bucket"], "left")
-        .select(
-            *gc,
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), "
-                f"{_HLL_RHO_CAP} - coalesce(register, 0))"
-            ).alias("_term"),
-        )
+        .select(*gc, F.expr(_HLL_TERM_SQL).alias("_term"))
         .groupBy(*gc)
         .agg(F.sum("_term").cast("bigint").alias("_s"))
         .select(

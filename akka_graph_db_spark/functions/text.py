@@ -1093,10 +1093,19 @@ def quantile_filter(
         .groupBy(*gc)
         .agg(F.min(col).alias("_thr"))
     )
+    # null-safe equi-join: a NULL group is a real group (the threshold
+    # agg keeps it), and a plain equi-join would silently drop its rows
+    thr2 = thr.select(
+        *[F.col(c).alias(f"_g_{c}") for c in gc], "_thr"
+    )
+    cond = None
+    for c in gc:
+        e = df[c].eqNullSafe(thr2[f"_g_{c}"])
+        cond = e if cond is None else cond & e
     return (
-        df.join(F.broadcast(thr), gc)
+        df.join(F.broadcast(thr2), cond)
         .where(F.col(col) >= F.col("_thr"))
-        .drop("_thr")
+        .drop("_thr", *[f"_g_{c}" for c in gc])
     )
 
 

@@ -174,7 +174,11 @@ class StreamingGraphFold:
     store_every: int = 1
     compact_every: int | None = None
     # Full-snapshot localCheckpoint cadence (see step()); 0/None disables
-    # and relies on persists to bound lineage.
+    # it. NOTE: plain delta persists do NOT truncate the snapshot's
+    # lineage (only the first base save and compactions swap the plan
+    # onto parquet), so keep a cadence enabled for unbounded streams —
+    # disabled, the CRUD plan stacks one layer per micro-batch until the
+    # next base/compaction and planning time grows without bound.
     checkpoint_every: int | None = 4
     _persisted: PropertyGraph | None = field(default=None, repr=False)
     _deltas_since_base: int = field(default=0, repr=False)
@@ -225,25 +229,30 @@ class StreamingGraphFold:
         """Accumulate the ids this batch can change: every command's own
         id, plus — for node removals — the incident edge ids the CRUD
         cascade will delete (two equi-semi-joins against the pre-apply
-        edge frame, never an OR-condition join). All frames here are
-        O(batch); ``batch`` is already the checkpointed copy."""
+        edge frame, never an OR-condition join; DataFrames are immutable
+        plans, so referencing ``self.graph.edges`` HERE pins the
+        pre-apply state even though evaluation happens later).
+
+        Accumulation is LAZY — plain unions, zero Spark jobs per batch;
+        _persist() distincts and materializes ONCE per persist window,
+        so touched-set maintenance is O(window), not O(window²). The
+        union/semijoin plans stay evaluable because their leaves are
+        checkpointed batches and cadence-checkpointed snapshots."""
         b = batch.select("op", "kind", "id")
         tn = b.where(F.col("kind") == "node").select("id")
         te = b.where(F.col("kind") == "edge").select("id")
         removed = b.where(
             (F.col("op") == "remove") & (F.col("kind") == "node")
         ).select(F.col("id").alias("_rid"))
-        if removed.limit(1).count() > 0:
-            for end in ("src", "dst"):
-                te = te.unionByName(
-                    self.graph.edges.join(
-                        removed, F.col(end) == F.col("_rid"), "left_semi"
-                    ).select("id")
-                )
+        for end in ("src", "dst"):
+            te = te.unionByName(
+                self.graph.edges.join(
+                    removed, F.col(end) == F.col("_rid"), "left_semi"
+                ).select("id")
+            )
 
         def _acc(cur: DataFrame | None, add: DataFrame) -> DataFrame:
-            out = add if cur is None else cur.unionByName(add)
-            return out.distinct().localCheckpoint(eager=True)
+            return add if cur is None else cur.unionByName(add)
 
         self._touched_nodes = _acc(self._touched_nodes, tn)
         self._touched_edges = _acc(self._touched_edges, te)
@@ -274,6 +283,14 @@ class StreamingGraphFold:
             self._persisted = store.load_snapshot(spark, self.store_root)
             touched_covers_gap = False
         if touched_covers_gap and self._touched_nodes is not None:
+            # one distinct + materialization per persist WINDOW (the
+            # accumulation in _track_touched is lazy unions only)
+            self._touched_nodes = (
+                self._touched_nodes.distinct().localCheckpoint(eager=True)
+            )
+            self._touched_edges = (
+                self._touched_edges.distinct().localCheckpoint(eager=True)
+            )
             # O(touched) diff: ids outside the touched sets are
             # unchanged by construction (CRUD only alters command ids +
             # cascade victims), so both diff sides shrink to semi-joined

@@ -1920,3 +1920,19 @@ def test_rate_features_range_frame(spark):
     assert got[3] == (1, 45 * 60 * 1_000_000)   # only 10:30 in (10:15,11:15)
     assert got[4] == (1, 0)                     # same frame; gap to id 3
     assert got[5] == (0, None)
+
+
+def test_quantile_filter_null_group_kept(spark):
+    """A NULL group is a real group: its rows pass through the null-safe
+    threshold join instead of being dropped by null != null."""
+    rows = [
+        (1, None, 10), (2, None, 20),
+        (3, "s1", 10), (4, "s1", 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string,"
+                               " n_chars bigint")
+    kept = sorted(
+        r["doc_id"] for r in textf.quantile_filter(df, q=0.5).collect()
+    )
+    # ceil(0.5*2)=1 -> threshold = 10 per group -> everything kept
+    assert kept == [1, 2, 3, 4]
