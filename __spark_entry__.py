@@ -2030,6 +2030,34 @@ def q_dedup_containment_prune(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Crawl-over-crawl delta (textf.corpus_diff): v2 derives from the
+    fixture deterministically (doc_id % 97 == 0 dropped, % 101 == 0
+    rewritten, 900k-block added), and the diff classifies every id via
+    sha2 digests through one full-outer equi-join — content never
+    shuffles. Oracle replays the same id arithmetic relationally."""
+    docs = read_documents(spark, sf_dir)
+    v2 = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 101 == 0,
+                F.concat(F.col("text"), F.lit(" [revised]")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.limit(0).unionByName(
+                docs.sparkSession.createDataFrame(
+                    [(900001, "brand new page", "en", "crawl2", 14)],
+                    docs.schema,
+                )
+            )
+        )
+    )
+    return textf.corpus_diff(docs, v2)
+
+
 def q_doc_novelty(spark, sf_dir):
     """Per-doc novelty vs everything before it (textf.doc_novelty): how
     many of the doc's distinct 3-gram shingles first occur HERE (min
@@ -5732,6 +5760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_grouped_events": q_hll_grouped_events,
         "asof_view_next_purchase": q_asof_view_next_purchase,
         "event_rate_features": q_event_rate_features,
+        "corpus_diff": q_corpus_diff,
         "dedup_containment_prune": q_dedup_containment_prune,
         "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
@@ -6551,6 +6580,17 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM edges_v
                     WHERE src = {SUPPLIER_BASE} + 1
                        OR dst = {SUPPLIER_BASE} + 1)
+        """,
+        # Same deterministic v2 derivation in pure id arithmetic: the
+        # diff statuses depend only on doc_id residues + the added row.
+        "corpus_diff": """
+            SELECT doc_id AS id,
+                   CASE WHEN doc_id % 97 = 0 THEN 'removed'
+                        WHEN doc_id % 101 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            UNION ALL
+            SELECT 900001, 'added'
         """,
         # First-occurrence decomposition at per-doc granularity; novel =
         # shingles whose corpus-min doc_id is this doc.

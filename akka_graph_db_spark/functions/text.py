@@ -1145,3 +1145,32 @@ def doc_novelty(
             ).alias("n_novel"),
         )
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-over-crawl delta: classify every document id present in
+    either corpus as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, different content), or ``unchanged``. Content
+    equality is sha2-256 of the text — two snapshots of a 100 TB crawl
+    diff by shipping 32-byte digests through ONE full-outer equi-join on
+    id, never the documents themselves. Returns (id, status).
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("_hn")
+    )
+    return o.join(n, "id", "full_outer").select(
+        "id",
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

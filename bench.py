@@ -163,6 +163,7 @@ HEADLINE = [
     "hll_grouped_events",     # one-pass per-group HLL cardinality profile
     "asof_view_next_purchase",  # forward as-of (conversion latency)
     "event_rate_features",    # integer-range-frame rolling features
+    "corpus_diff",            # sha2-digest crawl-over-crawl delta
 ]
 
 

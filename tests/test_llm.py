@@ -1936,3 +1936,21 @@ def test_quantile_filter_null_group_kept(spark):
     )
     # ceil(0.5*2)=1 -> threshold = 10 per group -> everything kept
     assert kept == [1, 2, 3, 4]
+
+
+def test_corpus_diff_statuses(spark):
+    """Full status matrix: only-old -> removed, only-new -> added, same
+    content -> unchanged, different content -> changed."""
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "did change"), (4, "fresh")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in textf.corpus_diff(old, new).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
