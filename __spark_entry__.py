@@ -5752,7 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-7 late additions: round-8 rotation candidates ---
-        # (17 entries below + whatever CORRECTNESS_r07 leaves red should
+        # (18 entries below + whatever CORRECTNESS_r07 leaves red should
         # LEAD round 8's first-50 window; all are local-green at sf0.001
         # AND sf0.01 as of r7 session 2.)
         "dedup_containment": q_dedup_containment,
