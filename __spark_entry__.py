@@ -2058,6 +2058,23 @@ def q_corpus_diff(spark, sf_dir):
     return textf.corpus_diff(docs, v2)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source 3-gram overlap matrix (textf.source_overlap): exact
+    distinct-shingle intersections per source pair (a < b), the corpus-
+    composition diagnostic before mixture weighting. One distinct agg +
+    a shingle-keyed self-join whose posting lists are bounded by the
+    source count; zero-overlap pairs are absent by construction (inner
+    join) on both sides."""
+    docs = read_documents(spark, sf_dir)
+    return textf.source_overlap(docs, shingle_n=3).select(
+        "a",
+        "b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+
+
 def q_doc_novelty(spark, sf_dir):
     """Per-doc novelty vs everything before it (textf.doc_novelty): how
     many of the doc's distinct 3-gram shingles first occur HERE (min
@@ -5752,7 +5769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-7 late additions: round-8 rotation candidates ---
-        # (18 entries below + whatever CORRECTNESS_r07 leaves red should
+        # (19 entries below + whatever CORRECTNESS_r07 leaves red should
         # LEAD round 8's first-50 window; all are local-green at sf0.001
         # AND sf0.01 as of r7 session 2.)
         "dedup_containment": q_dedup_containment,
@@ -5761,6 +5778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_next_purchase": q_asof_view_next_purchase,
         "event_rate_features": q_event_rate_features,
         "corpus_diff": q_corpus_diff,
+        "source_overlap": q_source_overlap,
         "dedup_containment_prune": q_dedup_containment_prune,
         "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
@@ -6580,6 +6598,30 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM edges_v
                     WHERE src = {SUPPLIER_BASE} + 1
                        OR dst = {SUPPLIER_BASE} + 1)
+        """,
+        # Same shingle construction as dedup_containment's ct CTE; sizes
+        # and intersections over per-source DISTINCT shingle sets.
+        "source_overlap": f"""
+            WITH so_t AS (SELECT source, {_TOK} AS toks FROM documents),
+            so_sh AS (
+              SELECT DISTINCT source, unnest(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM so_t
+            ),
+            so_sizes AS (SELECT source, COUNT(*) AS n FROM so_sh
+                         GROUP BY source)
+            SELECT x.source AS a, y.source AS b,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM so_sh x JOIN so_sh y
+              ON x.sh = y.sh AND x.source < y.source
+            JOIN so_sizes sa ON sa.source = x.source
+            JOIN so_sizes sb ON sb.source = y.source
+            GROUP BY 1, 2, sa.n, sb.n
         """,
         # Same deterministic v2 derivation in pure id arithmetic: the
         # diff statuses depend only on doc_id residues + the added row.

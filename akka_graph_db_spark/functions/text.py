@@ -1174,3 +1174,44 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: exact Jaccard between each
+    pair of sources' DISTINCT shingle sets — the corpus-composition
+    diagnostic ("how much does crawl A repeat crawl B?") that decides
+    mixture weights before any per-document dedup runs. Returns
+    (a, b, n_a, n_b, n_common) for a < b; callers derive Jaccard.
+
+    Scale shape: one (group, shingle) distinct aggregation, one
+    self-equi-join ON THE SHINGLE (posting lists bounded by the number
+    of groups, so the join output is at most |shingles|·groups²/2 —
+    groups is small by definition), one count per group pair. Nothing
+    document-quadratic; output is groups² rows.
+    """
+    tok = tokens(F.col(text_col))
+    sh = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.array_distinct(shingles(tok, shingle_n))).alias("_sh"),
+    ).distinct()
+    sizes = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_g").alias("a"), "_sh")
+    b = sh.select(F.col("_g").alias("b"), "_sh")
+    common = (
+        a.join(b, "_sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_g").alias("a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_g").alias("b"), F.col("_n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select("a", "b", "n_a", "n_b", "n_common")
+    )

@@ -164,6 +164,7 @@ HEADLINE = [
     "asof_view_next_purchase",  # forward as-of (conversion latency)
     "event_rate_features",    # integer-range-frame rolling features
     "corpus_diff",            # sha2-digest crawl-over-crawl delta
+    "source_overlap",         # cross-source shingle-overlap matrix
 ]
 
 

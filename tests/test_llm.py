@@ -1954,3 +1954,21 @@ def test_corpus_diff_statuses(spark):
         for r in textf.corpus_diff(old, new).collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_source_overlap_exact_intersections(spark):
+    """Pairwise distinct-shingle intersections: exact counts, a < b
+    ordering, zero-overlap pairs absent."""
+    rows = [
+        (1, "a b c d", "s1"),   # shingles {abc, bcd}
+        (2, "b c d e", "s2"),   # {bcd, cde} -> s1 n s2 = {bcd}
+        (3, "x y z w", "s3"),   # disjoint
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_a"], r["n_b"], r["n_common"])
+        for r in textf.source_overlap(df, shingle_n=3).collect()
+    }
+    assert got == {("s1", "s2"): (2, 2, 1)}  # s3 pairs absent (0 overlap)
