@@ -102,6 +102,8 @@ AUDITED = [
     ("hll_grouped_events", "per-group registers + grid-bounded estimate"),
     ("asof_view_next_purchase", "forward union-merge as-of (one shuffle)"),
     ("event_rate_features", "shared-ordering RANGE + LAG windows"),
+    ("corpus_diff", "digest-only full-outer diff (content never shuffles)"),
+    ("source_overlap", "shingle-keyed self-join, group-bounded postings"),
 ]
 
 
