@@ -5580,12 +5580,71 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
-    # entries only. Round-7 rotation: the 23 never-driver-certified
-    # entries lead (11 round-5 overflow + 12 round-6 additions, all
-    # local-green at sf0.001 and sf0.01), then round-7 additions, then
-    # re-certs drawn from the oldest (r4-certified) window to fill 50.
-    # r4 u r5 u r6 covered 149 distinct queries; this window closes the
-    # remaining 23 for full-registry driver coverage.
+    # entries only. Round-8 rotation: positions 1-19 are the round-7
+    # late additions (never driver-certified; all local-green at
+    # sf0.001 AND sf0.01); 20-31 are the r7-reworked superstep-family
+    # queries whose driver rows predate the exchange-free rework;
+    # 32-50 are the oldest (r4-latest) certifications for re-cert.
+    # Green here => all 195 oracled queries driver-certified
+    # cumulatively (dedup_minhash_keep_star is rows-only by design
+    # and deliberately kept OUT of the window).
+    # --- never-certified r7 late additions (1-19) ---
+        "dedup_containment": q_dedup_containment,
+        "store_version_summary": q_store_version_summary,
+        "hll_grouped_events": q_hll_grouped_events,
+        "asof_view_next_purchase": q_asof_view_next_purchase,
+        "event_rate_features": q_event_rate_features,
+        "corpus_diff": q_corpus_diff,
+        "source_overlap": q_source_overlap,
+        "dedup_containment_prune": q_dedup_containment_prune,
+        "doc_novelty": q_doc_novelty,
+        "distinctive_terms": q_distinctive_terms,
+        "vocab_growth": q_vocab_growth,
+        "quantile_filter_docs": q_quantile_filter_docs,
+        "streaming_cms": q_streaming_cms,
+        "streaming_hll": q_streaming_hll,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
+        "ngram_diversity": q_ngram_diversity,
+        "blocklist_report": q_blocklist_report,
+        "profile_orders": q_profile_orders,
+    # --- r7-reworked superstep family re-certs (20-31) ---
+        "kcore_parts": q_kcore_parts,
+        "hits_top20": q_hits_top20,
+        "betweenness_parts": q_betweenness_parts,
+        "harmonic_parts": q_harmonic_parts,
+        "eccentricity_parts": q_eccentricity_parts,
+        "random_walks_parts": q_random_walks_parts,
+        "walk_skipgrams": q_walk_skipgrams,
+        "node2vec_skipgrams": q_node2vec_skipgrams,
+        "mis_geo": q_mis_geo,
+        "link_prediction_parts": q_link_prediction_parts,
+        "dedup_keep_source": q_dedup_keep_source,
+        "connected_components_two_phase_geo": q_connected_components_two_phase_geo,
+    # --- oldest (r4-latest) re-certs (32-50) ---
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "multimodal_meta": q_multimodal_meta,
+        "events_tumbling": q_events_tumbling,
+        "window_rank_customers": q_window_rank_customers,
+        "get_node": q_get_node,
+        "get_nodes_filtered": q_get_nodes_filtered,
+        "get_nodes_all_labels": q_get_nodes_all_labels,
+        "get_edge": q_get_edge,
+        "get_edges_filtered": q_get_edges_filtered,
+        "egress_edges": q_egress_edges,
+        "ingress_edges": q_ingress_edges,
+        "get_nodes_unlabeled_prop": q_get_nodes_unlabeled_prop,
+        "get_edges_hydrated": q_get_edges_hydrated,
+        "add_nodes": q_add_nodes,
+        "add_edges_validated": q_add_edges_validated,
+        "update_node_merge": q_update_node_merge,
+        "update_edge_merge": q_update_edge_merge,
+        "remove_node_cascade": q_remove_node_cascade,
+    # --- certification window ends here (50 entries). ---
+    # Certified tail: every entry below has a green driver row in
+    # CORRECTNESS_r04..r07.json (except rows-only
+    # dedup_minhash_keep_star, excluded from windows by design).
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
@@ -5609,13 +5668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "store_incremental_degrees": q_store_incremental_degrees,
-        # --- round-7 additions (displace re-certs below) ---
         "hll_distinct_events": q_hll_distinct_events,
         "sessionize_events": q_sessionize_events,
         "set_similarity_join": q_set_similarity_join,
         "rich_club_parts": q_rich_club_parts,
         "bpe_pair_counts": q_bpe_pair_counts,
-        # --- re-certs (r4-certified, oldest driver window) ---
         "triangles_coorder": q_triangles_coorder,
         "similarity_lsh": q_similarity_lsh,
         "similarity_topk": q_similarity_topk,
@@ -5638,25 +5695,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
-        # --- certification window ends here (50 entries). ---
-        # Certified tail: every entry below has a green driver row in
-        # CORRECTNESS_r04/r05/r06.json (r6 covered pack_chunks..tpch_q7).
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "multimodal_meta": q_multimodal_meta,
-        "events_tumbling": q_events_tumbling,
-        "window_rank_customers": q_window_rank_customers,
         "pack_chunks": q_pack_chunks,
         "tpch_q5": q_tpch_q5,
         "assortativity_coorder": q_assortativity_coorder,
-        "random_walks_parts": q_random_walks_parts,
         "pagerank_weighted": q_pagerank_weighted,
-        "harmonic_parts": q_harmonic_parts,
         "kmeans_embeddings": q_kmeans_embeddings,
-        "dedup_keep_source": q_dedup_keep_source,
         "curriculum_shards": q_curriculum_shards,
         "graph_summary": q_graph_summary,
-        "betweenness_parts": q_betweenness_parts,
         "cdc_chunks": q_cdc_chunks,
         "collocations": q_collocations,
         "kmeans_quality_profile": q_kmeans_quality_profile,
@@ -5675,18 +5720,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_parts": q_ktruss_parts,
         "token_rarity": q_token_rarity,
         "dedup_incremental": q_dedup_incremental,
-        "walk_skipgrams": q_walk_skipgrams,
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "engagement_decay": q_engagement_decay,
         "embedding_outliers": q_embedding_outliers,
-        "eccentricity_parts": q_eccentricity_parts,
         "customer_similarity": q_customer_similarity,
         "butterfly_count": q_butterfly_count,
         "orc_roundtrip": q_orc_roundtrip,
         "skew_report_parts": q_skew_report_parts,
         "zorder_customers": q_zorder_customers,
         "store_incremental_counts": q_store_incremental_counts,
-        "node2vec_skipgrams": q_node2vec_skipgrams,
         "recency_histogram": q_recency_histogram,
         "rfm_segments": q_rfm_segments,
         "order_intervals": q_order_intervals,
@@ -5694,7 +5736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": q_revenue_concentration,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
-        "mis_geo": q_mis_geo,
         "tpch_q7": q_tpch_q7,
         "events_sliding": q_events_sliding,
         "events_session": q_events_session,
@@ -5716,9 +5757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "label_propagation_geo": q_label_propagation_geo,
         "streaming_session": q_streaming_session,
-        "hits_top20": q_hits_top20,
-        "kcore_parts": q_kcore_parts,
-        "link_prediction_parts": q_link_prediction_parts,
         "range_join_clicks": q_range_join_clicks,
         "quantized_topk": q_quantized_topk,
         "salted_join_orders": q_salted_join_orders,
@@ -5745,52 +5783,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_keep_best": q_dedup_minhash_keep_best,
         "dedup_exact_spans": q_dedup_exact_spans,
         "tpch_q6": q_tpch_q6,
-        "get_node": q_get_node,
-        "get_nodes_filtered": q_get_nodes_filtered,
-        "get_nodes_all_labels": q_get_nodes_all_labels,
-        "get_edge": q_get_edge,
-        "get_edges_filtered": q_get_edges_filtered,
-        "egress_edges": q_egress_edges,
-        "ingress_edges": q_ingress_edges,
-        "get_nodes_unlabeled_prop": q_get_nodes_unlabeled_prop,
-        "get_edges_hydrated": q_get_edges_hydrated,
-        "add_nodes": q_add_nodes,
-        "add_edges_validated": q_add_edges_validated,
-        "update_node_merge": q_update_node_merge,
-        "update_edge_merge": q_update_edge_merge,
-        "remove_node_cascade": q_remove_node_cascade,
         "remove_nodes_predicate": q_remove_nodes_predicate,
         "remove_edges_predicate": q_remove_edges_predicate,
         "store_delta_merge": q_store_delta_merge,
         "codec_roundtrip": q_codec_roundtrip,
-        "connected_components_two_phase_geo": q_connected_components_two_phase_geo,
         "rollup_order_stats": q_rollup_order_stats,
         "set_ops_customers": q_set_ops_customers,
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
-        # --- round-7 late additions: round-8 rotation candidates ---
-        # (19 entries below + whatever CORRECTNESS_r07 leaves red should
-        # LEAD round 8's first-50 window; all are local-green at sf0.001
-        # AND sf0.01 as of r7 session 2.)
-        "dedup_containment": q_dedup_containment,
-        "store_version_summary": q_store_version_summary,
-        "hll_grouped_events": q_hll_grouped_events,
-        "asof_view_next_purchase": q_asof_view_next_purchase,
-        "event_rate_features": q_event_rate_features,
-        "corpus_diff": q_corpus_diff,
-        "source_overlap": q_source_overlap,
-        "dedup_containment_prune": q_dedup_containment_prune,
-        "doc_novelty": q_doc_novelty,
-        "distinctive_terms": q_distinctive_terms,
-        "vocab_growth": q_vocab_growth,
-        "quantile_filter_docs": q_quantile_filter_docs,
-        "streaming_cms": q_streaming_cms,
-        "streaming_hll": q_streaming_hll,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_pairs": q_winnow_pairs,
-        "ngram_diversity": q_ngram_diversity,
-        "blocklist_report": q_blocklist_report,
-        "profile_orders": q_profile_orders,
     }
 
 
