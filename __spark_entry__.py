@@ -3025,15 +3025,24 @@ def q_streaming_fold(spark, sf_dir):
 
 
 def q_streaming_store_sink(spark, sf_dir):
-    """§2.6 durable streaming ingest: two sequential mutation streams
-    fold through StreamingGraphFold with a store_root, so the first run
-    persists a BASE snapshot and the second an O(changes) DELTA
+    """§2.6 durable streaming ingest: ONE mutation stream whose two log
+    files arrive as two ordered micro-batches (maxFilesPerTrigger=1,
+    file order pinned by explicit mtimes — FileStreamSource takes files
+    in modification-time order), folding through StreamingGraphFold with
+    a store_root and store_every=1, so micro-batch A persists a BASE
+    snapshot and micro-batch B an O(changes) DELTA
     (store.delta_from_graphs diff). The result is read back from DISK
     via store.load_snapshot — certifying the full chain stream →
     foreachBatch fold → versioned store → merge-on-read. n_versions
     pins the store layout (base + one delta = 2) into the hash compare.
     Oracled relationally like streaming_fold: adds ⟕ last-update ▷
-    removes with node-removal cascading to incident edges."""
+    removes with node-removal cascading to incident edges.
+
+    (r8: previously TWO sequential streaming queries — one per log —
+    whose second stream-init/teardown paid ~5s of fixed cost for the
+    same base+delta semantics; micro-batch boundaries within one query
+    exercise the identical fold/persist path.)"""
+    import json as _json
     import os
     import tempfile
 
@@ -3070,13 +3079,23 @@ def q_streaming_store_sink(spark, sf_dir):
     fold = StreamingGraphFold(
         g, store_root=root, store_every=1, compact_every=8
     )
+    log_dir = os.path.join(tmp, "log")
+    os.makedirs(log_dir)
+    cols = ("seq", "op", "kind", "id", "label", "src", "dst", "props")
     for i, rows in enumerate((batch_a, batch_b)):
-        log_dir = os.path.join(tmp, f"log{i}")
-        spark.createDataFrame(rows, MUTATION_SCHEMA).coalesce(1).write.json(
-            log_dir
-        )
-        stream = spark.readStream.schema(MUTATION_SCHEMA).json(log_dir)
-        fold.run(stream, os.path.join(tmp, f"ckpt{i}"))
+        path = os.path.join(log_dir, f"{i:02d}.json")
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(dict(zip(cols, r))) + "\n")
+        # pin modification times one minute apart so the file source's
+        # modification-time ordering is deterministic, not clock-tick luck
+        os.utime(path, (1_700_000_000 + 60 * i,) * 2)
+    stream = (
+        spark.readStream.schema(MUTATION_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(log_dir)
+    )
+    fold.run(stream, os.path.join(tmp, "ckpt"))
     n_versions = len(store.list_versions(root, spark))
     final = store.load_snapshot(spark, root)
     return (
