@@ -12,8 +12,10 @@ Spark-side plumbing — schema, Arrow batching via mapInPandas, partition
 shape — is real and tested.
 
 Container check log (the gate is re-probed every round): PIL and ffmpeg
-absent in the round-6 AND round-7 containers (``import PIL`` →
-ModuleNotFoundError, ``shutil.which("ffmpeg")`` → None), so the real
+absent in the round-6, round-7 AND round-8 containers (also probed r8:
+cv2, torchvision, soundfile, librosa, imageio — all absent;
+``import PIL`` → ModuleNotFoundError, ``shutil.which("ffmpeg")`` →
+None), so the real
 decode paths stay environment-gated; if either ever appears, wire the
 real path behind the same seam and keep the fake for tests.
 """
