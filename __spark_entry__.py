@@ -1565,6 +1565,49 @@ def q_motif_supply_chain(spark, sf_dir):
     )
 
 
+def q_pattern_diamond(spark, sf_dir):
+    """Branching-pattern matcher (find_pattern): the supply-chain motif
+    expressed as a DIAMOND with a shared terminal variable — customer
+    placed order containing a part supplied by a supplier in the SAME
+    nation the customer lives in. Same answer as motif_supply_chain but
+    bound through the named-variable pattern grammar (the generalization
+    of the Cypher MATCH shapes the reference generates,
+    Neo4jGraph.scala:188-194,345-347), certifying variable sharing
+    across five terms."""
+    g = _g(spark, sf_dir)
+    matches = analytics.find_pattern(
+        g,
+        "(c)-[:placed]->(o); (o)-[:contains]->(p);"
+        " (p)-[:supplied_by]->(s); (s)-[:located_in]->(n);"
+        " (c)-[:located_in]->(n)",
+    )
+    return matches.groupBy(F.col("n").alias("nation_id")).agg(
+        F.count(F.lit(1)).alias("n_chains")
+    )
+
+
+def q_pattern_supply_gap(spark, sf_dir):
+    """Negation-pattern matcher (find_pattern): supply-chain GAPS — for
+    each (customer order line, same-nation supplier) pair, keep those
+    where the local supplier does NOT supply the ordered part, counted
+    per nation. The `!(p)-[:supplied_by]->(s)` term has BOTH endpoints
+    bound by the positive pattern, so it compiles to a left-anti join on
+    (p, s) — the pair-level negation shape (never NOT IN / per-row
+    subqueries), which at 100 TB is one shuffled anti-join against the
+    supplied_by edge scan."""
+    g = _g(spark, sf_dir)
+    matches = analytics.find_pattern(
+        g,
+        "(c)-[:placed]->(o); (o)-[:contains]->(p);"
+        " (c)-[:located_in]->(n); (s)-[:located_in]->(n);"
+        " !(p)-[:supplied_by]->(s)",
+        node_labels={"s": "supplier"},
+    )
+    return matches.groupBy(F.col("n").alias("nation_id")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+
+
 def q_assortativity_coorder(spark, sf_dir):
     """Degree assortativity of the part co-order graph — do parts that
     co-occur in many orders link to similarly-connected parts? All
@@ -5810,6 +5853,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
+        # --- round-8 additions: round-9 rotation candidates ---
+        # (never driver-certified; local-green at sf0.001 AND sf0.01 —
+        # these + any CORRECTNESS_r08 reds should LEAD round 9's
+        # first-50 window.)
+        "pattern_diamond": q_pattern_diamond,
+        "pattern_supply_gap": q_pattern_supply_gap,
     }
 
 
@@ -6490,6 +6539,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sb ON sb.l_partkey = l.l_partkey
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY 1
+        """,
+        "pattern_diamond": f"""
+            WITH sb AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT s.s_nationkey + {NATION_BASE} AS nation_id,
+                   COUNT(*) AS n_chains
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN sb ON sb.l_partkey = l.l_partkey
+            JOIN supplier s ON sb.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY 1
+        """,
+        "pattern_supply_gap": f"""
+            WITH sb AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT c.c_nationkey + {NATION_BASE} AS nation_id,
+                   COUNT(*) AS n_gaps
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON s.s_nationkey = c.c_nationkey
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sb
+                WHERE sb.l_partkey = l.l_partkey
+                  AND sb.l_suppkey = s.s_suppkey
+            )
             GROUP BY 1
         """,
         "window_rank_customers": f"""

@@ -863,6 +863,142 @@ def match_path(
     return out.select(*cols)
 
 
+_PATTERN_TERM = None  # compiled lazily in find_pattern
+
+
+def find_pattern(
+    g: PropertyGraph,
+    pattern: str,
+    node_labels: dict[str, str] | None = None,
+) -> DataFrame:
+    """Branching motif matcher over named variables — the DataFrame-native
+    equivalent of the Cypher ``MATCH`` patterns the reference GENERATES
+    for its fixed shapes (`Neo4jGraph.scala:188-194,261-264,345-347` all
+    emit single-edge instances of this grammar), generalized the way
+    GraphFrames' ``find()`` generalizes them.
+
+    Grammar: semicolon-separated edge terms
+    ``(a)-[e:label]->(b)`` — ``a``/``b`` name node variables (repeating a
+    name SHARES the binding, enabling branches, diamonds, and cycles),
+    ``e`` optionally names the edge id column, ``:label`` optionally
+    filters the edge label. A term prefixed with ``!`` is a NEGATION:
+    rows where any such edge exists (for the term's bound variables) are
+    anti-joined away; unbound variables in a negation are existentially
+    quantified, and negation terms cannot name an edge variable (nothing
+    to bind it to in the output).
+
+    Returns one column per named variable: node vars = node id, edge
+    vars = edge id. Like Cypher MATCH on relationships (and
+    ``match_path`` above), vertex- and edge-uniqueness are NOT enforced —
+    post-filter if simple matches are required.
+
+    Scale shape: each positive term is one label-filtered edge scan,
+    composed with equi-joins on the shared variables in pattern order —
+    Catalyst reorders/broadcasts them like any join chain, AQE handles
+    skewed bindings. A term that shares no variable with the terms before
+    it would be a cartesian product and RAISES instead (split the pattern
+    into separate queries if a cross product is genuinely wanted).
+    Negations compile to left-anti joins (never NOT IN subqueries).
+
+    ``node_labels`` optionally constrains node variables by label, e.g.
+    ``{"c": "customer"}`` — compiled to broadcastable semi-joins against
+    the label-pruned node scan.
+    """
+    import re
+
+    global _PATTERN_TERM
+    if _PATTERN_TERM is None:
+        _PATTERN_TERM = re.compile(
+            r"^\s*(!?)\s*\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w+)?"
+            r"\s*(?::\s*(\w+))?\s*\]\s*->\s*\(\s*(\w+)\s*\)\s*$"
+        )
+    terms = [t for t in pattern.split(";") if t.strip()]
+    if not terms:
+        raise ValueError("empty pattern")
+    parsed = []
+    node_vars: set[str] = set()
+    edge_vars: set[str] = set()
+    for t in terms:
+        m = _PATTERN_TERM.match(t)
+        if not m:
+            raise ValueError(f"unparseable pattern term: {t!r}")
+        neg, src_v, edge_v, label, dst_v = (
+            bool(m.group(1)), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
+        if neg and edge_v:
+            raise ValueError(
+                f"negation term cannot bind an edge variable: {t!r}"
+            )
+        if edge_v:
+            if edge_v in edge_vars or edge_v in node_vars:
+                raise ValueError(f"duplicate variable name: {edge_v!r}")
+            edge_vars.add(edge_v)
+        for v in (src_v, dst_v):
+            if v in edge_vars:
+                raise ValueError(
+                    f"name {v!r} used as both node and edge variable"
+                )
+            if not neg:
+                # negation-only variables are existentially quantified —
+                # they never become output columns
+                node_vars.add(v)
+        parsed.append((neg, src_v, edge_v, label, dst_v))
+
+    def term_frame(src_v, edge_v, label, dst_v) -> DataFrame:
+        e = g.edges
+        if label is not None:
+            e = e.where(F.col("label") == label)
+        cols = [F.col("src").alias(src_v), F.col("dst").alias(dst_v)]
+        if src_v == dst_v:  # self-loop term: src and dst must coincide
+            e = e.where(F.col("src") == F.col("dst"))
+            cols = [F.col("src").alias(src_v)]
+        if edge_v:
+            cols.append(F.col("id").alias(edge_v))
+        return e.select(*cols)
+
+    positives = [p for p in parsed if not p[0]]
+    negatives = [p for p in parsed if p[0]]
+    if not positives:
+        raise ValueError("pattern needs at least one positive term")
+
+    out: DataFrame | None = None
+    for _, src_v, edge_v, label, dst_v in positives:
+        tf = term_frame(src_v, edge_v, label, dst_v)
+        if out is None:
+            out = tf
+        else:
+            shared = [c for c in tf.columns if c in out.columns]
+            if not shared:
+                raise ValueError(
+                    f"pattern term ({src_v})->({dst_v}) shares no variable "
+                    "with the terms before it (cartesian product refused)"
+                )
+            out = out.join(tf, shared, "inner")
+
+    if node_labels:
+        unknown = set(node_labels) - node_vars
+        if unknown:
+            raise ValueError(f"node_labels for unbound vars: {sorted(unknown)}")
+        for var, lbl in node_labels.items():
+            ids = g.nodes.where(F.col("label") == lbl).select(
+                F.col("id").alias(var)
+            )
+            out = out.join(ids, var, "left_semi")
+
+    for _, src_v, _e, label, dst_v in negatives:
+        tf = term_frame(src_v, None, label, dst_v)
+        keys = [c for c in tf.columns if c in out.columns]
+        if not keys:
+            raise ValueError(
+                f"negation term ({src_v})->({dst_v}) binds no variable "
+                "from the positive pattern"
+            )
+        out = out.join(tf.select(*keys), keys, "left_anti")
+
+    ordered = [v for v in sorted(node_vars)] + [v for v in sorted(edge_vars)]
+    return out.select(*ordered)
+
+
 def hits(
     g: PropertyGraph,
     edge_labels: Sequence[str] | None = None,

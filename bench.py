@@ -172,6 +172,8 @@ HEADLINE = [
     "streaming_interval_join",  # stream-stream time-interval join
     "streaming_running_totals",  # stateful running aggregation
     "node2vec_skipgrams",     # biased walks -> skip-gram pairs
+    "pattern_diamond",        # 5-term branching pattern (shared terminal var)
+    "pattern_supply_gap",     # pair-bound negation pattern (anti-join)
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -118,6 +118,75 @@ def test_match_path_undirected_superset(micro):
     assert undirected == 2 * directed
 
 
+def test_find_pattern_branching(micro):
+    # a knows someone AND lives somewhere: a=1 (4 knows-edges x paris),
+    # a=2 (2 knows-edges x tokyo) — parallel edges 103/104 both match
+    rows = analytics.find_pattern(
+        micro, "(a)-[:knows]->(b); (a)-[:lives_in]->(c)"
+    ).collect()
+    assert sorted((r["a"], r["b"], r["c"]) for r in rows) == [
+        (1, 1, 4), (1, 2, 4), (1, 3, 4), (1, 3, 4), (2, 1, 5), (2, 3, 5),
+    ]
+
+
+def test_find_pattern_cycle_with_edge_vars(micro):
+    # mutual knows: (1,2)/(2,1) plus the self-loop matching itself twice
+    rows = analytics.find_pattern(
+        micro, "(a)-[e1:knows]->(b); (b)-[e2:knows]->(a)"
+    ).collect()
+    got = sorted((r["a"], r["b"], r["e1"], r["e2"]) for r in rows)
+    assert got == [(1, 1, 102, 102), (1, 2, 100, 101), (2, 1, 101, 100)]
+
+
+def test_find_pattern_negation(micro):
+    # knows-edges whose source has NO lives_in edge: only 8->2
+    rows = analytics.find_pattern(
+        micro, "(a)-[:knows]->(b); !(a)-[:lives_in]->(c)"
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(8, 2)]
+
+
+def test_find_pattern_self_loop_term(micro):
+    rows = analytics.find_pattern(micro, "(a)-[:knows]->(a)").collect()
+    assert [r["a"] for r in rows] == [1]
+    assert rows[0].asDict().keys() == {"a"}
+
+
+def test_find_pattern_node_labels(micro):
+    assert (
+        analytics.find_pattern(
+            micro, "(a)-[:knows]->(b)", node_labels={"b": "city"}
+        ).count()
+        == 0
+    )
+    assert (
+        analytics.find_pattern(
+            micro, "(a)-[:knows]->(b)", node_labels={"a": "person"}
+        ).count()
+        == 7
+    )
+
+
+def test_find_pattern_rejections(micro):
+    import pytest as _pytest
+
+    for bad, why in [
+        ("(a)-[:knows]->(b); (c)-[:road]->(d)", "cartesian"),
+        ("(a)-[e:knows]->(b); (b)-[e:knows]->(a)", "dup edge var"),
+        ("(a)-[a:knows]->(b)", "node/edge name clash"),
+        ("!(a)-[:knows]->(b)", "no positive term"),
+        ("(a)-[:knows]->(b); !(c)-[:road]->(d)", "unbound negation"),
+        ("(a)-[:knows]-(b)", "unparseable (undirected)"),
+        ("", "empty"),
+    ]:
+        with _pytest.raises(ValueError):
+            analytics.find_pattern(micro, bad), why
+    with _pytest.raises(ValueError):
+        analytics.find_pattern(
+            micro, "(a)-[:knows]->(b)", node_labels={"zz": "person"}
+        )
+
+
 def test_shortest_paths_hops(micro):
     d = {
         r["id"]: r["dist"]
