@@ -2776,6 +2776,53 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_bloom_prune_report(spark, sf_dir):
+    """Deterministic Bloom-filter join pruning (functions/bloom.py): build
+    a 2048-bit / k=2 filter over the custkeys of 1995 URGENT orders
+    (~27% of customers), probe EVERY customer through k broadcast
+    semi-joins (no shuffle of the probe side), and report per-mktsegment
+    counts: bloom-pass superset vs exact semi-join truth vs total. The
+    md5-derived bit positions make membership decisions bit-reproducible
+    in DuckDB, so the sketch itself is hash-certified — including its
+    false positives (n_bloom_pass >= n_true_match, never a false
+    negative). Filter deliberately undersized (m ~ 2.7x keys) so the FP
+    rate is visible at certification scale."""
+    from akka_graph_db_spark.functions import bloom
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    build = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1995)
+    )
+    bits = bloom.bloom_build(build, "o_custkey", m_bits=2048, k=2)
+    passed = bloom.bloom_prune(cust, "c_custkey", bits, m_bits=2048, k=2)
+    truth = cust.join(
+        build.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    )
+
+    def seg_count(df, name):
+        return df.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    return (
+        seg_count(cust, "n_customers")
+        .join(seg_count(passed, "n_bloom_pass"), "mktsegment", "left")
+        .join(seg_count(truth, "n_true_match"), "mktsegment", "left")
+        .select(
+            "mktsegment",
+            F.coalesce("n_bloom_pass", F.lit(0)).alias("n_bloom_pass"),
+            "n_customers",
+            F.coalesce("n_true_match", F.lit(0)).alias("n_true_match"),
+        )
+    )
+
+
 def q_hll_distinct_events(spark, sf_dir):
     """HyperLogLog distinct count of event ids vs the exact answer —
     the fixed-memory COUNT DISTINCT for 100 TB streams (1024 registers
@@ -5859,6 +5906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-50 window.)
         "pattern_diamond": q_pattern_diamond,
         "pattern_supply_gap": q_pattern_supply_gap,
+        "bloom_prune_report": q_bloom_prune_report,
     }
 
 
@@ -6552,6 +6600,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "bloom_prune_report": """
+            WITH build AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+                AND year(o_orderdate) = 1995
+            ),
+            bits AS (
+              SELECT DISTINCT
+                CAST((md5_number_upper(
+                    CAST(o_custkey AS VARCHAR) || ':' || CAST(i AS VARCHAR))
+                  & 9223372036854775807) AS BIGINT) % 2048 AS pos
+              FROM build, range(2) t(i)
+            ),
+            probe AS (
+              SELECT c_custkey, c_mktsegment,
+                CAST((md5_number_upper(CAST(c_custkey AS VARCHAR) || ':0')
+                  & 9223372036854775807) AS BIGINT) % 2048 AS p0,
+                CAST((md5_number_upper(CAST(c_custkey AS VARCHAR) || ':1')
+                  & 9223372036854775807) AS BIGINT) % 2048 AS p1
+              FROM customer
+            )
+            SELECT c_mktsegment AS mktsegment,
+              CAST(COUNT(*) FILTER (
+                WHERE p0 IN (SELECT pos FROM bits)
+                  AND p1 IN (SELECT pos FROM bits)) AS BIGINT
+              ) AS n_bloom_pass,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(COUNT(*) FILTER (
+                WHERE c_custkey IN (SELECT o_custkey FROM build)) AS BIGINT
+              ) AS n_true_match
+            FROM probe GROUP BY 1
         """,
         "pattern_supply_gap": f"""
             WITH sb AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)

@@ -174,6 +174,7 @@ HEADLINE = [
     "node2vec_skipgrams",     # biased walks -> skip-gram pairs
     "pattern_diamond",        # 5-term branching pattern (shared terminal var)
     "pattern_supply_gap",     # pair-bound negation pattern (anti-join)
+    "bloom_prune_report",     # broadcastable bloom build + k semi-join probes
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -1972,3 +1972,59 @@ def test_source_overlap_exact_intersections(spark):
         for r in textf.source_overlap(df, shingle_n=3).collect()
     }
     assert got == {("s1", "s2"): (2, 2, 1)}  # s3 pairs absent (0 overlap)
+
+
+# --- Bloom filter join pruning (functions/bloom.py) ---
+
+
+def test_bloom_no_false_negatives(spark):
+    from akka_graph_db_spark.functions import bloom
+
+    build = spark.createDataFrame(
+        [(i,) for i in range(0, 200, 2)], "k bigint"  # evens
+    )
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    bits = bloom.bloom_build(build, "k", m_bits=256, k=3)
+    passed = {r["k"] for r in bloom.bloom_prune(probe, "k", bits, 256, 3).collect()}
+    # every true member passes, whatever the FP rate does
+    assert set(range(0, 200, 2)) <= passed
+
+
+def test_bloom_exact_mode_equals_semi_join(spark):
+    from akka_graph_db_spark.functions import bloom
+
+    build = spark.createDataFrame([(i,) for i in range(0, 90, 3)], "k bigint")
+    probe = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k bigint, v string"
+    )
+    got = bloom.bloom_semi_join(
+        probe, "k", build, "k", m_bits=128, k=2, exact=True
+    )
+    want = probe.join(build, "k", "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    assert got.columns == probe.columns
+
+
+def test_bloom_build_bounded_by_m(spark):
+    from akka_graph_db_spark.functions import bloom
+
+    build = spark.createDataFrame([(i,) for i in range(10_000)], "k bigint")
+    bits = bloom.bloom_build(build, "k", m_bits=64, k=4)
+    rows = [r["pos"] for r in bits.collect()]
+    assert len(rows) == len(set(rows)) <= 64
+    assert all(0 <= p < 64 for p in rows)
+
+
+def test_bloom_prune_preserves_row_shape(spark):
+    from akka_graph_db_spark.functions import bloom
+
+    build = spark.createDataFrame([(7,)], "k bigint")
+    probe = spark.createDataFrame(
+        [(7, "hit", 1.5), (7, "hit2", 2.5)], "k bigint, s string, x double"
+    )
+    bits = bloom.bloom_build(build, "k", m_bits=512, k=3)
+    out = bloom.bloom_prune(probe, "k", bits, 512, 3)
+    assert out.columns == ["k", "s", "x"]  # helper columns dropped
+    assert out.count() == 2  # duplicates of a passing key all survive
