@@ -1902,6 +1902,33 @@ def q_harmonic_parts(spark, sf_dir):
     )
 
 
+def q_closeness_parts(spark, sf_dir):
+    """Sampled closeness centrality on the part co-order graph — the
+    third estimator off the same landmark-BFS substrate as harmonic and
+    eccentricity (Eppstein-Wang 2001): closeness(v) = n_landmarks_reached
+    / Σ dist(landmark, v), i.e. the reciprocal of the mean sampled
+    distance. Both numerator and denominator are exact integers; only
+    the final ratio is floating point (one IEEE divide, identical in
+    both engines, rounded to 6 dp). Top-20 by ROUNDED score then id so
+    the cross-engine sort never depends on sub-ulp float differences."""
+    d = analytics.landmark_hop_distances(
+        _coorder_pairs(spark, sf_dir), landmarks=8, max_depth=3
+    )
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.count(F.lit(1)) / F.sum("dist"), 6
+            ).alias("closeness"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+        .orderBy(F.col("closeness").desc(), "id")
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # §2.7 relational surface (free from Spark — windows, rollup, set ops,
 # top-k; the reference has none of these, SURVEY.md §2.7, so Spark
@@ -3751,6 +3778,20 @@ def q_link_prediction_auto(spark, sf_dir):
         F.col("common").cast("bigint").alias("common"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+def q_temporal_triples(spark, sf_dir):
+    """Temporal ordered-motif census (Paranjape et al., WSDM'17 shape):
+    per user, the number of click→view→purchase triples with strictly
+    increasing timestamps spanning under one day. Decomposed into two
+    prefix counts off the click curve + one bucketed interval join (see
+    functions/events.py ordered_triples) — the oracle is the naive cubic
+    join, fine at sf0.01, while the engine never enumerates triples."""
+    return ev.ordered_triples(
+        read_events(spark, sf_dir),
+        stages=("click", "view", "purchase"),
+        window_seconds=86400,
+    ).orderBy("user_id")
 
 
 def q_range_join_clicks(spark, sf_dir):
@@ -5907,6 +5948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_diamond": q_pattern_diamond,
         "pattern_supply_gap": q_pattern_supply_gap,
         "bloom_prune_report": q_bloom_prune_report,
+        "closeness_parts": q_closeness_parts,
+        "temporal_triples": q_temporal_triples,
     }
 
 
@@ -6519,6 +6562,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY id
             ORDER BY harmonic DESC, id LIMIT 20
         """,
+        "closeness_parts": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            seeds AS (
+              SELECT a FROM (SELECT DISTINCT a FROM sym)
+              ORDER BY a LIMIT 8
+            ),
+            bfs(s, id, d) AS (
+              SELECT a, a, 0 FROM seeds
+              UNION
+              SELECT bfs.s, sym.b, bfs.d + 1
+              FROM bfs JOIN sym ON bfs.id = sym.a
+              WHERE bfs.d < 3
+            ),
+            md AS (SELECT s, id, MIN(d) AS d FROM bfs GROUP BY s, id)
+            SELECT id,
+                   ROUND(COUNT(*) * 1.0 / SUM(d), 6) AS closeness,
+                   CAST(SUM(d) AS BIGINT) AS sum_dist,
+                   COUNT(*) AS n_reached
+            FROM md WHERE d > 0
+            GROUP BY id
+            ORDER BY closeness DESC, id LIMIT 20
+        """,
         "eccentricity_parts": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -6600,6 +6671,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "temporal_triples": """
+            SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_triples
+            FROM events c
+            JOIN events v
+              ON v.user_id = c.user_id AND v.event_type = 'view'
+             AND v.ts > c.ts
+            JOIN events p
+              ON p.user_id = c.user_id AND p.event_type = 'purchase'
+             AND p.ts > v.ts AND epoch(p.ts) - epoch(c.ts) < 86400
+            WHERE c.event_type = 'click'
+            GROUP BY 1
+            ORDER BY 1
         """,
         "bloom_prune_report": """
             WITH build AS (

@@ -376,3 +376,108 @@ def rate_features(
         )
         .drop("_e")
     )
+
+
+def _prefix_count(
+    points: DataFrame,
+    curve: DataFrame,
+    ts_col: str,
+    by_cols: tuple[str, ...],
+    strict: bool,
+    out: str,
+) -> DataFrame:
+    """Annotate every ``points`` row with the number of ``curve`` rows of
+    the same key at an earlier timestamp (``strict=True``: ts strictly
+    less; ``strict=False``: ts less-or-equal) — the prefix-count analogue
+    of the as-of union-merge (functions/asof.py): union both sides, one
+    running SUM over one (key, ts) sort, ONE shuffle total. At equal
+    timestamps the point row sorts before (strict) or after (non-strict)
+    the curve rows, which is what makes the bound exact rather than
+    tie-lucky."""
+    from pyspark.sql import Window
+
+    by = list(by_cols)
+    c = curve.select(
+        *by, F.col(ts_col), F.lit(1).alias("_curve"),
+        F.lit(1 if strict else 0).alias("_ord"),
+    )
+    extra = [x for x in points.columns if x not in by and x != ts_col]
+    for col in extra:
+        c = c.withColumn(col, F.lit(None).cast(dict(points.dtypes)[col]))
+    p = points.select(
+        *by, F.col(ts_col), F.lit(0).alias("_curve"),
+        F.lit(0 if strict else 1).alias("_ord"), *extra,
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_col, "_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        p.unionByName(c.select(*p.columns))
+        .withColumn(out, F.sum("_curve").over(w).cast("bigint"))
+        .where(F.col("_curve") == 0)
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0)))
+        .drop("_curve", "_ord")
+    )
+
+
+def ordered_triples(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("click", "view", "purchase"),
+    window_seconds: int = 3600,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal ordered-motif counting: per key, the number of
+    (s1, s2, s3) event triples with strictly increasing timestamps whose
+    total span fits the window — ``ts1 < ts2 < ts3`` and
+    ``ts3 - ts1 < window_seconds``. The temporal-network motif census
+    primitive (Paranjape et al., WSDM'17) for the canonical
+    click→view→purchase attribution triple.
+
+    NOT the cubic join it names: the count decomposes as
+    Σ over (s2, s3) pairs in-window of (#s1 before s2) − (#s1 at-or-before
+    s3 − window), i.e. two prefix counts off the SAME s1 curve (one
+    union-merge shuffle each) plus ONE bucketed interval join pairing s2
+    with s3 (functions/rangejoin.py shape). Each piece is integer-exact
+    and one-shuffle; nothing enumerates triples, so a hot key costs its
+    (s2, s3) pair volume, never its triple volume.
+
+    Returns (key_cols..., n_triples), keys with ≥1 triple only.
+    """
+    from akka_graph_db_spark.functions.rangejoin import range_join_buckets
+
+    by = list(key_cols)
+    s1 = events.where(F.col("event_type") == stages[0]).select(
+        *by, ts_col
+    )
+    s2 = events.where(F.col("event_type") == stages[1]).select(
+        *by, F.col(ts_col)
+    )
+    s3 = events.where(F.col("event_type") == stages[2]).select(
+        *by,
+        F.col(ts_col).alias("_ts3"),
+        (F.col(ts_col) - F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
+        .alias("_lo"),
+    )
+    # A(s2) = #s1 strictly before the s2 event
+    a = _prefix_count(s2, s1, ts_col, tuple(by), strict=True, out="_a")
+    # B(s3) = #s1 at or before (ts3 - window)  [probe at the shifted ts]
+    b3 = _prefix_count(
+        s3.select(*by, F.col("_lo").alias(ts_col), "_ts3"),
+        s1, ts_col, tuple(by), strict=False, out="_b",
+    ).select(*by, F.col(ts_col).alias("_lo"), "_ts3", "_b")
+    # pair s2 with s3 when ts2 ∈ (ts3 - window, ts3): bucketed equi-join,
+    # then tighten the helper's closed lower bound to strict
+    pairs = range_join_buckets(
+        a, b3, by, ts_col, "_lo", "_ts3", bucket_seconds=window_seconds
+    ).where(F.col(ts_col) > F.col("_lo"))
+    # clicks counted for a pair: strictly after ts3 - window AND strictly
+    # before ts2 — A - B, non-negative by construction (ts2 > ts3 - window)
+    return (
+        pairs.select(*by, (F.col("_a") - F.col("_b")).alias("_n"))
+        .groupBy(*by)
+        .agg(F.sum("_n").cast("bigint").alias("n_triples"))
+        .where(F.col("n_triples") > 0)
+    )

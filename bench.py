@@ -175,6 +175,8 @@ HEADLINE = [
     "pattern_diamond",        # 5-term branching pattern (shared terminal var)
     "pattern_supply_gap",     # pair-bound negation pattern (anti-join)
     "bloom_prune_report",     # broadcastable bloom build + k semi-join probes
+    "closeness_parts",        # third estimator off the landmark-BFS substrate
+    "temporal_triples",       # ordered-motif census: prefix counts + interval join
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

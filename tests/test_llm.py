@@ -2028,3 +2028,80 @@ def test_bloom_prune_preserves_row_shape(spark):
     out = bloom.bloom_prune(probe, "k", bits, 512, 3)
     assert out.columns == ["k", "s", "x"]  # helper columns dropped
     assert out.count() == 2  # duplicates of a passing key all survive
+
+
+def test_ordered_triples_hand_computed(spark):
+    from datetime import datetime
+
+    from akka_graph_db_spark.functions import events as ev
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: clicks @1,@2; view @5; purchase @10 -> 2 triples
+        (1, t(1), "click"), (1, t(2), "click"),
+        (1, t(5), "view"), (1, t(10), "purchase"),
+        # user 2: span exactly == window (strict) -> excluded;
+        # equal-ts view==click -> not strictly after
+        (2, t(0), "click"), (2, t(0), "view"),
+        (2, t(3), "view"), (2, t(20), "purchase"),
+        # user 3: purchase before view -> no triple
+        (3, t(1), "click"), (3, t(2), "purchase"), (3, t(3), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        r["user_id"]: r["n_triples"]
+        for r in ev.ordered_triples(df, window_seconds=20).collect()
+    }
+    # user 2: click@0 view@3 purchase@20 spans exactly 20 -> excluded
+    assert got == {1: 2}
+    # widen by one second: user 2's triple now fits
+    got = {
+        r["user_id"]: r["n_triples"]
+        for r in ev.ordered_triples(df, window_seconds=21).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_ordered_triples_matches_naive(spark):
+    # randomized cross-check against the cubic definition
+    import random
+
+    from akka_graph_db_spark.functions import events as ev
+
+    rng = random.Random(8)
+    rows = []
+    for u in range(6):
+        for _ in range(30):
+            rows.append(
+                (
+                    u,
+                    rng.randrange(0, 5000),
+                    rng.choice(["click", "view", "purchase"]),
+                )
+            )
+    naive = {}
+    for u, ts1, e1 in rows:
+        if e1 != "click":
+            continue
+        for u2, ts2, e2 in rows:
+            if u2 != u or e2 != "view" or not ts1 < ts2:
+                continue
+            for u3, ts3, e3 in rows:
+                if (
+                    u3 == u and e3 == "purchase" and ts2 < ts3
+                    and ts3 - ts1 < 600
+                ):
+                    naive[u] = naive.get(u, 0) + 1
+    df = spark.createDataFrame(
+        [(u, s, e) for u, s, e in rows],
+        "user_id bigint, sec bigint, event_type string",
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+    got = {
+        r["user_id"]: r["n_triples"]
+        for r in ev.ordered_triples(df, window_seconds=600).collect()
+    }
+    assert got == naive
