@@ -2250,6 +2250,52 @@ def q_blocklist_report(spark, sf_dir):
     return rep.unionByName(surv).orderBy("term")
 
 
+def q_split_leakage_report(spark, sf_dir):
+    """Train/eval leakage audit: near-duplicate pairs (MinHash-LSH,
+    threshold 0.9 — the same verified pair set dedup_minhash certifies)
+    joined against the deterministic md5 hash split, counted per
+    normalized split pair. The within/cross breakdown is THE number a
+    training pipeline must drive to zero before freezing a holdout —
+    eval docs with a train near-twin leak memorized content into the
+    metric. Composition of two certified operators; one extra broadcast
+    join each side of the pair."""
+    docs = read_documents(spark, sf_dir)
+    split = textf.hash_split(docs, "doc_id", 90, hash_family="md5").select(
+        "doc_id", "split"
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.9, num_perm=64, bands=16, shingle_n=1
+    ).select("a_id", "b_id")
+    j = pairs.join(
+        split.select(F.col("doc_id").alias("a_id"), F.col("split").alias("sa")),
+        "a_id",
+    ).join(
+        split.select(F.col("doc_id").alias("b_id"), F.col("split").alias("sb")),
+        "b_id",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_corpus_drift_tvd(spark, sf_dir):
+    """Per-source distribution drift vs the rest of the corpus: exact
+    total-variation distance over 64-char-binned document lengths
+    (functions/profile.py drift_tvd — integer numerator via the common
+    denominator, one IEEE divide at the end). The slice-vs-corpus gate a
+    crawl pipeline runs per ingest source."""
+    from akka_graph_db_spark.functions import profile
+
+    return profile.drift_tvd(
+        read_documents(spark, sf_dir), "source", "n_chars", 64
+    ).orderBy("source")
+
+
 def q_profile_orders(spark, sf_dir):
     """Exact dataset profile of the orders table
     (profile.profile_columns): per-column (n_rows, n_nulls, n_distinct)
@@ -5950,6 +5996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_report": q_bloom_prune_report,
         "closeness_parts": q_closeness_parts,
         "temporal_triples": q_temporal_triples,
+        "split_leakage_report": q_split_leakage_report,
+        "corpus_drift_tvd": q_corpus_drift_tvd,
     }
 
 
@@ -6671,6 +6719,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "split_leakage_report": f"""
+            WITH t AS (SELECT doc_id,
+                              list_distinct({_TOK}) AS toks FROM documents),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN (md5_number_upper(CAST(doc_id AS VARCHAR))
+                                & 9223372036854775807) % 100 < 90
+                          THEN 'train' ELSE 'val' END AS split
+              FROM documents
+            ),
+            p AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM t a JOIN t b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.9
+            )
+            SELECT least(sa.split, sb.split) AS split_a,
+                   greatest(sa.split, sb.split) AS split_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p
+            JOIN sp sa ON sa.doc_id = p.a_id
+            JOIN sp sb ON sb.doc_id = p.b_id
+            GROUP BY 1, 2
+        """,
+        "corpus_drift_tvd": """
+            WITH b AS (
+              SELECT source AS grp, n_chars // 64 AS bin FROM documents
+            ),
+            counts AS (SELECT grp, bin, COUNT(*) AS o FROM b GROUP BY 1, 2),
+            bins AS (SELECT bin, COUNT(*) AS tot FROM b GROUP BY 1),
+            groups AS (SELECT grp, COUNT(*) AS n_group FROM b GROUP BY 1),
+            grand AS (SELECT COUNT(*) AS n_all FROM b),
+            grid AS (
+              SELECT g.grp, g.n_group, bi.bin, bi.tot,
+                     COALESCE(c.o, 0) AS o,
+                     bi.tot - COALESCE(c.o, 0) AS r,
+                     ga.n_all - g.n_group AS n_rest
+              FROM groups g CROSS JOIN bins bi CROSS JOIN grand ga
+              LEFT JOIN counts c ON c.grp = g.grp AND c.bin = bi.bin
+            )
+            SELECT grp AS source, n_group, n_rest,
+                   CAST(SUM(ABS(o * n_rest - r * n_group)) AS BIGINT)
+                     AS tvd_num,
+                   ROUND(CAST(SUM(ABS(o * n_rest - r * n_group)) AS BIGINT)
+                         / (2.0 * n_group * n_rest), 6) AS tvd
+            FROM grid
+            GROUP BY 1, 2, 3
+            ORDER BY 1
         """,
         "temporal_triples": """
             SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_triples

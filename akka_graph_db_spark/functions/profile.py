@@ -58,3 +58,74 @@ def profile_columns(
     return row.select(F.explode(entries).alias("_e")).select(
         "_e.column", "_e.n_rows", "_e.n_nulls", "_e.n_distinct"
     )
+
+
+def drift_tvd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Distribution drift of each group against the REST of the corpus:
+    exact total-variation distance between the group's and the
+    complement's binned value histograms — the slice-vs-corpus data-
+    quality gate ("did src7's length distribution shift this crawl?").
+
+    TVD = ½ Σ_b |o_b/N_g − r_b/N_r| is computed as EXACT integers via the
+    common denominator: tvd_num = Σ_b |o_b·N_r − r_b·N_g| (BIGINT), and
+    only the final ratio tvd = tvd_num / (2·N_g·N_r) is one IEEE divide
+    rounded to 6 dp — no float accumulation anywhere, so any engine
+    reproduces it bit-for-bit (unlike chi-square, whose per-bin float
+    terms would make the SUM order-sensitive).
+
+    Returns (group, n_group, n_rest, tvd_num, tvd). Scale shape: two
+    aggregations over (group, bin) and (bin), then a groups × bins grid
+    join — both sides are AGGREGATES (bins bounded by value range /
+    bin_width, groups by the slice cardinality), so the "cross" is a
+    bounded dims product, never data-sized; zero-count bins a group
+    misses are still charged to it, which naive inner joins silently
+    drop."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(f"CAST({value_col} AS BIGINT) DIV {int(bin_width)}").alias(
+            "bin"
+        ),
+    )
+    counts = b.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("o"))
+    bins = b.groupBy("bin").agg(F.count(F.lit(1)).alias("tot"))
+    groups = b.groupBy("grp").agg(F.count(F.lit(1)).alias("n_group"))
+    grand = b.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        groups.crossJoin(F.broadcast(bins))
+        .crossJoin(F.broadcast(grand))
+        .join(counts, ["grp", "bin"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .withColumn("r", F.col("tot") - F.col("o"))
+        .withColumn("n_rest", F.col("n_all") - F.col("n_group"))
+    )
+    return (
+        grid.groupBy("grp", "n_group", "n_rest")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("o") * F.col("n_rest")
+                    - F.col("r") * F.col("n_group")
+                )
+            )
+            .cast("bigint")
+            .alias("tvd_num")
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_group",
+            "n_rest",
+            "tvd_num",
+            F.round(
+                F.col("tvd_num")
+                / (F.lit(2.0) * F.col("n_group") * F.col("n_rest")),
+                6,
+            ).alias("tvd"),
+        )
+    )

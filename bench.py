@@ -177,6 +177,8 @@ HEADLINE = [
     "bloom_prune_report",     # broadcastable bloom build + k semi-join probes
     "closeness_parts",        # third estimator off the landmark-BFS substrate
     "temporal_triples",       # ordered-motif census: prefix counts + interval join
+    "split_leakage_report",   # near-dup pairs x hash split (leakage audit)
+    "corpus_drift_tvd",       # exact-integer TVD per source vs corpus
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -2105,3 +2105,47 @@ def test_ordered_triples_matches_naive(spark):
         for r in ev.ordered_triples(df, window_seconds=600).collect()
     }
     assert got == naive
+
+
+def test_drift_tvd_hand_computed(spark):
+    from akka_graph_db_spark.functions import profile
+
+    # group A: values 0,0,100 -> bins {0:2, 1:1}; group B: 0,100,100,100
+    # -> bins {0:1, 1:3}.  N_a=3, N_b=4.
+    # TVD(A vs rest=B) over bins: |2/3-1/4| + |1/3-3/4| = 5/12+5/12 -> /2
+    # = 5/12.  Exact integers: num = |2*4-1*3| + |1*4-3*3| = 5+5 = 10,
+    # tvd = 10/(2*3*4) = 0.416667.
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 100), ("b", 0), ("b", 100),
+         ("b", 100), ("b", 100)],
+        "src string, v bigint",
+    )
+    got = {
+        r["src"]: r
+        for r in profile.drift_tvd(df, "src", "v", 100).collect()
+    }
+    assert got["a"]["tvd_num"] == 10 and got["b"]["tvd_num"] == 10
+    assert got["a"]["n_group"] == 3 and got["a"]["n_rest"] == 4
+    assert abs(got["a"]["tvd"] - round(10 / 24, 6)) < 1e-9
+    # zero-count bin charged: group c only in bin 9, groups a/b never
+    df2 = df.unionByName(
+        spark.createDataFrame([("c", 900)], "src string, v bigint")
+    )
+    row_c = {
+        r["src"]: r for r in profile.drift_tvd(df2, "src", "v", 100).collect()
+    }["c"]
+    # c vs rest: bins {0: (0,3), 1: (0,4), 9: (1,0)} ->
+    # num = |0*7-3*1| + |0*7-4*1| + |1*7-0*1| = 3+4+7 = 14; den = 2*1*7
+    assert row_c["tvd_num"] == 14
+    assert abs(row_c["tvd"] - 1.0) < 1e-9  # disjoint supports -> TVD 1
+
+
+def test_drift_tvd_identical_distributions_zero(spark):
+    from akka_graph_db_spark.functions import profile
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)],
+        "src string, v bigint",
+    )
+    for r in profile.drift_tvd(df, "src", "v", 1).collect():
+        assert r["tvd_num"] == 0 and r["tvd"] == 0.0
