@@ -2296,6 +2296,60 @@ def q_corpus_drift_tvd(spark, sf_dir):
     ).orderBy("source")
 
 
+def q_knn_components(spark, sf_dir):
+    """Embedding clustering through the GRAPH machinery: build the
+    MUTUAL k-nearest-neighbor graph (k=2, exact cosine, ties broken by
+    id — the same brute-force ranking similarity_topk certifies; an edge
+    survives only if EACH endpoint ranks the other in its top-k, the
+    standard noise-robust variant — a plain 3-NN graph fuses 87% of this
+    corpus into one blob, mutual 2-NN yields ~190 tight clusters), then
+    run min-id connected components over the pair frame (components
+    are tiny — max 14 members — so propagation converges in a handful of
+    broadcast-gated rounds); report
+    per-cluster size and label diversity. The kNN-graph→CC composition
+    is the standard agglomerative step of embedding-dedup pipelines
+    (SemDeDup et al. cluster first for the same reason). Scale path:
+    build the kNN edges per IVF cell / LSH bucket with the same numpy
+    scoring kernel (similarity.knn_graph raises past its broadcast gate); the CC harness is the exchange-
+    free superstep loop the dedup keep family already runs at scale; the
+    mutuality filter is one self-semi-join on the (small) kNN edge list."""
+    emb = read_embeddings(spark, sf_dir)
+    knn = similarity.knn_graph(emb, k=2).select("a", "b")
+    knn = knn.localCheckpoint(eager=True)  # scored once, joined twice
+    pairs = knn.join(
+        knn.select(F.col("b").alias("a"), F.col("a").alias("b")),
+        ["a", "b"],
+        "left_semi",
+    )
+    verts = emb.select(F.col("vec_id").alias("id"))
+    comp = analytics.connected_components_from_pairs(verts, pairs)
+    return (
+        comp.join(
+            read_embeddings(spark, sf_dir).select(
+                F.col("vec_id").alias("id"), "label"
+            ),
+            "id",
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("component")
+    )
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Per-document Simpson lexical diversity 1 − Σ(tf/n)² — the
+    repetition-robust cousin of type-token ratio — computed as EXACT
+    integers (simpson_num = n² − Σ tf², one IEEE divide rounded to 6 dp;
+    no entropy/log, so it is hash-verifiable). One explode + two
+    aggregations; empty documents drop out (no tokens to score)."""
+    return textf.lexical_diversity(read_documents(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def q_profile_orders(spark, sf_dir):
     """Exact dataset profile of the orders table
     (profile.profile_columns): per-column (n_rows, n_nulls, n_distinct)
@@ -5998,6 +6052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_triples": q_temporal_triples,
         "split_leakage_report": q_split_leakage_report,
         "corpus_drift_tvd": q_corpus_drift_tvd,
+        "knn_components": q_knn_components,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 
@@ -6719,6 +6775,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "knn_components": """
+            WITH RECURSIVE e0 AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS a, e.vec_id AS b,
+                     list_cosine_similarity(q.v, e.v) AS s
+              FROM e0 q JOIN e0 e ON e.vec_id <> q.vec_id
+            ),
+            knn AS (
+              SELECT a, b FROM (
+                SELECT a, b,
+                       ROW_NUMBER() OVER (PARTITION BY a
+                                          ORDER BY s DESC, b) AS rnk
+                FROM scored)
+              WHERE rnk <= 2
+            ),
+            mut AS (
+              SELECT k1.a, k1.b FROM knn k1
+              WHERE EXISTS (SELECT 1 FROM knn k2
+                            WHERE k2.a = k1.b AND k2.b = k1.a)
+            ),
+            sym AS (SELECT a, b FROM mut UNION SELECT b, a FROM mut),
+            reach(id, r) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+            ),
+            comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+            SELECT component, COUNT(*) AS n_members,
+                   COUNT(DISTINCT emb.label) AS n_labels
+            FROM comp JOIN embeddings emb ON emb.vec_id = comp.id
+            GROUP BY 1 ORDER BY 1
+        """,
+        "lexical_diversity": f"""
+            WITH t AS (
+              SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                     COUNT(*) AS n_distinct,
+                     CAST(SUM(tf * tf) AS BIGINT) AS sumsq
+              FROM tf GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, n_distinct,
+                   n_tokens * n_tokens - sumsq AS simpson_num,
+                   ROUND((n_tokens * n_tokens - sumsq)
+                         / (1.0 * n_tokens * n_tokens), 6) AS simpson
+            FROM agg ORDER BY doc_id
         """,
         "split_leakage_report": f"""
             WITH t AS (SELECT doc_id,

@@ -675,3 +675,70 @@ def label_centroid_outliers(
         .orderBy(F.col("d2").desc(), id_col)
         .limit(top_k)
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 200_000,
+) -> DataFrame:
+    """Exact all-pairs cosine kNN edge list: (a, b, rank) — every vector's
+    k nearest neighbors (self excluded, ties broken by neighbor id), the
+    construction step of kNN-graph clustering.
+
+    The corpus matrix ships to every task in the UDF closure (it must be
+    broadcast-scale for brute force to make sense at all — ``max_rows``
+    raises past that; at 100 TB you build the kNN graph per IVF cell or
+    LSH bucket with the same scoring kernel, see ``ivf_topk``). Scoring
+    is a numpy (batch × dim) @ (dim × N) matmul per Arrow batch —
+    Spark doesn't codegen higher-order-function lambdas, so the
+    zip_with/aggregate dot products run interpreted (~10× slower,
+    measured 35s vs 3s on 2000 × 64 all-pairs); ranking is
+    ``np.lexsort((ids, -scores))`` so equal scores order by neighbor id,
+    matching the SQL window's ORDER BY s DESC, b.
+    """
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute-force kNN over {n} rows exceeds max_rows={max_rows}; "
+            "bucket the corpus first (IVF cells / LSH buckets)"
+        )
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = [r[id_col] for r in rows]
+    mat = [list(r[vec_col]) for r in rows]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(mat, dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        CU = (C / cn[:, None]).T  # dim x N
+        cid = np.asarray(ids, dtype=np.int64)
+        for pdf in batches:
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(V) == 0:
+                continue
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0] = 1.0
+            S = (V / vn[:, None]) @ CU  # batch x N
+            qid = pdf[id_col].to_numpy(dtype="int64")
+            S[qid[:, None] == cid[None, :]] = -np.inf  # exclude self
+            order = np.lexsort((cid[None, :].repeat(len(V), 0), -S), axis=1)
+            top = order[:, :k]
+            yield pd.DataFrame(
+                {
+                    "a": np.repeat(qid, k),
+                    "b": cid[top].ravel(),
+                    "rank": np.tile(np.arange(1, k + 1), len(V)),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _score, schema="a bigint, b bigint, rank int"
+    )

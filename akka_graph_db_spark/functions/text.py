@@ -1215,3 +1215,34 @@ def source_overlap(
         .join(F.broadcast(sb), "b")
         .select("a", "b", "n_a", "n_b", "n_common")
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Simpson lexical diversity: 1 − Σ_t (tf_t / n)² — the
+    probability that two tokens drawn with replacement differ — as EXACT
+    integer arithmetic: ``simpson_num = n² − Σ tf²``
+    and only the final ratio is one IEEE divide (rounded to 6 dp), so
+    the score is hash-verifiable cross-engine (entropy would drag in
+    logs; Simpson ranks repetitive docs the same way without them).
+
+    Returns (id, n_tokens, n_distinct, simpson_num, simpson); documents
+    with zero tokens drop out. One explode + two aggregations, both
+    keyed by the document — no corpus-wide state, trivially parallel.
+    """
+    t = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = t.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    agg = tf.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("_sumsq"),
+    )
+    n2 = F.col("n_tokens") * F.col("n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        (n2 - F.col("_sumsq")).cast("bigint").alias("simpson_num"),
+        F.round((n2 - F.col("_sumsq")) / n2, 6).alias("simpson"),
+    )

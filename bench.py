@@ -179,6 +179,8 @@ HEADLINE = [
     "temporal_triples",       # ordered-motif census: prefix counts + interval join
     "split_leakage_report",   # near-dup pairs x hash split (leakage audit)
     "corpus_drift_tvd",       # exact-integer TVD per source vs corpus
+    "knn_components",         # mutual-kNN graph -> CC clustering
+    "lexical_diversity",      # per-doc Simpson diversity, exact integers
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -2149,3 +2149,81 @@ def test_drift_tvd_identical_distributions_zero(spark):
     )
     for r in profile.drift_tvd(df, "src", "v", 1).collect():
         assert r["tvd_num"] == 0 and r["tvd"] == 0.0
+
+
+def test_lexical_diversity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # n=4, tf={a:4}: num=16-16=0, simpson 0
+            (2, "a b c d"),          # n=4, all 1s: num=16-4=12, 12/16=0.75
+            (3, "a a b b"),          # n=4, tf 2,2: num=16-8=8 -> 0.5
+            (4, ""),                 # no tokens -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in textf.lexical_diversity(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["simpson_num"] == 0 and got[1]["simpson"] == 0.0
+    assert got[2]["simpson_num"] == 12 and got[2]["simpson"] == 0.75
+    assert got[3]["simpson_num"] == 8 and got[3]["simpson"] == 0.5
+    assert got[2]["n_tokens"] == 4 and got[2]["n_distinct"] == 4
+
+
+def test_knn_graph_planted_geometry(spark):
+    from akka_graph_db_spark.functions import similarity
+
+    # 0/1 point in +x, 2/3 in +y, 10 alone in +z: each pair is mutually
+    # nearest; the z outlier's neighbors are whoever ties best (cos 0 to
+    # everyone -> lowest ids win the tie-break)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.1, 0.9, 0.0]),
+        (10, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r["a"], r["rank"]): r["b"]
+        for r in similarity.knn_graph(df, k=1).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0
+    assert got[(2, 1)] == 3 and got[(3, 1)] == 2
+    assert got[(10, 1)] == 0  # all-tie at cos 0 -> lowest id
+    # self never appears even at k up to n-1
+    all_edges = similarity.knn_graph(df, k=4).collect()
+    assert all(r["a"] != r["b"] for r in all_edges)
+    assert len(all_edges) == 5 * 4
+
+
+def test_knn_graph_matches_topk_bruteforce(spark):
+    import random
+
+    from akka_graph_db_spark.functions import similarity
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    fast = sorted(
+        (r["a"], r["rank"], r["b"])
+        for r in similarity.knn_graph(df, k=3).collect()
+    )
+    slow = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.topk_bruteforce(df, df, k=3).collect()
+    )
+    assert fast == slow
+
+
+def test_knn_graph_max_rows_gate(spark):
+    import pytest as _pytest
+
+    from akka_graph_db_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(i, [1.0]) for i in range(10)], "vec_id bigint, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        similarity.knn_graph(df, k=1, max_rows=5)
