@@ -4414,6 +4414,47 @@ def q_store_incremental_degrees(spark, sf_dir):
     return store.incremental_degrees(spark, root).orderBy("id")
 
 
+def q_store_incremental_topk(spark, sf_dir):
+    """Touched-partition top-k maintenance (store.incremental_topk): a
+    base snapshot plus one delta exercising all three shapes — a NEW
+    supplier whose acctbal vaults into the top-3, an UPSERT replacing
+    customer 3's properties (new acctbal ranks #1), and a DELETE of
+    customer 1 (top-k is not closed under deletes, so the touched label
+    recomputes from its partition-pruned slice — never the graph; labels
+    the delta doesn't mention carry over verbatim). Output restricted to
+    the two acctbal-bearing labels; the oracle applies the same literal
+    mutations relationally."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from akka_graph_db_spark import store
+
+    g = _g(spark, sf_dir).core()
+    root = tempfile.mkdtemp(prefix="spark_graft_inctopk_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store.save_snapshot(g, root)
+    ups = spark.createDataFrame(
+        [
+            (
+                SUPPLIER_BASE + 999_999,
+                "supplier",
+                {"acctbal": "99999.99", "name": '"inc topk supplier"'},
+            ),
+            (CUSTOMER_BASE + 3, "customer", {"acctbal": "88888.88"}),
+        ],
+        "id bigint, label string, props map<string,string>",
+    )
+    dels = spark.createDataFrame([(CUSTOMER_BASE + 1,)], "id bigint")
+    delta = store.GraphDelta(node_upserts=ups, node_deletes=dels)
+    store.save_delta(root, delta, validate=True)
+    return (
+        store.incremental_topk(spark, root, "acctbal", k=3)
+        .where(F.col("label").isin("customer", "supplier"))
+        .orderBy("label", "rank")
+    )
+
+
 def q_zorder_customers(spark, sf_dir):
     """Morton z-order keys (functions/zorder.py) over (c_nationkey,
     c_custkey) — the two-column data-skipping sort key, certified
@@ -6054,6 +6095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_tvd": q_corpus_drift_tvd,
         "knn_components": q_knn_components,
         "lexical_diversity": q_lexical_diversity,
+        "store_incremental_topk": q_store_incremental_topk,
     }
 
 
@@ -6775,6 +6817,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "store_incremental_topk": f"""
+            WITH nodes AS (
+              SELECT c_custkey + {CUSTOMER_BASE} AS id,
+                     'customer' AS label,
+                     CAST(c_acctbal AS DOUBLE) AS value
+              FROM customer WHERE c_custkey NOT IN (1, 3)
+              UNION ALL
+              SELECT {CUSTOMER_BASE} + 3, 'customer', 88888.88
+              UNION ALL
+              SELECT s_suppkey + {SUPPLIER_BASE}, 'supplier',
+                     CAST(s_acctbal AS DOUBLE)
+              FROM supplier
+              UNION ALL
+              SELECT {SUPPLIER_BASE} + 999999, 'supplier', 99999.99
+            ),
+            r AS (
+              SELECT label, id, value,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                                        ORDER BY value DESC, id) AS rank
+              FROM nodes
+            )
+            SELECT label, CAST(rank AS INTEGER) AS rank, id, value
+            FROM r WHERE rank <= 3 ORDER BY label, rank
         """,
         "knn_components": """
             WITH RECURSIVE e0 AS (

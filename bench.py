@@ -181,6 +181,7 @@ HEADLINE = [
     "corpus_drift_tvd",       # exact-integer TVD per source vs corpus
     "knn_components",         # mutual-kNN graph -> CC clustering
     "lexical_diversity",      # per-doc Simpson diversity, exact integers
+    "store_incremental_topk",  # touched-partition top-k view maintenance
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -349,3 +349,58 @@ def test_version_summary_counts(spark, micro):
     assert (d["kind"], d["n_node_upserts"], d["n_node_deletes"],
             d["n_edge_deletes"]) == ("delta", 0, 1, incident)
     assert incident > 0
+
+
+def test_incremental_topk_matches_full_and_carries_untouched(spark, micro):
+    """Touched-label top-k maintenance must equal a full recompute of the
+    merged snapshot, and labels the delta never mentions must carry their
+    previous rows over verbatim."""
+    from pyspark.sql import Window
+
+    from akka_graph_db_spark.model import prop_double
+
+    root = tempfile.mkdtemp(prefix="snap_inctopk_")
+    store.save_snapshot(micro, root)  # v0 base
+    # touch ONLY 'person': new high scorer, update of id 1, delete of id 2
+    ups = spark.createDataFrame(
+        [
+            (901, "person", {"age": "99"}),
+            (1, "person", {"age": "77"}),
+        ],
+        "id bigint, label string, props map<string,string>",
+    )
+    dels = spark.createDataFrame([(2,)], "id bigint")
+    store.save_delta(
+        root, store.GraphDelta(node_upserts=ups, node_deletes=dels),
+        validate=True,
+    )
+
+    got = store.incremental_topk(spark, root, "age", k=2)
+
+    def full_topk(nodes):
+        w = Window.partitionBy("label").orderBy(
+            F.desc_nulls_last("_v"), F.col("id")
+        )
+        return (
+            nodes.select("id", "label", prop_double("props", "age").alias("_v"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 2)
+            .select("label", F.col("rank").cast("int").alias("rank"), "id",
+                    F.col("_v").alias("value"))
+        )
+
+    want = full_topk(store.load_snapshot(spark, root).nodes)
+    key = lambda r: (r["label"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the new person scorer is rank 1; untouched labels (city/hub/island)
+    # equal the PREVIOUS version's rows exactly
+    by = {key(r): r for r in got.collect()}
+    assert by[("person", 1)]["id"] == 901
+    prev = full_topk(
+        store.load_snapshot(spark, root, version=0).nodes
+    ).where(F.col("label") != "person")
+    assert sorted(
+        map(tuple, got.where(F.col("label") != "person").collect())
+    ) == sorted(map(tuple, prev.collect()))
