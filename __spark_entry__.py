@@ -3894,6 +3894,45 @@ def q_temporal_triples(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q_retrieval_eval_bm25(spark, sf_dir):
+    """Retrieval-quality evaluation loop: five fixed documents with
+    known near-duplicate partners (ids 1/5/8/11/12 — partnered at every
+    SF) act as more-like-this queries (their own distinct tokens are the query
+    terms, self-hit excluded), ranked by multi-query BM25 in ONE corpus
+    scan, and graded against near-duplicate truth (the MinHash pair set
+    dedup_minhash certifies): reciprocal rank of the first relevant hit,
+    relevant-in-top-10, recall@10. Queries with no near-dup partners
+    report NULL metrics — an index can't be graded on an empty truth
+    set. Integer counts + two IEEE divides, hash-exact."""
+    from akka_graph_db_spark.functions import search
+
+    docs = read_documents(spark, sf_dir)
+    qterms = (
+        docs.where(F.col("doc_id").isin(1, 5, 8, 11, 12))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(textf.tokens(F.col("text")))
+            ).alias("term"),
+        )
+    )
+    ranked = search.bm25_topk_multi(docs, qterms, k=10, exclude_self=True)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, threshold=0.9, num_perm=64, bands=16, shingle_n=1
+    )
+    rel = (
+        pairs.where(F.col("a_id").isin(1, 5, 8, 11, 12))
+        .select(F.col("a_id").alias("query_id"), F.col("b_id").alias("doc_id"))
+        .unionByName(
+            pairs.where(F.col("b_id").isin(1, 5, 8, 11, 12)).select(
+                F.col("b_id").alias("query_id"),
+                F.col("a_id").alias("doc_id"),
+            )
+        )
+    )
+    return search.retrieval_eval(ranked, rel, k=10).orderBy("query_id")
+
+
 def q_range_join_clicks(spark, sf_dir):
     """Batch range join (bucketed equi-join shape, functions/rangejoin.py):
     for every purchase, the count and exact decimal sum of the same
@@ -6096,6 +6135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_components": q_knn_components,
         "lexical_diversity": q_lexical_diversity,
         "store_incremental_topk": q_store_incremental_topk,
+        "retrieval_eval_bm25": q_retrieval_eval_bm25,
     }
 
 
@@ -6817,6 +6857,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON sb.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "retrieval_eval_bm25": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            q AS (
+              SELECT doc_id AS query_id,
+                     unnest(list_distinct(toks)) AS term
+              FROM t WHERE doc_id IN (1, 5, 8, 11, 12)
+            ),
+            terms AS (SELECT DISTINCT term FROM q),
+            corpus AS (
+              SELECT COUNT(*) AS n_docs,
+                     SUM(len(toks)) / COUNT(*) AS avgdl
+              FROM t
+            ),
+            tf AS (
+              SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM t
+              )
+              WHERE term IN (SELECT term FROM terms)
+              GROUP BY 1, 2, 3
+            ),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT q.query_id, f.doc_id,
+                     CAST(
+                       ((n_docs - df + CAST(0.5 AS DOUBLE))
+                          / (df + CAST(0.5 AS DOUBLE)))
+                       * (tf * CAST(2.2 AS DOUBLE))
+                       / (tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + (CAST(0.75 AS DOUBLE) * dl) / avgdl))
+                       AS DECIMAL(38,12)) AS term_score
+              FROM tf f
+              JOIN dfq USING (term)
+              CROSS JOIN corpus
+              JOIN q ON q.term = f.term
+            ),
+            totals AS (
+              SELECT query_id, doc_id,
+                     CAST(SUM(term_score) AS DOUBLE) AS score
+              FROM scored GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT query_id, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM totals WHERE doc_id <> query_id
+            ),
+            topk AS (SELECT * FROM ranked WHERE rank <= 10),
+            jac AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM (SELECT doc_id, list_distinct(toks) AS s FROM t) a
+              JOIN (SELECT doc_id, list_distinct(toks) AS s FROM t) b
+                ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s))) >= 0.9
+            ),
+            rel AS (
+              SELECT a_id AS query_id, b_id AS doc_id FROM jac
+              WHERE a_id IN (1, 5, 8, 11, 12)
+              UNION
+              SELECT b_id, a_id FROM jac WHERE b_id IN (1, 5, 8, 11, 12)
+            ),
+            hits AS (
+              SELECT k.query_id, MIN(k.rank) AS first_rel_rank,
+                     COUNT(*) AS n_rel_in_topk
+              FROM topk k JOIN rel
+                ON rel.query_id = k.query_id AND rel.doc_id = k.doc_id
+              GROUP BY 1
+            ),
+            nrel AS (
+              SELECT query_id, COUNT(*) AS n_rel_total FROM rel GROUP BY 1
+            ),
+            qids AS (SELECT DISTINCT query_id FROM q)
+            SELECT qids.query_id,
+                   CAST(first_rel_rank AS INTEGER) AS first_rel_rank,
+                   ROUND(1.0 / first_rel_rank, 6) AS rr,
+                   CAST(COALESCE(n_rel_in_topk, 0) AS BIGINT)
+                     AS n_rel_in_topk,
+                   CAST(COALESCE(n_rel_total, 0) AS BIGINT) AS n_rel_total,
+                   CASE WHEN COALESCE(n_rel_total, 0) > 0
+                        THEN ROUND(COALESCE(n_rel_in_topk, 0)
+                                   / (1.0 * n_rel_total), 6)
+                   END AS recall_at_10
+            FROM qids
+            LEFT JOIN hits ON hits.query_id = qids.query_id
+            LEFT JOIN nrel ON nrel.query_id = qids.query_id
+            ORDER BY 1
         """,
         "store_incremental_topk": f"""
             WITH nodes AS (

@@ -485,3 +485,143 @@ def hll_estimate_grouped(
             (F.lit(c) / F.col("_s").cast("double")).alias("hll_estimate"),
         )
     )
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k per query for a BATCH of bag-of-terms queries — the
+    multi-query generalization of :func:`bm25_topk`, same rational-idf /
+    decimal-quantized-sum exactness contract.
+
+    ``queries`` is a (query_id, term) frame. Its distinct term set is
+    collected and inlined as the corpus scan's filter literal (the query
+    batch is driver-bounded BY DESIGN — it is the broadcast side; corpus
+    stays distributed and is scanned ONCE for all queries). Term scores
+    are computed once per (doc, term) and fanned out to queries by one
+    broadcast join on term; ranking is one window per query partition.
+    ``exclude_self`` drops hits whose doc id equals the query id BEFORE
+    ranking (the more-like-this convention where queries are documents).
+
+    Returns (query_id, id_col, rank, score, n_query_terms_matched).
+    """
+    qt = queries.select(
+        F.col("query_id"), F.lower(F.col("term")).alias("term")
+    ).distinct()
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    if not terms:
+        raise ValueError("queries carry no terms")
+    tok = tokens(F.col(text_col))
+    qset = F.array(*[F.lit(t) for t in terms])
+    base = df.select(
+        F.col(id_col),
+        F.size(tok).alias("dl"),
+        F.filter(tok, lambda t: F.array_contains(qset, t)).alias("_qtok"),
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("_qtok").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5),
+        )
+        .withColumn(
+            "term_score",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(38,12)"),
+        )
+        .join(F.broadcast(qt), "term")
+    )
+    totals = scored.groupBy("query_id", id_col).agg(
+        F.sum("term_score").cast("double").alias("score"),
+        F.count(F.lit(1)).alias("n_query_terms_matched"),
+    )
+    if exclude_self:
+        totals = totals.where(F.col("query_id") != F.col(id_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, F.col("rank").cast("int").alias("rank"),
+            "score", "n_query_terms_matched",
+        )
+    )
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query retrieval quality off a ranked result list: reciprocal
+    rank of the first relevant hit, relevant-in-top-k count, and
+    recall@k — the eval loop a pipeline runs after (re)building a search
+    index. All counts are integers; rr and recall are single IEEE
+    divides rounded to 6 dp, so the metrics hash-verify like everything
+    else (MAP/NDCG need per-rank float accumulation or logs — the
+    rank-position metrics carry the same signal reproducibly).
+
+    ``ranked``: (query_id, id_col, rank), e.g. from
+    :func:`bm25_topk_multi`; ``relevant``: (query_id, id_col) truth
+    pairs. Queries with no relevant docs report NULL rr/recall (not 0 —
+    an index can't be graded on an empty truth set). One broadcast join
+    + one aggregation; never a per-query loop.
+    """
+    rel = relevant.select("query_id", F.col(id_col)).distinct()
+    hits = ranked.join(rel, ["query_id", id_col], "left_semi")
+    per_q = hits.groupBy("query_id").agg(
+        F.min("rank").alias("first_rel_rank"),
+        F.count(F.lit(1)).alias("n_rel_in_topk"),
+    )
+    totals = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel_total")
+    )
+    qids = ranked.select("query_id").distinct()
+    return (
+        qids.join(per_q, "query_id", "left")
+        .join(totals, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+            F.round(F.lit(1.0) / F.col("first_rel_rank"), 6).alias("rr"),
+            F.coalesce("n_rel_in_topk", F.lit(0)).alias("n_rel_in_topk"),
+            F.coalesce("n_rel_total", F.lit(0)).alias("n_rel_total"),
+            F.when(
+                F.coalesce("n_rel_total", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_rel_in_topk", F.lit(0))
+                    / F.col("n_rel_total"),
+                    6,
+                ),
+            ).alias(f"recall_at_{k}"),
+        )
+    )

@@ -182,6 +182,7 @@ HEADLINE = [
     "knn_components",         # mutual-kNN graph -> CC clustering
     "lexical_diversity",      # per-doc Simpson diversity, exact integers
     "store_incremental_topk",  # touched-partition top-k view maintenance
+    "retrieval_eval_bm25",    # multi-query BM25 + MRR/recall grading
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

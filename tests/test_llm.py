@@ -2227,3 +2227,46 @@ def test_knn_graph_max_rows_gate(spark):
     )
     with _pytest.raises(ValueError):
         similarity.knn_graph(df, k=1, max_rows=5)
+
+
+def test_bm25_topk_multi_matches_single(spark, docs):
+    from akka_graph_db_spark.functions import search
+
+    single = sorted(
+        (r["doc_id"], r["score"])
+        for r in search.bm25_topk(docs, ["spark", "join"], k=5).collect()
+    )
+    q = spark.createDataFrame(
+        [(7, "spark"), (7, "join")], "query_id bigint, term string"
+    )
+    multi = sorted(
+        (r["doc_id"], r["score"])
+        for r in search.bm25_topk_multi(docs, q, k=5).collect()
+    )
+    assert multi == single
+
+
+def test_retrieval_eval_hand_computed(spark):
+    from akka_graph_db_spark.functions import search
+
+    ranked = spark.createDataFrame(
+        # q1: relevant at ranks 2 and 5; q2: nothing relevant retrieved
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 11), (1, 14), (1, 99), (2, 77), (3, 1)],
+        "query_id bigint, doc_id bigint",
+    )
+    got = {r["query_id"]: r for r in
+           search.retrieval_eval(ranked, rel, k=5).collect()}
+    # only queries present in `ranked` are graded
+    assert set(got) == {1, 2}
+    assert got[1]["first_rel_rank"] == 2
+    assert abs(got[1]["rr"] - 0.5) < 1e-9
+    assert got[1]["n_rel_in_topk"] == 2 and got[1]["n_rel_total"] == 3
+    assert abs(got[1]["recall_at_5"] - round(2 / 3, 6)) < 1e-9
+    assert got[2]["first_rel_rank"] is None and got[2]["rr"] is None
+    assert got[2]["n_rel_in_topk"] == 0 and got[2]["n_rel_total"] == 1
+    assert got[2]["recall_at_5"] == 0.0
