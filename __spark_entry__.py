@@ -542,6 +542,102 @@ def _mis_geo_oracle(rounds: int = 3) -> str:
     )
 
 
+def _coloring_geo_oracle(rounds: int = 4) -> str:
+    """q_coloring_geo's oracle: degree-major Jones-Plassmann unrolled —
+    per round, winner = uncolored vertex whose padded (degree DESC, md5,
+    id) key is strictly below every UNCOLORED neighbor's MIN key (or has
+    none); winner's color = smallest positive integer absent from its
+    already-colored neighborhood (candidates bounded by round index).
+    Rounds past the fixpoint no-op (no uncolored vertices remain)."""
+    key = (
+        "printf('%013d:%019d:%019d', 1000000000000 - {d},"
+        " CAST(md5_number_upper(CAST({c} AS VARCHAR)"
+        " || ':{r}:color') & 9223372036854775807 AS BIGINT),"
+        " CAST({c} AS BIGINT))"
+    )
+    ctes = [
+        f"""clr_dir AS MATERIALIZED (
+            SELECT n_nationkey + {NATION_BASE} AS a,
+                   n_regionkey + {REGION_BASE} AS b FROM nation
+            UNION ALL
+            SELECT c_custkey + {CUSTOMER_BASE},
+                   c_nationkey + {NATION_BASE} FROM customer
+            UNION ALL
+            SELECT s_suppkey + {SUPPLIER_BASE},
+                   s_nationkey + {NATION_BASE} FROM supplier
+        )""",
+        """clr_sym AS MATERIALIZED (
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM clr_dir
+              UNION ALL SELECT b AS a, a AS b FROM clr_dir
+            ) WHERE a <> b
+        )""",
+        f"""clr_vd AS MATERIALIZED (
+            SELECT v.id, COALESCE(d.deg, 0) AS deg FROM (
+              SELECT r_regionkey + {REGION_BASE} AS id FROM region
+              UNION ALL
+              SELECT n_nationkey + {NATION_BASE} FROM nation
+              UNION ALL
+              SELECT c_custkey + {CUSTOMER_BASE} FROM customer
+              UNION ALL
+              SELECT s_suppkey + {SUPPLIER_BASE} FROM supplier
+            ) v LEFT JOIN (
+              SELECT a AS id, COUNT(*) AS deg FROM clr_sym GROUP BY 1
+            ) d ON d.id = v.id
+        )""",
+        """clr_c0 AS MATERIALIZED (
+            SELECT id, 1 AS color FROM clr_vd WHERE FALSE
+        )""",
+        """clr_u0 AS MATERIALIZED (SELECT id, deg FROM clr_vd)""",
+    ]
+    for r in range(rounds):
+        ku = key.format(c="u.id", d="u.deg", r=r)
+        kb = key.format(c="e.b", d="bd.deg", r=r)
+        ctes.append(f"""clr_s{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM clr_sym e
+            WHERE e.a IN (SELECT id FROM clr_u{r})
+              AND e.b IN (SELECT id FROM clr_u{r})
+        )""")
+        ctes.append(f"""clr_nm{r} AS MATERIALIZED (
+            SELECT e.a AS id, MIN({kb}) AS nmin
+            FROM clr_s{r} e JOIN clr_vd bd ON bd.id = e.b
+            GROUP BY e.a
+        )""")
+        ctes.append(f"""clr_w{r} AS MATERIALIZED (
+            SELECT u.id FROM clr_u{r} u
+            LEFT JOIN clr_nm{r} nm ON nm.id = u.id
+            WHERE nm.nmin IS NULL OR {ku} < nm.nmin
+        )""")
+        ctes.append(f"""clr_used{r} AS MATERIALIZED (
+            SELECT DISTINCT w.id, c.color
+            FROM clr_w{r} w
+            JOIN clr_sym e ON e.a = w.id
+            JOIN clr_c{r} c ON c.id = e.b
+        )""")
+        ctes.append(f"""clr_mex{r} AS MATERIALIZED (
+            SELECT w.id, MIN(cand) AS color FROM clr_w{r} w
+            CROSS JOIN range(1, {r + 3}) t(cand)
+            LEFT JOIN clr_used{r} u
+              ON u.id = w.id AND u.color = cand
+            WHERE u.id IS NULL
+            GROUP BY w.id
+        )""")
+        ctes.append(f"""clr_c{r + 1} AS MATERIALIZED (
+            SELECT id, color FROM clr_c{r}
+            UNION ALL SELECT id, color FROM clr_mex{r}
+        )""")
+        ctes.append(f"""clr_u{r + 1} AS MATERIALIZED (
+            SELECT id, deg FROM clr_u{r}
+            WHERE id NOT IN (SELECT id FROM clr_w{r})
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n            SELECT id, CAST(color AS INTEGER) AS color"
+        f" FROM clr_c{rounds} ORDER BY id"
+    )
+
+
 def _modularity_geo_oracle(n_iter: int = 4) -> str:
     """q_modularity_geo's oracle: the LPA supersteps of
     ``_lpa_geo_oracle`` (same CTE text through ``l{n}``), then Newman
@@ -3067,6 +3163,28 @@ def q_label_propagation_geo(spark, sf_dir):
         F.col("label").isin("region", "nation", "customer", "supplier")
     ).select("id")
     return lpa.join(geo, "id", "left_semi").select("id", "community")
+
+
+def q_coloring_geo(spark, sf_dir):
+    """Deterministic parallel graph coloring of the geography graph —
+    degree-major Jones-Plassmann (operators/analytics.py
+    greedy_coloring): hub-first priorities collapse the star-shaped geo
+    topology in two rounds (nations first, then regions and leaves at
+    once) where hash-only JP would pay ~log2(n) rounds losing to leaf
+    coin-flips. Round-salted md5 tiebreaks make the coloring identical
+    on any partitioning; the oracle unrolls the same rounds in SQL."""
+    g = _g(spark, sf_dir)
+    pairs = analytics._edge_pairs(
+        g, ["in_region", "located_in"], directed=True
+    )
+    geo = g.nodes.where(
+        F.col("label").isin("region", "nation", "customer", "supplier")
+    ).select("id")
+    return (
+        analytics.greedy_coloring(pairs, geo)
+        .select("id", F.col("color").cast("int").alias("color"))
+        .orderBy("id")
+    )
 
 
 def q_mis_geo(spark, sf_dir):
@@ -6136,6 +6254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "store_incremental_topk": q_store_incremental_topk,
         "retrieval_eval_bm25": q_retrieval_eval_bm25,
+        "coloring_geo": q_coloring_geo,
     }
 
 
@@ -8656,6 +8775,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_geo": _lpa_geo_oracle(4),
         "modularity_geo": _modularity_geo_oracle(4),
         "mis_geo": _mis_geo_oracle(rounds=3),
+        "coloring_geo": _coloring_geo_oracle(rounds=4),
         "node2vec_parts": _node2vec_oracle(n_steps=4, n_seeds=64),
         "node2vec_skipgrams": f"""
             WITH n2vs AS MATERIALIZED (

@@ -2880,3 +2880,123 @@ def betweenness_landmarks(
     finally:
         for df in persisted:
             df.unpersist()
+
+
+def greedy_coloring(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 10,
+    salt: str = "color",
+) -> DataFrame:
+    """Deterministic parallel greedy graph coloring — Jones-Plassmann
+    with DEGREE-MAJOR priorities (Welsh-Powell order): per round, every
+    uncolored vertex whose (degree DESC, md5 hash, id) key is strictly
+    smaller than every UNCOLORED neighbor's key takes the smallest color
+    absent from its already-colored neighborhood, and the loop runs to
+    fixpoint. Degree-major priority is the round-count lever: hash-only
+    JP needs ~log2(n) rounds on a star (the hub loses to half its leaves
+    every round), while hub-first collapses a star in two — rounds track
+    the graph's degree-level depth, not its size. The round-salted md5
+    tiebreak replaces the RNG so any partitioning, engine, or re-run
+    colors identically, and an unrolled SQL oracle can reproduce every
+    assignment.
+
+    Per round: two semi-joins restrict edges to uncolored endpoints, one
+    neighbor-min aggregation picks winners, and the mex (smallest absent
+    color) is an anti-join of a bounded candidate explode (colors after
+    round r never exceed r+1, so ``sequence(1, r+2)`` always contains
+    the mex) against colored-neighbor colors — all joins keyed by vertex
+    id, edge frame only shrinks, loop state checkpointed (the MIS/kcore
+    cadence). Raises on overrun instead of returning a partial coloring.
+
+    Returns (id, color) with colors ≥ 1; a proper coloring of the input
+    graph (pytest-pinned: no edge joins two equal colors).
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    verts = (
+        vertices.select("id")
+        if vertices is not None
+        else sym.select(F.col("a").alias("id")).distinct()
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    vdeg = verts.join(deg, "id", "left").select(
+        "id", F.coalesce("_deg", F.lit(0)).alias("_deg")
+    ).localCheckpoint(eager=True)
+
+    def _key(idc, degc, r: int):
+        # (degree DESC, hash, id) as one fixed-width string:
+        # lexicographic == numeric on all three fields; plain MIN
+        # reproduces it in any SQL engine
+        return F.format_string(
+            "%013d:%019d:%019d",
+            F.lit(1_000_000_000_000) - degc,
+            md5_63(
+                F.concat_ws(":", idc.cast("string"), F.lit(str(r)), F.lit(salt))
+            ),
+            idc,
+        )
+
+    colored = verts.limit(0).select(
+        "id", F.lit(1).alias("color")
+    ).localCheckpoint(eager=True)
+    uncolored = vdeg
+    for r in range(max_rounds):
+        if uncolored.isEmpty():
+            break
+        u_ids = uncolored.select("id")
+        s = (
+            sym.join(u_ids.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(u_ids.select(F.col("id").alias("b")), "b", "left_semi")
+        )
+        nkey = s.join(
+            vdeg.select(F.col("id").alias("b"), F.col("_deg").alias("_bd")),
+            "b",
+        ).select(
+            F.col("a").alias("id"),
+            _key(F.col("b"), F.col("_bd"), r).alias("_nk"),
+        )
+        nmin = nkey.groupBy("id").agg(F.min("_nk").alias("_nmin"))
+        winners = (
+            uncolored.join(nmin, "id", "left")
+            .where(
+                F.col("_nmin").isNull()
+                | (_key(F.col("id"), F.col("_deg"), r) < F.col("_nmin"))
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        used = (
+            sym.join(winners.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(
+                colored.select(F.col("id").alias("b"), "color"), "b"
+            )
+            .select(F.col("a").alias("id"), "color")
+            .distinct()
+        )
+        mex = (
+            winners.select(
+                "id", F.explode(F.sequence(F.lit(1), F.lit(r + 2))).alias("color")
+            )
+            .join(used, ["id", "color"], "left_anti")
+            .groupBy("id")
+            .agg(F.min("color").alias("color"))
+        )
+        colored = colored.unionByName(mex).localCheckpoint(eager=True)
+        uncolored = uncolored.join(winners, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        n_rem = uncolored.count()
+        if n_rem:
+            raise RuntimeError(
+                f"greedy_coloring: {n_rem} vertices uncolored after "
+                f"{max_rounds} rounds; raise max_rounds"
+            )
+    return colored

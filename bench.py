@@ -183,6 +183,7 @@ HEADLINE = [
     "lexical_diversity",      # per-doc Simpson diversity, exact integers
     "store_incremental_topk",  # touched-partition top-k view maintenance
     "retrieval_eval_bm25",    # multi-query BM25 + MRR/recall grading
+    "coloring_geo",           # degree-major Jones-Plassmann coloring
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -1055,3 +1055,53 @@ def test_node2vec_walks_valid_and_deterministic(spark):
             if deg[mid] > 1:
                 assert x != y
     assert run(pairs.repartition(7)) == walks
+
+
+def test_greedy_coloring_proper_and_deterministic(micro):
+    from pyspark.sql import functions as F
+
+    pairs = micro.edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).where(F.col("src") != F.col("dst"))
+    verts = micro.nodes.select("id")
+    col1 = {r["id"]: r["color"]
+            for r in analytics.greedy_coloring(pairs, verts).collect()}
+    # every vertex colored, colors start at 1
+    assert set(col1) == {r["id"] for r in verts.collect()}
+    assert min(col1.values()) == 1
+    # proper: no edge joins two equal colors
+    for r in pairs.collect():
+        if r["a"] != r["b"]:
+            assert col1[r["a"]] != col1[r["b"]], (r["a"], r["b"])
+    # deterministic across runs
+    col2 = {r["id"]: r["color"]
+            for r in analytics.greedy_coloring(pairs, verts).collect()}
+    assert col1 == col2
+    # the two degree-5 vertices (2 and 6, adjacent) are the top priority
+    # tier; the hash tiebreak orders them, so they take colors 1 and 2
+    assert {col1[2], col1[6]} == {1, 2}
+
+
+def test_greedy_coloring_star_two_rounds(spark):
+    from pyspark.sql import functions as F
+
+    # star: hub 0 with 40 leaves -> 2 colors, must converge well within
+    # the degree-level bound (hub first, then every leaf at once)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 41)], "a bigint, b bigint"
+    )
+    got = {r["id"]: r["color"]
+           for r in analytics.greedy_coloring(pairs, max_rounds=3).collect()}
+    assert got[0] == 1
+    assert all(got[i] == 2 for i in range(1, 41))
+
+
+def test_greedy_coloring_raises_on_overrun(spark):
+    import pytest as _pytest
+
+    # a triangle cannot finish in 1 round (only one vertex can win)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    with _pytest.raises(RuntimeError):
+        analytics.greedy_coloring(pairs, max_rounds=1)
