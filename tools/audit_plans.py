@@ -104,6 +104,19 @@ AUDITED = [
     ("event_rate_features", "shared-ordering RANGE + LAG windows"),
     ("corpus_diff", "digest-only full-outer diff (content never shuffles)"),
     ("source_overlap", "shingle-keyed self-join, group-bounded postings"),
+    # round 8
+    ("pattern_diamond", "5-term branching pattern: equi-join chain"),
+    ("pattern_supply_gap", "pair-bound negation: left-anti, no NOT IN"),
+    ("bloom_prune_report", "bounded bit-set build + broadcast semi probes"),
+    ("closeness_parts", "landmark-BFS substrate + integer-ratio agg"),
+    ("temporal_triples", "2 prefix-count shuffles + bucketed interval join"),
+    ("split_leakage_report", "certified pair set x broadcast split joins"),
+    ("corpus_drift_tvd", "two aggs + bounded dims grid, integer TVD"),
+    ("knn_components", "numpy matmul scoring + pair-frame CC"),
+    ("lexical_diversity", "explode + two keyed aggs, integer Simpson"),
+    ("store_incremental_topk", "touched-label recompute + verbatim carry"),
+    ("retrieval_eval_bm25", "one corpus scan for all queries + window/q"),
+    ("coloring_geo", "degree-major JP rounds, keyed joins only"),
 ]
 
 
