@@ -6020,6 +6020,88 @@ def q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def q_concurrent_sessions(spark, sf_dir):
+    """Peak session concurrency per hour (ev.concurrent_sessions):
+    sweep line over sessionize boundaries — +1/-1 deltas, bucket-cumsum
+    decomposition of the global running sum (hour-level offsets + a
+    within-hour window), so no corpus-sized ordered window exists. All
+    integer epoch arithmetic; the oracle replays the identical
+    (t, delta, user, session) total order as one SQL window."""
+    ensure_query_conf(spark)
+    return ev.concurrent_sessions(
+        read_events(spark, sf_dir), gap_minutes=10
+    ).select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        "max_active",
+        "n_boundaries",
+    )
+
+
+def q_session_paths(spark, sf_dir):
+    """Top-20 within-session event-type trigrams (ev.session_paths):
+    the sequence-mining counterpart of event_transitions' bigrams —
+    gaps-and-islands ordinal + two LEADs in (ts, event_id) order,
+    counted corpus-wide, ties broken lexicographically."""
+    return ev.session_paths(
+        read_events(spark, sf_dir), gap_minutes=240, top=20
+    ).select(
+        "t0", "t1", "t2", F.col("n_paths").cast("bigint").alias("n_paths")
+    )
+
+
+def q_clique_profile_parts(spark, sf_dir):
+    """Two-rung clique-ladder profile of the FREQUENTLY co-ordered
+    parts graph (edges = part pairs sharing ≥2 orders): top-20 nodes by
+    triangle membership with their 4-clique membership alongside
+    (analytics.clique_ladder_profile). The K4 stage extends oriented
+    triangles by one oriented edge + two semi-join closure checks —
+    candidate volume bounded by the O(√m) oriented out-degree. The
+    min-support threshold is the clique-miner discipline that keeps K4
+    populations from exploding combinatorially on dense co-occurrence
+    graphs (the raw sf0.001 co-order graph is 45% dense — millions of
+    K4s; support ≥2 thins it to the genuinely recurring structure).
+    The oracle enumerates a<b<c<d with all six edges present
+    (membership counts are orientation-independent)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("a", "b")
+    )
+    return analytics.clique_ladder_profile(pairs, top=20)
+
+
+def q_negative_edges_coorder(spark, sf_dir):
+    """Deterministic link-prediction negative sampling on the part
+    co-order graph (analytics.negative_edge_samples): md5-bucketed
+    candidate pairs (never all-pairs), anti-joined against the edge
+    list, top-2 per node by md5 rank — the labeled-negatives half of a
+    training set whose positives are the co-order edges."""
+    return analytics.negative_edge_samples(
+        _coorder_pairs(spark, sf_dir), buckets=16, k=2
+    )
+
+
+def q_fastrp_parts(spark, sf_dir):
+    """Integer FastRP node embeddings on the part co-order graph
+    (analytics.hash_projection_embeddings): ±1 md5-parity seeds, two
+    neighborhood-sum propagation rounds in (node, dim) long format —
+    the PageRank superstep shuffle shape with exact-BIGINT values, so
+    the embedding is partition-order-independent and the oracle unrolls
+    both rounds as SQL joins."""
+    return analytics.hash_projection_embeddings(
+        _coorder_pairs(spark, sf_dir), dims=4, rounds=2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6255,6 +6337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_incremental_topk": q_store_incremental_topk,
         "retrieval_eval_bm25": q_retrieval_eval_bm25,
         "coloring_geo": q_coloring_geo,
+        "concurrent_sessions": q_concurrent_sessions,
+        "session_paths": q_session_paths,
+        "clique_profile_parts": q_clique_profile_parts,
+        "negative_edges_coorder": q_negative_edges_coorder,
+        "fastrp_parts": q_fastrp_parts,
     }
 
 
@@ -10421,5 +10508,203 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN f2 ON f1.user_id = f2.user_id
               LEFT JOIN f3 ON f1.user_id = f3.user_id
             ) GROUP BY 1
+        """,
+        # sweep line: ends (-1) before starts (+1) at equal t is exactly
+        # ORDER BY t, delta ascending; the bucket decomposition in the
+        # engine reproduces this single global window by construction.
+        "concurrent_sessions": """
+            WITH sz AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN FLOOR(epoch(ts))
+                               - FLOOR(epoch(LAG(ts) OVER w)) > 600
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sn AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+              FROM sz
+            ),
+            sess AS (
+              SELECT user_id, session_seq,
+                     CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS st,
+                     CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS en
+              FROM sn GROUP BY user_id, session_seq
+            ),
+            pts AS (
+              SELECT st AS t, 1 AS delta, user_id AS u, session_seq
+              FROM sess
+              UNION ALL
+              SELECT en, -1, user_id, session_seq FROM sess
+            ),
+            run AS (
+              SELECT t // 3600 AS bucket,
+                     CAST(SUM(delta) OVER (
+                         ORDER BY t, delta, u, session_seq
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+              FROM pts
+            )
+            SELECT strftime(make_timestamp(bucket * 3600 * 1000000),
+                            '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   MAX(active) AS max_active,
+                   COUNT(*) AS n_boundaries
+            FROM run GROUP BY bucket
+        """,
+        "session_paths": """
+            WITH sz AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN FLOOR(epoch(ts))
+                               - FLOOR(epoch(LAG(ts) OVER w)) > 14400
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sn AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(brk) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sess
+              FROM sz
+            ),
+            tri AS (
+              SELECT event_type AS t0,
+                     LEAD(event_type, 1) OVER ws AS t1,
+                     LEAD(event_type, 2) OVER ws AS t2
+              FROM sn
+              WINDOW ws AS (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id)
+            )
+            SELECT t0, t1, t2, COUNT(*) AS n_paths
+            FROM tri WHERE t2 IS NOT NULL
+            GROUP BY t0, t1, t2
+            ORDER BY n_paths DESC, t0, t1, t2
+            LIMIT 20
+        """,
+        # K4/triangle membership is orientation-independent, so the
+        # oracle enumerates each clique once as a<b<c(<d) with all
+        # edges present; closure joins interleaved to keep DuckDB's
+        # intermediate volumes near the clique count itself.
+        "clique_profile_parts": """
+            WITH pairs AS MATERIALIZED (
+              SELECT a.l_partkey AS a, b.l_partkey AS b
+              FROM (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem) a
+              JOIN (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM lineitem) b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            tri AS MATERIALIZED (
+              SELECT e1.a AS a, e1.b AS b, e2.b AS c
+              FROM pairs e1
+              JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            tri_n AS (
+              SELECT id, COUNT(*) AS n_triangles FROM (
+                SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+              ) GROUP BY id
+            ),
+            quad AS MATERIALIZED (
+              SELECT e1.a AS a, e1.b AS b, e2.b AS c, e3.b AS d
+              FROM pairs e1
+              JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN pairs e4 ON e4.a = e1.b AND e4.b = e2.b
+              JOIN pairs e3 ON e3.a = e1.a AND e3.b > e2.b
+              JOIN pairs e5 ON e5.a = e1.b AND e5.b = e3.b
+              JOIN pairs e6 ON e6.a = e2.b AND e6.b = e3.b
+            ),
+            quad_n AS (
+              SELECT id, COUNT(*) AS n_cliques4 FROM (
+                SELECT a AS id FROM quad
+                UNION ALL SELECT b FROM quad
+                UNION ALL SELECT c FROM quad
+                UNION ALL SELECT d FROM quad
+              ) GROUP BY id
+            )
+            SELECT t.id, t.n_triangles,
+                   CAST(COALESCE(q.n_cliques4, 0) AS BIGINT)
+                     AS n_cliques4
+            FROM tri_n t LEFT JOIN quad_n q ON t.id = q.id
+            ORDER BY t.n_triangles DESC, t.id LIMIT 20
+        """,
+        "negative_edges_coorder": """
+            WITH pairs AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            nodes AS (
+              SELECT id,
+                     CAST(md5_number_upper(CAST(id AS VARCHAR))
+                          & 9223372036854775807 AS BIGINT) % 16
+                       AS bucket
+              FROM (SELECT a AS id FROM pairs
+                    UNION SELECT b FROM pairs)
+            ),
+            cand AS (
+              SELECT x.id AS a, y.id AS b
+              FROM nodes x JOIN nodes y
+                ON x.bucket = y.bucket AND x.id < y.id
+              WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                WHERE p.a = x.id AND p.b = y.id)
+            ),
+            rk AS (
+              SELECT a, b,
+                     CAST(ROW_NUMBER() OVER (
+                         PARTITION BY a
+                         ORDER BY CAST(md5_number_upper(
+                                    CAST(a AS VARCHAR) || ':'
+                                    || CAST(b AS VARCHAR))
+                                  & 9223372036854775807 AS BIGINT),
+                                  b) AS INTEGER) AS rk
+              FROM cand
+            )
+            SELECT a, b, rk FROM rk WHERE rk <= 2
+        """,
+        "fastrp_parts": """
+            WITH pairs AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            adj AS (
+              SELECT a, b FROM pairs
+              UNION ALL SELECT b, a FROM pairs
+            ),
+            dims AS (SELECT * FROM (VALUES (0),(1),(2),(3)) d(dim)),
+            seed AS (
+              SELECT n.id, d.dim,
+                     CASE WHEN substring(
+                              md5(CAST(n.id AS VARCHAR) || ':'
+                                  || CAST(d.dim AS VARCHAR)), 1, 1)
+                            IN ('0','2','4','6','8','a','c','e')
+                          THEN 1 ELSE -1 END AS h
+              FROM (SELECT DISTINCT a AS id FROM adj) n
+              CROSS JOIN dims d
+            ),
+            r1 AS (
+              SELECT adj.a AS id, s.dim,
+                     CAST(SUM(s.h) AS BIGINT) AS h
+              FROM adj JOIN seed s ON s.id = adj.b
+              GROUP BY adj.a, s.dim
+            ),
+            r2 AS (
+              SELECT adj.a AS id, s.dim,
+                     CAST(SUM(s.h) AS BIGINT) AS h
+              FROM adj JOIN r1 s ON s.id = adj.b
+              GROUP BY adj.a, s.dim
+            )
+            SELECT r1.id, CAST(r1.dim AS INTEGER) AS dim,
+                   r1.h AS h1, r2.h AS h2
+            FROM r1 JOIN r2 ON r1.id = r2.id AND r1.dim = r2.dim
         """,
     }

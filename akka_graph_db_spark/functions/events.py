@@ -481,3 +481,132 @@ def ordered_triples(
         .agg(F.sum("_n").cast("bigint").alias("n_triples"))
         .where(F.col("n_triples") > 0)
     )
+
+
+def concurrent_sessions(
+    events: DataFrame,
+    gap_minutes: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Peak session concurrency per hour — the load-profile question
+    ("how many sessions were open at once?") answered by a sweep line
+    over session boundaries: each session from :func:`sessionize`
+    contributes (+1 at start, -1 at end), and the running sum of deltas
+    in global time order is the number of open sessions after each
+    boundary. Returns (hour_start, max_active, n_boundaries) for every
+    hour that contains at least one boundary.
+
+    A global ordered running sum is not windowable at scale; the exact
+    decomposition (same shape as vocab_growth's bucket cumsum): deltas
+    aggregate per hour bucket (map-side combinable), the cumulative
+    offset runs over the HOUR-level frame (n_hours rows — bounded,
+    tiny), and the within-hour running sum is a window over one hour's
+    boundaries only. Tie order is total and engine-independent:
+    (epoch, delta, user, session) — ends (-1) sort before starts (+1)
+    at the same instant, so a back-to-back session pair never counts
+    as overlapping. All arithmetic is integer epoch seconds.
+    """
+    from pyspark.sql.window import Window
+
+    s = sessionize(events, gap_minutes, user_col, ts_col, id_col)
+    start = s.select(
+        F.unix_timestamp("start_ts").alias("t"),
+        F.lit(1).alias("delta"),
+        F.col(user_col).alias("u"),
+        "session_seq",
+    )
+    end = s.select(
+        F.unix_timestamp("end_ts").alias("t"),
+        F.lit(-1).alias("delta"),
+        F.col(user_col).alias("u"),
+        "session_seq",
+    )
+    pts = start.unionByName(end).withColumn(
+        "bucket", F.expr("t DIV 3600")
+    )
+    per_hour = pts.groupBy("bucket").agg(
+        F.sum("delta").alias("_hour_delta")
+    )
+    w_hour = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_hour.select(
+        "bucket",
+        F.coalesce(F.sum("_hour_delta").over(w_hour), F.lit(0)).alias(
+            "_offset"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("t", "delta", "u", "session_seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    active = pts.withColumn("_run", F.sum("delta").over(w_in)).join(
+        F.broadcast(offsets), "bucket"
+    )
+    return (
+        active.groupBy("bucket")
+        .agg(
+            F.max(F.col("_offset") + F.col("_run"))
+            .cast("bigint")
+            .alias("max_active"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+        .select(
+            F.timestamp_seconds(F.col("bucket") * 3600).alias("hour_start"),
+            "max_active",
+            "n_boundaries",
+        )
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 10,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top event-type TRIGRAM paths within sessions — the sequence-
+    mining counterpart of :func:`event_transitions` (bigrams over whole
+    user histories): re-derives the gaps-and-islands session ordinal,
+    then two LEADs within (user, session) in (ts, event_id) order give
+    each 3-step path, counted corpus-wide. Returns the ``top`` paths as
+    (t0, t1, t2, n_paths), ties broken lexicographically.
+
+    Scale: both windows partition by user (then user+session) — no
+    global ordering; the path alphabet is |event_type|^3, so the count
+    agg is map-side combinable into a tiny frame before the top-k sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    numbered = events.select(
+        user_col,
+        ts_col,
+        id_col,
+        "event_type",
+        F.sum(
+            F.when(
+                ep - F.lag(ep).over(w) > gap_minutes * 60, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .over(w)
+        .alias("_sess"),
+    )
+    w_s = Window.partitionBy(user_col, "_sess").orderBy(ts_col, id_col)
+    tri = numbered.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w_s).alias("t1"),
+        F.lead("event_type", 2).over(w_s).alias("t2"),
+    ).where(F.col("t2").isNotNull())
+    return (
+        tri.groupBy("t0", "t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "t0", "t1", "t2")
+        .limit(top)
+    )

@@ -3000,3 +3000,195 @@ def greedy_coloring(
                 f"{max_rounds} rounds; raise max_rounds"
             )
     return colored
+
+
+def node_four_clique_counts(edge_pairs: DataFrame) -> DataFrame:
+    """Per-node 4-clique participation counts (id, n_cliques4) — one
+    rung up the clique ladder from :func:`node_triangle_counts`
+    (community cores, spam-ring detection: a node in many K4s sits in a
+    densely interlocked group that triangles alone can't certify).
+    Only nodes in ≥1 K4 appear; join against a node frame and coalesce
+    for the dense report.
+
+    Algorithm: every K4 {a,b,c,d} surfaces exactly once as an oriented
+    triangle (x,y,z) from :func:`_oriented_triangles` (rank x<y<z under
+    the (degree, id) orientation) extended by one oriented edge z→d and
+    closed by membership checks x→d ∧ y→d. Candidate volume is
+    Σ_tri outdeg+(z) with outdeg+ ≤ O(√m) by degree orientation — the
+    K4 analogue of the O(m^1.5) wedge bound, supernode-skew-proof. The
+    closing checks are two left-semi equi-joins against the oriented
+    edge frame (never per-row lookups); per-node counts are one
+    explode + map-side-combinable count. At 100 TB: three shuffle
+    joins keyed on node/pair ids, no array blowup beyond the O(√m)
+    adjacency rows the triangle stage already carries. K4 populations
+    grow combinatorially with density — feed this a thresholded graph
+    (e.g. min-support co-occurrence edges), the same discipline every
+    clique miner applies before enumeration.
+    """
+    e = canonical_undirected(edge_pairs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        o = (
+            _degree_oriented(e)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        tri = _oriented_triangles(e)
+        cand = tri.join(
+            o.select(F.col("src").alias("z"), F.col("dst").alias("d")),
+            "z",
+        )
+        quad = cand.join(
+            o.select(F.col("src").alias("x"), F.col("dst").alias("d")),
+            ["x", "d"],
+            "left_semi",
+        ).join(
+            o.select(F.col("src").alias("y"), F.col("dst").alias("d")),
+            ["y", "d"],
+            "left_semi",
+        )
+        per_node = (
+            quad.select(F.col("x").alias("id"))
+            .unionByName(quad.select(F.col("y").alias("id")))
+            .unionByName(quad.select(F.col("z").alias("id")))
+            .unionByName(quad.select(F.col("d").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_cliques4"))
+        )
+        return per_node.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+def clique_ladder_profile(edge_pairs: DataFrame, top: int = 20) -> DataFrame:
+    """Top ``top`` nodes by triangle membership, annotated with their
+    4-clique membership — the two-rung clique-ladder density profile
+    (id, n_triangles, n_cliques4), ordered by (n_triangles DESC, id).
+    One pass builds both: the K4 stage reuses the triangle stage's
+    oriented frame shape, and the combine is a broadcast-size left join
+    (top-k frames only)."""
+    tri = node_triangle_counts(edge_pairs)
+    quad = node_four_clique_counts(edge_pairs)
+    return (
+        tri.join(quad, "id", "left")
+        .select(
+            "id",
+            "n_triangles",
+            F.coalesce(F.col("n_cliques4"), F.lit(0))
+            .cast("bigint")
+            .alias("n_cliques4"),
+        )
+        .orderBy(F.col("n_triangles").desc(), "id")
+        .limit(top)
+    )
+
+
+def negative_edge_samples(
+    edge_pairs: DataFrame, buckets: int = 16, k: int = 2
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training:
+    for each node, up to ``k`` same-bucket partners that are NOT edges,
+    drawn by md5 rank — the labeled-negatives half of a training set
+    whose positives are the edge list itself. Returns (a, b, rk) with
+    a < b and rk ∈ [1, k] per a.
+
+    Never all-pairs: nodes hash into ``buckets`` md5 buckets and
+    candidates pair only WITHIN a bucket, so candidate volume is
+    Σ_B |B|² ≈ n²/buckets — pick buckets ∝ n (n/1000-ish) at scale and
+    the per-bucket work is constant-bounded, the same
+    bucket-bounds-the-quadratic argument as every LSH band join here.
+    The per-a rank window sees at most one bucket's nodes (bounded);
+    the anti-join against the canonical edge list is one shuffled
+    equi-join. Hash draws are md5 (cross-engine), so the sample is
+    reproducible on any partitioning and by the SQL oracle.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+    from pyspark.sql.window import Window
+
+    e = canonical_undirected(edge_pairs)
+    nodes = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn(
+            "bucket", md5_63(F.col("id").cast("string")) % buckets
+        )
+    )
+    cand = (
+        nodes.select("bucket", F.col("id").alias("a"))
+        .join(nodes.select("bucket", F.col("id").alias("b")), "bucket")
+        .where(F.col("a") < F.col("b"))
+        .join(e, ["a", "b"], "left_anti")
+    )
+    w = Window.partitionBy("a").orderBy(
+        md5_63(
+            F.concat_ws(":", F.col("a").cast("string"),
+                        F.col("b").cast("string"))
+        ),
+        "b",
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("a", "b", "rk")
+    )
+
+
+def hash_projection_embeddings(
+    edge_pairs: DataFrame, dims: int = 4, rounds: int = 2
+) -> DataFrame:
+    """Integer FastRP-style node embeddings: seed each (node, dim) with
+    a ±1 drawn from md5 parity, then ``rounds`` propagation steps where
+    h_{r+1}(v) = Σ_{u ∈ N(v)} h_r(u) (undirected neighborhood sum).
+    Structural-similarity features for downstream ML (FastRP, Chen et
+    al. 2019, with the Gaussian projection replaced by a signed hash so
+    every value stays an exact BIGINT). Returns one row per (id, dim):
+    (id, dim, h1, h2) for the default two rounds.
+
+    Long format (node, dim) rather than per-node arrays keeps each
+    propagation a plain join + groupBy SUM keyed on (node, dim) — the
+    identical superstep shuffle shape as PageRank, map-side combinable,
+    dims a constant fan-out on the edge frame. No floats anywhere, so
+    the result is partition-order-independent and SQL-reproducible.
+    """
+    und = canonical_undirected(edge_pairs)
+    adj = und.select("a", "b").unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    dims_df = adj.sparkSession.range(dims).select(
+        F.col("id").cast("int").alias("dim")
+    )
+    nodes = adj.select(F.col("a").alias("id")).distinct()
+    parity = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("id").cast("string"), F.col("dim").cast("string")
+            )
+        ),
+        1,
+        1,
+    ).isin("0", "2", "4", "6", "8", "a", "c", "e")
+    state = nodes.crossJoin(F.broadcast(dims_df)).select(
+        "id",
+        "dim",
+        F.when(parity, F.lit(1)).otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("h"),
+    )
+    outs = []
+    for _ in range(rounds):
+        state = (
+            adj.join(state.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"), "dim")
+            .agg(F.sum("h").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(state)
+    out = outs[0].select("id", "dim", F.col("h").alias("h1"))
+    for i, s in enumerate(outs[1:], start=2):
+        out = out.join(
+            s.select("id", "dim", F.col("h").alias(f"h{i}")),
+            ["id", "dim"],
+        )
+    return out

@@ -184,6 +184,11 @@ HEADLINE = [
     "store_incremental_topk",  # touched-partition top-k view maintenance
     "retrieval_eval_bm25",    # multi-query BM25 + MRR/recall grading
     "coloring_geo",           # degree-major Jones-Plassmann coloring
+    "concurrent_sessions",    # sweep-line peak concurrency (bucket cumsum)
+    "session_paths",          # within-session event trigrams
+    "clique_profile_parts",   # triangle+K4 ladder on min-support graph
+    "negative_edges_coorder", # bucketed negative sampling
+    "fastrp_parts",           # integer FastRP embeddings (2 rounds)
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -1105,3 +1105,87 @@ def test_greedy_coloring_raises_on_overrun(spark):
     )
     with _pytest.raises(RuntimeError):
         analytics.greedy_coloring(pairs, max_rounds=1)
+
+
+def test_clique_ladder_k5_plus_pendant(spark):
+    """K5 on nodes 1-5 with a pendant 6-1: each K5 node sits in
+    C(4,2)=6 triangles and C(4,3)=4 K4s; the pendant sits in none and
+    never appears (no triangle membership)."""
+    import itertools
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(1, 6), 2)]
+        + [(1, 6)],
+        "a bigint, b bigint",
+    )
+    rows = analytics.clique_ladder_profile(pairs, top=10).collect()
+    got = {r["id"]: (r["n_triangles"], r["n_cliques4"]) for r in rows}
+    assert got == {i: (6, 4) for i in range(1, 6)}
+    # and the bare per-node K4 counts agree
+    quad = {
+        r["id"]: r["n_cliques4"]
+        for r in analytics.node_four_clique_counts(pairs).collect()
+    }
+    assert quad == {i: 4 for i in range(1, 6)}
+
+
+def test_four_cliques_none_in_triangle_only_graph(spark):
+    """A lone triangle has zero K4s."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    assert analytics.node_four_clique_counts(pairs).count() == 0
+
+
+def test_negative_edge_samples_validity_and_determinism(spark):
+    """Samples are non-edges with a<b, at most k per node, and
+    identical across runs/partitionings (md5 draws)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6)],
+        "a bigint, b bigint",
+    )
+    out1 = sorted(
+        (r["a"], r["b"], r["rk"])
+        for r in analytics.negative_edge_samples(
+            pairs, buckets=2, k=2
+        ).collect()
+    )
+    out2 = sorted(
+        (r["a"], r["b"], r["rk"])
+        for r in analytics.negative_edge_samples(
+            pairs.repartition(7), buckets=2, k=2
+        ).collect()
+    )
+    assert out1 == out2 and out1
+    edges = {(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 6)}
+    per_a = {}
+    for a, b, rk in out1:
+        assert a < b and (a, b) not in edges and 1 <= rk <= 2
+        per_a[a] = per_a.get(a, 0) + 1
+    assert all(v <= 2 for v in per_a.values())
+
+
+def test_hash_projection_embeddings_exact(spark):
+    """Path 1-2-3: h1(v) = Σ seed(neighbors), h2(v) = Σ h1(neighbors),
+    verified against hashlib md5 parity computed in plain Python."""
+    import hashlib
+
+    def seed(v, d):
+        h = hashlib.md5(f"{v}:{d}".encode()).hexdigest()[0]
+        return 1 if h in "02468ace" else -1
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    got = {
+        (r["id"], r["dim"]): (r["h1"], r["h2"])
+        for r in analytics.hash_projection_embeddings(
+            pairs, dims=2, rounds=2
+        ).collect()
+    }
+    nbrs = {1: [2], 2: [1, 3], 3: [2]}
+    for v in (1, 2, 3):
+        for d in (0, 1):
+            h1 = sum(seed(u, d) for u in nbrs[v])
+            h2 = sum(
+                sum(seed(w, d) for w in nbrs[u]) for u in nbrs[v]
+            )
+            assert got[(v, d)] == (h1, h2), (v, d)

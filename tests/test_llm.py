@@ -2270,3 +2270,56 @@ def test_retrieval_eval_hand_computed(spark):
     assert got[2]["first_rel_rank"] is None and got[2]["rr"] is None
     assert got[2]["n_rel_in_topk"] == 0 and got[2]["n_rel_total"] == 1
     assert got[2]["recall_at_5"] == 0.0
+
+
+def test_concurrent_sessions_overlap_and_touching(spark):
+    """Two overlapping sessions peak at 2; a session STARTING exactly
+    when another ends does not overlap it (ends sort before starts at
+    the same instant)."""
+    from akka_graph_db_spark.functions import events as ev
+
+    rows = [
+        # user 10: session 00:00-00:05
+        (1, "2024-01-01 00:00:00", 10),
+        (2, "2024-01-01 00:05:00", 10),
+        # user 20: session 00:03-00:08 (overlaps user 10's)
+        (3, "2024-01-01 00:03:00", 20),
+        (4, "2024-01-01 00:08:00", 20),
+        # user 30: session starting exactly at user 20's end
+        (5, "2024-01-01 00:08:00", 30),
+        (6, "2024-01-01 00:09:00", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, s string, user_id bigint"
+    ).select("event_id", F.to_timestamp("s").alias("ts"), "user_id")
+    out = ev.concurrent_sessions(df, gap_minutes=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # peak 2 (users 10+20); user 30's start after 20's end never makes 2
+    # concurrent again, and all 6 boundaries land in the single hour
+    assert r["max_active"] == 2 and r["n_boundaries"] == 6
+
+
+def test_session_paths_hand_computed(spark):
+    """One 4-event session yields its two trigrams; a 2-event session
+    yields none."""
+    from akka_graph_db_spark.functions import events as ev
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a"),
+        (2, "2024-01-01 00:01:00", 10, "b"),
+        (3, "2024-01-01 00:02:00", 10, "c"),
+        (4, "2024-01-01 00:03:00", 10, "d"),
+        (5, "2024-01-01 09:00:00", 20, "a"),
+        (6, "2024-01-01 09:01:00", 20, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, s string, user_id bigint, event_type string"
+    ).select(
+        "event_id", F.to_timestamp("s").alias("ts"), "user_id", "event_type"
+    )
+    got = {
+        (r["t0"], r["t1"], r["t2"]): r["n_paths"]
+        for r in ev.session_paths(df, gap_minutes=10).collect()
+    }
+    assert got == {("a", "b", "c"): 1, ("b", "c", "d"): 1}
