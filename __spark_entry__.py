@@ -6102,6 +6102,78 @@ def q_fastrp_parts(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search (searchf.phrase_search): documents containing
+    "big order scan" as a contiguous token run, with overlapping-aware
+    occurrence counts and first match position — positional-posting
+    intersection (one tokenize pass filtered to the 3 phrase terms,
+    then 2 equi-joins on (doc, pos-i)), the inverted-index operator
+    bag-of-terms BM25 can't express. The oracle replays the identical
+    positional joins over string_split tokens."""
+    return searchf.phrase_search(
+        read_documents(spark, sf_dir), "big order scan", top=20
+    )
+
+
+def q_entity_linkage_parts(spark, sf_dir):
+    """Fuzzy record linkage over part names (linkage.entity_linkage):
+    blocking on the name's first token (candidates never cross blocks —
+    the standard ER recall/cost tradeoff), a LOSSLESS length-difference
+    prefilter, then a levenshtein <= 2 verify; top-20 pairs by
+    (distance, id_a, id_b). Both engines implement textbook
+    Wagner-Fischer edit distance, so the verify is hash-exact."""
+    from akka_graph_db_spark.functions.linkage import entity_linkage
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return entity_linkage(
+        parts, "p_partkey", "p_name", max_distance=2, top=20
+    )
+
+
+def q_ra_link_prediction(spark, sf_dir):
+    """Resource-Allocation link prediction on the part co-order graph
+    (analytics.link_prediction_resource_allocation): non-adjacent pairs
+    scored by sum over common neighbors z of 1000000 div deg(z) — the
+    inverse-degree-weighted cousin of link_prediction_parts' Jaccard,
+    in exact integer parts-per-million so the ranking is
+    partition-order-independent. Same max_degree=100 wedge cap as the
+    Jaccard entry (dropped hub centers are exactly the terms RA
+    discounts to ~0); top-20 by (ra_ppm desc, common desc, a, b)."""
+    return analytics.link_prediction_resource_allocation(
+        _coorder_pairs(spark, sf_dir),
+        top_k=20,
+        min_common=2,
+        max_degree=100,
+    )
+
+
+def q_degree_anomalies_parts(spark, sf_dir):
+    """Robust degree-outlier report on the part co-order graph
+    (analytics.degree_anomalies): nodes whose degree deviates from the
+    exact LOWER-median degree by more than 3x the median absolute
+    deviation — integer-rank medians off the degree histogram (one row
+    per distinct degree), so no corpus-sized window exists and the
+    oracle reproduces both medians bit-for-bit."""
+    return analytics.degree_anomalies(
+        _coorder_pairs(spark, sf_dir), top=20
+    )
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Trailing-7-day distinct active users per day
+    (ev.rolling_active_users) — the windowed COUNT(DISTINCT) that is
+    NOT decomposable (per-day counts can't sum), computed by collapsing
+    events to the distinct (user, day) frame and range-joining the
+    broadcast day spine against it. Day rendered as an ISO string so
+    both engines hash the same value."""
+    return ev.rolling_active_users(
+        read_events(spark, sf_dir), window_days=7
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6342,6 +6414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_profile_parts": q_clique_profile_parts,
         "negative_edges_coorder": q_negative_edges_coorder,
         "fastrp_parts": q_fastrp_parts,
+        "phrase_search": q_phrase_search,
+        "entity_linkage_parts": q_entity_linkage_parts,
+        "ra_link_prediction": q_ra_link_prediction,
+        "degree_anomalies_parts": q_degree_anomalies_parts,
+        "rolling_active_users": q_rolling_active_users,
     }
 
 
@@ -10706,5 +10783,141 @@ def oracle_sql() -> dict[str, str]:
             SELECT r1.id, CAST(r1.dim AS INTEGER) AS dim,
                    r1.h AS h1, r2.h AS h2
             FROM r1 JOIN r2 ON r1.id = r2.id AND r1.dim = r2.dim
+        """,
+        # Positional-posting phrase intersection replayed over
+        # string_split tokens: term i's positions shifted by -i, then
+        # equi-joined — overlapping occurrences count (replace-based
+        # substring counting would miss them).
+        "phrase_search": f"""
+            WITH ps_tok AS (
+              SELECT doc_id, p - 1 AS pos, toks[p] AS tok FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS p
+                FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+              )
+              WHERE toks[p] IN ('big', 'order', 'scan')
+            ),
+            hit AS (
+              SELECT t0.doc_id, t0.pos
+              FROM ps_tok t0
+              JOIN ps_tok t1 ON t1.doc_id = t0.doc_id
+               AND t1.tok = 'order' AND t1.pos - 1 = t0.pos
+              JOIN ps_tok t2 ON t2.doc_id = t0.doc_id
+               AND t2.tok = 'scan' AND t2.pos - 2 = t0.pos
+              WHERE t0.tok = 'big'
+            )
+            SELECT doc_id, COUNT(*) AS n_occurrences,
+                   CAST(MIN(pos) AS BIGINT) AS first_pos
+            FROM hit GROUP BY doc_id
+            ORDER BY n_occurrences DESC, doc_id LIMIT 20
+        """,
+        # Blocking-key ER: first name token blocks, lossless
+        # length-difference prefilter, levenshtein verify (both engines
+        # implement textbook Wagner-Fischer edit distance).
+        "entity_linkage_parts": """
+            WITH el AS (
+              SELECT p_partkey AS id, p_name AS nm,
+                     string_split(p_name, ' ')[1] AS blk
+              FROM part
+            )
+            SELECT l.id AS id_a, r.id AS id_b,
+                   l.nm AS name_a, r.nm AS name_b,
+                   CAST(levenshtein(l.nm, r.nm) AS INTEGER) AS distance
+            FROM el l JOIN el r
+              ON l.blk = r.blk AND l.id < r.id
+             AND abs(length(l.nm) - length(r.nm)) <= 2
+            WHERE levenshtein(l.nm, r.nm) <= 2
+            ORDER BY distance, id_a, id_b LIMIT 20
+        """,
+        # Resource-Allocation index in exact integer ppm: per common
+        # neighbor z (degree <= 100, the same wedge cap as
+        # link_prediction_parts), 1000000 // deg(z), summed as BIGINT.
+        "ra_link_prediction": """
+            WITH ra_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            ra_sym AS MATERIALIZED (
+              SELECT a, b FROM ra_pairs
+              UNION ALL
+              SELECT b AS a, a AS b FROM ra_pairs
+            ),
+            ra_deg AS MATERIALIZED (
+              SELECT a, COUNT(*) AS d FROM ra_sym GROUP BY a
+            ),
+            ra_cn AS MATERIALIZED (
+              SELECT s1.b AS a, s2.b AS b,
+                     CAST(SUM(1000000 // dc.d) AS BIGINT) AS ra_ppm,
+                     COUNT(*) AS common
+              FROM ra_sym s1 JOIN ra_sym s2
+                ON s1.a = s2.a AND s1.b < s2.b
+              JOIN ra_deg dc ON s1.a = dc.a AND dc.d <= 100
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT a, b, ra_ppm, CAST(common AS BIGINT) AS common
+            FROM ra_cn c
+            WHERE NOT EXISTS (SELECT 1 FROM ra_pairs p
+                              WHERE p.a = c.a AND p.b = c.b)
+            ORDER BY ra_ppm DESC, common DESC, a, b LIMIT 20
+        """,
+        # Exact lower medians by integer rank off the degree histogram;
+        # outliers = |deg - median| > 3 * MAD.
+        "degree_anomalies_parts": """
+            WITH da_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            da_deg AS MATERIALIZED (
+              SELECT id, COUNT(*) AS deg FROM (
+                SELECT a AS id FROM da_pairs
+                UNION ALL SELECT b FROM da_pairs
+              ) GROUP BY id
+            ),
+            da_hist AS (
+              SELECT deg, COUNT(*) AS n FROM da_deg GROUP BY deg
+            ),
+            da_tot AS (SELECT SUM(n) AS t FROM da_hist),
+            da_med AS (
+              SELECT MIN(deg) AS median_deg FROM (
+                SELECT deg, SUM(n) OVER (ORDER BY deg) AS c
+                FROM da_hist
+              ), da_tot WHERE c >= (t + 1) // 2
+            ),
+            da_devh AS (
+              SELECT abs(deg - median_deg) AS dev, SUM(n) AS n
+              FROM da_hist, da_med GROUP BY 1
+            ),
+            da_mad AS (
+              SELECT MIN(dev) AS mad FROM (
+                SELECT dev, SUM(n) OVER (ORDER BY dev) AS c
+                FROM da_devh
+              ), da_tot WHERE c >= (t + 1) // 2
+            )
+            SELECT id, CAST(deg AS BIGINT) AS deg,
+                   CAST(median_deg AS BIGINT) AS median_deg,
+                   CAST(mad AS BIGINT) AS mad,
+                   CAST(abs(deg - median_deg) AS BIGINT) AS deviation
+            FROM da_deg, da_med, da_mad
+            WHERE abs(deg - median_deg) > 3 * mad
+            ORDER BY deviation DESC, id LIMIT 20
+        """,
+        # Distinct (user, day) frame x trailing-7-day spine join —
+        # windowed COUNT(DISTINCT) is not decomposable, so the oracle
+        # replays the same range join.
+        "rolling_active_users": """
+            WITH ud AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+              FROM events
+            ),
+            spine AS (SELECT DISTINCT d AS day FROM ud)
+            SELECT strftime(s.day, '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT u.user_id) AS active_users
+            FROM spine s JOIN ud u
+              ON u.d <= s.day AND u.d >= s.day - INTERVAL 6 DAY
+            GROUP BY s.day ORDER BY day
         """,
     }

@@ -610,3 +610,46 @@ def session_paths(
         .orderBy(F.col("n_paths").desc(), "t0", "t1", "t2")
         .limit(top)
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window active-user counts (rolling WAU): for every day
+    with activity, the count of DISTINCT users active in the trailing
+    ``window_days`` days ending that day — the engagement metric whose
+    windowed COUNT(DISTINCT) is famously NOT decomposable (a user
+    active twice in the window counts once, so per-day counts can't
+    sum). Returns (day, active_users) ordered by day.
+
+    Scale shape: the corpus first collapses to the DISTINCT (user, day)
+    frame — one map-side-combinable aggregation, bounded by
+    users x active-days, orders of magnitude below the event count —
+    then the day spine (a calendar: hundreds of rows for years of data)
+    BROADCASTS into a range join against it. The nested-loop side is
+    the bounded calendar, so the "non-equi join" is really one
+    broadcast probe per user-day row; the final per-day distinct agg is
+    over user-days x window_days rows at most. No corpus-sized window,
+    no self-join of raw events.
+    """
+    ud = (
+        events.select(
+            F.to_date(F.col(ts_col)).alias("_day"),
+            F.col(user_col).alias("_user"),
+        )
+        .distinct()
+    )
+    days = ud.select(F.col("_day").alias("day")).distinct()
+    joined = ud.join(
+        F.broadcast(days),
+        (F.col("_day") <= F.col("day"))
+        & (F.col("_day") >= F.date_sub(F.col("day"), window_days - 1)),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(F.countDistinct("_user").alias("active_users"))
+        .orderBy("day")
+    )

@@ -625,3 +625,54 @@ def retrieval_eval(
             ).alias(f"recall_at_{k}"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via positional-posting intersection: documents
+    containing the whitespace-tokenized ``phrase`` as a CONTIGUOUS token
+    run, with the occurrence count (overlapping occurrences included —
+    the positional-index semantics, which substring replace-counting
+    gets wrong) and the first match position. Top ``top`` by
+    (n_occurrences desc, id).
+
+    This is the inverted-index phrase operator BM25 can't express: a
+    bag-of-terms scorer loses adjacency, a LIKE scan loses token
+    boundaries. Shape: ONE posexplode tokenize pass filtered to the
+    phrase's term set (len(terms) literals — the filter sits directly
+    on the exploded projection, so only matching-term postings ever
+    reach a shuffle), then k-1 equi-joins on (id, pos) after shifting
+    term i's positions by -i — adjacency becomes key equality, every
+    join a plain shuffled (or AQE-broadcast, the postings are
+    term-selectivity-sized) hash join. At 100 TB you persist the
+    filtered posting frame once and feed all k branches from it; no
+    window, no cartesian, volume bounded by the phrase terms' postings,
+    never the corpus.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).where(F.col("tok").isin(terms))
+    cur = toks.where(F.col("tok") == terms[0]).select("_id", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.where(F.col("tok") == t).select(
+            "_id", (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, ["_id", "pos"])
+    return (
+        cur.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), id_col)
+        .limit(top)
+    )

@@ -3192,3 +3192,162 @@ def hash_projection_embeddings(
             ["id", "dim"],
         )
     return out
+
+
+def link_prediction_resource_allocation(
+    pairs: DataFrame,
+    top_k: int = 50,
+    min_common: int = 2,
+    max_degree: "int | str | None" = None,
+) -> DataFrame:
+    """Resource-Allocation-index link prediction (Zhou, Lü & Zhang 2009)
+    over an undirected (a, b) pair frame: for every NON-adjacent pair
+    with >= ``min_common`` common neighbors, RA(a,b) = Σ_{z ∈ N(a)∩N(b)}
+    1/deg(z) — common neighbors weighted INVERSELY by their degree, so a
+    shared hub contributes almost nothing (the Adamic-Adar intuition,
+    with 1/deg in place of 1/log deg). Returns the ``top_k`` candidates
+    by (ra desc, common desc, a, b).
+
+    The per-center weight is computed as the EXACT integer quotient
+    ``1000000 div deg(z)`` (parts-per-million) and summed as BIGINT —
+    no floats anywhere in the score, so the ranking is
+    partition-order-independent and a SQL oracle reproduces it
+    bit-for-bit (1/log deg would be transcendental; 1/deg in fixed
+    point is the exactly-verifiable member of the family).
+
+    Same shuffle shape as :func:`link_prediction_jaccard` — one wedge
+    self-join whose volume is Σ_z deg(z)² over kept centers, one
+    groupBy SUM (map-side combinable), one anti-join against the edge
+    set; ``max_degree`` (or ``"auto"`` for the histogram-derived p99.9
+    cap, see :func:`_auto_max_degree`) bounds the wedge volume on
+    skewed graphs. Under a cap, dropped hub centers are exactly the
+    terms RA already discounts to ~0 — the cap and the score agree
+    about which evidence matters, which is why RA caps far more
+    gracefully than raw common-neighbor counts. orderBy+limit compiles
+    to TakeOrdered (per-partition top-k, no global sort).
+    """
+    e = canonical_undirected(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = None
+    try:
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        if max_degree == "auto":
+            max_degree = _auto_max_degree(deg)
+        centers = sym
+        if max_degree is not None:
+            ok = deg.where(F.col("deg") <= max_degree).select("a")
+            centers = centers.join(ok, "a", "left_semi")
+        # Attach the center's ppm weight BEFORE the wedge join: one
+        # broadcast-size join against the (per-node, bounded) degree
+        # frame instead of a deg²-row join after.
+        cw = centers.join(
+            deg.select(
+                "a", F.expr("1000000 div deg").alias("_w")
+            ),
+            "a",
+        )
+        n1 = cw.select(
+            F.col("a").alias("x"), F.col("b").alias("u"), "_w"
+        )
+        n2 = centers.select(
+            F.col("a").alias("x"), F.col("b").alias("v")
+        )
+        wedges = n1.join(n2, "x").where(F.col("u") < F.col("v"))
+        scored = (
+            wedges.groupBy(
+                F.col("u").alias("a"), F.col("v").alias("b")
+            )
+            .agg(
+                F.sum("_w").cast("bigint").alias("ra_ppm"),
+                F.count(F.lit(1)).alias("common"),
+            )
+            .where(F.col("common") >= min_common)
+        )
+        cand = scored.join(e, ["a", "b"], "left_anti")
+        return (
+            cand.orderBy(
+                F.col("ra_ppm").desc(), F.col("common").desc(), "a", "b"
+            )
+            .limit(top_k)
+            .select(
+                "a", "b", "ra_ppm",
+                F.col("common").cast("bigint").alias("common"),
+            )
+        )
+    finally:
+        if sym is not None:
+            sym.unpersist()
+        e.unpersist()
+
+
+def degree_anomalies(pairs: DataFrame, top: int = 20) -> DataFrame:
+    """Degree-outlier report via the exact median/MAD robust z-score:
+    nodes whose undirected degree deviates from the graph's median
+    degree by more than 3x the median absolute deviation (both LOWER
+    medians by integer rank — no float quantile semantics), ranked by
+    (deviation desc, id), top ``top``. The classic robust alternative
+    to mean/stddev outlier flags (a single hub can't drag the center).
+
+    Scale shape: both medians come off the DEGREE HISTOGRAM — one row
+    per distinct degree value, O(10^3..10^4) even on billion-node
+    graphs — so the only ordered windows in the plan run over that tiny
+    aggregate (the vocab_growth bucket-cumsum discipline; no
+    corpus-sized global window exists). The median/MAD scalars then
+    fold back IN-PLAN via crossJoin(broadcast(1-row frame)); the final
+    orderBy+limit compiles to TakeOrdered.
+    """
+    from pyspark.sql.window import Window
+
+    e = canonical_undirected(pairs)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("deg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(F.sum("n").alias("_tot"))
+    # lower median: smallest deg whose cumulative count reaches
+    # ceil(n_total / 2) = (n_total + 1) div 2 — pure integer rank.
+    med = (
+        hist.select("deg", F.sum("n").over(wcum).alias("_cum"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("_cum") >= F.expr("(_tot + 1) div 2"))
+        .agg(F.min("deg").alias("median_deg"))
+    )
+    dev_hist = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy(
+            F.abs(F.col("deg") - F.col("median_deg")).alias("dev")
+        )
+        .agg(F.sum("n").alias("n"))
+    )
+    mad = (
+        dev_hist.select(
+            "dev",
+            F.sum("n").over(
+                Window.orderBy("dev").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("_cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("_cum") >= F.expr("(_tot + 1) div 2"))
+        .agg(F.min("dev").alias("mad"))
+    )
+    scalars = med.crossJoin(mad)
+    return (
+        deg.crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "deviation", F.abs(F.col("deg") - F.col("median_deg"))
+        )
+        .where(F.col("deviation") > F.lit(3) * F.col("mad"))
+        .orderBy(F.col("deviation").desc(), "id")
+        .limit(top)
+        .select("id", "deg", "median_deg", "mad", "deviation")
+    )

@@ -189,6 +189,11 @@ HEADLINE = [
     "clique_profile_parts",   # triangle+K4 ladder on min-support graph
     "negative_edges_coorder", # bucketed negative sampling
     "fastrp_parts",           # integer FastRP embeddings (2 rounds)
+    "phrase_search",          # positional-posting phrase intersection
+    "entity_linkage_parts",   # blocking-key ER + levenshtein verify
+    "ra_link_prediction",     # integer-ppm resource-allocation index
+    "degree_anomalies_parts", # histogram median/MAD outlier report
+    "rolling_active_users",   # trailing-7-day distinct users
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -1189,3 +1189,69 @@ def test_hash_projection_embeddings_exact(spark):
                 sum(seed(w, d) for w in nbrs[u]) for u in nbrs[v]
             )
             assert got[(v, d)] == (h1, h2), (v, d)
+
+
+def test_link_prediction_resource_allocation_closed_form(spark):
+    """Square 1-2-3-4-1 plus a pendant 5 on node 1: the non-adjacent
+    diagonals (1,3) and (2,4) each have two degree-2... check exact ppm:
+    deg(1)=3, deg(2)=deg(3)=deg(4)=2, deg(5)=1. Candidates with >=2
+    common neighbors: (1,3) via {2,4} -> 500000+500000; (2,4) via
+    {1,3} -> 333333+500000."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 5)], "a bigint, b bigint"
+    )
+    got = {
+        (r["a"], r["b"]): (r["ra_ppm"], r["common"])
+        for r in analytics.link_prediction_resource_allocation(
+            pairs, top_k=10, min_common=2
+        ).collect()
+    }
+    assert got == {(1, 3): (1000000, 2), (2, 4): (833333, 2)}
+
+
+def test_link_prediction_resource_allocation_cap_drops_hub(spark):
+    """A hub H adjacent to everything plus a shared low-degree friend:
+    with max_degree below the hub's degree, the hub's wedge terms
+    vanish but low-degree evidence survives."""
+    edges = [(9, i) for i in (1, 2, 3, 4)] + [(1, 5), (2, 5)]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    # uncapped: (1,2) common={9,5}: 1000000//4 + 1000000//2 = 750000
+    unc = {
+        (r["a"], r["b"]): r["ra_ppm"]
+        for r in analytics.link_prediction_resource_allocation(
+            pairs, top_k=10, min_common=1
+        ).collect()
+    }
+    assert unc[(1, 2)] == 750000
+    # cap=3 drops hub 9 (deg 4): (1,2) keeps only z=5 -> 500000
+    cap = {
+        (r["a"], r["b"]): r["ra_ppm"]
+        for r in analytics.link_prediction_resource_allocation(
+            pairs, top_k=10, min_common=1, max_degree=3
+        ).collect()
+    }
+    assert cap[(1, 2)] == 500000
+
+
+def test_degree_anomalies_median_mad(spark):
+    """Star with 9 leaves plus a 2-path: degrees are hub=9, leaves=1
+    (x9), path ends 1,1 and middle 2 -> 13 nodes, degs sorted
+    [1x11, 2, 9]; lower median = 1, deviations [0x11, 1, 8], MAD = 0,
+    outliers = every node with deviation > 0: the hub (8) and the path
+    middle (1)."""
+    edges = [(100, i) for i in range(1, 10)] + [(20, 21), (21, 22)]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = [
+        (r["id"], r["deg"], r["median_deg"], r["mad"], r["deviation"])
+        for r in analytics.degree_anomalies(pairs, top=10).collect()
+    ]
+    assert got == [(100, 9, 1, 0, 8), (21, 2, 1, 0, 1)]
+
+
+def test_degree_anomalies_no_outliers_on_regular_graph(spark):
+    """A 4-cycle is degree-regular: MAD = 0 and every deviation = 0 ->
+    empty report."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a bigint, b bigint"
+    )
+    assert analytics.degree_anomalies(pairs).count() == 0

@@ -2323,3 +2323,73 @@ def test_session_paths_hand_computed(spark):
         for r in ev.session_paths(df, gap_minutes=10).collect()
     }
     assert got == {("a", "b", "c"): 1, ("b", "c", "d"): 1}
+
+
+def test_phrase_search_overlapping_occurrences(spark):
+    """'a a a' contains 'a a' TWICE under positional semantics —
+    replace-based substring counting would report one."""
+    from akka_graph_db_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x a a y"), (3, "a b a")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_search(docs, "a a").collect()
+    }
+    assert got == {1: (2, 0), 2: (1, 1)}
+
+
+def test_phrase_search_trigram_and_case(spark):
+    from akka_graph_db_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "Big Order Scan now"), (2, "big scan order")],
+        "doc_id bigint, text string",
+    )
+    got = phrase_search(docs, "big order scan").collect()
+    assert [(r["doc_id"], r["n_occurrences"]) for r in got] == [(1, 1)]
+
+
+def test_entity_linkage_blocking_and_length_filter(spark):
+    """Pairs only form within a first-token block; the length filter is
+    lossless for the distance bound; distance ordering is stable."""
+    from akka_graph_db_spark.functions.linkage import entity_linkage
+
+    recs = spark.createDataFrame(
+        [
+            (1, "cold widget"),
+            (2, "cold widgets"),   # distance 1, same block
+            (3, "cold bolts"),     # distance 5 to #1 -> rejected
+            (4, "warm widget"),    # different block: never compared
+            (5, "cold widget"),    # exact dup of #1
+        ],
+        "id bigint, name string",
+    )
+    got = [
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in entity_linkage(recs, "id", "name", max_distance=2).collect()
+    ]
+    assert got == [(1, 5, 0), (1, 2, 1), (2, 5, 1)]
+
+
+def test_rolling_active_users_window(spark):
+    """User 1 active on day 1 and day 9; user 2 on day 3: trailing-7-day
+    counts at the three active days."""
+    from akka_graph_db_spark.functions.events import rolling_active_users
+
+    ev_df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-03 10:00:00", 2),
+            (3, "2024-01-09 10:00:00", 1),
+        ],
+        "event_id bigint, ts string, user_id bigint",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id")
+    got = {
+        str(r["day"]): r["active_users"]
+        for r in rolling_active_users(ev_df, window_days=7).collect()
+    }
+    # day 1: {u1}; day 3: {u1,u2}; day 9: {u2(day3 is 6 back),u1}
+    assert got == {"2024-01-01": 1, "2024-01-03": 2, "2024-01-09": 2}
