@@ -801,6 +801,68 @@ def _weighted_pagerank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
     )
 
 
+def _textrank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
+    """q_textrank_keywords' oracle: weighted PageRank over the word
+    co-occurrence graph, unrolled as fixed-iteration CTEs — the
+    _pagerank_oracle discipline (AS MATERIALIZED against exponential
+    inlining, float constants via repr(), top-k on full precision,
+    round last). Every node has out-weight > 0 (nodes are words WITH a
+    co-occurrence pair), so there is no dangling term on either side.
+    """
+    base = 1.0 - damping
+    ctes = [
+        f"""tr_tok AS MATERIALIZED (
+            SELECT doc_id, p - 1 AS pos, toks[p] AS w FROM (
+              SELECT doc_id, toks,
+                     unnest(range(1, len(toks) + 1)) AS p
+              FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+            )
+        )""",
+        """tr_pairs AS MATERIALIZED (
+            SELECT least(l.w, r.w) AS a, greatest(l.w, r.w) AS b,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM tr_tok l JOIN tr_tok r
+              ON r.doc_id = l.doc_id AND r.pos = l.pos + 1
+            WHERE l.w <> r.w GROUP BY 1, 2
+        )""",
+        """tr_sym AS MATERIALIZED (
+            SELECT a, b, w FROM tr_pairs
+            UNION ALL SELECT b AS a, a AS b, w FROM tr_pairs
+        )""",
+        """tr_out AS MATERIALIZED (
+            SELECT a, SUM(w) AS out_w FROM tr_sym GROUP BY a
+        )""",
+        """tr0 AS MATERIALIZED (
+            SELECT a AS word, CAST(1.0 AS DOUBLE) AS rank
+            FROM tr_out)""",
+    ]
+    for k in range(n_iter):
+        ctes.append(f"""tr{k + 1} AS MATERIALIZED (
+            SELECT o.a AS word,
+                   {base!r} + {damping!r} * COALESCE(c.recv, 0)
+                     AS rank
+            FROM tr_out o
+            LEFT JOIN (
+                SELECT e.b AS word,
+                       SUM(r.rank * e.w / o2.out_w) AS recv
+                FROM tr_sym e
+                JOIN tr{k} r ON r.word = e.a
+                JOIN tr_out o2 ON o2.a = e.a
+                GROUP BY e.b
+            ) c ON c.word = o.a
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT word, ROUND(rank, 6) AS rank FROM (
+            SELECT word, rank FROM tr{n_iter}
+            ORDER BY rank DESC, word LIMIT 20
+        )
+        """
+    )
+
+
 def _kmeans_oracle(
     k: int = 8,
     n_iter: int = 3,
@@ -6174,6 +6236,47 @@ def q_rolling_active_users(spark, sf_dir):
     )
 
 
+def q_scd2_user_state(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) build (ev.scd2_intervals):
+    each user's event_type change log collapsed to validity intervals
+    [valid_from, valid_to), the open interval flagged is_current — the
+    gaps-and-islands run-length encoding that turns a change log into
+    an as-of-joinable dimension. Output bounded by value CHANGES, not
+    events; timestamps rendered as ISO strings for cross-engine
+    hashing."""
+    out = ev.scd2_intervals(read_events(spark, sf_dir))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id",
+        "attr",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_time_weighted_value(spark, sf_dir):
+    """Per-user time-weighted value integral (ev.time_weighted_value):
+    Σ value·Δt-to-next-event in exact DECIMAL (values are 2-decimal
+    doubles, Δt integer seconds — no IEEE accumulation anywhere), cast
+    to double only at publish; tw_avg = twv/span rounded to 6 dp, NULL
+    for single-event users (no elapsed time — and Spark 4 ANSI raises
+    on /0, so the guard is explicit)."""
+    return ev.time_weighted_value(read_events(spark, sf_dir))
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (searchf.textrank_keywords): 6
+    fixed iterations of weighted PageRank over the corpus word
+    co-occurrence graph (adjacent-token pairs, corpus-wide counts as
+    weights, undirected). Top-20 words by full-precision rank, rounded
+    to 6 dp last — the oracle unrolls the identical recurrence as
+    MATERIALIZED CTEs (_textrank_oracle)."""
+    return searchf.textrank_keywords(
+        read_documents(spark, sf_dir), n_iter=6, damping=0.85, top=20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6419,6 +6522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ra_link_prediction": q_ra_link_prediction,
         "degree_anomalies_parts": q_degree_anomalies_parts,
         "rolling_active_users": q_rolling_active_users,
+        "scd2_user_state": q_scd2_user_state,
+        "time_weighted_value": q_time_weighted_value,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -10920,4 +11026,56 @@ def oracle_sql() -> dict[str, str]:
               ON u.d <= s.day AND u.d >= s.day - INTERVAL 6 DAY
             GROUP BY s.day ORDER BY day
         """,
+        # Gaps-and-islands run starts (lag <> attr), valid_to = next
+        # run start per key in the (ts, event_id) total order.
+        "scd2_user_state": """
+            WITH s2 AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ),
+            runs AS (
+              SELECT user_id, event_type AS attr, ts, event_id
+              FROM s2 WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id, attr,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S')
+                     AS valid_to,
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM runs
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # Exact decimal step-function integral: 2-decimal doubles are
+        # lossless as DECIMAL(18,2), Δt integer seconds; doubles only
+        # at publish (the type_value_stats discipline).
+        "time_weighted_value": """
+            WITH twv AS (
+              -- floor, not CAST: ts has sub-second precision and
+              -- DuckDB's double->BIGINT cast ROUNDS while Spark's
+              -- unix_timestamp truncates to whole seconds.
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) - CAST(floor(epoch(ts)) AS BIGINT) AS dt,
+                     CAST(value AS DECIMAL(18,2)) AS v
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(COALESCE(
+                     SUM(v * CAST(dt AS DECIMAL(10,0))), 0
+                   ) AS DOUBLE) AS twv_seconds,
+                   CAST(MAX(ep) - MIN(ep) AS BIGINT) AS span_seconds,
+                   CASE WHEN MAX(ep) - MIN(ep) > 0 THEN ROUND(
+                     CAST(COALESCE(
+                       SUM(v * CAST(dt AS DECIMAL(10,0))), 0
+                     ) AS DOUBLE) / (MAX(ep) - MIN(ep)), 6)
+                   END AS tw_avg,
+                   COUNT(*) AS n_events
+            FROM twv GROUP BY user_id
+        """,
+        "textrank_keywords": _textrank_oracle(n_iter=6, damping=0.85),
     }

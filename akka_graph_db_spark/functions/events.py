@@ -653,3 +653,106 @@ def rolling_active_users(
         .agg(F.countDistinct("_user").alias("active_users"))
         .orderBy("day")
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log: per
+    key, collapse consecutive runs of the same ``attr_col`` value into
+    validity intervals [valid_from, valid_to), the last interval open
+    (valid_to NULL, is_current true) — the warehouse primitive that
+    turns a change log into an as-of-joinable dimension table.
+
+    Two windows, both partitioned by the key in the (ts, id) total
+    order — run starts are rows whose attr differs from its lag (or
+    the first row), valid_to is the NEXT run start's valid_from. No
+    global window, no self-join: cost is two per-key sorts over the
+    change log, output bounded by the number of VALUE CHANGES, not
+    events (the run-length-encoding shape of gaps-and-islands).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    marked = events.select(
+        key_col,
+        F.col(attr_col).alias("attr"),
+        ts_col,
+        id_col,
+        (
+            F.lag(attr_col).over(w).isNull()
+            | (F.lag(attr_col).over(w) != F.col(attr_col))
+        ).alias("_start"),
+    ).where(F.col("_start"))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return marked.select(
+        key_col,
+        "attr",
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def time_weighted_value(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user time-weighted value integral: Σ value_i · Δt_i where
+    Δt_i is the seconds until the user's NEXT event (the last event
+    contributes nothing) — the step-function integral behind
+    time-weighted averages of sensor readings / balances / rates.
+    Returns (user, twv_seconds, span_seconds, tw_avg, n_events).
+
+    Exactness: values are 2-decimal fixture doubles, so
+    CAST(value AS DECIMAL(18,2)) is lossless; Δt is BIGINT seconds cast
+    to DECIMAL(10,0), the product and sum stay exact decimals on both
+    engines (no IEEE accumulation order anywhere), and only the final
+    published twv/avg leave decimal (the type_value_stats discipline).
+    One per-user window + one groupBy — no global ordering.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    stepped = events.select(
+        user_col,
+        ep.alias("_ep"),
+        (F.lead(ep).over(w) - ep).alias("_dt"),
+        F.col(value_col).cast("decimal(18,2)").alias("_v"),
+    )
+    return (
+        stepped.groupBy(user_col)
+        .agg(
+            F.sum(
+                F.col("_v") * F.col("_dt").cast("decimal(10,0)")
+            ).cast("double").alias("twv_seconds"),
+            (F.max("_ep") - F.min("_ep")).cast("bigint").alias(
+                "span_seconds"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            user_col,
+            F.coalesce("twv_seconds", F.lit(0.0)).alias("twv_seconds"),
+            "span_seconds",
+            # span = 0 (single-event user) has no elapsed time to
+            # average over: NULL, guarded explicitly — Spark 4 ANSI
+            # mode raises on division by zero.
+            F.when(
+                F.col("span_seconds") > 0,
+                F.round(
+                    F.coalesce("twv_seconds", F.lit(0.0))
+                    / F.col("span_seconds"),
+                    6,
+                ),
+            ).alias("tw_avg"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )

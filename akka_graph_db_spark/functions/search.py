@@ -676,3 +676,92 @@ def phrase_search(
         .orderBy(F.col("n_occurrences").desc(), id_col)
         .limit(top)
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    n_iter: int = 6,
+    damping: float = 0.85,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): build the
+    corpus word co-occurrence graph (adjacent-token pairs, weight =
+    corpus-wide co-occurrence count, undirected) and run ``n_iter``
+    fixed iterations of weighted PageRank over it; top ``top`` words by
+    (rank desc, word), rank rounded to 6 dp. Nodes are words appearing
+    in at least one co-occurrence pair, so every node has out-weight
+    > 0 and the dangling term vanishes: rank' = (1-d) + d·recv with
+    recv = Σ_{u→v} rank(u)·w(u,v)/out_w(u).
+
+    Scale shape: the co-occurrence agg collapses the corpus map-side
+    into a VOCAB²-bounded edge frame (tiny next to the corpus), and
+    each iteration is the standard PageRank superstep — one
+    (vocab-sized) join + groupBy SUM — with per-iteration
+    localCheckpoint to keep the 6-round plan linear. The only floats
+    are the rank recurrence itself, top-k is taken on FULL precision
+    before rounding (the pagerank_top20 discipline), so a fixed-
+    iteration SQL unroll reproduces the ranking.
+    """
+    from akka_graph_db_spark.functions.text import tokens
+
+    # adjacent pairs WITHIN a document: positional tokens joined on
+    # (doc, pos+1)
+    tok = df.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    pairs = (
+        tok.alias("l")
+        .join(
+            tok.alias("r"),
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("r.pos") == F.col("l.pos") + 1),
+        )
+        .where(F.col("l.w") != F.col("r.w"))
+        .select(
+            F.least("l.w", "r.w").alias("a"),
+            F.greatest("l.w", "r.w").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    out_w = sym.groupBy("a").agg(F.sum("w").alias("out_w"))
+    state = out_w.select(
+        F.col("a").alias("word"), F.lit(1.0).alias("rank")
+    )
+    base = 1.0 - damping
+    for _ in range(n_iter):
+        recv = (
+            sym.join(
+                state.withColumnRenamed("word", "a"), "a"
+            )
+            .join(out_w, "a")
+            .groupBy(F.col("b").alias("word"))
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("w") / F.col("out_w")
+                ).alias("recv")
+            )
+        )
+        state = (
+            out_w.select(F.col("a").alias("word"))
+            .join(recv, "word", "left")
+            .select(
+                "word",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("recv", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        state.orderBy(F.col("rank").desc(), "word")
+        .limit(top)
+        .select("word", F.round("rank", 6).alias("rank"))
+    )

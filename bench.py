@@ -194,6 +194,9 @@ HEADLINE = [
     "ra_link_prediction",     # integer-ppm resource-allocation index
     "degree_anomalies_parts", # histogram median/MAD outlier report
     "rolling_active_users",   # trailing-7-day distinct users
+    "scd2_user_state",        # SCD2 validity intervals from change log
+    "time_weighted_value",    # exact-decimal step-function integral
+    "textrank_keywords",      # weighted PageRank on word co-occurrence
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -2393,3 +2393,88 @@ def test_rolling_active_users_window(spark):
     }
     # day 1: {u1}; day 3: {u1,u2}; day 9: {u2(day3 is 6 back),u1}
     assert got == {"2024-01-01": 1, "2024-01-03": 2, "2024-01-09": 2}
+
+
+def test_scd2_intervals_runs(spark):
+    from akka_graph_db_spark.functions.events import scd2_intervals
+
+    ev_df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "a"),
+            (2, "2024-01-01 00:01:00", 7, "a"),   # same run
+            (3, "2024-01-01 00:02:00", 7, "b"),   # change
+            (4, "2024-01-01 00:03:00", 7, "a"),   # change back
+            (5, "2024-01-01 00:00:30", 8, "x"),   # second user
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type",
+    )
+    got = sorted(
+        (r["user_id"], r["attr"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in scd2_intervals(ev_df).collect()
+    )
+    assert got == [
+        (7, "a", "2024-01-01 00:00:00", "2024-01-01 00:02:00", False),
+        (7, "a", "2024-01-01 00:03:00", "None", True),
+        (7, "b", "2024-01-01 00:02:00", "2024-01-01 00:03:00", False),
+        (8, "x", "2024-01-01 00:00:30", "None", True),
+    ]
+
+
+def test_time_weighted_value_exact(spark):
+    from akka_graph_db_spark.functions.events import time_weighted_value
+
+    ev_df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 2.50),
+            (2, "2024-01-01 00:00:10", 7, 4.00),  # 2.5*10
+            (3, "2024-01-01 00:00:30", 7, 1.00),  # + 4.0*20 = 105
+            (4, "2024-01-01 00:00:00", 8, 9.99),  # single event
+        ],
+        "event_id bigint, ts string, user_id bigint, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value"
+    )
+    got = {
+        r["user_id"]: (
+            r["twv_seconds"], r["span_seconds"], r["tw_avg"],
+            r["n_events"],
+        )
+        for r in time_weighted_value(ev_df).collect()
+    }
+    assert got[7] == (105.0, 30, 3.5, 3)
+    assert got[8] == (0.0, 0, None, 1)
+
+
+def test_textrank_keywords_power_iteration(spark):
+    """Replicate the recurrence in plain Python on a 3-word corpus and
+    compare full rankings."""
+    from akka_graph_db_spark.functions.search import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "y z")],
+        "doc_id bigint, text string",
+    )
+    # co-occurrence counts: (x,y): x-y,y-x,x-y = 3; (y,z): y-z, y-z = 2
+    w = {("x", "y"): 3.0, ("y", "z"): 2.0}
+    nbrs = {
+        "x": [("y", 3.0)],
+        "y": [("x", 3.0), ("z", 2.0)],
+        "z": [("y", 2.0)],
+    }
+    out_w = {u: sum(wt for _, wt in vs) for u, vs in nbrs.items()}
+    rank = {u: 1.0 for u in nbrs}
+    for _ in range(6):
+        rank = {
+            u: 0.15000000000000002
+            + 0.85 * sum(rank[v] * wt / out_w[v] for v, wt in nbrs[u])
+            for u in nbrs
+        }
+    got = {
+        r["word"]: r["rank"]
+        for r in textrank_keywords(docs, n_iter=6, top=10).collect()
+    }
+    assert got == {u: round(rank[u], 6) for u in nbrs}
