@@ -863,6 +863,40 @@ def _textrank_oracle(n_iter: int = 6, damping: float = 0.85) -> str:
     )
 
 
+def _dag_layers_oracle(n_iter: int = 8) -> str:
+    """q_dag_layers_graph's oracle: the longest-path max-relaxation
+    unrolled ``n_iter`` rounds over edges_v (monotone — rounds past the
+    DAG depth are no-ops, so a fixed unroll >= depth is exact; the
+    tpch property graph's depth is 5: customer -> order -> part ->
+    supplier -> nation -> region)."""
+    ctes = [
+        """dl0 AS MATERIALIZED (
+            SELECT id, CAST(0 AS BIGINT) AS layer FROM nodes_v)""",
+    ]
+    for k in range(n_iter):
+        ctes.append(f"""dl{k + 1} AS MATERIALIZED (
+            SELECT n.id,
+                   CAST(COALESCE(r.recv, 0) AS BIGINT) AS layer
+            FROM nodes_v n
+            LEFT JOIN (
+                SELECT e.dst AS id, MAX(l.layer) + 1 AS recv
+                FROM edges_v e JOIN dl{k} l ON l.id = e.src
+                GROUP BY e.dst
+            ) r ON r.id = n.id
+        )""")
+    return (
+        _GRAPH_WITH
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+        SELECT v.label, l.layer, COUNT(*) AS n_nodes
+        FROM nodes_v v JOIN dl{n_iter} l ON l.id = v.id
+        GROUP BY v.label, l.layer
+        ORDER BY v.label, l.layer
+        """
+    )
+
+
 def _kmeans_oracle(
     k: int = 8,
     n_iter: int = 3,
@@ -6277,6 +6311,42 @@ def q_textrank_keywords(spark, sf_dir):
     )
 
 
+def q_wl_colors_parts(spark, sf_dir):
+    """1-WL color refinement on the part co-order graph
+    (analytics.wl_color_histogram): 2 rounds of
+    md5(own color | sorted neighbor-color multiset) from degree-seeded
+    colors; top-20 final colors by population — the structural-role
+    fingerprint (graph-isomorphism / GNN-expressiveness primitive).
+    sort_array canonicalizes the multiset so every color is
+    partition-order-independent; the oracle replays the rounds with
+    string_agg(... ORDER BY ...)."""
+    return analytics.wl_color_histogram(
+        _coorder_pairs(spark, sf_dir), rounds=2, top=20
+    )
+
+
+def q_event_bursts(spark, sf_dir):
+    """Robust temporal burst detection (ev.event_bursts): hours whose
+    per-type event count exceeds the type's integer-rank median hourly
+    count by more than 3x the MAD — the degree_anomalies median/MAD
+    discipline applied to time buckets, exact integers end to end."""
+    return ev.event_bursts(read_events(spark, sf_dir), k_mad=3, top=20)
+
+
+def q_dag_layers_graph(spark, sf_dir):
+    """Longest-path (topological) layering of the property graph
+    (analytics.dag_layers) — the tpch graph is a DAG by construction
+    (customer -> order -> part -> supplier -> nation -> region), so
+    the critical-path depth assignment converges in 5 rounds; the
+    operator RAISES on non-convergence (a cycle) rather than returning
+    a partial layering. Output: per-(label, layer) node counts; oracle
+    unrolls the monotone max-relaxation (_dag_layers_oracle)."""
+    g = _g(spark, sf_dir)
+    return analytics.dag_layers(g.nodes, g.edges).select(
+        "label", "layer", F.col("n_nodes").cast("bigint").alias("n_nodes")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6525,6 +6595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_state": q_scd2_user_state,
         "time_weighted_value": q_time_weighted_value,
         "textrank_keywords": q_textrank_keywords,
+        "wl_colors_parts": q_wl_colors_parts,
+        "event_bursts": q_event_bursts,
+        "dag_layers_graph": q_dag_layers_graph,
     }
 
 
@@ -11078,4 +11151,97 @@ def oracle_sql() -> dict[str, str]:
             FROM twv GROUP BY user_id
         """,
         "textrank_keywords": _textrank_oracle(n_iter=6, damping=0.85),
+        # 1-WL: degree-seeded colors, two rounds of
+        # md5(color | sorted neighbor multiset); string_agg ORDER BY =
+        # Spark's sort_array(collect_list) canonicalization.
+        "wl_colors_parts": """
+            WITH wl_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            wl_adj AS MATERIALIZED (
+              SELECT a, b FROM wl_pairs
+              UNION ALL SELECT b AS a, a AS b FROM wl_pairs
+            ),
+            wc0 AS MATERIALIZED (
+              SELECT a AS id, CAST(COUNT(*) AS VARCHAR) AS color
+              FROM wl_adj GROUP BY a
+            ),
+            wc1 AS MATERIALIZED (
+              SELECT c.id, md5(c.color || '|' || s.ns) AS color
+              FROM wc0 c JOIN (
+                SELECT e.a AS id,
+                       string_agg(n.color, ',' ORDER BY n.color) AS ns
+                FROM wl_adj e JOIN wc0 n ON n.id = e.b
+                GROUP BY e.a
+              ) s ON s.id = c.id
+            ),
+            wc2 AS MATERIALIZED (
+              SELECT c.id, md5(c.color || '|' || s.ns) AS color
+              FROM wc1 c JOIN (
+                SELECT e.a AS id,
+                       string_agg(n.color, ',' ORDER BY n.color) AS ns
+                FROM wl_adj e JOIN wc1 n ON n.id = e.b
+                GROUP BY e.a
+              ) s ON s.id = c.id
+            )
+            SELECT color AS wl_color, COUNT(*) AS n_nodes
+            FROM wc2 GROUP BY color
+            ORDER BY n_nodes DESC, wl_color LIMIT 20
+        """,
+        # Integer-rank median/MAD per type over the hourly-count
+        # histogram; burst = count > median + 3*MAD.
+        "event_bursts": """
+            WITH eb_hourly AS MATERIALIZED (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            eb_hist AS (
+              SELECT event_type, n_events, COUNT(*) AS cnt
+              FROM eb_hourly GROUP BY 1, 2
+            ),
+            eb_tot AS (
+              SELECT event_type, SUM(cnt) AS tot
+              FROM eb_hist GROUP BY 1
+            ),
+            eb_med AS (
+              SELECT x.event_type, MIN(n_events) AS median_n FROM (
+                SELECT event_type, n_events,
+                       SUM(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY n_events) AS c
+                FROM eb_hist
+              ) x JOIN eb_tot t ON t.event_type = x.event_type
+              WHERE c >= (tot + 1) // 2 GROUP BY x.event_type
+            ),
+            eb_devh AS (
+              SELECT h.event_type,
+                     abs(h.n_events - m.median_n) AS dev,
+                     SUM(cnt) AS cnt
+              FROM eb_hist h JOIN eb_med m
+                ON m.event_type = h.event_type
+              GROUP BY 1, 2
+            ),
+            eb_mad AS (
+              SELECT x.event_type, MIN(dev) AS mad_n FROM (
+                SELECT event_type, dev,
+                       SUM(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY dev) AS c
+                FROM eb_devh
+              ) x JOIN eb_tot t ON t.event_type = x.event_type
+              WHERE c >= (tot + 1) // 2 GROUP BY x.event_type
+            )
+            SELECT h.event_type,
+                   strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+                   h.n_events, m.median_n, d.mad_n,
+                   h.n_events - (m.median_n + 3 * d.mad_n) AS excess
+            FROM eb_hourly h
+            JOIN eb_med m ON m.event_type = h.event_type
+            JOIN eb_mad d ON d.event_type = h.event_type
+            WHERE h.n_events - (m.median_n + 3 * d.mad_n) > 0
+            ORDER BY excess DESC, h.event_type, h.hour LIMIT 20
+        """,
+        "dag_layers_graph": _dag_layers_oracle(n_iter=8),
     }

@@ -756,3 +756,91 @@ def time_weighted_value(
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+def event_bursts(
+    events: DataFrame,
+    k_mad: int = 3,
+    top: int = 20,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal burst detection per event type: hours whose event count
+    exceeds the type's median hourly count by more than ``k_mad`` x the
+    median absolute deviation — the robust (hub-immune) version of the
+    z-score spike flag, computed entirely in exact integers. Returns
+    the top ``top`` bursts by (excess desc, type, hour) as
+    (event_type, hour, n_events, median_n, mad_n, excess).
+
+    Both medians are integer-rank LOWER medians taken off the per-type
+    COUNT HISTOGRAM (one row per distinct hourly count per type) — the
+    degree_anomalies discipline applied to time buckets: the only
+    ordered windows run over that tiny histogram, partitioned by type,
+    and the hourly frame itself is a map-side-combinable groupBy of the
+    corpus. No global window, no floats.
+    """
+    from pyspark.sql.window import Window
+
+    hourly = events.groupBy(
+        type_col, F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    hist = hourly.groupBy(type_col, "n_events").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hist.groupBy(type_col).agg(F.sum("cnt").alias("_tot"))
+    wc = (
+        Window.partitionBy(type_col)
+        .orderBy("n_events")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        hist.select(
+            type_col, "n_events", F.sum("cnt").over(wc).alias("_cum")
+        )
+        .join(tot, type_col)
+        .where(F.col("_cum") >= F.expr("(_tot + 1) div 2"))
+        .groupBy(type_col)
+        .agg(F.min("n_events").alias("median_n"))
+    )
+    devh = (
+        hist.join(med, type_col)
+        .groupBy(
+            type_col,
+            F.abs(F.col("n_events") - F.col("median_n")).alias("dev"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wd = (
+        Window.partitionBy(type_col)
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mad = (
+        devh.select(
+            type_col, "dev", F.sum("cnt").over(wd).alias("_cum")
+        )
+        .join(tot, type_col)
+        .where(F.col("_cum") >= F.expr("(_tot + 1) div 2"))
+        .groupBy(type_col)
+        .agg(F.min("dev").alias("mad_n"))
+    )
+    return (
+        hourly.join(F.broadcast(med), type_col)
+        .join(F.broadcast(mad), type_col)
+        .withColumn(
+            "excess",
+            F.col("n_events")
+            - (F.col("median_n") + F.lit(k_mad) * F.col("mad_n")),
+        )
+        .where(F.col("excess") > 0)
+        .orderBy(F.col("excess").desc(), type_col, "hour")
+        .limit(top)
+        .select(
+            type_col,
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "median_n",
+            "mad_n",
+            "excess",
+        )
+    )

@@ -3351,3 +3351,136 @@ def degree_anomalies(pairs: DataFrame, top: int = 20) -> DataFrame:
         .limit(top)
         .select("id", "deg", "median_deg", "mad", "deviation")
     )
+
+
+def wl_color_histogram(
+    pairs: DataFrame, rounds: int = 2, top: int = 20
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement (the classic
+    graph-isomorphism / GNN-expressiveness primitive): every node
+    starts colored by its degree; each round recolors a node with
+    md5(own_color | sorted multiset of neighbor colors). Returns the
+    final color histogram — top ``top`` (wl_color, n_nodes) by
+    (n_nodes desc, wl_color) — the structural-role fingerprint of the
+    graph (two nodes share a color iff WL cannot distinguish their
+    ``rounds``-hop neighborhoods).
+
+    Determinism: the neighbor multiset is canonicalized by SORTING the
+    collected colors (collect_list order is partition-dependent;
+    sort_array makes the md5 input a pure function of the multiset),
+    and md5 is cross-engine, so every color is partition-order-
+    independent and a SQL oracle (string_agg ORDER BY) reproduces the
+    histogram bit-for-bit.
+
+    Scale shape: each round is exactly one PageRank-superstep shuffle —
+    an edge join against the (node, color) state plus a groupBy
+    collect — with per-round localCheckpoint keeping the plan linear.
+    Neighbor color lists are degree-sized strings; for degree-skewed
+    graphs cap or hash-fold the hub lists the same way the wedge ops
+    cap centers (hubs are already uniquely colored by round 1).
+    """
+    und = canonical_undirected(pairs)
+    adj = und.select("a", "b").unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    colors = (
+        adj.groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("id", F.col("deg").cast("string").alias("color"))
+    )
+    for _ in range(rounds):
+        nbr = adj.join(
+            colors.select(
+                F.col("id").alias("b"), F.col("color").alias("_nc")
+            ),
+            "b",
+        ).select(F.col("a").alias("id"), "_nc")
+        folded = nbr.groupBy("id").agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("_nc"))
+            ).alias("_ns")
+        )
+        colors = (
+            colors.join(folded, "id")
+            .select(
+                "id",
+                F.md5(
+                    F.concat_ws("|", F.col("color"), F.col("_ns"))
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        colors.groupBy(F.col("color").alias("wl_color"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "wl_color")
+        .limit(top)
+    )
+
+
+def dag_layers(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Longest-path (topological) layering of a DAG: layer(v) = 0 for
+    sources, else 1 + max(layer(u)) over in-neighbors — the critical-
+    path depth assignment behind dependency scheduling and DAG
+    visualization. Returns per-(label, layer) counts:
+    (label, layer, n_nodes) ordered by (label, layer).
+
+    Cycle detection comes free: the relaxation is monotone and
+    converges within the DAG depth, so failing to reach a fixpoint in
+    ``max_iter`` rounds means a cycle — raises rather than silently
+    returning a partial layering (the coreness r6 lesson: never return
+    non-converged state).
+
+    Scale shape: each round is one edge join + groupBy MAX (map-side
+    combinable — the PageRank superstep shuffle), convergence is a
+    monotone-sum 1-row aggregate (no join), and per-round
+    localCheckpoint keeps the lazy plan linear in rounds. Depth, not
+    |V|, bounds the round count — typically O(10) even on huge graphs.
+    """
+    node_ids = nodes.select("id", "label")
+    layer = node_ids.select(
+        "id", F.lit(0).cast("bigint").alias("layer")
+    ).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    prev_sum = -1
+    for _ in range(max_iter):
+        recv = (
+            e.join(
+                layer.select(
+                    F.col("id").alias("src"),
+                    F.col("layer").alias("_lu"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("_lu") + 1).alias("_recv"))
+        )
+        layer = (
+            layer.select("id")
+            .join(recv, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_recv", F.lit(0)).cast("bigint").alias(
+                    "layer"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = layer.agg(F.sum("layer")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise ValueError(
+            f"dag_layers did not converge in {max_iter} rounds — "
+            "the edge frame contains a cycle (longest-path layering "
+            "is undefined on cyclic graphs)"
+        )
+    return (
+        node_ids.join(layer, "id")
+        .groupBy("label", "layer")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("label", "layer")
+    )

@@ -197,6 +197,9 @@ HEADLINE = [
     "scd2_user_state",        # SCD2 validity intervals from change log
     "time_weighted_value",    # exact-decimal step-function integral
     "textrank_keywords",      # weighted PageRank on word co-occurrence
+    "wl_colors_parts",        # 2-round 1-WL color refinement
+    "event_bursts",           # per-type median/MAD hourly burst flags
+    "dag_layers_graph",       # longest-path DAG layering
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -1255,3 +1255,45 @@ def test_degree_anomalies_no_outliers_on_regular_graph(spark):
         [(1, 2), (2, 3), (3, 4), (1, 4)], "a bigint, b bigint"
     )
     assert analytics.degree_anomalies(pairs).count() == 0
+
+
+def test_wl_color_histogram_path_graph(spark):
+    """Path 1-2-3: ends are WL-indistinguishable, the middle is unique;
+    colors verified against hashlib md5 of the same canonical strings."""
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    got = {
+        r["wl_color"]: r["n_nodes"]
+        for r in analytics.wl_color_histogram(pairs, rounds=2).collect()
+    }
+    end1 = h("1|2")                      # round 1, ends
+    mid1 = h("2|1,1")                    # round 1, middle
+    end2 = h(f"{end1}|{mid1}")           # round 2, ends
+    mid2 = h(f"{mid1}|{end1},{end1}")    # round 2, middle
+    assert got == {end2: 2, mid2: 1}
+
+
+def test_dag_layers_and_cycle_detection(spark):
+    nodes = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id bigint, label string"
+    )
+    # diamond: 1->2->4, 1->3->4 plus 1->4 shortcut; longest path wins
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4)], "src bigint, dst bigint"
+    )
+    got = {
+        (r["label"], r["layer"]): r["n_nodes"]
+        for r in analytics.dag_layers(nodes, edges).collect()
+    }
+    assert got == {("a", 0): 1, ("a", 1): 1, ("b", 1): 1, ("c", 2): 1}
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="cycle"):
+        analytics.dag_layers(nodes, cyc, max_iter=6)

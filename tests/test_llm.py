@@ -2478,3 +2478,30 @@ def test_textrank_keywords_power_iteration(spark):
         for r in textrank_keywords(docs, n_iter=6, top=10).collect()
     }
     assert got == {u: round(rank[u], 6) for u in nbrs}
+
+
+def test_event_bursts_spike(spark):
+    """11 quiet hours at ~2 events plus one 50-event hour: median 2,
+    MAD 0, the spike is the only burst (excess 48)."""
+    from akka_graph_db_spark.functions.events import event_bursts
+
+    rows = []
+    eid = 0
+    for hr in range(11):
+        for i in range(2):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {hr:02d}:10:00", 1, "click"))
+    for i in range(50):
+        eid += 1
+        rows.append((eid, "2024-01-01 11:30:00", 1, "click"))
+    ev_df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type"
+    )
+    got = [
+        (r["event_type"], r["hour"], r["n_events"], r["median_n"],
+         r["mad_n"], r["excess"])
+        for r in event_bursts(ev_df, k_mad=3).collect()
+    ]
+    assert got == [("click", "2024-01-01 11:00:00", 50, 2, 0, 48)]
