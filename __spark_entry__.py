@@ -6347,6 +6347,37 @@ def q_dag_layers_graph(spark, sf_dir):
     )
 
 
+def q_equidepth_prices(spark, sf_dir):
+    """Exact 10-bucket equi-depth histogram of o_totalprice
+    (profilef.equidepth_histogram): bucket = (rank-1)*10 div n with the
+    global ROW_NUMBER from ranking.global_rank (range repartition +
+    per-partition windows — never a single-partition sort) and
+    (o_totalprice, o_orderkey) as the tie-broken total order. Integer
+    rank math end to end; the oracle replays the same bucket
+    assignment off ROW_NUMBER()."""
+    from akka_graph_db_spark.functions.profile import (
+        equidepth_histogram,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return equidepth_histogram(
+        orders, "o_totalprice", "o_orderkey", k=10
+    )
+
+
+def q_edge_embeddedness(spark, sf_dir):
+    """Tie-strength profile of the part co-order graph
+    (analytics.edge_embeddedness): top-20 edges by triangle support
+    (|N(a) ∩ N(b)|, the Granovetter embeddedness) plus one
+    tie='weak_total' row counting the zero-support (bridge-like)
+    edges. Support = the O(m^1.5) oriented triangle enumeration
+    exploded into its 3 canonical edges + one count groupBy —
+    triangle-bounded, never wedge-bounded."""
+    return analytics.edge_embeddedness(
+        _coorder_pairs(spark, sf_dir), top_k=20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6598,6 +6629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors_parts": q_wl_colors_parts,
         "event_bursts": q_event_bursts,
         "dag_layers_graph": q_dag_layers_graph,
+        "equidepth_prices": q_equidepth_prices,
+        "edge_embeddedness": q_edge_embeddedness,
     }
 
 
@@ -11244,4 +11277,53 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY excess DESC, h.event_type, h.hour LIMIT 20
         """,
         "dag_layers_graph": _dag_layers_oracle(n_iter=8),
+        # Equi-depth buckets from exact integer rank math off
+        # ROW_NUMBER over the tie-broken total order.
+        "equidepth_prices": """
+            WITH eq AS (
+              SELECT o_totalprice AS v,
+                     ROW_NUMBER() OVER (
+                       ORDER BY o_totalprice, o_orderkey
+                     ) AS rk,
+                     COUNT(*) OVER () AS n
+              FROM orders
+            )
+            SELECT CAST((rk - 1) * 10 // n AS INTEGER) AS bucket,
+                   COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+            FROM eq GROUP BY 1 ORDER BY bucket
+        """,
+        # Triangle support per EDGE: wedge counts semi-joined to the
+        # edge list; zero-support edges roll into one weak_total row.
+        "edge_embeddedness": """
+            WITH ee_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            ee_sym AS MATERIALIZED (
+              SELECT a, b FROM ee_pairs
+              UNION ALL SELECT b AS a, a AS b FROM ee_pairs
+            ),
+            ee_sup AS MATERIALIZED (
+              SELECT s1.b AS a, s2.b AS b, COUNT(*) AS support
+              FROM ee_sym s1 JOIN ee_sym s2
+                ON s1.a = s2.a AND s1.b < s2.b
+              GROUP BY 1, 2
+            ),
+            ee_edge_sup AS MATERIALIZED (
+              SELECT s.a, s.b, s.support FROM ee_sup s
+              WHERE EXISTS (SELECT 1 FROM ee_pairs p
+                            WHERE p.a = s.a AND p.b = s.b)
+            )
+            SELECT 'strong' AS tie, a, b, CAST(support AS BIGINT)
+                     AS support
+            FROM (SELECT * FROM ee_edge_sup
+                  ORDER BY support DESC, a, b LIMIT 20)
+            UNION ALL
+            SELECT 'weak_total', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   (SELECT COUNT(*) FROM ee_pairs p
+                    WHERE NOT EXISTS (SELECT 1 FROM ee_edge_sup s
+                                      WHERE s.a = p.a AND s.b = p.b))
+        """,
     }

@@ -129,3 +129,51 @@ def drift_tvd(
             ).alias("tvd"),
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact equi-depth (equal-height) histogram of a numeric column:
+    ``k`` buckets holding (within one row) the same number of rows,
+    with per-bucket (bucket, n_rows, lo, hi) — the data-profiling
+    summary equi-WIDTH histograms get wrong on skewed columns (one
+    bucket swallows the distribution). Bucket assignment is pure
+    integer rank math, (rank-1)·k div n, so the cut points are exact
+    discrete order statistics, not interpolated float quantiles — a
+    SQL oracle reproduces every boundary bit-for-bit.
+
+    Scale shape: the global ROW_NUMBER comes from
+    :func:`~akka_graph_db_spark.functions.ranking.global_rank` (range
+    repartition + per-partition windows + broadcast offsets), so no
+    single-partition sort exists; the row count folds in-plan via
+    crossJoin(broadcast(1-row agg)); the final groupBy is k-row tiny.
+    ``(value, id)`` must be a total order — id breaks value ties
+    deterministically.
+    """
+    from akka_graph_db_spark.functions.ranking import global_rank
+
+    base = df.select(
+        F.col(value_col).alias("_v"), F.col(id_col).alias("_id")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = global_rank(base, ["_v", "_id"], rank_col="_rk")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"(_rk - 1) * {int(k)} div _n").cast("int").alias(
+                "bucket"
+            ),
+            "_v",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -3484,3 +3484,74 @@ def dag_layers(
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("label", "layer")
     )
+
+
+def edge_embeddedness(
+    pairs: DataFrame, top_k: int = 20
+) -> DataFrame:
+    """Edge embeddedness (Granovetter tie strength): for every edge
+    (a, b), the number of triangles through it = |N(a) ∩ N(b)|.
+    Returns the ``top_k`` strongest ties by (support desc, a, b) as
+    tie='strong' rows, plus ONE tie='weak_total' summary row whose
+    support column carries the count of zero-embeddedness edges — weak
+    ties are the bridge-like edges whose removal fragments
+    neighborhoods, the complement signal to the strong-tie ranking.
+
+    Derivation: each triangle from the degree-oriented edge-iterator
+    enumeration (:func:`_oriented_triangles`, O(m^1.5) with nothing
+    wedge-sized ever shuffled) explodes into its 3 canonical edges, one
+    groupBy counts support per edge — the support frame is
+    triangle-bounded, NOT wedge-bounded (a raw wedge self-join here
+    measured 104s at sf0.1 vs 10.6s on this route: it counts common
+    neighbors for every co-wedge pair and only then discards
+    non-edges). Zero-support edges come from one anti-join of the
+    edge-sized list against that support frame.
+    """
+    e = canonical_undirected(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        tri = _oriented_triangles(e)
+        support = (
+            tri.select(
+                F.least("x", "y").alias("a"),
+                F.greatest("x", "y").alias("b"),
+            )
+            .unionByName(
+                tri.select(
+                    F.least("x", "z").alias("a"),
+                    F.greatest("x", "z").alias("b"),
+                )
+            )
+            .unionByName(
+                tri.select(
+                    F.least("y", "z").alias("a"),
+                    F.greatest("y", "z").alias("b"),
+                )
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        strong = (
+            support.orderBy(F.col("support").desc(), "a", "b")
+            .limit(top_k)
+            .select(
+                F.lit("strong").alias("tie"),
+                "a",
+                "b",
+                F.col("support").cast("bigint").alias("support"),
+            )
+        )
+        # weak-ties summary: ONE row whose support carries the count
+        # of zero-embeddedness edges (tie='weak_total' labels it)
+        weak = (
+            e.join(support.select("a", "b"), ["a", "b"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_weak"))
+            .select(
+                F.lit("weak_total").alias("tie"),
+                F.lit(-1).cast("bigint").alias("a"),
+                F.lit(-1).cast("bigint").alias("b"),
+                F.col("n_weak").alias("support"),
+            )
+        )
+        return strong.unionByName(weak)
+    finally:
+        e.unpersist()

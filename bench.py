@@ -200,6 +200,8 @@ HEADLINE = [
     "wl_colors_parts",        # 2-round 1-WL color refinement
     "event_bursts",           # per-type median/MAD hourly burst flags
     "dag_layers_graph",       # longest-path DAG layering
+    "equidepth_prices",       # global-rank equi-depth histogram
+    "edge_embeddedness",      # per-edge triangle support + weak ties
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

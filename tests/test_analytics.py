@@ -1297,3 +1297,21 @@ def test_dag_layers_and_cycle_detection(spark):
 
     with pytest.raises(ValueError, match="cycle"):
         analytics.dag_layers(nodes, cyc, max_iter=6)
+
+
+def test_edge_embeddedness_triangle_plus_bridge(spark):
+    """Triangle 1-2-3 plus bridge 3-4: triangle edges have support 1,
+    the bridge has 0 -> one weak_total row counting it."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a bigint, b bigint"
+    )
+    got = sorted(
+        (r["tie"], r["a"], r["b"], r["support"])
+        for r in analytics.edge_embeddedness(pairs).collect()
+    )
+    assert got == [
+        ("strong", 1, 2, 1),
+        ("strong", 1, 3, 1),
+        ("strong", 2, 3, 1),
+        ("weak_total", -1, -1, 1),
+    ]

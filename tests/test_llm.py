@@ -2505,3 +2505,24 @@ def test_event_bursts_spike(spark):
         for r in event_bursts(ev_df, k_mad=3).collect()
     ]
     assert got == [("click", "2024-01-01 11:00:00", 50, 2, 0, 48)]
+
+
+def test_equidepth_histogram_exact_buckets(spark):
+    """12 rows into 4 buckets of 3 — boundaries are exact order
+    statistics, and the skewed tail doesn't swallow a bucket."""
+    from akka_graph_db_spark.functions.profile import equidepth_histogram
+
+    rows = [(i, float(v)) for i, v in enumerate(
+        [1, 1, 1, 2, 2, 2, 3, 3, 3, 100, 200, 300]
+    )]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = [
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in equidepth_histogram(df, "v", "id", k=4).collect()
+    ]
+    assert got == [
+        (0, 3, 1.0, 1.0),
+        (1, 3, 2.0, 2.0),
+        (2, 3, 3.0, 3.0),
+        (3, 3, 100.0, 300.0),
+    ]
