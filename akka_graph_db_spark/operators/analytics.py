@@ -3301,6 +3301,13 @@ def degree_anomalies(pairs: DataFrame, top: int = 20) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = canonical_undirected(pairs)
+    # deg feeds the histogram AND the final outlier filter; hist feeds
+    # median, dev-histogram and MAD. The branches re-expand in the
+    # PRINTED plan (PLANS.md counts 56 nominal scans) but at runtime
+    # AQE's ReusedExchange computes each shared aggregate once —
+    # eagerly checkpointing deg/hist here was MEASURED SLOWER (8.7s vs
+    # 3.6s at sf0.1: the checkpoint breaks the reuse pipeline and
+    # serializes blocks for frames the exchanges already dedupe).
     deg = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))

@@ -117,6 +117,24 @@ AUDITED = [
     ("store_incremental_topk", "touched-label recompute + verbatim carry"),
     ("retrieval_eval_bm25", "one corpus scan for all queries + window/q"),
     ("coloring_geo", "degree-major JP rounds, keyed joins only"),
+    ("concurrent_sessions", "sweep-line bucket-cumsum concurrency"),
+    ("session_paths", "trigram paths, user-keyed windows"),
+    ("clique_profile_parts", "triangle+K4 ladder, oriented joins"),
+    ("negative_edges_coorder", "bucketed negative sampling"),
+    ("fastrp_parts", "integer FastRP (node,dim) supersteps"),
+    ("phrase_search", "positional-posting intersection"),
+    ("entity_linkage_parts", "blocking-key ER + levenshtein verify"),
+    ("ra_link_prediction", "integer-ppm RA wedge scoring"),
+    ("degree_anomalies_parts", "histogram median/MAD outliers"),
+    ("rolling_active_users", "broadcast day-spine range join"),
+    ("scd2_user_state", "gaps-and-islands SCD2 intervals"),
+    ("time_weighted_value", "exact decimal step integral"),
+    ("textrank_keywords", "word-graph weighted PageRank"),
+    ("wl_colors_parts", "1-WL sorted-multiset recoloring"),
+    ("event_bursts", "per-type median/MAD hourly bursts"),
+    ("dag_layers_graph", "longest-path DAG relaxation"),
+    ("equidepth_prices", "global-rank equi-depth buckets"),
+    ("edge_embeddedness", "triangle-explode edge support"),
 ]
 
 
