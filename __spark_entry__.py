@@ -6182,7 +6182,7 @@ def q_negative_edges_coorder(spark, sf_dir):
     list, top-2 per node by md5 rank — the labeled-negatives half of a
     training set whose positives are the co-order edges."""
     return analytics.negative_edge_samples(
-        _coorder_pairs(spark, sf_dir), buckets=16, k=2
+        _coorder_pairs(spark, sf_dir), buckets="auto", k=2
     )
 
 
@@ -10932,13 +10932,16 @@ def oracle_sql() -> dict[str, str]:
                 ON a.l_orderkey = b.l_orderkey
                AND a.l_partkey < b.l_partkey
             ),
+            ids AS MATERIALIZED (
+              SELECT a AS id FROM pairs UNION SELECT b FROM pairs
+            ),
+            nb AS (SELECT GREATEST(16, COUNT(*) // 100) AS k FROM ids),
             nodes AS (
               SELECT id,
                      CAST(md5_number_upper(CAST(id AS VARCHAR))
-                          & 9223372036854775807 AS BIGINT) % 16
-                       AS bucket
-              FROM (SELECT a AS id FROM pairs
-                    UNION SELECT b FROM pairs)
+                          & 9223372036854775807 AS BIGINT)
+                       % (SELECT k FROM nb) AS bucket
+              FROM ids
             ),
             cand AS (
               SELECT x.id AS a, y.id AS b
