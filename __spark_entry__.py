@@ -897,6 +897,67 @@ def _dag_layers_oracle(n_iter: int = 8) -> str:
     )
 
 
+def _slpa_oracle(rounds: int = 3) -> str:
+    """q_seeded_labels_parts' oracle: the clamped-seed label
+    propagation unrolled round by round — integer votes, ROW_NUMBER
+    argmax (count desc, label), seeds coalesce first, previous label
+    last; seed set = parts with p_partkey % 10 = 0 labeled p_brand."""
+    ctes = [
+        """sl_pairs AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )""",
+        """sl_adj AS MATERIALIZED (
+            SELECT a, b FROM sl_pairs
+            UNION ALL SELECT b AS a, a AS b FROM sl_pairs
+        )""",
+        """sl_nodes AS MATERIALIZED (
+            SELECT DISTINCT a AS id FROM sl_adj
+        )""",
+        """sl_seeds AS MATERIALIZED (
+            SELECT p_partkey AS id, p_brand AS label
+            FROM part WHERE p_partkey % 10 = 0
+        )""",
+        """sl0 AS MATERIALIZED (
+            SELECT n.id, sd.label
+            FROM sl_nodes n LEFT JOIN sl_seeds sd ON sd.id = n.id
+        )""",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""sl{k + 1} AS MATERIALIZED (
+            SELECT n.id,
+                   COALESCE(sd.label, w.label, s.label) AS label
+            FROM sl_nodes n
+            LEFT JOIN sl_seeds sd ON sd.id = n.id
+            LEFT JOIN sl{k} s ON s.id = n.id
+            LEFT JOIN (
+                SELECT id, label FROM (
+                    SELECT e.b AS id, t.label, COUNT(*) AS c,
+                           ROW_NUMBER() OVER (
+                             PARTITION BY e.b
+                             ORDER BY COUNT(*) DESC, t.label
+                           ) AS rn
+                    FROM sl_adj e
+                    JOIN sl{k} t
+                      ON t.id = e.a AND t.label IS NOT NULL
+                    GROUP BY e.b, t.label
+                ) WHERE rn = 1
+            ) w ON w.id = n.id
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT s.id, s.label, (sd.id IS NOT NULL) AS is_seed
+        FROM sl{rounds} s
+        LEFT JOIN sl_seeds sd ON sd.id = s.id
+        WHERE s.label IS NOT NULL
+        """
+    )
+
+
 def _kmeans_oracle(
     k: int = 8,
     n_iter: int = 3,
@@ -6378,6 +6439,22 @@ def q_edge_embeddedness(spark, sf_dir):
     )
 
 
+def q_seeded_labels_parts(spark, sf_dir):
+    """Semi-supervised brand propagation over the part co-order graph
+    (analytics.seeded_label_propagation): every 10th part is a clamped
+    p_brand seed, 3 synchronous majority-vote rounds label the rest —
+    integer votes, ties to the smallest label, previous label kept
+    when no neighbor is labeled. Deterministic end to end; the oracle
+    unrolls the identical rounds (_slpa_oracle)."""
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    seeds = parts.where(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("label")
+    )
+    return analytics.seeded_label_propagation(
+        _coorder_pairs(spark, sf_dir), seeds, rounds=3
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6633,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_layers_graph": q_dag_layers_graph,
         "equidepth_prices": q_equidepth_prices,
         "edge_embeddedness": q_edge_embeddedness,
+        "seeded_labels_parts": q_seeded_labels_parts,
     }
 
 
@@ -11331,4 +11409,5 @@ def oracle_sql() -> dict[str, str]:
                     WHERE NOT EXISTS (SELECT 1 FROM ee_edge_sup s
                                       WHERE s.a = p.a AND s.b = p.b))
         """,
+        "seeded_labels_parts": _slpa_oracle(rounds=3),
     }

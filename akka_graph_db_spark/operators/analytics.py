@@ -3575,3 +3575,83 @@ def edge_embeddedness(
         return strong.unionByName(weak)
     finally:
         e.unpersist()
+
+
+def seeded_label_propagation(
+    pairs: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Semi-supervised node classification by seeded label propagation:
+    ``seeds`` (id, label) are CLAMPED ground truth; every round each
+    node takes the majority label among its labeled neighbors
+    (integer vote counts, ties to the lexicographically smallest
+    label), keeping its previous label when no neighbor is labeled.
+    Returns (id, label, is_seed) for every node labeled after
+    ``rounds`` synchronous rounds — the classic Zhu/Ghahramani scheme
+    with hard clamping, the cheap baseline behind every
+    "propagate the labels you have" curation task.
+
+    Unlike :func:`label_propagation` (community detection — every node
+    starts labeled with itself), the label alphabet here is the seed
+    set's, votes are exact integers, and seeds never move, so the
+    whole evolution is deterministic and a SQL oracle unrolls it
+    round by round.
+
+    Scale shape: per round, one edge-join against the labeled state +
+    one (node, label) vote count (map-side combinable) + one per-node
+    argmax window whose partition is at most the node's distinct
+    neighbor-label set (bounded by the seed alphabet, never the
+    corpus); per-round localCheckpoint keeps the plan linear.
+    """
+    from pyspark.sql.window import Window
+
+    und = canonical_undirected(pairs)
+    adj = und.select("a", "b").unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    nodes = adj.select(F.col("a").alias("id")).distinct()
+    sd = seeds.select(
+        F.col("id"), F.col("label").alias("_seed")
+    )
+    state = (
+        nodes.join(sd, "id", "left")
+        .select("id", F.col("_seed").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("_c").desc(), "label"
+    )
+    for _ in range(rounds):
+        msgs = adj.join(
+            state.where(F.col("label").isNotNull()).select(
+                F.col("id").alias("a"), "label"
+            ),
+            "a",
+        ).select(F.col("b").alias("id"), "label")
+        winners = (
+            msgs.groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("_win"))
+        )
+        state = (
+            nodes.join(sd, "id", "left")
+            .join(
+                state.select("id", F.col("label").alias("_prev")),
+                "id",
+                "left",
+            )
+            .join(winners, "id", "left")
+            .select(
+                "id",
+                F.coalesce("_seed", "_win", "_prev").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        state.where(F.col("label").isNotNull())
+        .join(sd, "id", "left")
+        .select(
+            "id", "label", F.col("_seed").isNotNull().alias("is_seed")
+        )
+    )

@@ -202,6 +202,7 @@ HEADLINE = [
     "dag_layers_graph",       # longest-path DAG layering
     "equidepth_prices",       # global-rank equi-depth histogram
     "edge_embeddedness",      # per-edge triangle support + weak ties
+    "seeded_labels_parts",    # clamped-seed majority-vote propagation
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

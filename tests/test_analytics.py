@@ -1315,3 +1315,34 @@ def test_edge_embeddedness_triangle_plus_bridge(spark):
         ("strong", 2, 3, 1),
         ("weak_total", -1, -1, 1),
     ]
+
+
+def test_seeded_label_propagation_clamp_and_majority(spark):
+    """Path 1-2-3-4-5 with seeds 1='x', 5='y', votes re-evaluated
+    every synchronous round, ties to the smallest label:
+    round 1 labels 2='x', 4='y'; round 2 labels 3 (tie {x,y} -> 'x');
+    round 3 re-votes 4 against {3='x', 5='y'} -> tie -> 'x'. Seeds
+    never move."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "x"), (5, "y")], "id bigint, label string"
+    )
+    by_round = {
+        r: {
+            row["id"]: (row["label"], row["is_seed"])
+            for row in analytics.seeded_label_propagation(
+                pairs, seeds, rounds=r
+            ).collect()
+        }
+        for r in (1, 3)
+    }
+    assert by_round[1] == {
+        1: ("x", True), 2: ("x", False),
+        4: ("y", False), 5: ("y", True),
+    }
+    assert by_round[3] == {
+        1: ("x", True), 2: ("x", False), 3: ("x", False),
+        4: ("x", False), 5: ("y", True),
+    }

@@ -135,6 +135,7 @@ AUDITED = [
     ("dag_layers_graph", "longest-path DAG relaxation"),
     ("equidepth_prices", "global-rank equi-depth buckets"),
     ("edge_embeddedness", "triangle-explode edge support"),
+    ("seeded_labels_parts", "clamped-seed majority propagation"),
 ]
 
 
