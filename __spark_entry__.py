@@ -6455,6 +6455,33 @@ def q_seeded_labels_parts(spark, sf_dir):
     )
 
 
+def q_store_version_diff(spark, sf_dir):
+    """Row-level store change manifest (store.version_diff): the same
+    v0→v1 fixture as store_version_summary (customer-1 props update +
+    supplier-1 removal with edge cascade), but answering WHICH rows
+    changed — (kind, id, change) via full-outer merge-on-read diffs of
+    the two versions, props compared as sorted entry arrays. The
+    oracle derives the exact manifest relationally: the updated/removed
+    node ids are the fixture's, the removed edge ids are every edges_v
+    row incident to supplier 1."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from akka_graph_db_spark import store
+
+    g = _g(spark, sf_dir).core()
+    g2 = crud.update_nodes(
+        g, {CUSTOMER_BASE + 1: {"mktsegment": "TRAVELED"}}
+    )
+    g2 = crud.remove_nodes_by_id(g2, [SUPPLIER_BASE + 1])
+    root = tempfile.mkdtemp(prefix="spark_graft_vd_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    store.save_snapshot(g, root)
+    store.save_delta(root, store.delta_from_graphs(g, g2), validate=False)
+    return store.version_diff(root, 0, 1, spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6711,6 +6738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_prices": q_equidepth_prices,
         "edge_embeddedness": q_edge_embeddedness,
         "seeded_labels_parts": q_seeded_labels_parts,
+        "store_version_diff": q_store_version_diff,
     }
 
 
@@ -11410,4 +11438,21 @@ def oracle_sql() -> dict[str, str]:
                                       WHERE s.a = p.a AND s.b = p.b))
         """,
         "seeded_labels_parts": _slpa_oracle(rounds=3),
+        # Exact relational derivation of the v0->v1 manifest: the
+        # fixture updates customer 1 and removes supplier 1, whose
+        # cascade deletes every incident edge.
+        "store_version_diff": _GRAPH_WITH + f"""
+            SELECT 'node' AS kind,
+                   CAST({CUSTOMER_BASE} + 1 AS BIGINT) AS id,
+                   'updated' AS change
+            UNION ALL
+            SELECT 'node', CAST({SUPPLIER_BASE} + 1 AS BIGINT),
+                   'removed'
+            UNION ALL
+            SELECT 'edge', e.id, 'removed'
+            FROM edges_v e
+            WHERE e.src = {SUPPLIER_BASE} + 1
+               OR e.dst = {SUPPLIER_BASE} + 1
+            ORDER BY kind, change, id
+        """,
     }

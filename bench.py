@@ -203,6 +203,7 @@ HEADLINE = [
     "equidepth_prices",       # global-rank equi-depth histogram
     "edge_embeddedness",      # per-edge triangle support + weak ties
     "seeded_labels_parts",    # clamped-seed majority-vote propagation
+    "store_version_diff",     # row-level version change manifest
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -404,3 +404,43 @@ def test_incremental_topk_matches_full_and_carries_untouched(spark, micro):
     assert sorted(
         map(tuple, got.where(F.col("label") != "person").collect())
     ) == sorted(map(tuple, prev.collect()))
+
+
+def test_version_diff_manifest(spark, tmp_path):
+    """v0 -> v1: one node updated, one node + its incident edge removed,
+    one node added — the row-level manifest names each exactly once."""
+    from akka_graph_db_spark import store
+    from akka_graph_db_spark.model import PropertyGraph
+    from akka_graph_db_spark.operators import crud
+
+    nodes = spark.createDataFrame(
+        [(1, "a", '{"x": 1}'), (2, "a", "{}"), (3, "b", "{}")],
+        "id bigint, label string, props string",
+    ).selectExpr(
+        "id", "label",
+        "from_json(props, 'map<string,string>') AS props",
+    )
+    edges = spark.createDataFrame(
+        [(10, "e", 1, 2, "{}"), (11, "e", 2, 3, "{}")],
+        "id bigint, label string, src bigint, dst bigint, props string",
+    ).selectExpr(
+        "id", "label", "src", "dst",
+        "from_json(props, 'map<string,string>') AS props",
+    )
+    g = PropertyGraph(nodes, edges)
+    g2 = crud.update_nodes(g, {1: {"x": 2}})
+    g2 = crud.remove_nodes_by_id(g2, [3])
+    g2 = crud.add_nodes(g2, [(4, "a", {})])
+    root = str(tmp_path / "vd")
+    store.save_snapshot(g, root)
+    store.save_delta(root, store.delta_from_graphs(g, g2), validate=False)
+    got = [
+        (r["kind"], r["id"], r["change"])
+        for r in store.version_diff(root, 0, 1, spark).collect()
+    ]
+    assert got == [
+        ("edge", 11, "removed"),
+        ("node", 4, "added"),
+        ("node", 3, "removed"),
+        ("node", 1, "updated"),
+    ]
