@@ -6482,6 +6482,32 @@ def q_store_version_diff(spark, sf_dir):
     return store.version_diff(root, 0, 1, spark)
 
 
+def q_cc_incremental_geo(spark, sf_dir):
+    """O(changes) connected-components maintenance
+    (analytics.connected_components_incremental): start from the geo
+    CC assignment (5 region components), ingest a 2-edge "trade route"
+    batch linking regions 0-2 and 1-3 — the CC fixpoint then runs on
+    the FIVE-node component graph, never the full graph, and joins
+    back as a remap. Min-id labels compose, so the oracle is the geo
+    CC oracle with the two merges applied closed-form."""
+    g = _g(spark, sf_dir)
+    cc = analytics.connected_components(
+        g, edge_labels=["in_region", "located_in"]
+    )
+    geo = g.nodes.where(
+        F.col("label").isin("region", "nation", "customer", "supplier")
+    ).select("id")
+    assign = cc.join(geo, "id", "left_semi")
+    batch = spark.createDataFrame(
+        [
+            (REGION_BASE + 0, REGION_BASE + 2),
+            (REGION_BASE + 1, REGION_BASE + 3),
+        ],
+        "a bigint, b bigint",
+    )
+    return analytics.connected_components_incremental(assign, batch)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6739,6 +6765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_embeddedness": q_edge_embeddedness,
         "seeded_labels_parts": q_seeded_labels_parts,
         "store_version_diff": q_store_version_diff,
+        "cc_incremental_geo": q_cc_incremental_geo,
     }
 
 
@@ -11454,5 +11481,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.src = {SUPPLIER_BASE} + 1
                OR e.dst = {SUPPLIER_BASE} + 1
             ORDER BY kind, change, id
+        """,
+        # Min-id labels compose: merging regions (0,2) and (1,3) maps
+        # component 2 -> 0 and 3 -> 1 in the closed-form geo oracle.
+        "cc_incremental_geo": f"""
+            WITH geo AS ({_CC_GEO_ORACLE})
+            SELECT id,
+                   CASE component
+                     WHEN {REGION_BASE} + 2 THEN {REGION_BASE} + 0
+                     WHEN {REGION_BASE} + 3 THEN {REGION_BASE} + 1
+                     ELSE component END AS component
+            FROM geo
         """,
     }

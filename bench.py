@@ -204,6 +204,7 @@ HEADLINE = [
     "edge_embeddedness",      # per-edge triangle support + weak ties
     "seeded_labels_parts",    # clamped-seed majority-vote propagation
     "store_version_diff",     # row-level version change manifest
+    "cc_incremental_geo",     # O(changes) CC maintenance (component graph)
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

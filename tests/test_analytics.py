@@ -1346,3 +1346,32 @@ def test_seeded_label_propagation_clamp_and_majority(spark):
         1: ("x", True), 2: ("x", False), 3: ("x", False),
         4: ("x", False), 5: ("y", True),
     }
+
+
+def test_connected_components_incremental_matches_full(spark):
+    """Two path components {1,2,3} and {10,11}; a batch edge 3-10
+    merges them. Incremental maintenance == full recompute, and a
+    batch edge INSIDE a component is a no-op."""
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11)], "id bigint"
+    )
+    assign = analytics.connected_components_from_pairs(verts, old_pairs)
+    batch = spark.createDataFrame(
+        [(3, 10), (1, 2)], "a bigint, b bigint"
+    )
+    inc = {
+        r["id"]: r["component"]
+        for r in analytics.connected_components_incremental(
+            assign, batch
+        ).collect()
+    }
+    full = {
+        r["id"]: r["component"]
+        for r in analytics.connected_components_from_pairs(
+            verts, old_pairs.unionByName(batch)
+        ).collect()
+    }
+    assert inc == full == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}

@@ -136,6 +136,7 @@ AUDITED = [
     ("equidepth_prices", "global-rank equi-depth buckets"),
     ("edge_embeddedness", "triangle-explode edge support"),
     ("seeded_labels_parts", "clamped-seed majority propagation"),
+    ("cc_incremental_geo", "component-graph CC + remap join"),
 ]
 
 
