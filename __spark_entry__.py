@@ -6508,6 +6508,22 @@ def q_cc_incremental_geo(spark, sf_dir):
     return analytics.connected_components_incremental(assign, batch)
 
 
+def q_doc_length_percentiles(spark, sf_dir):
+    """Per-source percentile-rank normalization of document length
+    (profilef.percentile_by_group): each doc's integer permille of
+    same-source docs with n_chars <= its own — rank-based feature
+    scaling whose ordered window runs over the per-(source, value)
+    HISTOGRAM, never the corpus (the quantile_filter discipline).
+    Exact integer permille; the oracle replays the same cumsum+DIV."""
+    from akka_graph_db_spark.functions.profile import (
+        percentile_by_group,
+    )
+
+    return percentile_by_group(
+        read_documents(spark, sf_dir), "source", "n_chars", "doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6766,6 +6782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seeded_labels_parts": q_seeded_labels_parts,
         "store_version_diff": q_store_version_diff,
         "cc_incremental_geo": q_cc_incremental_geo,
+        "doc_length_percentiles": q_doc_length_percentiles,
     }
 
 
@@ -11492,5 +11509,25 @@ def oracle_sql() -> dict[str, str]:
                      WHEN {REGION_BASE} + 3 THEN {REGION_BASE} + 1
                      ELSE component END AS component
             FROM geo
+        """,
+        "doc_length_percentiles": """
+            WITH dp_hist AS (
+              SELECT source, n_chars, COUNT(*) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            dp_tot AS (
+              SELECT source, SUM(n) AS tot FROM dp_hist GROUP BY 1
+            ),
+            dp_rank AS (
+              SELECT h.source, h.n_chars,
+                     CAST(SUM(n) OVER (PARTITION BY h.source
+                                       ORDER BY h.n_chars)
+                          * 1000 // t.tot AS INTEGER) AS permille
+              FROM dp_hist h JOIN dp_tot t ON t.source = h.source
+            )
+            SELECT d.doc_id, d.source, d.n_chars, r.permille
+            FROM documents d
+            JOIN dp_rank r
+              ON r.source = d.source AND r.n_chars = d.n_chars
         """,
     }

@@ -177,3 +177,53 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def percentile_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group percentile-rank normalization: for every row, the
+    integer permille of group members with value <= its value —
+    (id, group, value, permille) — the rank-based feature scaling that
+    makes a metric comparable ACROSS groups (per-source quality scores,
+    per-language lengths) without float quantile semantics.
+
+    Scale shape: the ordered window runs over the per-(group, value)
+    HISTOGRAM — one row per distinct value per group, not per row —
+    then joins back on (group, value); permille = cum·1000 div n_group
+    is exact integer math (the quantile_filter discipline), so the
+    result is partition-order-independent and SQL-reproducible.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    from pyspark.sql.window import Window
+
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_tot"))
+    ranks = (
+        hist.select(
+            group_col,
+            value_col,
+            F.sum("_n").over(wcum).alias("_cum"),
+        )
+        .join(tot, group_col)
+        .select(
+            group_col,
+            value_col,
+            F.expr("_cum * 1000 div _tot").cast("int").alias(
+                "permille"
+            ),
+        )
+    )
+    return df.select(id_col, group_col, value_col).join(
+        ranks, [group_col, value_col]
+    ).select(id_col, group_col, value_col, "permille")

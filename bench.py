@@ -205,6 +205,7 @@ HEADLINE = [
     "seeded_labels_parts",    # clamped-seed majority-vote propagation
     "store_version_diff",     # row-level version change manifest
     "cc_incremental_geo",     # O(changes) CC maintenance (component graph)
+    "doc_length_percentiles", # histogram-windowed per-group permille
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

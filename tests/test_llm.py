@@ -2526,3 +2526,20 @@ def test_equidepth_histogram_exact_buckets(spark):
         (2, 3, 3.0, 3.0),
         (3, 3, 100.0, 300.0),
     ]
+
+
+def test_percentile_by_group_exact(spark):
+    """Group g: values 10,20,20,30 -> permille 250/750/750/1000;
+    group h: single value -> 1000. Ties share the <=-rank."""
+    from akka_graph_db_spark.functions.profile import percentile_by_group
+
+    df = spark.createDataFrame(
+        [(1, "g", 10), (2, "g", 20), (3, "g", 20), (4, "g", 30),
+         (5, "h", 7)],
+        "id bigint, grp string, v bigint",
+    )
+    got = {
+        r["id"]: r["permille"]
+        for r in percentile_by_group(df, "grp", "v", "id").collect()
+    }
+    assert got == {1: 250, 2: 750, 3: 750, 4: 1000, 5: 1000}
