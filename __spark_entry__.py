@@ -6524,6 +6524,17 @@ def q_doc_length_percentiles(spark, sf_dir):
     )
 
 
+def q_label_path_census(spark, sf_dir):
+    """Length-3 directed path census by (src_label, dst_label)
+    (analytics.label_path_census): the adjacency-power A^3 aggregated
+    by label via count propagation — intermediate state is
+    |V|x|labels| BIGINT counts, never an enumerated path list. The
+    oracle DOES enumerate (3 unrolled joins) and must agree exactly —
+    the strongest possible cross-check of the propagation."""
+    g = _g(spark, sf_dir)
+    return analytics.label_path_census(g.nodes, g.edges, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6783,6 +6794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_version_diff": q_store_version_diff,
         "cc_incremental_geo": q_cc_incremental_geo,
         "doc_length_percentiles": q_doc_length_percentiles,
+        "label_path_census": q_label_path_census,
     }
 
 
@@ -11529,5 +11541,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN dp_rank r
               ON r.source = d.source AND r.n_chars = d.n_chars
+        """,
+        # The oracle ENUMERATES every length-3 path (3 joins) — the
+        # Spark side only propagates counts; exact agreement is the
+        # cross-check.
+        "label_path_census": _GRAPH_WITH + """
+            SELECT ls.label AS src_label, ld.label AS dst_label,
+                   COUNT(*) AS n_paths
+            FROM edges_v e1
+            JOIN edges_v e2 ON e2.src = e1.dst
+            JOIN edges_v e3 ON e3.src = e2.dst
+            JOIN nodes_v ls ON ls.id = e1.src
+            JOIN nodes_v ld ON ld.id = e3.dst
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -3708,3 +3708,49 @@ def connected_components_incremental(
     return assign.join(mapping, "component", "left").select(
         "id", F.coalesce("_new", "component").alias("component")
     )
+
+
+def label_path_census(
+    nodes: DataFrame, edges: DataFrame, k: int = 3
+) -> DataFrame:
+    """Exact count of directed length-``k`` paths between every
+    (source label, destination label) pair — the adjacency-matrix
+    power A^k aggregated by label, computed WITHOUT ever enumerating a
+    path: the state (node, src_label, n_paths BIGINT) is propagated k
+    times by one edge join + groupBy SUM per step, so intermediate
+    volume is bounded by |V|·|labels|, not by the (combinatorially
+    exploding) path count. Returns (src_label, dst_label, n_paths)
+    ordered by (src_label, dst_label) — the reachability-volume census
+    behind schema discovery and join-fanout estimation.
+
+    Same superstep shuffle shape as PageRank/FastRP; counts are exact
+    BIGINTs (map-side combinable, partition-order-independent), so a
+    SQL oracle that DOES enumerate the paths (k unrolled joins) must
+    agree row for row.
+    """
+    lab = nodes.select("id", "label")
+    state = (
+        edges.select("src", "dst")
+        .join(
+            lab.select(
+                F.col("id").alias("src"),
+                F.col("label").alias("src_label"),
+            ),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("id"), "src_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    for _ in range(k - 1):
+        state = (
+            edges.select("src", "dst")
+            .join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "src_label")
+            .agg(F.sum("n_paths").alias("n_paths"))
+        )
+    return (
+        state.join(lab, "id")
+        .groupBy("src_label", F.col("label").alias("dst_label"))
+        .agg(F.sum("n_paths").alias("n_paths"))
+        .orderBy("src_label", "dst_label")
+    )

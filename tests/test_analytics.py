@@ -1375,3 +1375,21 @@ def test_connected_components_incremental_matches_full(spark):
         ).collect()
     }
     assert inc == full == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+
+
+def test_label_path_census_matrix_power(spark):
+    """Two length-2 paths a->b->c and a->b->c' on labeled nodes: counts
+    equal hand enumeration, k=2."""
+    nodes = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (4, "z")],
+        "id bigint, label string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (3, 4)], "src bigint, dst bigint"
+    )
+    got = {
+        (r["src_label"], r["dst_label"]): r["n_paths"]
+        for r in analytics.label_path_census(nodes, edges, k=2).collect()
+    }
+    # length-2 paths: 1->2->3 (x,z), 1->2->4 (x,z), 2->3->4 (y,z)
+    assert got == {("x", "z"): 2, ("y", "z"): 1}

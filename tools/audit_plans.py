@@ -137,6 +137,7 @@ AUDITED = [
     ("edge_embeddedness", "triangle-explode edge support"),
     ("seeded_labels_parts", "clamped-seed majority propagation"),
     ("cc_incremental_geo", "component-graph CC + remap join"),
+    ("label_path_census", "A^3 count propagation by label"),
 ]
 
 
