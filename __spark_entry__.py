@@ -6535,6 +6535,16 @@ def q_label_path_census(spark, sf_dir):
     return analytics.label_path_census(g.nodes, g.edges, k=3)
 
 
+def q_basket_triples(spark, sf_dir):
+    """Frequent 3-itemsets over orders (ev.frequent_triples): part
+    triples co-ordered in >= 2 orders, Apriori-pruned by the frequent
+    PAIR set before the 3-way within-basket join (lossless by support
+    monotonicity — the oracle enumerates directly and must agree).
+    Top-20 by (support desc, a, b, c), exact BIGINT support."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return ev.frequent_triples(li, min_support=2, top=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6795,6 +6805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental_geo": q_cc_incremental_geo,
         "doc_length_percentiles": q_doc_length_percentiles,
         "label_path_census": q_label_path_census,
+        "basket_triples": q_basket_triples,
     }
 
 
@@ -11554,5 +11565,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nodes_v ls ON ls.id = e1.src
             JOIN nodes_v ld ON ld.id = e3.dst
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Direct triple enumeration — the Apriori pair prune on the
+        # Spark side is lossless, so both must agree exactly.
+        "basket_triples": """
+            WITH bt AS (
+              SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+              FROM lineitem
+            )
+            SELECT x.it AS a, y.it AS b, z.it AS c,
+                   COUNT(*) AS support
+            FROM bt x
+            JOIN bt y ON y.bk = x.bk AND x.it < y.it
+            JOIN bt z ON z.bk = x.bk AND y.it < z.it
+            GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+            ORDER BY support DESC, a, b, c LIMIT 20
         """,
     }

@@ -844,3 +844,57 @@ def event_bursts(
             "excess",
         )
     )
+
+
+def frequent_triples(
+    baskets: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Frequent 3-itemsets (Apriori): item triples a < b < c co-occurring
+    in >= ``min_support`` baskets, top ``top`` by (support desc, a, b,
+    c). The candidate triple join is PRUNED by the frequent-PAIR set
+    first — the Apriori monotonicity step (a triple can't be frequent
+    if any of its pairs isn't), which is LOSSLESS for the result while
+    cutting the within-basket triple explosion to items that survive
+    the pair threshold. Per-basket volume is C(|basket ∩ frequent
+    items|, 3); on heavy-tailed baskets the pair prune is what keeps
+    that binomial term bounded.
+
+    Shape: one distinct, one pair count, one pair semi-join, one
+    3-way within-basket equi-join + count — all equi-keyed on the
+    basket id, no cross joins; exact BIGINT support.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    pa = b.select("_bk", F.col("_it").alias("a"))
+    pb = b.select("_bk", F.col("_it").alias("b"))
+    pc = b.select("_bk", F.col("_it").alias("c"))
+    freq_pairs = (
+        pa.join(pb, "_bk")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_support)
+        .select("a", "b")
+    )
+    # Apriori prune: only (a,b) pairs that are themselves frequent may
+    # extend to a candidate triple (lossless by support monotonicity).
+    ab = (
+        pa.join(pb, "_bk")
+        .where(F.col("a") < F.col("b"))
+        .join(freq_pairs, ["a", "b"], "left_semi")
+    )
+    triples = (
+        ab.join(pc, "_bk")
+        .where(F.col("b") < F.col("c"))
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return triples.orderBy(
+        F.col("support").desc(), "a", "b", "c"
+    ).limit(top)

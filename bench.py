@@ -207,6 +207,7 @@ HEADLINE = [
     "cc_incremental_geo",     # O(changes) CC maintenance (component graph)
     "doc_length_percentiles", # histogram-windowed per-group permille
     "label_path_census",      # A^3 by label via count propagation
+    "basket_triples",         # Apriori-pruned frequent 3-itemsets
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -2543,3 +2543,22 @@ def test_percentile_by_group_exact(spark):
         for r in percentile_by_group(df, "grp", "v", "id").collect()
     }
     assert got == {1: 250, 2: 750, 3: 750, 4: 1000, 5: 1000}
+
+
+def test_frequent_triples_apriori(spark):
+    """Baskets {1,2,3}, {1,2,3}, {1,2,4}: triple (1,2,3) support 2
+    survives; (1,2,4) support 1 does not. Duplicate items in one
+    basket count once."""
+    from akka_graph_db_spark.functions.events import frequent_triples
+
+    rows = [
+        (10, 1), (10, 2), (10, 3), (10, 3),
+        (11, 1), (11, 2), (11, 3),
+        (12, 1), (12, 2), (12, 4),
+    ]
+    b = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    got = [
+        (r["a"], r["b"], r["c"], r["support"])
+        for r in frequent_triples(b, min_support=2).collect()
+    ]
+    assert got == [(1, 2, 3, 2)]
