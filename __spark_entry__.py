@@ -6545,6 +6545,33 @@ def q_basket_triples(spark, sf_dir):
     return ev.frequent_triples(li, min_support=2, top=20)
 
 
+def q_price_qty_correlation(spark, sf_dir):
+    """Exact-moment Pearson correlation of l_quantity vs
+    l_extendedprice (profilef.column_correlation): one aggregation of
+    exact DECIMAL component sums (n, Σx, Σy, Σxy, Σx², Σy²), floats
+    only in the final closed form — partition-order-independent where
+    a streaming corr() is not. Both engines compute the identical
+    left-associated expression, rounded to 6 dp."""
+    from akka_graph_db_spark.functions.profile import (
+        column_correlation,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_correlation(li, "l_quantity", "l_extendedprice")
+
+
+def q_interval_coverage(spark, sf_dir):
+    """Per-user active-time coverage (ev.interval_coverage): events
+    expanded to 10-minute intervals, overlaps merged by the
+    gaps-and-islands running-MAX trick, covered seconds summed
+    exactly per island — the metric naive duration sums overcount.
+    Integer epoch seconds end to end (oracle uses floor(epoch()) for
+    the truncation parity)."""
+    return ev.interval_coverage(
+        read_events(spark, sf_dir), window_minutes=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6806,6 +6833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_percentiles": q_doc_length_percentiles,
         "label_path_census": q_label_path_census,
         "basket_triples": q_basket_triples,
+        "price_qty_correlation": q_price_qty_correlation,
+        "interval_coverage": q_interval_coverage,
     }
 
 
@@ -11580,5 +11609,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN bt z ON z.bk = x.bk AND y.it < z.it
             GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
             ORDER BY support DESC, a, b, c LIMIT 20
+        """,
+        # Exact decimal component sums; floats only in the final
+        # closed form, same left-association as the Spark side.
+        "price_qty_correlation": """
+            WITH pc AS (
+              SELECT COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+                     SUM(CAST(l_extendedprice AS DECIMAL(19,6)))
+                       AS sy,
+                     SUM(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                              * CAST(l_extendedprice
+                                     AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS sxy,
+                     SUM(CAST(CAST(l_quantity AS DECIMAL(19,6))
+                              * CAST(l_quantity AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS sxx,
+                     SUM(CAST(CAST(l_extendedprice
+                                   AS DECIMAL(19,6))
+                              * CAST(l_extendedprice
+                                     AS DECIMAL(19,6))
+                              AS DECIMAL(38,12))) AS syy
+              FROM lineitem
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   ROUND(
+                     ((CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                     / sqrt(
+                       ((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                       * ((CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                             / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                     ), 6) AS r,
+                   ROUND((CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE),
+                         6) AS cov,
+                   ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS x_mean,
+                   ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS y_mean
+            FROM pc
+        """,
+        # Island merge: new island where the running MAX of previous
+        # interval ends is below this start; floor(epoch()) matches
+        # Spark's unix_timestamp truncation.
+        "interval_coverage": """
+            WITH ic AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+              FROM events
+            ),
+            icm AS (
+              SELECT user_id, ts, event_id, s, e,
+                     CASE WHEN MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) >= s
+                          THEN 0 ELSE 1 END AS ni
+              FROM ic
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                     SUM(ni) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS g
+              FROM icm
+            ),
+            per_isl AS (
+              SELECT user_id, g, MAX(e) - MIN(s) AS len
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT p.user_id,
+                   CAST(SUM(p.len) AS BIGINT) AS covered_seconds,
+                   COUNT(*) AS n_islands,
+                   (SELECT COUNT(*) FROM events ev
+                    WHERE ev.user_id = p.user_id) AS n_events
+            FROM per_isl p GROUP BY p.user_id
         """,
     }

@@ -898,3 +898,73 @@ def frequent_triples(
     return triples.orderBy(
         F.col("support").desc(), "a", "b", "c"
     ).limit(top)
+
+
+def interval_coverage(
+    events: DataFrame,
+    window_minutes: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user covered time: expand each event to the interval
+    [ts, ts + window_minutes) and measure the LENGTH OF THE UNION of
+    those intervals (overlaps merged, gaps excluded) — the active-time
+    metric naive sum-of-durations overcounts whenever activity
+    clusters. Returns (user, covered_seconds, n_islands, n_events).
+
+    Classic gaps-and-islands interval merge: within each user's
+    (ts, id) order, an island starts where the interval begins after
+    the running MAX of all previous interval ends; islands sum their
+    (max end − min start) exactly in integer seconds. Two per-user
+    windows sharing one partitioning — no self-join, no global sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ep = F.unix_timestamp(F.col(ts_col))
+    iv = events.select(
+        user_col,
+        ts_col,
+        id_col,
+        ep.alias("_s"),
+        (ep + window_minutes * 60).alias("_e"),
+    )
+    marked = iv.select(
+        user_col,
+        ts_col,
+        id_col,
+        "_s",
+        "_e",
+        F.when(
+            F.max("_e").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            >= F.col("_s"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("_new_island"),
+    )
+    islands = marked.select(
+        user_col,
+        "_s",
+        "_e",
+        F.sum("_new_island").over(w).alias("_isl"),
+    )
+    per_island = islands.groupBy(user_col, "_isl").agg(
+        (F.max("_e") - F.min("_s")).alias("_len")
+    )
+    return (
+        per_island.groupBy(user_col)
+        .agg(
+            F.sum("_len").cast("bigint").alias("covered_seconds"),
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        )
+        .join(
+            events.groupBy(user_col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events")
+            ),
+            user_col,
+        )
+    )

@@ -227,3 +227,47 @@ def percentile_by_group(
     return df.select(id_col, group_col, value_col).join(
         ranks, [group_col, value_col]
     ).select(id_col, group_col, value_col, "permille")
+
+
+def column_correlation(
+    df: DataFrame, x_col: str, y_col: str, round_to: int = 6
+) -> DataFrame:
+    """Exact-moment Pearson correlation between two numeric columns:
+    one aggregation computes (n, Σx, Σy, Σxy, Σx², Σy²) as EXACT
+    decimals (2-decimal fixture doubles are lossless as DECIMAL(19,6);
+    products fit DECIMAL(38,12)), then r derives from the closed form
+    in a handful of IEEE steps — so the answer is independent of
+    partitioning and shuffle order, unlike a streaming corr() whose
+    float accumulation drifts per run. Returns one row
+    (n, r, cov, x_mean, y_mean), r/cov/means rounded to ``round_to``.
+
+    The value_outliers discipline extended to the cross moment: the
+    ONLY floats are the final divisions/sqrt; everything additive is
+    decimal. One map-side-combinable aggregation — no window, no join.
+    """
+    x = F.col(x_col).cast("decimal(19,6)")
+    y = F.col(y_col).cast("decimal(19,6)")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("_sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("_sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = (sxy - sx * sy / n) / n
+    vx = (sxx - sx * sx / n) / n
+    vy = (syy - sy * sy / n) / n
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(cov / F.sqrt(vx * vy), round_to).alias("r"),
+        F.round(cov, round_to).alias("cov"),
+        F.round(sx / n, round_to).alias("x_mean"),
+        F.round(sy / n, round_to).alias("y_mean"),
+    )

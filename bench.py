@@ -208,6 +208,8 @@ HEADLINE = [
     "doc_length_percentiles", # histogram-windowed per-group permille
     "label_path_census",      # A^3 by label via count propagation
     "basket_triples",         # Apriori-pruned frequent 3-itemsets
+    "price_qty_correlation",  # exact-moment Pearson (decimal sums)
+    "interval_coverage",      # gaps-and-islands interval-union length
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -2562,3 +2562,38 @@ def test_frequent_triples_apriori(spark):
         for r in frequent_triples(b, min_support=2).collect()
     ]
     assert got == [(1, 2, 3, 2)]
+
+
+def test_column_correlation_exact(spark):
+    """Perfect line y = 2x -> r = 1; hand-checkable moments."""
+    from akka_graph_db_spark.functions.profile import column_correlation
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "x double, y double"
+    )
+    r = column_correlation(df, "x", "y").collect()[0]
+    assert (r["n"], r["r"], r["x_mean"], r["y_mean"]) == (3, 1.0, 2.0, 4.0)
+    # cov = E[xy] - E[x]E[y] = (2+8+18)/3 - 2*4 = 28/3 - 8
+    assert r["cov"] == round(28 / 3 - 8, 6)
+
+
+def test_interval_coverage_merges_overlaps(spark):
+    """Three events 5 min apart chain into ONE 20-minute island; a
+    fourth 2 hours later is its own 10-minute island."""
+    from akka_graph_db_spark.functions.events import interval_coverage
+
+    ev_df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7),
+            (2, "2024-01-01 00:05:00", 7),
+            (3, "2024-01-01 00:10:00", 7),
+            (4, "2024-01-01 02:00:00", 7),
+        ],
+        "event_id bigint, ts string, user_id bigint",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    r = interval_coverage(ev_df, window_minutes=10).collect()[0]
+    assert (r["covered_seconds"], r["n_islands"], r["n_events"]) == (
+        1800, 2, 4,
+    )
