@@ -6572,6 +6572,24 @@ def q_interval_coverage(spark, sf_dir):
     )
 
 
+def q_local_clustering_parts(spark, sf_dir):
+    """Top-20 part co-order nodes by local clustering coefficient
+    (analytics.local_clustering): triangles(v) / C(deg,2) from the
+    degree-oriented triangle counts — exact integer counts, one IEEE
+    division rounded to 6 dp; ties broken by id."""
+    return analytics.local_clustering(
+        _coorder_pairs(spark, sf_dir), top=20, min_degree=2
+    )
+
+
+def q_event_trends(spark, sf_dir):
+    """Per-type daily-count trend (ev.event_trends): the regression
+    slope numerator n·Σxy − Σx·Σy over (day index, daily count) as an
+    exact BIGINT — sign = rising/falling with zero float accumulation;
+    the IEEE slope is published rounded for reference."""
+    return ev.event_trends(read_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6835,6 +6853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_triples": q_basket_triples,
         "price_qty_correlation": q_price_qty_correlation,
         "interval_coverage": q_interval_coverage,
+        "local_clustering_parts": q_local_clustering_parts,
+        "event_trends": q_event_trends,
     }
 
 
@@ -11690,5 +11710,68 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM events ev
                     WHERE ev.user_id = p.user_id) AS n_events
             FROM per_isl p GROUP BY p.user_id
+        """,
+        "local_clustering_parts": """
+            WITH lc_pairs AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            lc_deg AS MATERIALIZED (
+              SELECT id, COUNT(*) AS deg FROM (
+                SELECT a AS id FROM lc_pairs
+                UNION ALL SELECT b FROM lc_pairs
+              ) GROUP BY id HAVING COUNT(*) >= 2
+            ),
+            lc_tri AS MATERIALIZED (
+              SELECT e1.a AS a, e1.b AS b, e2.b AS c
+              FROM lc_pairs e1
+              JOIN lc_pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN lc_pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            lc_tn AS (
+              SELECT id, COUNT(*) AS nt FROM (
+                SELECT a AS id FROM lc_tri
+                UNION ALL SELECT b FROM lc_tri
+                UNION ALL SELECT c FROM lc_tri
+              ) GROUP BY id
+            )
+            SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+                   CAST(COALESCE(t.nt, 0) AS BIGINT) AS n_triangles,
+                   ROUND(COALESCE(t.nt, 0)
+                         / (d.deg * (d.deg - 1) / 2), 6) AS lcc
+            FROM lc_deg d LEFT JOIN lc_tn t ON t.id = d.id
+            ORDER BY lcc DESC, d.id LIMIT 20
+        """,
+        "event_trends": """
+            WITH et_daily AS (
+              SELECT event_type,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) AS x,
+                     COUNT(*) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            et_agg AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM et_daily GROUP BY 1
+            )
+            SELECT event_type, n_days,
+                   CAST(n_days * sxy - sx * sy AS BIGINT)
+                     AS slope_num,
+                   CASE WHEN n_days * sxy - sx * sy > 0 THEN 'rising'
+                        WHEN n_days * sxy - sx * sy < 0 THEN 'falling'
+                        ELSE 'flat' END AS trend,
+                   CASE WHEN n_days * sxx - sx * sx > 0 THEN
+                     ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                           / CAST(n_days * sxx - sx * sx AS DOUBLE),
+                           6)
+                   END AS slope
+            FROM et_agg
         """,
     }

@@ -968,3 +968,53 @@ def interval_coverage(
             user_col,
         )
     )
+
+
+def event_trends(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-type activity trend: the least-squares slope SIGN of daily
+    event counts against the day index, computed as the EXACT INTEGER
+    numerator n·Σxy − Σx·Σy (x = days since epoch, y = daily count —
+    the regression-slope numerator, whose denominator n·Σx² − (Σx)² is
+    positive, so the numerator alone carries the sign). Returns
+    (event_type, n_days, slope_num, trend 'rising'|'falling'|'flat',
+    slope rounded to 6 dp) — drift detection with zero float
+    accumulation: every sum is a BIGINT, only the published slope
+    divides.
+
+    One daily groupBy + one per-type aggregation — map-side
+    combinable, no window, no join.
+    """
+    daily = events.groupBy(
+        type_col,
+        F.datediff(
+            F.to_date(F.col(ts_col)), F.lit("1970-01-01")
+        ).alias("_x"),
+    ).agg(F.count(F.lit(1)).alias("_y"))
+    agg = daily.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_x").cast("bigint").alias("_sx"),
+        F.sum("_y").cast("bigint").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("bigint").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("bigint").alias("_sxx"),
+    )
+    num = F.col("n_days") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("n_days") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return agg.select(
+        type_col,
+        "n_days",
+        num.cast("bigint").alias("slope_num"),
+        F.when(num > 0, F.lit("rising"))
+        .when(num < 0, F.lit("falling"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+        F.when(
+            den > 0,
+            F.round(
+                num.cast("double") / den.cast("double"), 6
+            ),
+        ).alias("slope"),
+    )

@@ -210,6 +210,8 @@ HEADLINE = [
     "basket_triples",         # Apriori-pruned frequent 3-itemsets
     "price_qty_correlation",  # exact-moment Pearson (decimal sums)
     "interval_coverage",      # gaps-and-islands interval-union length
+    "local_clustering_parts", # per-node triangles / C(deg,2)
+    "event_trends",           # integer-exact daily slope signs
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

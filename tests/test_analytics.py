@@ -1393,3 +1393,18 @@ def test_label_path_census_matrix_power(spark):
     }
     # length-2 paths: 1->2->3 (x,z), 1->2->4 (x,z), 2->3->4 (y,z)
     assert got == {("x", "z"): 2, ("y", "z"): 1}
+
+
+def test_local_clustering_closed_form(spark):
+    """Triangle 1-2-3 plus pendant 4 on node 3: nodes 1,2 have lcc 1;
+    node 3 has deg 3, 1 triangle -> 1/3; node 4 is below min_degree."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a bigint, b bigint"
+    )
+    got = {
+        r["id"]: (r["deg"], r["n_triangles"], r["lcc"])
+        for r in analytics.local_clustering(pairs, top=10).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (3, 1, round(1 / 3, 6)),
+    }

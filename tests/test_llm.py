@@ -2597,3 +2597,29 @@ def test_interval_coverage_merges_overlaps(spark):
     assert (r["covered_seconds"], r["n_islands"], r["n_events"]) == (
         1800, 2, 4,
     )
+
+
+def test_event_trends_signs(spark):
+    """Counts 1,2,3 over three days -> rising with slope 1; constant
+    counts -> flat (numerator 0)."""
+    from akka_graph_db_spark.functions.events import event_trends
+
+    rows = []
+    eid = 0
+    for d, n in [(1, 1), (2, 2), (3, 3)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "up"))
+    for d in (1, 2, 3):
+        eid += 1
+        rows.append((eid, f"2024-01-0{d} 10:00:00", 1, "same"))
+    ev_df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type"
+    )
+    got = {
+        r["event_type"]: (r["trend"], r["slope"])
+        for r in event_trends(ev_df).collect()
+    }
+    assert got == {"up": ("rising", 1.0), "same": ("flat", 0.0)}
