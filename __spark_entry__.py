@@ -6590,6 +6590,35 @@ def q_event_trends(spark, sf_dir):
     return ev.event_trends(read_events(spark, sf_dir))
 
 
+def q_k_anonymity_customers(spark, sf_dir):
+    """k-anonymity audit of customers under the (c_nationkey,
+    c_mktsegment) quasi-identifier (profilef.k_anonymity_report, k=5):
+    exact integer group sizes, rows/groups below k, integer-DIV
+    permille — one groupBy + one rollup, no floats anywhere."""
+    from akka_graph_db_spark.functions.profile import (
+        k_anonymity_report,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+def q_fd_discovery_part(spark, sf_dir):
+    """Functional-dependency discovery over part columns
+    (profilef.fd_discovery on p_name/p_brand/p_type/p_size): which
+    column determines which, with exact violation counts — the
+    schema-discovery primitive behind key inference; one
+    groupBy+countDistinct per ordered pair."""
+    from akka_graph_db_spark.functions.profile import fd_discovery
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fd_discovery(
+        part, ["p_name", "p_brand", "p_type", "p_size"]
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6855,6 +6884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_coverage": q_interval_coverage,
         "local_clustering_parts": q_local_clustering_parts,
         "event_trends": q_event_trends,
+        "k_anonymity_customers": q_k_anonymity_customers,
+        "fd_discovery_part": q_fd_discovery_part,
     }
 
 
@@ -11773,5 +11804,70 @@ def oracle_sql() -> dict[str, str]:
                            6)
                    END AS slope
             FROM et_agg
+        """,
+        "k_anonymity_customers": """
+            WITH ka AS (
+              SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+              FROM customer GROUP BY 1, 2
+            ),
+            kr AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                     COUNT(*) AS n_groups,
+                     CAST(MIN(n) AS BIGINT) AS min_group_size,
+                     CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                          AS BIGINT) AS n_rows_at_risk,
+                     CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_groups_at_risk
+              FROM ka
+            )
+            SELECT *, CAST(n_rows_at_risk * 1000 // n_rows
+                           AS INTEGER) AS at_risk_permille
+            FROM kr
+        """,
+        "fd_discovery_part": """
+            WITH fd AS (
+              SELECT det, dep, COUNT(*) AS n_groups,
+                     CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_violating_groups
+              FROM (
+                SELECT 'p_name' AS det, 'p_brand' AS dep, p_name AS g,
+                       COUNT(DISTINCT p_brand) AS nd
+                FROM part GROUP BY p_name
+                UNION ALL SELECT 'p_name', 'p_type', p_name,
+                       COUNT(DISTINCT p_type) FROM part GROUP BY p_name
+                UNION ALL SELECT 'p_name', 'p_size', p_name,
+                       COUNT(DISTINCT CAST(p_size AS VARCHAR))
+                FROM part GROUP BY p_name
+                UNION ALL SELECT 'p_brand', 'p_name', p_brand,
+                       COUNT(DISTINCT p_name) FROM part GROUP BY p_brand
+                UNION ALL SELECT 'p_brand', 'p_type', p_brand,
+                       COUNT(DISTINCT p_type) FROM part GROUP BY p_brand
+                UNION ALL SELECT 'p_brand', 'p_size', p_brand,
+                       COUNT(DISTINCT CAST(p_size AS VARCHAR))
+                FROM part GROUP BY p_brand
+                UNION ALL SELECT 'p_type', 'p_name', p_type,
+                       COUNT(DISTINCT p_name) FROM part GROUP BY p_type
+                UNION ALL SELECT 'p_type', 'p_brand', p_type,
+                       COUNT(DISTINCT p_brand) FROM part GROUP BY p_type
+                UNION ALL SELECT 'p_type', 'p_size', p_type,
+                       COUNT(DISTINCT CAST(p_size AS VARCHAR))
+                FROM part GROUP BY p_type
+                UNION ALL SELECT 'p_size', 'p_name',
+                       CAST(p_size AS VARCHAR), COUNT(DISTINCT p_name)
+                FROM part GROUP BY p_size
+                UNION ALL SELECT 'p_size', 'p_brand',
+                       CAST(p_size AS VARCHAR), COUNT(DISTINCT p_brand)
+                FROM part GROUP BY p_size
+                UNION ALL SELECT 'p_size', 'p_type',
+                       CAST(p_size AS VARCHAR), COUNT(DISTINCT p_type)
+                FROM part GROUP BY p_size
+              ) GROUP BY det, dep
+            )
+            SELECT determinant, dependent, n_groups,
+                   n_violating_groups,
+                   (n_violating_groups = 0) AS holds
+            FROM (SELECT det AS determinant, dep AS dependent,
+                         n_groups, n_violating_groups FROM fd)
+            ORDER BY determinant, dependent
         """,
     }

@@ -271,3 +271,83 @@ def column_correlation(
         F.round(sx / n, round_to).alias("x_mean"),
         F.round(sy / n, round_to).alias("y_mean"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy risk audit: treating ``quasi_cols`` as a
+    quasi-identifier, one row summarizing how re-identifiable the
+    table is — (n_rows, n_groups, min_group_size, n_rows_at_risk,
+    n_groups_at_risk, at_risk_permille) where "at risk" means the
+    row's quasi-identifier group has fewer than ``k`` members (the
+    k-anonymity criterion). All exact integers; the permille is
+    integer DIV.
+
+    Shape: one groupBy over the quasi-identifier + one 1-row rollup —
+    both map-side combinable; no window, no join, no floats.
+    """
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return groups.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("_n").cast("bigint").alias("min_group_size"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_at_risk"),
+    ).select(
+        "*",
+        F.expr("n_rows_at_risk * 1000 div n_rows")
+        .cast("int")
+        .alias("at_risk_permille"),
+    )
+
+
+def fd_discovery(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Functional-dependency discovery over ordered column pairs:
+    for every (determinant, dependent) pair from ``cols``, whether
+    determinant → dependent holds exactly, with the violation count —
+    (determinant, dependent, n_groups, n_violating_groups, holds),
+    ordered by (determinant, dependent). A group violates when one
+    determinant value maps to >1 distinct dependent values. The
+    schema-discovery primitive behind key inference and normalization
+    audits; exact integer counts.
+
+    Shape: one groupBy + countDistinct per pair (len(cols)² small
+    aggregations over pruned two-column scans), unioned — each is
+    map-side combinable; no window.
+    """
+    outs = []
+    for det in cols:
+        for dep in cols:
+            if det == dep:
+                continue
+            g = df.groupBy(det).agg(
+                F.countDistinct(dep).alias("_nd")
+            )
+            outs.append(
+                g.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                    F.sum(
+                        F.when(F.col("_nd") > 1, 1).otherwise(0)
+                    ).cast("bigint").alias("n_violating_groups"),
+                ).select(
+                    F.lit(det).alias("determinant"),
+                    F.lit(dep).alias("dependent"),
+                    "n_groups",
+                    "n_violating_groups",
+                    (F.col("n_violating_groups") == 0).alias("holds"),
+                )
+            )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy(
+        "determinant", "dependent"
+    )

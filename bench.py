@@ -212,6 +212,8 @@ HEADLINE = [
     "interval_coverage",      # gaps-and-islands interval-union length
     "local_clustering_parts", # per-node triangles / C(deg,2)
     "event_trends",           # integer-exact daily slope signs
+    "k_anonymity_customers",  # quasi-identifier group-size audit
+    "fd_discovery_part",      # functional-dependency inference
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

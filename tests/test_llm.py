@@ -2623,3 +2623,40 @@ def test_event_trends_signs(spark):
         for r in event_trends(ev_df).collect()
     }
     assert got == {"up": ("rising", 1.0), "same": ("flat", 0.0)}
+
+
+def test_k_anonymity_report_exact(spark):
+    """Groups of size 3, 1, 1 under k=2: 2 rows / 2 groups at risk,
+    min size 1, permille 400."""
+    from akka_graph_db_spark.functions.profile import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "c")],
+        "id bigint, q string",
+    )
+    r = k_anonymity_report(df, ["q"], k=2).collect()[0]
+    assert (
+        r["n_rows"], r["n_groups"], r["min_group_size"],
+        r["n_rows_at_risk"], r["n_groups_at_risk"],
+        r["at_risk_permille"],
+    ) == (5, 3, 1, 2, 2, 400)
+
+
+def test_fd_discovery_holds_and_violates(spark):
+    """id -> color holds; color -> id violated by the duplicate color."""
+    from akka_graph_db_spark.functions.profile import fd_discovery
+
+    df = spark.createDataFrame(
+        [(1, "red"), (2, "red"), (3, "blue")],
+        "id bigint, color string",
+    )
+    got = {
+        (r["determinant"], r["dependent"]): (
+            r["n_violating_groups"], r["holds"]
+        )
+        for r in fd_discovery(df, ["id", "color"]).collect()
+    }
+    assert got == {
+        ("id", "color"): (0, True),
+        ("color", "id"): (1, False),
+    }
