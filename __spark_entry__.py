@@ -958,6 +958,57 @@ def _slpa_oracle(rounds: int = 3) -> str:
     )
 
 
+def _matching_oracle(rounds: int = 5) -> str:
+    """q_matching_parts' oracle: the locally-minimal-edge matching
+    unrolled round by round over the part co-order graph — md5 edge
+    keys, per-endpoint MIN joins, matched-endpoint NOT EXISTS removal;
+    identical round count to the Spark side."""
+    ctes = [
+        """mm_l0 AS MATERIALIZED (
+            SELECT a, b,
+                   md5(CAST(a AS VARCHAR) || ':'
+                       || CAST(b AS VARCHAR)) AS k
+            FROM (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                  FROM lineitem x JOIN lineitem y
+                    ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey)
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        # per-vertex min over the SYMMETRIZED incidence (see the Spark
+        # side's matching-invariant note — per-side minima are wrong)
+        ctes.append(f"""mm_v{r} AS MATERIALIZED (
+            SELECT v, MIN(k) AS mk FROM (
+                SELECT a AS v, k FROM mm_l{r - 1}
+                UNION ALL SELECT b AS v, k FROM mm_l{r - 1}
+            ) GROUP BY v
+        )""")
+        ctes.append(f"""mm_s{r} AS MATERIALIZED (
+            SELECT l.a, l.b, CAST({r} AS INTEGER) AS matched_round
+            FROM mm_l{r - 1} l
+            JOIN mm_v{r} xa ON xa.v = l.a AND l.k = xa.mk
+            JOIN mm_v{r} xb ON xb.v = l.b AND l.k = xb.mk
+        )""")
+        ctes.append(f"""mm_l{r} AS MATERIALIZED (
+            SELECT e.a, e.b, e.k FROM mm_l{r - 1} e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM mm_s{r} s
+                WHERE s.a IN (e.a, e.b) OR s.b IN (e.a, e.b)
+            )
+        )""")
+    sel_union = "\nUNION ALL\n".join(
+        f"SELECT * FROM mm_s{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a, b, matched_round FROM ({sel_union})
+        ORDER BY a, b
+        """
+    )
+
+
 def _kmeans_oracle(
     k: int = 8,
     n_iter: int = 3,
@@ -6619,6 +6670,18 @@ def q_fd_discovery_part(spark, sf_dir):
     )
 
 
+def q_matching_parts(spark, sf_dir):
+    """Deterministic maximal matching on the part co-order graph
+    (analytics.maximal_matching, 5 Luby-style rounds): each round
+    keeps edges whose md5 key is minimal at BOTH endpoints (an
+    independent set of the line graph), removes matched vertices —
+    reproducible on any partitioning; the oracle unrolls the same
+    rounds (_matching_oracle)."""
+    return analytics.maximal_matching(
+        _coorder_pairs(spark, sf_dir), rounds=5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -6886,6 +6949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trends": q_event_trends,
         "k_anonymity_customers": q_k_anonymity_customers,
         "fd_discovery_part": q_fd_discovery_part,
+        "matching_parts": q_matching_parts,
     }
 
 
@@ -11585,6 +11649,7 @@ def oracle_sql() -> dict[str, str]:
                                       WHERE s.a = p.a AND s.b = p.b))
         """,
         "seeded_labels_parts": _slpa_oracle(rounds=3),
+        "matching_parts": _matching_oracle(rounds=5),
         # Exact relational derivation of the v0->v1 manifest: the
         # fixture updates customer 1 and removes supplier 1, whose
         # cascade deletes every incident edge.

@@ -3800,3 +3800,82 @@ def local_clustering(
         )
     finally:
         e.unpersist()
+
+
+def maximal_matching(
+    pairs: DataFrame, rounds: int = 5
+) -> DataFrame:
+    """Deterministic distributed maximal matching (greedy, Luby-style
+    symmetry breaking on the line graph): each round selects every
+    live edge whose md5 key is the minimum among ALL live edges at
+    BOTH endpoints (locally-minimal edges are independent, so the
+    round's selections never conflict), then removes the matched
+    vertices. Runs exactly ``rounds`` synchronous rounds — the
+    expected-O(log n) horizon of the randomized analysis, here with
+    md5 in place of randomness so the matching is reproducible on any
+    partitioning AND by a SQL oracle that unrolls the same rounds.
+    Returns the matched edges (a, b, matched_round) ordered by (a, b).
+
+    Shape per round: two groupBy MINs over the live edge frame + two
+    equi-joins to pick local minima + one anti-join to drop matched
+    endpoints — all keyed on endpoints, map-side combinable,
+    localCheckpoint per round keeps the plan linear. The classic
+    building block for distributed coarsening/pairing passes.
+    """
+    live = canonical_undirected(pairs).select(
+        "a",
+        "b",
+        F.md5(
+            F.concat_ws(
+                ":", F.col("a").cast("string"),
+                F.col("b").cast("string")
+            )
+        ).alias("_k"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for rnd in range(1, rounds + 1):
+        # per-VERTEX minimum over the SYMMETRIZED incidence — grouping
+        # the canonical frame's sides separately is wrong: a vertex
+        # appearing as `a` in one edge and `b` in another could match
+        # twice (caught by the matching-invariant pytest; the first
+        # oracle shared the bug, so hash equality alone missed it)
+        inc = live.select(F.col("a").alias("_v"), "_k").unionByName(
+            live.select(F.col("b").alias("_v"), "_k")
+        )
+        vmin = inc.groupBy("_v").agg(F.min("_k").alias("_mk"))
+        sel = (
+            live.join(
+                vmin.select(F.col("_v").alias("a"),
+                            F.col("_mk").alias("_ma")), "a"
+            )
+            .where(F.col("_k") == F.col("_ma"))
+            .join(
+                vmin.select(F.col("_v").alias("b"),
+                            F.col("_mk").alias("_mb")), "b"
+            )
+            .where(F.col("_k") == F.col("_mb"))
+            .select(
+                "a", "b",
+                F.lit(rnd).cast("int").alias("matched_round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = sel if out is None else out.unionByName(sel)
+        matched = (
+            sel.select(F.col("a").alias("id"))
+            .unionByName(sel.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        live = (
+            live.join(
+                matched.select(F.col("id").alias("a")), "a",
+                "left_anti",
+            )
+            .join(
+                matched.select(F.col("id").alias("b")), "b",
+                "left_anti",
+            )
+            .select("a", "b", "_k")
+            .localCheckpoint(eager=True)
+        )
+    return out.orderBy("a", "b")

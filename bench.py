@@ -214,6 +214,7 @@ HEADLINE = [
     "event_trends",           # integer-exact daily slope signs
     "k_anonymity_customers",  # quasi-identifier group-size audit
     "fd_discovery_part",      # functional-dependency inference
+    "matching_parts",         # deterministic Luby maximal matching
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

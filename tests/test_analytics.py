@@ -1408,3 +1408,26 @@ def test_local_clustering_closed_form(spark):
     assert got == {
         1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (3, 1, round(1 / 3, 6)),
     }
+
+
+def test_maximal_matching_invariants(spark):
+    """Matching invariants on a small dense graph: no vertex matched
+    twice, result unchanged under repartitioning, and maximal (every
+    live edge has a matched endpoint)."""
+    edges = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+    m1 = sorted(
+        (r["a"], r["b"])
+        for r in analytics.maximal_matching(pairs, rounds=5).collect()
+    )
+    m2 = sorted(
+        (r["a"], r["b"])
+        for r in analytics.maximal_matching(
+            pairs.repartition(7), rounds=5
+        ).collect()
+    )
+    assert m1 == m2 and m1
+    matched = [v for e in m1 for v in e]
+    assert len(matched) == len(set(matched))  # a true matching
+    ms = set(matched)
+    assert all(a in ms or b in ms for a, b in edges)  # maximal
