@@ -6902,10 +6902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-8 additions: round-9 rotation candidates ---
-        # (36 entries, pattern_diamond .. basket_triples: never
+        # (43 entries, pattern_diamond .. matching_parts: never
         # driver-certified; all local-green at sf0.001 AND sf0.01 —
         # these + any CORRECTNESS_r08 reds should LEAD round 9's
-        # first-50 window; the remaining ~14 slots take the oldest
+        # first-50 window; the remaining ~7 slots take the oldest
         # driver certifications for re-cert.)
         "pattern_diamond": q_pattern_diamond,
         "pattern_supply_gap": q_pattern_supply_gap,

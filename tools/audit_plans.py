@@ -138,6 +138,16 @@ AUDITED = [
     ("seeded_labels_parts", "clamped-seed majority propagation"),
     ("cc_incremental_geo", "component-graph CC + remap join"),
     ("label_path_census", "A^3 count propagation by label"),
+    ("basket_triples", "Apriori pair-pruned 3-itemset join"),
+    ("price_qty_correlation", "exact decimal moment aggregation"),
+    ("interval_coverage", "running-MAX island merge windows"),
+    ("local_clustering_parts", "triangle counts + degree join"),
+    ("event_trends", "integer slope-numerator aggregation"),
+    ("k_anonymity_customers", "quasi-id groupBy + 1-row rollup"),
+    ("fd_discovery_part", "per-pair countDistinct aggs"),
+    ("matching_parts", "per-vertex MIN + local-minima joins"),
+    ("doc_length_percentiles", "histogram cumsum + join-back"),
+    ("store_version_diff", "merge-on-read full-outer diffs"),
 ]
 
 
