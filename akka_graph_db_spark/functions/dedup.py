@@ -1478,3 +1478,197 @@ def containment_prune(
     return df.join(
         dominated, df[id_col] == dominated["_dom"], "left_anti"
     )
+
+
+def dedup_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    sample_k: int = 1500,
+    grid: int = 32,
+    arrow: bool = True,
+) -> DataFrame:
+    """Measured (not modeled) LSH recall: on a deterministic sample of
+    ``sample_k`` docs, compare the banded-MinHash pipeline's verified
+    pair set against the EXACT all-pairs truth at the same threshold —
+    one row (n_docs, true_pairs, lsh_pairs, missed_pairs,
+    recall_permille). The "measure, don't guess" audit for the dedup
+    family: band/row settings are chosen from the (1-(1-s^r)^b) curve,
+    and this op checks the curve against the corpus before a full run
+    commits to them.
+
+    Deterministic: the sample is the ``sample_k`` globally smallest
+    ``md5_63(id)`` hashes (engine-reproducible, stable across corpus
+    growth), so the whole report is exact integers.
+
+    Scale shape: truth needs all C(k,2) pairs ON THE SAMPLE ONLY —
+    realized as a ``grid²``-cell block-nested equi-join (side A
+    replicates each doc to its bucket row-block, side B to the column
+    block; every pair meets in exactly one cell), NOT a cartesian: the
+    shuffle key is the cell id, so the n²/grid² work per cell spreads
+    across the cluster like any other join. Sample cost is k²/2 exact
+    Jaccards — independent of corpus size; the LSH leg runs the real
+    candidate pipeline on the same sample.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    sample = (
+        df.select(F.col(id_col), F.col(text_col))
+        .orderBy(md5_63(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_k)
+        .localCheckpoint(eager=False)
+    )
+    # hashed shingle sets computed ONCE (checkpoint: both grid sides +
+    # the LSH leg would otherwise re-run the tokenize pass)
+    sh = _shingle_sets(
+        sample, text_col, id_col, shingle_n
+    ).localCheckpoint(eager=False)
+    bucket = F.pmod(md5_63(F.col("_sid").cast("string")), F.lit(grid))
+    a_side = sh.select(
+        F.col("_sid").alias("a_id"),
+        F.col("_sh").alias("_sha"),
+        bucket.alias("_i"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(grid - 1))
+        ).alias("_j"),
+    )
+    b_side = sh.select(
+        F.col("_sid").alias("b_id"),
+        F.col("_sh").alias("_shb"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(grid - 1))
+        ).alias("_i"),
+        bucket.alias("_j"),
+    )
+    true_pairs = (
+        a_side.join(b_side, ["_i", "_j"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(jaccard(F.col("_sha"), F.col("_shb")) >= threshold)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    # checkpoint: consumed by both the count and the anti-join
+    lsh_pairs = (
+        minhash_dedup_pairs(
+            sample, text_col, id_col, threshold, num_perm, bands,
+            shingle_n, arrow,
+        )
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    missed = true_pairs.join(
+        lsh_pairs, ["a_id", "b_id"], "left_anti"
+    )
+    # one tagged union -> one 1-row aggregate: no scalar cross-joins
+    tagged = (
+        sample.select(F.lit("doc").alias("_t"))
+        .unionByName(true_pairs.select(F.lit("true").alias("_t")))
+        .unionByName(lsh_pairs.select(F.lit("lsh").alias("_t")))
+        .unionByName(missed.select(F.lit("miss").alias("_t")))
+    )
+    return tagged.agg(
+        F.sum(F.when(F.col("_t") == "doc", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum(F.when(F.col("_t") == "true", 1).otherwise(0))
+        .cast("bigint")
+        .alias("true_pairs"),
+        F.sum(F.when(F.col("_t") == "lsh", 1).otherwise(0))
+        .cast("bigint")
+        .alias("lsh_pairs"),
+        F.sum(F.when(F.col("_t") == "miss", 1).otherwise(0))
+        .cast("bigint")
+        .alias("missed_pairs"),
+    ).select(
+        "*",
+        F.when(
+            F.col("true_pairs") > 0,
+            F.expr(
+                "(true_pairs - missed_pairs) * 1000 div true_pairs"
+            ),
+        )
+        .otherwise(F.lit(1000))
+        .cast("int")
+        .alias("recall_permille"),
+    )
+
+
+def dedup_cluster_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    arrow: bool = True,
+) -> DataFrame:
+    """Near-dup cluster size distribution — the audit every dedup run
+    ships with: (cluster_size, n_clusters, n_docs) per distinct size,
+    where a cluster is one connected component of the exact-verified
+    near-dup graph (singletons included: size 1 = unique docs). Sum of
+    n_docs is the corpus; sum of n_clusters is the post-dedup corpus —
+    the size histogram is what tells you whether removal is dominated
+    by a few mega-clusters (boilerplate) or a long tail (mirrors).
+
+    Same clustering substrate as :func:`minhash_dedup_keep` pairs
+    linkage (exact-dup min-id collapse -> banded LSH -> exact verify ->
+    connected components), so its cost and its 100 TB shape are that
+    pipeline's; the histogram itself is two tiny aggregations over the
+    (doc -> component) map.
+    """
+    from akka_graph_db_spark.operators.analytics import (
+        connected_components_from_pairs,
+    )
+
+    digested = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_digest", F.sha2(F.col(text_col), 256)
+    )
+    reps = (
+        digested.groupBy("_digest")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias(id_col),
+                    F.col(text_col).alias(text_col),
+                )
+            ).alias("_r")
+        )
+        .select("_digest", f"_r.{id_col}", f"_r.{text_col}")
+        .localCheckpoint(eager=False)
+    )
+    verified = minhash_dedup_pairs(
+        reps.drop("_digest"), text_col, id_col, threshold, num_perm,
+        bands, shingle_n, arrow,
+    ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    comp = connected_components_from_pairs(
+        reps.select(F.col(id_col).alias("id")), verified
+    )
+    members = (
+        digested.select(F.col(id_col), "_digest")
+        .join(
+            reps.select("_digest", F.col(id_col).alias("_rep")),
+            "_digest",
+        )
+        .join(comp.select(F.col("id").alias("_rep"), "component"),
+              "_rep")
+        .select(id_col, "component")
+    )
+    sizes = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+    )

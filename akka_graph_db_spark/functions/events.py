@@ -1018,3 +1018,77 @@ def event_trends(
             ),
         ).alias("slope"),
     )
+
+
+def interarrival_quantiles(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    group_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-group inter-arrival-gap distribution: for each entity
+    (``key_col``) the gaps between consecutive timestamps (whole days),
+    then per ``group_col`` the exact type-1 median and p90 of those
+    gaps — (group, n_gaps, min_gap_days, median_gap_days, p90_gap_days,
+    max_gap_days). The purchase-cadence / churn-signal primitive:
+    "how often does a BUILDING-segment customer reorder?".
+
+    Exactness: gaps are integer datediffs; the quantile at permille p is
+    the smallest gap whose cumulative count reaches ceil(n*p/1000) —
+    all integer arithmetic, engine-reproducible.
+
+    Scale shape: one window partitioned by entity (lag), one groupBy to
+    the per-(group, gap) HISTOGRAM, then the ordered quantile window
+    runs over histogram rows (one per distinct gap length per group),
+    not per gap. Ties in ``ts`` are broken by ``order_col`` (defaults
+    to ``key_col``'s row identity being irrelevant: equal timestamps
+    yield zero-day gaps regardless of order, so any tiebreak gives the
+    same gap multiset).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(order_col)] if order_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gaps = (
+        df.select(
+            group_col,
+            key_col,
+            F.datediff(
+                F.col(ts_col), F.lag(ts_col).over(w)
+            ).alias("_gap"),
+        )
+        .where(F.col("_gap").isNotNull())
+    )
+    hist = gaps.groupBy(group_col, "_gap").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        group_col,
+        "_gap",
+        F.sum("_n").over(wcum).alias("_cum"),
+        F.sum("_n").over(Window.partitionBy(group_col)).alias("_tot"),
+    )
+    med_rank = F.expr("(_tot * 500 + 999) div 1000")
+    p90_rank = F.expr("(_tot * 900 + 999) div 1000")
+    return (
+        cum.groupBy(group_col)
+        .agg(
+            F.max("_tot").cast("bigint").alias("n_gaps"),
+            F.min("_gap").cast("bigint").alias("min_gap_days"),
+            F.min(
+                F.when(F.col("_cum") >= med_rank, F.col("_gap"))
+            ).cast("bigint").alias("median_gap_days"),
+            F.min(
+                F.when(F.col("_cum") >= p90_rank, F.col("_gap"))
+            ).cast("bigint").alias("p90_gap_days"),
+            F.max("_gap").cast("bigint").alias("max_gap_days"),
+        )
+    )

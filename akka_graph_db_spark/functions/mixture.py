@@ -105,3 +105,36 @@ def frequency_damped_sample(
         _quota(n_g, coeff, min_keep).alias("_quota"),
     )
     return ranked.where(F.col("_rank") <= F.col("_quota"))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic, order-independent k-row sample per group — the
+    eval-set / balanced-subset carve every training pipeline needs
+    ("hold out 1000 docs per language", "cap each domain at k").
+
+    Rank within the group by the cross-engine ``md5_63`` hash of the row
+    key (uniform, reproducible on ANY partitioning or engine — DuckDB
+    orders identically via ``md5_number_upper & ~sign``), keep rank <= k.
+    A hash rank is a uniform sample without replacement; re-running on a
+    grown corpus keeps a stable prefix per group (rows only enter/leave
+    when their hash rank crosses k), which makes the holdout REUSABLE
+    across snapshots — the property fraction-based ``sample()`` lacks.
+
+    One shuffle: a single window partitioned by group. At 100 TB the
+    window sorts each group once; no join, no second scan, no collect.
+    Returns the sampled rows plus ``_rank``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = F.col(key_col)
+    rank_win = Window.partitionBy(group_col).orderBy(
+        md5_63(key.cast("string")), key
+    )
+    return df.select(
+        "*", F.row_number().over(rank_win).alias("_rank")
+    ).where(F.col("_rank") <= k)

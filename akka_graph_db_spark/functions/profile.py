@@ -351,3 +351,130 @@ def fd_discovery(
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy(
         "determinant", "dependent"
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit one level past k-anonymity: a k-anonymous group
+    still leaks its sensitive attribute when every member SHARES it —
+    l-diversity requires >= ``l`` distinct sensitive values per
+    quasi-identifier group. One summary row: (n_rows, n_groups,
+    min_diversity, n_groups_below_l, n_rows_below_l, below_l_permille).
+    All exact integers; permille is integer DIV.
+
+    Shape: one groupBy over quasi-identifier + countDistinct(sensitive)
+    + a 1-row rollup — both map-side combinable; no window, no join.
+    """
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive_col).alias("_ndist"),
+    )
+    return groups.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("_ndist").cast("bigint").alias("min_diversity"),
+        F.sum(F.when(F.col("_ndist") < l, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_below_l"),
+        F.sum(F.when(F.col("_ndist") < l, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_below_l"),
+    ).select(
+        "*",
+        F.expr("n_rows_below_l * 1000 div n_rows")
+        .cast("int")
+        .alias("below_l_permille"),
+    )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower_permille: int = 10,
+    upper_permille: int = 990,
+) -> DataFrame:
+    """Per-group winsorization at exact rank-based cut points — the
+    outlier-clamping step metric pipelines run before averaging (a
+    single fat-finger order shouldn't move a segment's mean). Returns
+    one row per group: (group, n, lo_cut, hi_cut, n_clipped_low,
+    n_clipped_high, winsorized_sum) with the cuts and sum in the
+    value column's own type (DECIMAL stays DECIMAL — zero float
+    accumulation).
+
+    The cut at permille p is the type-1 (lower) quantile: the smallest
+    value whose cumulative count reaches ``ceil(n * p / 1000)`` —
+    integer arithmetic only, so any engine reproduces it bit-exactly.
+
+    Scale shape (the ``percentile_by_group`` discipline): the ordered
+    window runs over the per-(group, value) HISTOGRAM — one row per
+    distinct value per group, not per input row — then one broadcast
+    join of the tiny per-group cut table back onto the histogram. Two
+    shuffles total (histogram groupBy + window re-sort), both on the
+    group key; no per-row window, no collect.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0 <= lower_permille <= upper_permille <= 1000):
+        raise ValueError("permilles must satisfy 0<=lo<=hi<=1000")
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        group_col,
+        value_col,
+        "_n",
+        F.sum("_n").over(wcum).alias("_cum"),
+        F.sum("_n").over(Window.partitionBy(group_col)).alias("_tot"),
+    )
+    # rank threshold: ceil(tot*p/1000) in integer domain; permille 0
+    # degenerates to rank 1 (no lower clip), 1000 to rank tot.
+    lo_rank = F.greatest(
+        F.lit(1), F.expr(f"(_tot * {lower_permille} + 999) div 1000")
+    )
+    hi_rank = F.greatest(
+        F.lit(1), F.expr(f"(_tot * {upper_permille} + 999) div 1000")
+    )
+    cuts = (
+        cum.groupBy(group_col)
+        .agg(
+            F.min(
+                F.when(F.col("_cum") >= lo_rank, F.col(value_col))
+            ).alias("lo_cut"),
+            F.min(
+                F.when(F.col("_cum") >= hi_rank, F.col(value_col))
+            ).alias("hi_cut"),
+        )
+    )
+    clipped = cum.join(F.broadcast(cuts), group_col).select(
+        group_col,
+        "_n",
+        F.col(value_col).alias("_v"),
+        "lo_cut",
+        "hi_cut",
+        F.greatest(
+            F.col("lo_cut"), F.least(F.col("hi_cut"), F.col(value_col))
+        ).alias("_w"),
+    )
+    return (
+        clipped.groupBy(group_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n"),
+            F.first("lo_cut").alias("lo_cut"),
+            F.first("hi_cut").alias("hi_cut"),
+            F.sum(F.when(F.col("_v") < F.col("lo_cut"), F.col("_n"))
+                  .otherwise(0)).cast("bigint").alias("n_clipped_low"),
+            F.sum(F.when(F.col("_v") > F.col("hi_cut"), F.col("_n"))
+                  .otherwise(0)).cast("bigint").alias("n_clipped_high"),
+            F.sum(F.col("_w") * F.col("_n")).alias("winsorized_sum"),
+        )
+    )

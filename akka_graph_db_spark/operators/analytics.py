@@ -3879,3 +3879,143 @@ def maximal_matching(
             .localCheckpoint(eager=True)
         )
     return out.orderBy("a", "b")
+
+
+def katz_centrality(
+    pairs: DataFrame, max_len: int = 3, beta_permille: int = 1
+) -> DataFrame:
+    """Truncated Katz centrality with EXACT integer arithmetic:
+    katz(v) = Σ_{l=1..max_len} β^l · walks_l(v), where walks_l(v) is
+    the number of length-l walks ending at v (the standard Katz series
+    truncated at max_len; β = beta_permille/1000 keeps longer walks
+    subordinate). Because β is a power of 10^-3, the whole score is an
+    exact BIGINT at nano precision: katz_nano = Σ walks_l ·
+    1000^(max_len-l) — no float accumulation anywhere, so the ranking
+    is bit-reproducible on any engine or partitioning.
+
+    Returns (id, walks_1..walks_{max_len}, katz_nano).
+
+    Scale shape: the walk counts are max_len rounds of message passing
+    x_l = A·x_{l-1} over the symmetrized edge frame — each round one
+    equi-join (state side is one row per vertex, broadcastable below
+    the usual gate) + one groupBy on the destination. The edge frame is
+    persisted once and reused; no transitive materialization, counts
+    only (never path enumeration) — A³ by value, not by listing, the
+    same discipline as label_path_census.
+    """
+    if max_len < 1 or max_len > 5:
+        raise ValueError("max_len must be in 1..5 (BIGINT headroom)")
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = sym.select(F.col("a").alias("id")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # per-vertex state: broadcast only under the CC gate (same rule as
+    # connected_components_from_pairs) — a billion-vertex graph falls
+    # back to the shuffled equi-join.
+    small = nodes.count() <= _CC_BROADCAST_MAX_VERTICES
+    state = nodes.select("id", F.lit(1).cast("bigint").alias("_x"))
+    walks = []
+    for _ in range(max_len):
+        st = state.select(F.col("id").alias("a"), "_x")
+        msgs = (
+            sym.join(
+                F.broadcast(st) if small else st,
+                "a",
+            )
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum("_x").alias("_x"))
+        )
+        # isolated-in-round vertices get 0 walks, not a dropped row
+        state = nodes.join(msgs, "id", "left").select(
+            "id", F.coalesce("_x", F.lit(0)).alias("_x")
+        ).localCheckpoint(eager=False)
+        walks.append(state)
+    out = nodes
+    for l, w in enumerate(walks, start=1):
+        out = out.join(
+            w.select("id", F.col("_x").alias(f"walks_{l}")), "id"
+        )
+    # β = beta_permille/1000: katz·1000^max_len is the exact integer
+    # Σ walks_l · beta_permille^l · 1000^(max_len-l)
+    nano = None
+    for l in range(1, max_len + 1):
+        term = F.col(f"walks_{l}") * F.lit(
+            beta_permille ** l * 1000 ** (max_len - l)
+        )
+        nano = term if nano is None else nano + term
+    res = out.select(
+        "id",
+        *[f"walks_{l}" for l in range(1, max_len + 1)],
+        nano.cast("bigint").alias("katz_nano"),
+    )
+    sym.unpersist()
+    return res
+
+
+def category_mixing(
+    pairs: DataFrame, categories: DataFrame
+) -> DataFrame:
+    """Categorical mixing matrix (the assortative-mixing primitive for
+    labeled graphs): distinct undirected edges bucketed by their
+    endpoints' category pair — (cat_lo, cat_hi, n_edges,
+    same_category) with the pair canonicalized so (X,Y) and (Y,X)
+    land in one row. ``categories`` is (id, category). Exact integer
+    counts; the Newman mixing matrix e_ij (and hence categorical
+    assortativity) is this table divided by 2m.
+
+    Scale shape: two broadcast-able joins of the (small) category
+    frame onto the canonical edge list + one groupBy on the 2-column
+    category key — no self-join of edges, no window.
+    """
+    e = canonical_undirected(pairs)
+    ca = categories.select(
+        F.col("id").alias("a"), F.col("category").alias("_ca")
+    )
+    cb = categories.select(
+        F.col("id").alias("b"), F.col("category").alias("_cb")
+    )
+    return (
+        e.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            F.least("_ca", "_cb").alias("cat_lo"),
+            F.greatest("_ca", "_cb").alias("cat_hi"),
+        )
+        .groupBy("cat_lo", "cat_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .select(
+            "*", (F.col("cat_lo") == F.col("cat_hi")).alias(
+                "same_category"
+            )
+        )
+    )
+
+
+def scc_condensation(edges: DataFrame) -> DataFrame:
+    """Condensation DAG of a directed graph: contract each strongly
+    connected component (via :func:`strongly_connected_components`) to
+    one super-node and count the original edges between DISTINCT
+    components — (scc_a, scc_b, n_edges). The result is acyclic by
+    construction; on the event-type transition graph it is the
+    behavior-state flow diagram (which mutually-reachable state
+    clusters feed which).
+
+    Scale shape: the SCC labeling is the path-doubling closure (cost
+    documented there — bounded-cardinality digraphs like type graphs);
+    the condensation itself is two joins of the (vertex→scc) map onto
+    the edge list + one groupBy. The scc map is one row per vertex —
+    broadcast-able for the type-graph use case.
+    """
+    scc = strongly_connected_components(edges).select("id", "scc")
+    sa = scc.select(F.col("id").alias("a"), F.col("scc").alias("scc_a"))
+    sb = scc.select(F.col("id").alias("b"), F.col("scc").alias("scc_b"))
+    return (
+        edges.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .where(F.col("scc_a") != F.col("scc_b"))
+        .groupBy("scc_a", "scc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )

@@ -215,6 +215,17 @@ HEADLINE = [
     "k_anonymity_customers",  # quasi-identifier group-size audit
     "fd_discovery_part",      # functional-dependency inference
     "matching_parts",         # deterministic Luby maximal matching
+    # round-8 second block
+    "skyline_parts",          # two-phase distributed Pareto frontier
+    "sample_per_source",      # md5-ranked k-per-group holdout carve
+    "winsorize_orders",       # rank-cut winsorized decimal sums
+    "l_diversity_customers",  # sensitive-attribute diversity audit
+    "reorder_gaps",           # inter-order gap median/p90 per segment
+    "katz_parts",             # truncated Katz, exact BIGINT nano-score
+    "brand_mixing_parts",     # categorical mixing matrix
+    "scc_condensation_trade", # SCC-contracted trade-flow DAG
+    "dedup_recall_eval",      # measured LSH recall vs grid-join truth
+    "dedup_cluster_stats",    # near-dup cluster size histogram
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

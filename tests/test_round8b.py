@@ -1,0 +1,256 @@
+"""Round-8 second-block operators: skyline, k-per-group sampling,
+winsorization, l-diversity, inter-arrival quantiles, Katz, category
+mixing, SCC condensation, dedup recall eval, dedup cluster stats.
+Each test pins exact semantics on a hand-built frame where the answer
+is verifiable by inspection (the FIXTURES.md discipline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- skyline
+def test_skyline_exact_2d(spark):
+    from akka_graph_db_spark.functions.skyline import skyline
+
+    # (size, price): maximize size, minimize price.
+    rows = [
+        (1, 10, 100.0),   # dominated by 4 (same size, cheaper)
+        (2, 20, 150.0),   # skyline
+        (3, 5, 50.0),     # skyline (cheapest)
+        (4, 10, 80.0),    # skyline
+        (5, 20, 200.0),   # dominated by 2
+        (6, 20, 150.0),   # duplicate criteria of 2 -> co-skyline
+    ]
+    df = spark.createDataFrame(rows, "id int, size int, price double")
+    got = sorted(
+        r.id
+        for r in skyline(
+            df, maximize=["size"], minimize=["price"]
+        ).collect()
+    )
+    assert got == [2, 3, 4, 6]
+
+
+def test_skyline_matches_bruteforce_3d(spark):
+    from akka_graph_db_spark.functions.skyline import skyline
+
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(0, 9), rng.randint(0, 9), rng.randint(0, 9))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, x int, y int, z int"
+    ).repartition(5)
+    got = sorted(
+        r.id
+        for r in skyline(
+            df, maximize=["x", "y"], minimize=["z"]
+        ).collect()
+    )
+
+    def dominated(p, q):  # q dominates p?
+        ge = q[1] >= p[1] and q[2] >= p[2] and q[3] <= p[3]
+        gt = q[1] > p[1] or q[2] > p[2] or q[3] < p[3]
+        return ge and gt
+
+    want = sorted(
+        p[0]
+        for p in rows
+        if not any(dominated(p, q) for q in rows)
+    )
+    assert got == want
+
+
+def test_skyline_requires_criteria(spark):
+    from akka_graph_db_spark.functions.skyline import skyline
+
+    df = spark.createDataFrame([(1, 2)], "id int, x int")
+    with pytest.raises(ValueError):
+        skyline(df)
+
+
+# ---------------------------------------------------- sample_k_per_group
+def test_sample_k_per_group_deterministic_and_stable(spark):
+    from akka_graph_db_spark.functions.mixture import sample_k_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    s1 = sample_k_per_group(df, k=5)
+    got = {(r.source, r.doc_id, r._rank) for r in s1.collect()}
+    assert len(got) == 15
+    assert all(rk <= 5 for (_, _, rk) in got)
+    # repartition-invariant (hash rank, not row order)
+    s2 = sample_k_per_group(df.repartition(7), k=5)
+    assert {(r.source, r.doc_id, r._rank) for r in s2.collect()} == got
+    # growth-stability: adding rows never evicts a survivor whose hash
+    # rank stays <= k; with k above group size, everything survives
+    s3 = sample_k_per_group(df, k=1000)
+    assert s3.count() == 90
+
+
+# ------------------------------------------------------------- winsorize
+def test_winsorize_by_group_exact_cuts(spark):
+    from akka_graph_db_spark.functions.profile import winsorize_by_group
+
+    vals = list(range(1, 101))  # 1..100, one group
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "g string, v double"
+    )
+    out = winsorize_by_group(
+        df, "g", "v", lower_permille=100, upper_permille=900
+    ).collect()[0]
+    # ceil(100*100/1000)=10 -> lo_cut = 10th smallest = 10
+    # ceil(100*900/1000)=90 -> hi_cut = 90
+    assert out.lo_cut == 10.0 and out.hi_cut == 90.0
+    assert out.n_clipped_low == 9 and out.n_clipped_high == 10
+    want = sum(min(90, max(10, v)) for v in vals)
+    assert out.winsorized_sum == want and out.n == 100
+
+
+def test_winsorize_rejects_bad_permilles(spark):
+    from akka_graph_db_spark.functions.profile import winsorize_by_group
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        winsorize_by_group(df, "g", "v", 500, 100)
+
+
+# ----------------------------------------------------------- l-diversity
+def test_l_diversity_report(spark):
+    from akka_graph_db_spark.functions.profile import l_diversity_report
+
+    rows = [
+        ("a", 1, "x"), ("a", 1, "x"),          # group (a,1): 1 distinct
+        ("a", 2, "x"), ("a", 2, "y"),          # group (a,2): 2 distinct
+        ("b", 1, "z"),                          # group (b,1): 1 distinct
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    out = l_diversity_report(df, ["q1", "q2"], "s", l=2).collect()[0]
+    assert out.n_rows == 5 and out.n_groups == 3
+    assert out.min_diversity == 1
+    assert out.n_groups_below_l == 2 and out.n_rows_below_l == 3
+    assert out.below_l_permille == 600
+
+
+# ------------------------------------------------- interarrival_quantiles
+def test_interarrival_quantiles_exact(spark):
+    from akka_graph_db_spark.functions import events as ev
+    import datetime as dt
+
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    # key k1 in group G: dates 0, 10, 30 -> gaps 10, 20
+    for i, d in enumerate([0, 10, 30]):
+        rows.append(("G", "k1", base + dt.timedelta(days=d), i))
+    # key k2 in group G: dates 0, 5 -> gap 5
+    for i, d in enumerate([0, 5]):
+        rows.append(("G", "k2", base + dt.timedelta(days=d), i))
+    df = spark.createDataFrame(
+        rows, "g string, k string, ts timestamp, oid int"
+    )
+    out = ev.interarrival_quantiles(
+        df, key_col="k", ts_col="ts", group_col="g", order_col="oid"
+    ).collect()[0]
+    # gaps {5, 10, 20}: median rank ceil(3*500/1000)=2 -> 10;
+    # p90 rank ceil(3*900/1000)=3 -> 20
+    assert out.n_gaps == 3
+    assert out.min_gap_days == 5 and out.max_gap_days == 20
+    assert out.median_gap_days == 10 and out.p90_gap_days == 20
+
+
+# ------------------------------------------------------------------ katz
+def test_katz_path_graph(spark):
+    from akka_graph_db_spark.operators.analytics import katz_centrality
+
+    # path 1-2-3: walk counts by hand.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a bigint, b bigint"
+    )
+    out = {r.id: r for r in katz_centrality(pairs, max_len=3).collect()}
+    # w1 = degree: 1,2,1. w2(v) = sum of neighbor degrees:
+    # w2(1)=deg(2)=2, w2(2)=deg(1)+deg(3)=2, w2(3)=2.
+    # w3(v) = sum of neighbor w2: w3(1)=w2(2)=2, w3(2)=w2(1)+w2(3)=4,
+    # w3(3)=2.
+    assert (out[1].walks_1, out[1].walks_2, out[1].walks_3) == (1, 2, 2)
+    assert (out[2].walks_1, out[2].walks_2, out[2].walks_3) == (2, 2, 4)
+    assert out[1].katz_nano == 1_000_000 + 2_000 + 2
+    assert out[2].katz_nano == 2_000_000 + 2_000 + 4
+
+
+# -------------------------------------------------------- category_mixing
+def test_category_mixing_counts(spark):
+    from akka_graph_db_spark.operators.analytics import category_mixing
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (2, 3), (3, 3)], "a bigint, b bigint"
+    )  # dup + reversed + self-loop all collapse to 3 edges
+    cats = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y")], "id bigint, category string"
+    )
+    got = {
+        (r.cat_lo, r.cat_hi): (r.n_edges, r.same_category)
+        for r in category_mixing(pairs, cats).collect()
+    }
+    assert got == {("X", "X"): (1, True), ("X", "Y"): (2, False)}
+
+
+# ------------------------------------------------------- scc_condensation
+def test_scc_condensation_two_blocs(spark):
+    from akka_graph_db_spark.operators.analytics import scc_condensation
+
+    # bloc {1,2} (2-cycle) -> bloc {3,4} (2-cycle) via two edges + a
+    # singleton 5 fed from bloc 2.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3), (1, 3), (2, 4), (4, 5)],
+        "a bigint, b bigint",
+    )
+    got = {
+        (r.scc_a, r.scc_b): r.n_edges
+        for r in scc_condensation(edges).collect()
+    }
+    assert got == {(1, 3): 2, (3, 5): 1}
+
+
+# ------------------------------------------------------ dedup eval/stats
+def test_dedup_recall_eval_small(spark):
+    from akka_graph_db_spark.functions.dedup import dedup_recall_eval
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),        # exact dup of 1
+        (3, "alpha beta gamma delta epsilon"),  # J=4/5=0.8 to 1,2
+        (4, "zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup_recall_eval(
+        df, threshold=0.75, num_perm=64, bands=32, shingle_n=1,
+        sample_k=10, grid=4,
+    ).collect()[0]
+    assert out.n_docs == 4
+    assert out.true_pairs == 3          # (1,2), (1,3), (2,3)
+    assert out.missed_pairs == 0 and out.recall_permille == 1000
+    assert out.lsh_pairs == 3
+
+
+def test_dedup_cluster_stats_histogram(spark):
+    from akka_graph_db_spark.functions.dedup import dedup_cluster_stats
+
+    rows = [
+        (1, "a b c d"), (2, "a b c d"), (3, "a b c d"),  # exact x3
+        (4, "p q r s"),                                   # singleton
+        (5, "u v w x y"), (6, "u v w x y z"),             # J=5/6
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.cluster_size: (r.n_clusters, r.n_docs)
+        for r in dedup_cluster_stats(
+            df, threshold=0.8, shingle_n=1
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 2), 3: (1, 3)}

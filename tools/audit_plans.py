@@ -148,6 +148,16 @@ AUDITED = [
     ("matching_parts", "per-vertex MIN + local-minima joins"),
     ("doc_length_percentiles", "histogram cumsum + join-back"),
     ("store_version_diff", "merge-on-read full-outer diffs"),
+    ("skyline_parts", "two-phase mapInPandas Pareto frontier"),
+    ("sample_per_source", "single-window md5-rank k-per-group"),
+    ("winsorize_orders", "histogram-window rank cuts + broadcast"),
+    ("l_diversity_customers", "quasi-id groupBy + 1-row rollup"),
+    ("reorder_gaps", "lag window + histogram quantile ranks"),
+    ("katz_parts", "3-round broadcast message passing"),
+    ("brand_mixing_parts", "broadcast category joins + groupBy"),
+    ("scc_condensation_trade", "closure + broadcast condensation join"),
+    ("dedup_recall_eval", "grid equi-join truth (no cartesian)"),
+    ("dedup_cluster_stats", "banded verify + CC size histogram"),
 ]
 
 
