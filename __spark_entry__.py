@@ -6808,16 +6808,12 @@ def q_brand_mixing_parts(spark, sf_dir):
     )
 
 
-def q_scc_condensation_trade(spark, sf_dir):
-    """Condensation DAG of the top-40 nation trade corridors
-    (analytics.scc_condensation): directed supplier-nation ->
-    customer-nation edges ranked by exact DECIMAL shipped quantity,
-    SCCs (mutual-trade blocs) contracted to super-nodes, original
-    corridors counted between distinct blocs — the acyclic trade-flow
-    summary. The corridor derivation is a 3-broadcast-join star over
-    lineitem + one groupBy; the top-40 cut is deterministic
-    (quantity DESC, then keys). Oracle: the same corridors through a
-    5-doubling closure + the condensation join."""
+def _trade_corridors(spark, sf_dir):
+    """Top-40 nation trade corridors: directed supplier-nation ->
+    customer-nation edges ranked by exact DECIMAL shipped quantity —
+    the shared derived digraph behind scc_condensation_trade and
+    bowtie_trade. Dimension joins broadcast; the top-40 cut is
+    deterministic (quantity DESC, then keys)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
@@ -6845,9 +6841,31 @@ def q_scc_condensation_trade(spark, sf_dir):
         .limit(40)
         .select("a", "b")
     )
-    return analytics.scc_condensation(edges).orderBy(
-        "scc_a", "scc_b"
-    )
+    return edges
+
+
+def q_scc_condensation_trade(spark, sf_dir):
+    """Condensation DAG of the top-40 nation trade corridors
+    (analytics.scc_condensation): SCCs (mutual-trade blocs)
+    contracted to super-nodes, original corridors counted between
+    distinct blocs — the acyclic trade-flow summary. Oracle: the same
+    corridors through a 5-doubling closure + the condensation join."""
+    return analytics.scc_condensation(
+        _trade_corridors(spark, sf_dir)
+    ).orderBy("scc_a", "scc_b")
+
+
+def q_bowtie_trade(spark, sf_dir):
+    """Bow-tie decomposition (Broder et al.) of the trade-corridor
+    digraph (analytics.bowtie_classes): largest mutual-trade bloc as
+    CORE, nations that only FEED it (IN), only CONSUME from it (OUT),
+    or sit outside the flow (OTHER) — the macro-structure report for
+    any flow graph. All classification joins are semi-joins against
+    the tiny core member set; the core choice is a 1-row argmax
+    aggregation, never a collect."""
+    return analytics.bowtie_classes(
+        _trade_corridors(spark, sf_dir)
+    ).orderBy("id")
 
 
 def q_dedup_recall_eval(spark, sf_dir):
@@ -6879,6 +6897,47 @@ def q_dedup_cluster_stats(spark, sf_dir):
     return dedup_cluster_stats(docs, threshold=0.9).orderBy(
         "cluster_size"
     )
+
+
+def q_dedup_manifest(spark, sf_dir):
+    """Removal manifest under min-id keep (dedup.dedup_manifest,
+    threshold 0.9): one (survivor_id, removed_id) row per removed doc
+    — the lineage artifact a curation run ships; complement of the
+    dedup_minhash_keep survivor set off the same clustering substrate.
+    Oracle: the keep-family closure filtered to non-survivors."""
+    from akka_graph_db_spark.functions.dedup import dedup_manifest
+
+    docs = read_documents(spark, sf_dir)
+    return dedup_manifest(docs, threshold=0.9)
+
+
+def q_source_concentration(spark, sf_dir):
+    """Per-source token-mass Pareto audit (text.source_concentration,
+    target 800 permille): how few docs hold 80% of each source's
+    tokens + the top doc's share — computed over the per-(source,
+    length) histogram with an exact interior ceil division, never a
+    per-doc window. The doc-level-capping signal mixture design needs
+    before reweighting sources."""
+    from akka_graph_db_spark.functions.text import source_concentration
+
+    docs = read_documents(spark, sf_dir)
+    return source_concentration(docs, target_permille=800).orderBy(
+        "source"
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer-value grid (ranking.rfm_segments, quintiles):
+    recency anchored to the data's max order date via a 1-row
+    broadcast, frequency and exact-DECIMAL monetary ranked with
+    integer-div tiles and id tiebreaks — one row per occupied
+    (r, f, m) cell. Windows run over the per-customer aggregate, not
+    the order log (single-partition caveat documented in the
+    function)."""
+    from akka_graph_db_spark.functions.ranking import rfm_segments
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return rfm_segments(orders).orderBy("r_tile", "f_tile", "m_tile")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7163,6 +7222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_condensation_trade": q_scc_condensation_trade,
         "dedup_recall_eval": q_dedup_recall_eval,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "dedup_manifest": q_dedup_manifest,
+        "source_concentration": q_source_concentration,
+        "bowtie_trade": q_bowtie_trade,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -12462,5 +12525,198 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_clusters,
                    CAST(cs * COUNT(*) AS BIGINT) AS n_docs
             FROM cs_sizes GROUP BY cs ORDER BY cs
+        """,
+        # Keep-family closure: survivor = component id (the min-id
+        # propagation label IS the minimum member); every other doc is
+        # one manifest row.
+        "dedup_manifest": f"""
+            WITH RECURSIVE
+            dm_t AS MATERIALIZED (
+              SELECT doc_id, list_distinct({_TOK}) AS toks
+              FROM documents
+            ),
+            dm_pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM dm_t a JOIN dm_t b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                    / (len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks))) >= 0.9
+            ),
+            dm_sym AS MATERIALIZED (
+              SELECT a, b FROM dm_pairs
+              UNION ALL SELECT b AS a, a AS b FROM dm_pairs
+            ),
+            dm_reach AS (
+              SELECT a, b FROM dm_sym
+              UNION
+              SELECT r.a, s.b FROM dm_reach r JOIN dm_sym s ON r.b = s.a
+              WHERE s.b <> r.a
+            ),
+            dm_comp AS (
+              SELECT d.doc_id,
+                     LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id))
+                       AS component
+              FROM dm_t d LEFT JOIN dm_reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT component AS survivor_id, doc_id AS removed_id
+            FROM dm_comp WHERE doc_id <> component
+        """,
+        # Identical histogram-cumsum + interior ceil division as the
+        # engine; window ties impossible (one row per distinct length
+        # per source).
+        "source_concentration": f"""
+            WITH sc_t AS (
+              SELECT source AS src, len({_TOK}) AS tok FROM documents
+            ),
+            sc_h AS (
+              SELECT src, tok, COUNT(*) AS n FROM sc_t GROUP BY 1, 2
+            ),
+            sc_c AS (
+              SELECT src, tok, n, tok * n AS mass,
+                     SUM(tok * n) OVER (PARTITION BY src
+                                        ORDER BY tok DESC) AS cum,
+                     SUM(n) OVER (PARTITION BY src
+                                  ORDER BY tok DESC) AS cumd,
+                     SUM(tok * n) OVER (PARTITION BY src) AS tot,
+                     SUM(n) OVER (PARTITION BY src) AS totd,
+                     MAX(tok) OVER (PARTITION BY src) AS mx
+              FROM sc_h
+            )
+            SELECT src AS source,
+                   CAST(totd AS BIGINT) AS n_docs,
+                   CAST(tot AS BIGINT) AS total_tokens,
+                   CAST(cumd - n
+                        + ((tot * 800 + 999) // 1000 - (cum - mass)
+                           + tok - 1) // tok AS BIGINT)
+                     AS docs_to_target,
+                   CAST(mx * 1000 // tot AS INT)
+                     AS top_doc_share_permille
+            FROM sc_c
+            WHERE cum >= (tot * 800 + 999) // 1000
+              AND cum - mass < (tot * 800 + 999) // 1000
+            ORDER BY src
+        """,
+        # Trade corridors -> closure -> SCC labels -> bow-tie classes.
+        # (IN ∩ OUT outside the core is impossible — mutual
+        # reachability with the core is core membership — so the CASE
+        # order is safe.)
+        "bowtie_trade": """
+            WITH te AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            tc0 AS MATERIALIZED (SELECT a, b FROM te),
+            tc1 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc0
+                UNION ALL
+                SELECT x.a, y.b FROM tc0 x JOIN tc0 y ON x.b = y.a)
+            ),
+            tc2 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc1
+                UNION ALL
+                SELECT x.a, y.b FROM tc1 x JOIN tc1 y ON x.b = y.a)
+            ),
+            tc3 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc2
+                UNION ALL
+                SELECT x.a, y.b FROM tc2 x JOIN tc2 y ON x.b = y.a)
+            ),
+            tc4 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc3
+                UNION ALL
+                SELECT x.a, y.b FROM tc3 x JOIN tc3 y ON x.b = y.a)
+            ),
+            tc5 AS MATERIALIZED (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM tc4
+                UNION ALL
+                SELECT x.a, y.b FROM tc4 x JOIN tc4 y ON x.b = y.a)
+            ),
+            bt_nodes AS (
+              SELECT DISTINCT a AS id FROM te
+              UNION SELECT DISTINCT b FROM te
+            ),
+            bt_mut AS (
+              SELECT f.a AS id, f.b AS peer
+              FROM tc5 f JOIN tc5 g ON f.a = g.b AND f.b = g.a
+            ),
+            bt_s AS (
+              SELECT n.id,
+                     LEAST(n.id, COALESCE(MIN(m.peer), n.id)) AS scc
+              FROM bt_nodes n LEFT JOIN bt_mut m ON m.id = n.id
+              GROUP BY n.id
+            ),
+            bt_core AS (
+              SELECT scc FROM (
+                SELECT scc, COUNT(*) AS cnt FROM bt_s GROUP BY scc
+              ) ORDER BY cnt DESC, scc LIMIT 1
+            ),
+            bt_corem AS (
+              SELECT id FROM bt_s
+              WHERE scc = (SELECT scc FROM bt_core)
+            ),
+            bt_in AS (
+              SELECT DISTINCT t.a AS id FROM tc5 t
+              WHERE t.b IN (SELECT id FROM bt_corem)
+            ),
+            bt_out AS (
+              SELECT DISTINCT t.b AS id FROM tc5 t
+              WHERE t.a IN (SELECT id FROM bt_corem)
+            )
+            SELECT s.id, s.scc,
+                   CASE
+                     WHEN s.id IN (SELECT id FROM bt_corem) THEN 'CORE'
+                     WHEN s.id IN (SELECT id FROM bt_in) THEN 'IN'
+                     WHEN s.id IN (SELECT id FROM bt_out) THEN 'OUT'
+                     ELSE 'OTHER'
+                   END AS bowtie_class
+            FROM bt_s s ORDER BY s.id
+        """,
+        # Same integer-div tiles, same id tiebreaks, same DECIMAL
+        # monetary sums, same max-date recency anchor.
+        "rfm_segments": """
+            WITH rf_pc AS (
+              SELECT o_custkey AS customer,
+                     MAX(o_orderdate) AS last_o,
+                     COUNT(*) AS freq,
+                     SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS mon
+              FROM orders GROUP BY 1
+            ),
+            rf_b AS (
+              SELECT customer,
+                     datediff('day', last_o,
+                              (SELECT MAX(last_o) FROM rf_pc)) AS rec,
+                     freq, mon
+              FROM rf_pc
+            ),
+            rf_r AS (
+              SELECT customer,
+                     ROW_NUMBER() OVER (ORDER BY rec ASC, customer)
+                       AS rr,
+                     ROW_NUMBER() OVER (ORDER BY freq DESC, customer)
+                       AS rf,
+                     ROW_NUMBER() OVER (ORDER BY mon DESC, customer)
+                       AS rm,
+                     COUNT(*) OVER () AS cnt
+              FROM rf_b
+            )
+            SELECT CAST((rr - 1) * 5 // cnt + 1 AS INT) AS r_tile,
+                   CAST((rf - 1) * 5 // cnt + 1 AS INT) AS f_tile,
+                   CAST((rm - 1) * 5 // cnt + 1 AS INT) AS m_tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM rf_r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
     }

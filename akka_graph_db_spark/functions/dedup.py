@@ -1672,3 +1672,73 @@ def dedup_cluster_stats(
             .alias("n_docs"),
         )
     )
+
+
+def dedup_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 1,
+    arrow: bool = True,
+) -> DataFrame:
+    """Removal manifest under the min-id keep policy: one
+    (survivor_id, removed_id) row per REMOVED doc — the reproducibility
+    artifact a curation run ships alongside the deduped corpus ("which
+    kept doc displaced this one"), and the reverse index takedown /
+    lineage requests need. Exactly the complement of
+    :func:`minhash_dedup_keep`'s survivor set: every doc appears as
+    either a survivor there or a removed_id here.
+
+    The survivor of a cluster is its minimum id, which is also the
+    component id itself (the component label from min-id propagation IS
+    the global minimum member), so the manifest is a filter on the
+    (doc -> component) map — no second aggregation.
+
+    Same clustering substrate (exact-dup collapse -> banded LSH ->
+    exact verify -> connected components) and hence the same 100 TB
+    shape as the keep family.
+    """
+    from akka_graph_db_spark.operators.analytics import (
+        connected_components_from_pairs,
+    )
+
+    digested = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "_digest", F.sha2(F.col(text_col), 256)
+    )
+    reps = (
+        digested.groupBy("_digest")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias(id_col),
+                    F.col(text_col).alias(text_col),
+                )
+            ).alias("_r")
+        )
+        .select("_digest", f"_r.{id_col}", f"_r.{text_col}")
+        .localCheckpoint(eager=False)
+    )
+    verified = minhash_dedup_pairs(
+        reps.drop("_digest"), text_col, id_col, threshold, num_perm,
+        bands, shingle_n, arrow,
+    ).select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    comp = connected_components_from_pairs(
+        reps.select(F.col(id_col).alias("id")), verified
+    )
+    members = (
+        digested.select(F.col(id_col), "_digest")
+        .join(
+            reps.select("_digest", F.col(id_col).alias("_rep")),
+            "_digest",
+        )
+        .join(comp.select(F.col("id").alias("_rep"), "component"),
+              "_rep")
+        .select(id_col, "component")
+    )
+    return members.where(F.col(id_col) != F.col("component")).select(
+        F.col("component").alias("survivor_id"),
+        F.col(id_col).alias("removed_id"),
+    )

@@ -112,3 +112,91 @@ def ntile_distributed(
             F.lit(r) + F.floor((rank - first - 1) / F.lit(q)) + 1
         )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("_grank")
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per
+    customer, Recency (days since last order, anchored to the data's
+    max date so the result is reproducible), Frequency (#orders),
+    Monetary (exact DECIMAL spend), each cut into ``n_tiles``
+    rank-based tiles (1 = best: most recent / most frequent / highest
+    spend), aggregated to one row per occupied (r, f, m) cell with the
+    customer count — at most n_tiles³ rows out.
+
+    Determinism: tile of a customer = ((rank-1) * n_tiles) div n with
+    rank ordered by the metric (best first) then customer id — pure
+    integer arithmetic, no percentile floats, ties broken stably.
+
+    Scale shape: one groupBy to per-customer (r, f, m), one window per
+    metric over that per-CUSTOMER frame (orders of magnitude smaller
+    than the order log), one final groupBy to the grid. The max-date
+    anchor rides in via a 1-row broadcast join, not a collect.
+    """
+    from pyspark.sql.window import Window
+
+    per_cust = orders.groupBy(
+        F.col(customer_col).alias("customer")
+    ).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(30,2)")).alias(
+            "monetary"
+        ),
+    )
+    anchor = per_cust.agg(F.max("_last").alias("_anchor"))
+    base = per_cust.join(F.broadcast(anchor)).select(
+        "customer",
+        F.datediff(F.col("_anchor"), F.col("_last")).alias("recency"),
+        "frequency",
+        "monetary",
+    )
+    # one synthetic key so every window shares a single partition
+    # spec (documented single-partition caveat above)
+    tiled = base.withColumn("_z", F.lit(0))
+    wtot = Window.partitionBy("_z")
+    ranked = tiled.select(
+        "customer",
+        F.row_number()
+        .over(
+            Window.partitionBy("_z").orderBy(
+                F.col("recency").asc(), F.col("customer")
+            )
+        )
+        .alias("_rn_r"),
+        F.row_number()
+        .over(
+            Window.partitionBy("_z").orderBy(
+                F.col("frequency").desc(), F.col("customer")
+            )
+        )
+        .alias("_rn_f"),
+        F.row_number()
+        .over(
+            Window.partitionBy("_z").orderBy(
+                F.col("monetary").desc(), F.col("customer")
+            )
+        )
+        .alias("_rn_m"),
+        F.count(F.lit(1)).over(wtot).alias("_cnt"),
+    )
+    graded = ranked.select(
+        "customer",
+        F.expr(
+            f"(CAST(_rn_r - 1 AS BIGINT) * {n_tiles}) div _cnt + 1"
+        ).cast("int").alias("r_tile"),
+        F.expr(
+            f"(CAST(_rn_f - 1 AS BIGINT) * {n_tiles}) div _cnt + 1"
+        ).cast("int").alias("f_tile"),
+        F.expr(
+            f"(CAST(_rn_m - 1 AS BIGINT) * {n_tiles}) div _cnt + 1"
+        ).cast("int").alias("m_tile"),
+    )
+    return graded.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

@@ -1246,3 +1246,98 @@ def lexical_diversity(
         (n2 - F.col("_sumsq")).cast("bigint").alias("simpson_num"),
         F.round((n2 - F.col("_sumsq")) / n2, 6).alias("simpson"),
     )
+
+
+def source_concentration(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    target_permille: int = 800,
+) -> DataFrame:
+    """Per-source token-mass concentration — the Pareto audit behind
+    mixture design: how few documents hold ``target_permille`` of a
+    source's tokens, and how big the single largest doc's share is.
+    Returns (source, n_docs, total_tokens, docs_to_target,
+    top_doc_share_permille) — all exact integers. A source where 1% of
+    docs carry 80% of tokens needs doc-level capping before it is
+    mixed, not source-level reweighting.
+
+    Exactness: docs are taken in (token_count DESC, id) order;
+    ``docs_to_target`` is the minimal prefix whose token sum reaches
+    ceil(total * target / 1000). Computed over the per-(source,
+    token_count) HISTOGRAM — the ordered window runs over one row per
+    distinct length per source, and the crossing bucket's interior
+    offset is an exact ceil division: never a per-doc window, so the
+    operator scales with the length histogram, not the corpus.
+    """
+    tc = df.select(
+        F.col(group_col).alias("src"),
+        token_count(F.col(text_col)).cast("bigint").alias("_tok"),
+    )
+    hist = tc.groupBy("src", "_tok").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    from pyspark.sql.window import Window
+
+    wdesc = (
+        Window.partitionBy("src")
+        .orderBy(F.col("_tok").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("src")
+    cum = hist.select(
+        "src",
+        "_tok",
+        "_n",
+        (F.col("_tok") * F.col("_n")).alias("_mass"),
+        F.sum(F.col("_tok") * F.col("_n")).over(wdesc).alias("_cum"),
+        F.sum("_n").over(wdesc).alias("_cumd"),
+        F.sum(F.col("_tok") * F.col("_n")).over(wall).alias("_tot"),
+        F.sum("_n").over(wall).alias("_totd"),
+        F.max("_tok").over(wall).alias("_max"),
+    )
+    thr = F.expr(f"(_tot * {target_permille} + 999) div 1000")
+    # first histogram bucket (in DESC length order) whose cumulative
+    # token mass reaches the threshold; docs needed inside it is an
+    # exact ceil division by the bucket's per-doc length
+    crossing = cum.where(
+        (F.col("_cum") >= thr) & ((F.col("_cum") - F.col("_mass")) < thr)
+    ).select(
+        "src",
+        "_totd",
+        "_tot",
+        "_max",
+        (
+            (F.col("_cumd") - F.col("_n"))
+            + F.expr(
+                f"((_tot * {target_permille} + 999) div 1000"
+                " - (_cum - _mass) + _tok - 1) div _tok"
+            )
+        ).alias("docs_to_target"),
+    )
+    empty = (
+        cum.groupBy("src")
+        .agg(
+            F.max("_totd").alias("_totd"),
+            F.max("_tot").alias("_tot"),
+        )
+        .where(F.col("_tot") == 0)
+        .select(
+            "src",
+            "_totd",
+            "_tot",
+            F.lit(0).cast("bigint").alias("_max"),
+            F.lit(0).cast("bigint").alias("docs_to_target"),
+        )
+    )
+    return crossing.unionByName(empty).select(
+        F.col("src").alias(group_col),
+        F.col("_totd").cast("bigint").alias("n_docs"),
+        F.col("_tot").cast("bigint").alias("total_tokens"),
+        F.col("docs_to_target").cast("bigint").alias("docs_to_target"),
+        F.when(F.col("_tot") > 0, F.expr("_max * 1000 div _tot"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("top_doc_share_permille"),
+    )

@@ -4019,3 +4019,80 @@ def scc_condensation(edges: DataFrame) -> DataFrame:
         .groupBy("scc_a", "scc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     )
+
+
+def bowtie_classes(edges: DataFrame) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al. 2000,
+    "Graph structure in the Web"): pick the largest SCC as the CORE
+    (ties broken by smallest component id), classify every vertex as
+    CORE / IN (reaches the core, not in it) / OUT (reached from the
+    core, not in it) / OTHER (tendrils, tubes, disconnected) — returns
+    (id, scc, bowtie_class). The macro-structure report for flow
+    graphs: which nations only feed the trading bloc, which only
+    consume from it.
+
+    Scale contract: inherits :func:`transitive_closure`'s bounded-
+    cardinality contract (derived/category graphs). All classification
+    joins are equi-keyed semi-joins against the (tiny) core member set;
+    the 1-row core choice is an aggregation, never a collect.
+    """
+    scc = strongly_connected_components(edges).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # largest SCC, min-id tiebreak, as a 1-row frame (argmax via the
+    # max-struct trick; negated id so bigger size then smaller id wins)
+    core_row = scc.groupBy("scc").agg(
+        F.max("scc_size").alias("_sz")
+    ).agg(
+        F.max(F.struct(F.col("_sz"), (-F.col("scc")).alias("_nid")))
+        .alias("_b")
+    ).select((-F.col("_b._nid")).alias("_core_scc"))
+    core_members = scc.join(
+        F.broadcast(core_row),
+        scc["scc"] == core_row["_core_scc"],
+        "left_semi",
+    ).select("id")
+    closure = transitive_closure(edges)
+    reaches_core = (
+        closure.join(
+            core_members.select(F.col("id").alias("b")), "b",
+            "left_semi",
+        )
+        .select(F.col("a").alias("id"))
+        .distinct()
+    )
+    reached_from_core = (
+        closure.join(
+            core_members.select(F.col("id").alias("a")), "a",
+            "left_semi",
+        )
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    flags = (
+        scc.select("id", "scc")
+        .join(
+            core_members.select("id", F.lit(True).alias("_core")),
+            "id", "left",
+        )
+        .join(
+            reaches_core.select("id", F.lit(True).alias("_in")),
+            "id", "left",
+        )
+        .join(
+            reached_from_core.select("id", F.lit(True).alias("_out")),
+            "id", "left",
+        )
+    )
+    res = flags.select(
+        "id",
+        "scc",
+        F.when(F.col("_core"), F.lit("CORE"))
+        .when(F.col("_in") & ~F.coalesce("_out", F.lit(False)),
+              F.lit("IN"))
+        .when(F.col("_out") & ~F.coalesce("_in", F.lit(False)),
+              F.lit("OUT"))
+        .otherwise(F.lit("OTHER"))
+        .alias("bowtie_class"),
+    )
+    return res

@@ -226,6 +226,10 @@ HEADLINE = [
     "scc_condensation_trade", # SCC-contracted trade-flow DAG
     "dedup_recall_eval",      # measured LSH recall vs grid-join truth
     "dedup_cluster_stats",    # near-dup cluster size histogram
+    "dedup_manifest",         # survivor -> removed lineage manifest
+    "source_concentration",   # per-source token Pareto audit
+    "bowtie_trade",           # Broder bow-tie macro-structure
+    "rfm_segments",           # integer-tile RFM customer grid
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -254,3 +254,107 @@ def test_dedup_cluster_stats_histogram(spark):
         ).collect()
     }
     assert got == {1: (1, 1), 2: (1, 2), 3: (1, 3)}
+
+
+# --------------------------------------------------------- dedup_manifest
+def test_dedup_manifest_complements_keep(spark):
+    from akka_graph_db_spark.functions.dedup import (
+        dedup_manifest,
+        minhash_dedup_keep,
+    )
+
+    rows = [
+        (1, "a b c d"), (2, "a b c d"),       # cluster {1,2} -> keep 1
+        (3, "p q r s"),                        # singleton
+        (5, "u v w x y"), (6, "u v w x y z"),  # cluster {5,6} -> keep 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    man = {
+        (r.survivor_id, r.removed_id)
+        for r in dedup_manifest(df, threshold=0.8, shingle_n=1).collect()
+    }
+    assert man == {(1, 2), (5, 6)}
+    kept = {
+        r.doc_id
+        for r in minhash_dedup_keep(
+            df, threshold=0.8, shingle_n=1
+        ).collect()
+    }
+    removed = {b for _, b in man}
+    assert kept | removed == {1, 2, 3, 5, 6} and kept & removed == set()
+
+
+# --------------------------------------------------- source_concentration
+def test_source_concentration_exact(spark):
+    from akka_graph_db_spark.functions.text import source_concentration
+
+    # source S: token masses 10, 5, 3, 2 (total 20; 80% -> thr=16;
+    # 10+5=15 < 16, +3 -> 18 >= 16 -> 3 docs). top share = 10*1000/20.
+    rows = [
+        (1, " ".join("w%d" % i for i in range(10)), "S"),
+        (2, " ".join("x%d" % i for i in range(5)), "S"),
+        (3, "a b c", "S"),
+        (4, "y z", "S"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = source_concentration(df, target_permille=800).collect()[0]
+    assert out.n_docs == 4 and out.total_tokens == 20
+    assert out.docs_to_target == 3
+    assert out.top_doc_share_permille == 500
+
+
+def test_source_concentration_tie_bucket_interior(spark):
+    from akka_graph_db_spark.functions.text import source_concentration
+
+    # four docs of 5 tokens each (one histogram bucket): thr =
+    # ceil(20*0.8)=16 -> need ceil(16/5)=4 docs.
+    rows = [
+        (i, " ".join("t%d" % j for j in range(5)), "S") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = source_concentration(df, target_permille=800).collect()[0]
+    assert out.docs_to_target == 4
+
+
+# ---------------------------------------------------------------- bowtie
+def test_bowtie_classes(spark):
+    from akka_graph_db_spark.operators.analytics import bowtie_classes
+
+    # IN: 0 -> core {1,2} -> OUT: 3; disconnected: 9-8 (OTHER).
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1), (2, 3), (9, 8)], "a bigint, b bigint"
+    )
+    got = {r.id: r.bowtie_class for r in bowtie_classes(edges).collect()}
+    assert got == {
+        0: "IN", 1: "CORE", 2: "CORE", 3: "OUT", 8: "OTHER", 9: "OTHER"
+    }
+
+
+# ------------------------------------------------------------------- rfm
+def test_rfm_segments_tiles(spark):
+    import datetime as dt
+
+    from akka_graph_db_spark.functions.ranking import rfm_segments
+
+    base = dt.datetime(2020, 1, 1)
+    # 4 customers, n_tiles=2: halves split cleanly.
+    rows = []
+    # cust 1: 3 orders, recent, big spend -> best on all
+    for i in range(3):
+        rows.append((1, base + dt.timedelta(days=90 + i), 100.0))
+    rows.append((2, base + dt.timedelta(days=80), 50.0))
+    rows.append((3, base + dt.timedelta(days=10), 20.0))
+    for i in range(2):
+        rows.append((4, base + dt.timedelta(days=i), 10.0))
+    df = spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderdate timestamp, o_totalprice double"
+    )
+    out = rfm_segments(df, n_tiles=2).collect()
+    total = sum(r.n_customers for r in out)
+    assert total == 4
+    cells = {(r.r_tile, r.f_tile, r.m_tile): r.n_customers for r in out}
+    # cust1: rank1 everywhere -> (1,1,1). cust4: freq 2 -> f rank 2
+    # (tile 1), recency worst -> r tile 2, monetary 20 total -> rank 3
+    # tile 2 -> (2,1,2)
+    assert cells[(1, 1, 1)] == 1
+    assert cells[(2, 1, 2)] == 1

@@ -158,6 +158,10 @@ AUDITED = [
     ("scc_condensation_trade", "closure + broadcast condensation join"),
     ("dedup_recall_eval", "grid equi-join truth (no cartesian)"),
     ("dedup_cluster_stats", "banded verify + CC size histogram"),
+    ("dedup_manifest", "component-map filter (no second agg)"),
+    ("source_concentration", "histogram cumsum + interior ceil div"),
+    ("bowtie_trade", "closure + semi-joins vs tiny core set"),
+    ("rfm_segments", "per-customer agg windows + 1-row anchor"),
 ]
 
 
