@@ -1076,6 +1076,122 @@ def _kmeans_oracle(
     return "WITH " + ",\n".join(ctes) + final
 
 
+def _pq_oracle(
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    grid: int = 10**6,
+    dim: int = 64,
+    final: str = "codes",
+    nq: int = 5,
+    topk: int = 10,
+) -> str:
+    """q_pq_codes / q_pq_topk oracle: m independent quantized-grid
+    Lloyd runs (the _kmeans_oracle template per sub-vector slice),
+    joined back into code rows; the topk variant adds the asymmetric
+    distance table (query sub-vector x trained codeword) and ranks the
+    exact integer ADC sums. Slicing after quantization == the engine's
+    quantize-after-slice (both are per-coordinate)."""
+    sub = dim // m
+    dist = (
+        "list_dot_product(q.v, q.v) + list_dot_product(cc.v, cc.v)"
+        " - 2 * list_dot_product(q.v, cc.v)"
+    )
+    ctes = [
+        f"""pq_all AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) * {grid})
+                               AS BIGINT)) AS v
+            FROM embeddings
+        )"""
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"""pq_q{j} AS MATERIALIZED (
+            SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM pq_all
+        )""")
+        ctes.append(f"""pc0_{j} AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+            FROM (SELECT vec_id, v FROM pq_q{j}
+                  ORDER BY vec_id LIMIT {k})
+        )""")
+        for i in range(1, n_iter + 1):
+            ctes.append(f"""pa{i}_{j} AS MATERIALIZED (
+                SELECT vec_id, c, CAST(d AS BIGINT) AS d2 FROM (
+                  SELECT q.vec_id, cc.c, {dist} AS d,
+                         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                            ORDER BY {dist}, cc.c)
+                           AS rn
+                  FROM pq_q{j} q CROSS JOIN pc{i - 1}_{j} cc
+                ) WHERE rn = 1
+            )""")
+            if i == n_iter:
+                break
+            ctes.append(f"""pu{i}_{j} AS MATERIALIZED (
+                SELECT c, pos, SUM(v[pos]) AS s, COUNT(*) AS n FROM (
+                  SELECT a.c AS c, q.v AS v,
+                         unnest(range(1, len(q.v) + 1)) AS pos
+                  FROM pa{i}_{j} a JOIN pq_q{j} q USING (vec_id)
+                ) GROUP BY c, pos
+            )""")
+            ctes.append(f"""pc{i}_{j} AS MATERIALIZED (
+                SELECT p.c, COALESCE(nv.v, p.v) AS v
+                FROM pc{i - 1}_{j} p LEFT JOIN (
+                  SELECT c, list(CAST(FLOOR(s / n + 0.5) AS BIGINT)
+                                 ORDER BY pos) AS v
+                  FROM pu{i}_{j} GROUP BY c
+                ) nv ON p.c = nv.c
+            )""")
+    if final == "codes":
+        joins = " ".join(
+            f"JOIN pa{n_iter}_{j} a{j} USING (vec_id)"
+            for j in range(1, m)
+        )
+        code_cols = ", ".join(
+            f"a{j}.c AS code_{j}" for j in range(m)
+        )
+        err = " + ".join(f"a{j}.d2" for j in range(m))
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f""" SELECT a0.vec_id, {code_cols},
+                     CAST({err} AS BIGINT) AS quant_err
+               FROM pa{n_iter}_0 a0 {joins}"""
+        )
+    # topk: asymmetric distance of the nq lowest-id queries
+    for j in range(m):
+        ctes.append(f"""pqd_{j} AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, cc.c AS code,
+                   CAST({dist} AS BIGINT) AS d
+            FROM (SELECT vec_id, v FROM pq_q{j}
+                  WHERE vec_id IN (SELECT vec_id FROM pq_all
+                                   ORDER BY vec_id LIMIT {nq})) q
+            CROSS JOIN pc{n_iter - 1}_{j} cc
+        )""")
+    xjoins = " ".join(
+        f"JOIN pa{n_iter}_{j} x{j} USING (vec_id)" for j in range(1, m)
+    )
+    djoins = " ".join(
+        f"JOIN pqd_{j} d{j} ON d{j}.code = x{j}.c"
+        f" AND d{j}.query_id = d0.query_id"
+        for j in range(1, m)
+    )
+    s = " + ".join(f"d{j}.d" for j in range(m))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+             SELECT d0.query_id, x0.vec_id AS neighbor_id,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY d0.query_id
+                      ORDER BY ({s}), x0.vec_id) AS rank,
+                    CAST({s} AS BIGINT) AS adc_d2
+             FROM pa{n_iter}_0 x0 {xjoins}
+             JOIN pqd_0 d0 ON d0.code = x0.c {djoins}
+             WHERE d0.query_id <> x0.vec_id
+           ) WHERE rank <= {topk}"""
+    )
+
+
 def _hll_oracle(p: int = 10) -> str:
     """q_hll_distinct_events' oracle: the identical HLL registers in
     DuckDB — md5-family hash, bucket = h % m, rho = trailing zeros of
@@ -6940,6 +7056,48 @@ def q_rfm_segments(spark, sf_dir):
     return rfm_segments(orders).orderBy("r_tile", "f_tile", "m_tile")
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (similarity.pq_codes: 4 subspaces
+    x 16 codewords, 2 Lloyd iterations per subspace on the integer
+    grid): (vec_id, code_0..3, quant_err) — m·log2(k) bits per vector
+    instead of dim floats, the memory scaling that makes
+    billion-vector ANN fit. Bit-reproducible end to end; the oracle
+    unrolls all four subspace kmeans runs in SQL."""
+    from akka_graph_db_spark.functions.similarity import pq_codes
+
+    emb = read_embeddings(spark, sf_dir)
+    codes, _ = pq_codes(emb, m=4, k=16, n_iter=2)
+    return codes
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-10 (similarity.pq_topk) for the 5
+    lowest-id query vectors: full-precision query sub-vectors against
+    the assigned codewords, summed per subspace — every number exact
+    integer-grid, so the approximate ranking is itself
+    bit-deterministic and SQL-certified."""
+    from akka_graph_db_spark.functions.similarity import pq_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(5)
+    return pq_topk(emb, queries, k_neighbors=10, m=4, k=16, n_iter=2)
+
+
+def q_kmeans_ari(spark, sf_dir):
+    """Adjusted Rand Index of the deterministic k-means clustering vs
+    the embeddings' ground-truth labels (similarity.
+    clustering_label_agreement, k=8, 3 iterations): exact BIGINT
+    pair-count sums via the C(n,2) identity over the contingency
+    table (pairs never materialized), one closed-form float at the
+    end with identical association in the oracle."""
+    from akka_graph_db_spark.functions.similarity import (
+        clustering_label_agreement,
+    )
+
+    emb = read_embeddings(spark, sf_dir)
+    return clustering_label_agreement(emb, k=8, n_iter=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7226,6 +7384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "bowtie_trade": q_bowtie_trade,
         "rfm_segments": q_rfm_segments,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "kmeans_ari": q_kmeans_ari,
     }
 
 
@@ -12719,4 +12880,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_customers
             FROM rf_r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
+        "pq_codes": _pq_oracle(m=4, k=16, n_iter=2, final="codes"),
+        "pq_topk": _pq_oracle(
+            m=4, k=16, n_iter=2, final="topk", nq=5, topk=10
+        ),
+        # ARI off the shared unrolled kmeans: contingency + margins as
+        # appended CTEs; pair sums via the integer C(n,2) identity;
+        # the one float mirrors the engine's association exactly.
+        "kmeans_ari": _kmeans_oracle(
+            k=8,
+            n_iter=3,
+            final_sql="""
+            , ar_ct AS (
+              SELECT a.c, e.label, COUNT(*) AS n
+              FROM ka3 a JOIN embeddings e ON e.vec_id = a.vec_id
+              GROUP BY 1, 2
+            ),
+            ar_rm AS (SELECT c, SUM(n) AS n FROM ar_ct GROUP BY c),
+            ar_cm AS (
+              SELECT label, SUM(n) AS n FROM ar_ct GROUP BY label
+            ),
+            ar_s AS (
+              SELECT
+                (SELECT SUM(n) FROM ar_ct) AS n,
+                (SELECT COUNT(DISTINCT c) FROM ar_ct) AS nc,
+                (SELECT COUNT(DISTINCT label) FROM ar_ct) AS nl,
+                (SELECT SUM(n * (n - 1) // 2) FROM ar_ct) AS scc,
+                (SELECT SUM(n * (n - 1) // 2) FROM ar_rm) AS srm,
+                (SELECT SUM(n * (n - 1) // 2) FROM ar_cm) AS scm
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(nc AS BIGINT) AS n_clusters,
+                   CAST(nl AS BIGINT) AS n_labels,
+                   CAST(scc AS BIGINT) AS sum_comb_cells,
+                   CAST(srm AS BIGINT) AS sum_comb_clusters,
+                   CAST(scm AS BIGINT) AS sum_comb_labels,
+                   ROUND(
+                     (CAST(scc AS DOUBLE)
+                      - CAST(srm AS DOUBLE) * CAST(scm AS DOUBLE)
+                        / CAST(n * (n - 1) // 2 AS DOUBLE))
+                     / ((CAST(srm AS DOUBLE) + CAST(scm AS DOUBLE))
+                        / 2.0
+                        - CAST(srm AS DOUBLE) * CAST(scm AS DOUBLE)
+                          / CAST(n * (n - 1) // 2 AS DOUBLE)), 6)
+                     AS ari
+            FROM ar_s
+            """,
+        ),
     }

@@ -742,3 +742,255 @@ def knn_graph(
     return corpus.select(id_col, vec_col).mapInPandas(
         _score, schema="a bigint, b bigint, rank int"
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = 1_000_000,
+):
+    """Product quantization (Jégou et al. 2011) — THE memory-scaling
+    technique for billion-vector ANN: split each vector into ``m``
+    subspaces, k-means each subspace independently, store only the m
+    codeword ids (m·log2(k) bits per vector instead of dim·32).
+
+    Built on :func:`kmeans_quantized`, so the whole training +
+    encoding pipeline is BIT-REPRODUCIBLE (integer-grid distances,
+    first-k-by-id init per subspace, first-minimum ties) — a SQL
+    replica reproduces codes hash-for-hash. Returns
+    (codes DataFrame (id, code_0..code_{m-1}, quant_err), codebooks)
+    where quant_err is the exact total squared grid-space quantization
+    error (the PQ reconstruction residual) and codebooks is the
+    m-list of k×(dim/m) integer centroid lists.
+
+    Scale shape: m independent kmeans runs over column slices (each
+    a narrow projection of one corpus scan); codebooks are
+    driver-sized by construction (m·k·dim/m = k·dim ints). Encoding a
+    100 TB corpus is one mapInPandas pass per subspace against a
+    broadcast codebook.
+    """
+    dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codes = None
+    codebooks = []
+    total_err = None
+    for j in range(m):
+        sdf = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        assigned, cents = kmeans_quantized(
+            sdf, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+            grid=grid,
+        )
+        codebooks.append(cents)
+        part = assigned.select(
+            id_col,
+            F.col("cluster").alias(f"code_{j}"),
+            F.col("d2").alias(f"_err_{j}"),
+        )
+        codes = part if codes is None else codes.join(part, id_col)
+    err = None
+    for j in range(m):
+        e = F.col(f"_err_{j}")
+        err = e if err is None else err + e
+    codes = codes.select(
+        id_col,
+        *[f"code_{j}" for j in range(m)],
+        err.cast("bigint").alias("quant_err"),
+    )
+    return codes, codebooks
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): queries stay full-precision
+    (on the integer grid), corpus vectors are m codeword ids — the
+    estimated distance is the sum over subspaces of the exact grid
+    distance from the query's sub-vector to the ASSIGNED codeword.
+    Returns (query_id, neighbor_id, rank, adc_d2); self-matches
+    excluded. Approximate BY DESIGN (quantization error), but
+    bit-deterministic: every number is integer-domain, so the ranking
+    is engine-reproducible and SQL-oracleable.
+
+    Scale shape: the per-(query, subspace, codeword) distance table is
+    nq·m·k rows (driver-tiny, built from the collected query set —
+    queries must be small, same contract as :func:`topk_bruteforce`);
+    ADC is codes-explode ⋈ broadcast table ⋈ one groupBy — the corpus
+    is touched once, carrying only its m small ints per row.
+    """
+    codes, codebooks = pq_codes(
+        corpus, m=m, k=k, n_iter=n_iter, vec_col=vec_col,
+        id_col=id_col, grid=grid,
+    )
+    dim = len(codebooks[0][0]) * m
+    sub = dim // m
+    qrows = (
+        queries.select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * grid, 0).cast(
+                    "bigint"
+                ),
+            ).alias("_qv"),
+        )
+        .collect()
+    )
+    spark = corpus.sparkSession
+    table_rows = []
+    for r in qrows:
+        qv = list(r["_qv"])
+        for j in range(m):
+            qs = qv[j * sub : (j + 1) * sub]
+            for c, cent in enumerate(codebooks[j]):
+                d2 = sum((a - b) ** 2 for a, b in zip(qs, cent))
+                table_rows.append((r[id_col], j, c, d2))
+    lut = spark.createDataFrame(
+        table_rows, "query_id bigint, _j int, _code int, _d2 bigint"
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(
+            F.array(*[F.col(f"code_{j}") for j in range(m)])
+        ).alias("_j", "_code"),
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["_j", "_code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d2").alias("adc_d2"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2"), F.col("neighbor_id")
+    )
+    return (
+        adc.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).alias("rank"),
+            "adc_d2",
+        )
+        .where(F.col("rank") <= k_neighbors)
+    )
+
+
+def clustering_label_agreement(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Adjusted Rand Index of the deterministic k-means clustering
+    against ground-truth labels — the external-validity check run
+    after every embedding-space clustering. One row: (n, n_clusters,
+    n_labels, sum_comb_cells, sum_comb_clusters, sum_comb_labels,
+    ari) where the three pair-count sums are EXACT BIGINTs (Σ C(n,2)
+    over the contingency table and its margins) and ARI is the one
+    closed-form float at the end, computed with the same
+    left-association in the oracle.
+
+    Shape: one groupBy to the contingency table (≤ k·|labels| rows),
+    margins as two more tiny aggregations — no pairs materialized
+    anywhere (the C(n,2) identity does the pair counting).
+    """
+    assigned, _ = kmeans_quantized(
+        corpus, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+        grid=grid,
+    )
+    labs = corpus.select(F.col(id_col), F.col(label_col).alias("_lab"))
+    ct = (
+        assigned.join(labs, id_col)
+        .groupBy("cluster", "_lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    )
+    rows_m = ct.groupBy("cluster").agg(
+        F.sum("_n").cast("bigint").alias("_n")
+    )
+    cols_m = ct.groupBy("_lab").agg(
+        F.sum("_n").cast("bigint").alias("_n")
+    )
+    # one tagged union -> one 1-row aggregate (no scalar cross-joins);
+    # C(n,2) stays in integer domain via div
+    tagged = (
+        ct.select(
+            F.lit("cell").alias("_t"), "_n",
+            F.col("cluster").cast("string").alias("_k"),
+            F.col("_lab").cast("string").alias("_l"),
+        )
+        .unionByName(
+            rows_m.select(
+                F.lit("row").alias("_t"), "_n",
+                F.lit(None).cast("string").alias("_k"),
+                F.lit(None).cast("string").alias("_l"),
+            )
+        )
+        .unionByName(
+            cols_m.select(
+                F.lit("col").alias("_t"), "_n",
+                F.lit(None).cast("string").alias("_k"),
+                F.lit(None).cast("string").alias("_l"),
+            )
+        )
+    )
+    comb2 = F.expr("_n * (_n - 1) div 2")
+    cell = F.col("_t") == "cell"
+    out = tagged.agg(
+        F.sum(F.when(cell, F.col("_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+        F.countDistinct(F.when(cell, F.col("_k"))).cast("bigint")
+        .alias("n_clusters"),
+        F.countDistinct(F.when(cell, F.col("_l"))).cast("bigint")
+        .alias("n_labels"),
+        F.sum(F.when(cell, comb2).otherwise(0))
+        .cast("bigint")
+        .alias("sum_comb_cells"),
+        F.sum(F.when(F.col("_t") == "row", comb2).otherwise(0))
+        .cast("bigint")
+        .alias("sum_comb_clusters"),
+        F.sum(F.when(F.col("_t") == "col", comb2).otherwise(0))
+        .cast("bigint")
+        .alias("sum_comb_labels"),
+    )
+    n2 = F.expr("n * (n - 1) div 2").cast("double")
+    expected = (
+        F.col("sum_comb_clusters").cast("double")
+        * F.col("sum_comb_labels").cast("double")
+        / n2
+    )
+    maxi = (
+        F.col("sum_comb_clusters").cast("double")
+        + F.col("sum_comb_labels").cast("double")
+    ) / F.lit(2.0)
+    ari = (
+        (F.col("sum_comb_cells").cast("double") - expected)
+        / (maxi - expected)
+    )
+    return out.select(
+        "n",
+        "n_clusters",
+        "n_labels",
+        "sum_comb_cells",
+        "sum_comb_clusters",
+        "sum_comb_labels",
+        F.round(ari, 6).alias("ari"),
+    )

@@ -230,6 +230,9 @@ HEADLINE = [
     "source_concentration",   # per-source token Pareto audit
     "bowtie_trade",           # Broder bow-tie macro-structure
     "rfm_segments",           # integer-tile RFM customer grid
+    "pq_codes",               # product-quantization encoding (4x16)
+    "pq_topk",                # PQ asymmetric-distance top-10
+    "kmeans_ari",             # clustering-vs-label ARI (exact C(n,2))
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -162,6 +162,9 @@ AUDITED = [
     ("source_concentration", "histogram cumsum + interior ceil div"),
     ("bowtie_trade", "closure + semi-joins vs tiny core set"),
     ("rfm_segments", "per-customer agg windows + 1-row anchor"),
+    ("pq_codes", "m subspace kmeans runs, narrow projections"),
+    ("pq_topk", "codes explode + broadcast LUT + one groupBy"),
+    ("kmeans_ari", "contingency groupBy + tagged-union 1-row agg"),
 ]
 
 
