@@ -7005,8 +7005,13 @@ def q_dedup_cluster_stats(spark, sf_dir):
     """Near-dup cluster size histogram (dedup.dedup_cluster_stats,
     threshold 0.9): (cluster_size, n_clusters, n_docs) over connected
     components of the exact-verified near-dup graph, singletons
-    included — the removal-audit table every dedup run ships. Oracle:
-    the keep-family transitive closure reduced to a size histogram."""
+    included — the removal-audit table every dedup run ships. Same
+    answer as the direct-route `dup_cluster_histogram` (plus the
+    n_docs column) but through the EXACT-DUP COLLAPSE first: a
+    1400-copy boilerplate cluster contributes ~1M verified pairs to
+    the direct route's CC and ONE representative here — the
+    adversarial-scale variant, benchmarked side by side. Oracle: the
+    keep-family transitive closure reduced to a size histogram."""
     from akka_graph_db_spark.functions.dedup import dedup_cluster_stats
 
     docs = read_documents(spark, sf_dir)
@@ -7096,6 +7101,71 @@ def q_kmeans_ari(spark, sf_dir):
 
     emb = read_embeddings(spark, sf_dir)
     return clustering_label_agreement(emb, k=8, n_iter=3)
+
+
+def q_embedding_dim_profile(spark, sf_dir):
+    """Per-dimension embedding health profile (similarity.
+    embedding_dim_profile): min/max/lower-median/distinct/zero counts
+    per dimension, every statistic on the exact 1e-6 integer grid —
+    the dead-dimension / collapsed-variance gate before ANN or
+    clustering runs. Median windows run over the per-dimension value
+    HISTOGRAM, never the corpus."""
+    from akka_graph_db_spark.functions.similarity import (
+        embedding_dim_profile,
+    )
+
+    emb = read_embeddings(spark, sf_dir)
+    return embedding_dim_profile(emb).orderBy("dim_idx")
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (similarity.
+    hard_negatives): for the 5 lowest-id query vectors, the 5 nearest
+    DIFFERENT-label neighbors by exact int64 grid distance (numpy
+    matmul per Arrow batch, id tiebreaks) — near in embedding space,
+    wrong by ground truth: the pairs a contrastive loss learns most
+    from."""
+    from akka_graph_db_spark.functions.similarity import hard_negatives
+
+    emb = read_embeddings(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(5)
+    return hard_negatives(emb, queries, k=5)
+
+
+def q_streaming_dedup_ingest(spark, sf_dir):
+    """At-ingest streaming near-dup filter (streaming/ingest.py
+    StreamingCrossDedup): the 20% incoming slice streamed in 4 real
+    micro-batches (maxFilesPerTrigger=1) against the 80% base
+    corpus's ONE-TIME persisted LSH index + shingle sets. Per-doc
+    matches are independent of batch boundaries, so the accumulated
+    stream output is bit-identical to the one-shot batch run — the
+    oracle is dedup_incremental's exact cross all-pairs SQL
+    verbatim."""
+    import os
+    import tempfile
+
+    from akka_graph_db_spark.streaming.ingest import StreamingCrossDedup
+
+    docs = read_documents(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+    base = docs.where(F.col("doc_id") % 10 < 8)
+    tmp = tempfile.mkdtemp(prefix="sxdedup_")
+    src = os.path.join(tmp, "src")
+    new.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    xd = StreamingCrossDedup(
+        base, threshold=0.9, num_perm=64, bands=16, shingle_n=1
+    )
+    try:
+        return xd.run(
+            stream, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+        )
+    finally:
+        xd.close()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -7387,6 +7457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "kmeans_ari": q_kmeans_ari,
+        "embedding_dim_profile": q_embedding_dim_profile,
+        "hard_negatives": q_hard_negatives,
+        "streaming_dedup_ingest": q_streaming_dedup_ingest,
     }
 
 
@@ -12927,4 +13000,88 @@ def oracle_sql() -> dict[str, str]:
             FROM ar_s
             """,
         ),
+        # 0-based dim_idx (engine posexplode) = 1-based pos - 1; same
+        # grid quantization and histogram lower-median ranks.
+        "embedding_dim_profile": """
+            WITH ed_v AS (
+              SELECT list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            ed_e AS (
+              SELECT pos - 1 AS dim_idx, v[pos] AS val FROM (
+                SELECT v, unnest(range(1, len(v) + 1)) AS pos FROM ed_v
+              )
+            ),
+            ed_h AS (
+              SELECT dim_idx, val, COUNT(*) AS n
+              FROM ed_e GROUP BY 1, 2
+            ),
+            ed_c AS (
+              SELECT dim_idx, val, n,
+                     SUM(n) OVER (PARTITION BY dim_idx
+                                  ORDER BY val) AS cum,
+                     SUM(n) OVER (PARTITION BY dim_idx) AS tot
+              FROM ed_h
+            )
+            SELECT dim_idx,
+                   CAST(MIN(val) AS BIGINT) AS min_q,
+                   CAST(MAX(val) AS BIGINT) AS max_q,
+                   CAST(MIN(CASE WHEN cum >= (tot * 500 + 999) // 1000
+                            THEN val END) AS BIGINT) AS median_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN val = 0 THEN n ELSE 0 END)
+                        AS BIGINT) AS n_zero
+            FROM ed_c GROUP BY dim_idx ORDER BY dim_idx
+        """,
+        # Exact int64 grid distances (the kmeans_quantized exactness
+        # argument), label-filtered before the rank.
+        "hard_negatives": """
+            WITH hn_all AS MATERIALIZED (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            hn_q AS (
+              SELECT * FROM hn_all ORDER BY vec_id LIMIT 5
+            )
+            SELECT query_id, neighbor_id, rank, d2, neighbor_label
+            FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     c.label AS neighbor_label,
+                     CAST(list_dot_product(q.v, q.v)
+                          + list_dot_product(c.v, c.v)
+                          - 2 * list_dot_product(q.v, c.v)
+                          AS BIGINT) AS d2,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, q.v)
+                                + list_dot_product(c.v, c.v)
+                                - 2 * list_dot_product(q.v, c.v),
+                                c.vec_id) AS rank
+              FROM hn_q q JOIN hn_all c ON c.label <> q.label
+            ) WHERE rank <= 5
+        """,
+        # stream==batch equivalence: per-doc matches are independent of
+        # batch boundaries, so the accumulated stream output equals the
+        # one-shot cross dedup — dedup_incremental's oracle verbatim.
+        "streaming_dedup_ingest": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, list_distinct({_TOK}) AS toks FROM documents
+            ),
+            nw AS (SELECT * FROM t WHERE doc_id % 10 >= 8),
+            bs AS (SELECT * FROM t WHERE doc_id % 10 < 8)
+            SELECT n.doc_id AS new_id, b.doc_id AS base_id,
+                   len(list_intersect(n.toks, b.toks))::DOUBLE
+                   / (len(n.toks) + len(b.toks)
+                      - len(list_intersect(n.toks, b.toks)))
+                     AS jaccard_sim
+            FROM nw n JOIN bs b
+              ON len(list_intersect(n.toks, b.toks))::DOUBLE
+                 / (len(n.toks) + len(b.toks)
+                    - len(list_intersect(n.toks, b.toks))) >= 0.9
+        """,
     }

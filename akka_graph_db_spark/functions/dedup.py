@@ -1619,7 +1619,12 @@ def dedup_cluster_stats(
     linkage (exact-dup min-id collapse -> banded LSH -> exact verify ->
     connected components), so its cost and its 100 TB shape are that
     pipeline's; the histogram itself is two tiny aggregations over the
-    (doc -> component) map.
+    (doc -> component) map. The entry-registry `dup_cluster_histogram`
+    computes the same histogram WITHOUT the collapse (CC over all docs
+    and all verified pairs) — correct, but a d-copy exact-dup cluster
+    contributes C(d,2) verified pairs there vs one representative
+    here; this is the adversarial-scale route, kept benchmarked side
+    by side with the direct one.
     """
     from akka_graph_db_spark.operators.analytics import (
         connected_components_from_pairs,

@@ -994,3 +994,176 @@ def clustering_label_agreement(
         "sum_comb_labels",
         F.round(ari, 6).alias("ari"),
     )
+
+
+def embedding_dim_profile(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension embedding health profile — the data-quality gate
+    before any ANN/clustering run: dead dimensions (constant), stuck
+    signs, collapsed variance. One row per dimension: (dim_idx, min_q,
+    max_q, median_q, n_distinct, n_zero) with every statistic on the
+    exact 1e-6 integer grid (the kmeans_quantized contract), median =
+    type-1 lower median via integer ranks.
+
+    Scale shape: one posexplode to (dim, value) + a per-(dim, value)
+    HISTOGRAM groupBy; the ordered median window runs over histogram
+    rows (distinct values per dimension), never the corpus; min/max/
+    distinct/zero fold into the same aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    q = corpus.select(
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * grid, 0).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dim_idx", "_v")
+    )
+    hist = q.groupBy("dim_idx", "_v").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wcum = (
+        Window.partitionBy("dim_idx")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("dim_idx")
+    cum = hist.select(
+        "dim_idx",
+        "_v",
+        "_n",
+        F.sum("_n").over(wcum).alias("_cum"),
+        F.sum("_n").over(wall).alias("_tot"),
+    )
+    med_rank = F.expr("(_tot * 500 + 999) div 1000")
+    return (
+        cum.groupBy("dim_idx")
+        .agg(
+            F.min("_v").cast("bigint").alias("min_q"),
+            F.max("_v").cast("bigint").alias("max_q"),
+            F.min(
+                F.when(F.col("_cum") >= med_rank, F.col("_v"))
+            ).cast("bigint").alias("median_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("_v") == 0, F.col("_n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+        )
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for
+    each query vector, the ``k`` NEAREST neighbors with a DIFFERENT
+    label (near in embedding space, wrong by ground truth: exactly the
+    pairs a contrastive loss learns most from). Distances are exact
+    int64 squared grid distances (numpy matmul per Arrow batch, the
+    kmeans_quantized discipline), ranking ties break by neighbor id —
+    bit-reproducible, SQL-certifiable. Returns (query_id, neighbor_id,
+    rank, d2, neighbor_label).
+
+    Scale shape: query side collected + broadcast (small by contract,
+    as :func:`topk_bruteforce`); one corpus scan computes all
+    query-distances per row; label filter before the top-k window.
+    """
+    from pyspark.sql.window import Window
+
+    qpdf = (
+        queries.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * grid, 0).cast(
+                    "bigint"
+                ),
+            ).alias("_qv"),
+        )
+        .collect()
+    )
+    qids = [r[id_col] for r in qpdf]
+    qlabels = {r[id_col]: r[label_col] for r in qpdf}
+    qmat = [list(r["_qv"]) for r in qpdf]
+
+    corpus_q = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * grid, 0).cast(
+                "bigint"
+            ),
+        ).alias("_qv"),
+    )
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qmat, dtype=np.int64)          # nq x dim
+        qn = (Q * Q).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["_qv"]]
+            )
+            vn = (V * V).sum(axis=1)
+            d2 = vn[:, None] + qn[None, :] - 2 * (V @ Q.T)
+            n, nq = d2.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(
+                        pdf[id_col].to_numpy(), nq
+                    ),
+                    "neighbor_label": np.tile(
+                        pdf[label_col].to_numpy(), nq
+                    ),
+                    "d2": d2.T.reshape(-1),
+                }
+            )
+
+    scored = corpus_q.mapInPandas(
+        _score,
+        schema=(
+            "query_id bigint, neighbor_id bigint,"
+            " neighbor_label int, d2 bigint"
+        ),
+    )
+    qlab = F.create_map(
+        *[
+            x
+            for qid in qids
+            for x in (F.lit(qid), F.lit(qlabels[qid]))
+        ]
+    )
+    filtered = scored.where(
+        F.col("neighbor_label")
+        != F.element_at(qlab, F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2"), F.col("neighbor_id")
+    )
+    return filtered.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).alias("rank"),
+        "d2",
+        "neighbor_label",
+    ).where(F.col("rank") <= k)

@@ -233,6 +233,9 @@ HEADLINE = [
     "pq_codes",               # product-quantization encoding (4x16)
     "pq_topk",                # PQ asymmetric-distance top-10
     "kmeans_ari",             # clustering-vs-label ARI (exact C(n,2))
+    "embedding_dim_profile",  # per-dimension grid-exact health stats
+    "hard_negatives",         # different-label nearest neighbors
+    "streaming_dedup_ingest", # at-ingest dedup vs persisted base index
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

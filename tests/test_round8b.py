@@ -447,3 +447,98 @@ def test_clustering_label_agreement_perfect_and_random(spark):
     out = clustering_label_agreement(df, k=2, n_iter=3).collect()[0]
     assert out.n == 20 and out.n_clusters == 2 and out.n_labels == 2
     assert out.ari == 1.0
+
+
+# -------------------------------------------------- embedding dim profile
+def test_embedding_dim_profile_exact(spark):
+    from akka_graph_db_spark.functions.similarity import (
+        embedding_dim_profile,
+    )
+
+    rows = [
+        (1, [0.0, 1.0]),
+        (2, [0.0, 2.0]),
+        (3, [0.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r.dim_idx: r for r in embedding_dim_profile(df).collect()
+    }
+    # dim 0: constant zero (dead)
+    assert got[0].min_q == 0 and got[0].max_q == 0
+    assert got[0].n_distinct == 1 and got[0].n_zero == 3
+    # dim 1: values 1e6, 2e6, 2e6 -> median rank ceil(3/2)=2 -> 2e6
+    assert got[1].median_q == 2_000_000
+    assert got[1].n_distinct == 2 and got[1].n_zero == 0
+
+
+# --------------------------------------------------------- hard negatives
+def test_hard_negatives_excludes_same_label(spark):
+    from akka_graph_db_spark.functions.similarity import hard_negatives
+
+    rows = [
+        (0, [0.0, 0.0], 1),
+        (1, [0.1, 0.0], 1),   # nearest but SAME label -> excluded
+        (2, [0.2, 0.0], 2),   # nearest different-label
+        (3, [1.0, 0.0], 2),
+        (4, [5.0, 5.0], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    q = df.where(F.col("vec_id") == 0)
+    out = sorted(
+        hard_negatives(df, q, k=3).collect(), key=lambda r: r.rank
+    )
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert all(r.neighbor_label != 1 for r in out)
+    # exact grid distance: 0.2 -> 200000^2
+    assert out[0].d2 == 200_000 ** 2
+
+
+# ------------------------------------------------- streaming cross dedup
+def test_streaming_cross_dedup_equals_batch(spark, tmp_path):
+    import os
+
+    from akka_graph_db_spark.functions.dedup import minhash_dedup_cross
+    from akka_graph_db_spark.streaming.ingest import StreamingCrossDedup
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "zeta eta theta iota"),
+        (11, "alpha beta gamma delta"),      # dup of base 1
+        (12, "alpha beta gamma delta epsi"),  # near base 1 (J=4/5)
+        (13, "completely different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = docs.where(F.col("doc_id") < 10)
+    new = docs.where(F.col("doc_id") >= 10)
+    src = str(tmp_path / "src")
+    new.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    xd = StreamingCrossDedup(
+        base, threshold=0.75, num_perm=64, bands=32, shingle_n=1
+    )
+    try:
+        got = xd.run(
+            stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        got_set = {
+            (r.new_id, r.base_id, round(r.jaccard_sim, 9))
+            for r in got.collect()
+        }
+    finally:
+        xd.close()
+    want = {
+        (r.new_id, r.base_id, round(r.jaccard_sim, 9))
+        for r in minhash_dedup_cross(
+            new, base, threshold=0.75, num_perm=64, bands=32,
+            shingle_n=1,
+        ).collect()
+    }
+    assert got_set == want
+    assert (11, 1, 1.0) in got_set

@@ -165,6 +165,8 @@ AUDITED = [
     ("pq_codes", "m subspace kmeans runs, narrow projections"),
     ("pq_topk", "codes explode + broadcast LUT + one groupBy"),
     ("kmeans_ari", "contingency groupBy + tagged-union 1-row agg"),
+    ("embedding_dim_profile", "posexplode + per-dim histogram windows"),
+    ("hard_negatives", "one corpus scan x broadcast queries + window"),
 ]
 
 
