@@ -1561,16 +1561,20 @@ def transitive_closure(
 
 
 def strongly_connected_components(
-    pairs: DataFrame, max_doublings: int = 6
+    pairs: DataFrame, max_doublings: int = 6, closure: DataFrame | None = None
 ) -> DataFrame:
     """SCC membership of a directed (a, b) frame via mutual
     reachability over :func:`transitive_closure` (same bounded-
     cardinality contract): u, v share a component iff each reaches the
     other; the component id is the smallest member (every node is
     reflexively in its own SCC, so sources/sinks come out as
-    singletons). Returns (id, scc, scc_size).
+    singletons). Returns (id, scc, scc_size). Callers that already
+    hold the closure of ``pairs`` (e.g. :func:`bowtie_classes`) pass
+    it via ``closure`` so it is not recomputed.
     """
-    c = transitive_closure(pairs, max_doublings)
+    c = closure if closure is not None else transitive_closure(
+        pairs, max_doublings
+    )
     nodes = (
         pairs.select(F.col("a").alias("id"))
         .unionByName(pairs.select(F.col("b").alias("id")))
@@ -3928,10 +3932,13 @@ def katz_centrality(
             .groupBy(F.col("b").alias("id"))
             .agg(F.sum("_x").alias("_x"))
         )
-        # isolated-in-round vertices get 0 walks, not a dropped row
+        # isolated-in-round vertices get 0 walks, not a dropped row.
+        # EAGER checkpoint: each round's state is |V| rows; it must be
+        # materialized before sym.unpersist() below or the lazy result
+        # would re-derive the symmetric edge frame uncached per round.
         state = nodes.join(msgs, "id", "left").select(
             "id", F.coalesce("_x", F.lit(0)).alias("_x")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         walks.append(state)
     out = nodes
     for l, w in enumerate(walks, start=1):
@@ -4007,8 +4014,11 @@ def scc_condensation(edges: DataFrame) -> DataFrame:
     documented there — bounded-cardinality digraphs like type graphs);
     the condensation itself is two joins of the (vertex→scc) map onto
     the edge list + one groupBy. The scc map is one row per vertex —
-    broadcast-able for the type-graph use case.
+    broadcast-able for the type-graph use case. Edges checkpoint once
+    (SCC + both condensation joins would otherwise re-run a derived
+    edge frame's join chain).
     """
+    edges = edges.localCheckpoint(eager=True)
     scc = strongly_connected_components(edges).select("id", "scc")
     sa = scc.select(F.col("id").alias("a"), F.col("scc").alias("scc_a"))
     sb = scc.select(F.col("id").alias("b"), F.col("scc").alias("scc_b"))
@@ -4034,11 +4044,17 @@ def bowtie_classes(edges: DataFrame) -> DataFrame:
     Scale contract: inherits :func:`transitive_closure`'s bounded-
     cardinality contract (derived/category graphs). All classification
     joins are equi-keyed semi-joins against the (tiny) core member set;
-    the 1-row core choice is an aggregation, never a collect.
+    the 1-row core choice is an aggregation, never a collect. The
+    edge frame is checkpointed once and ONE closure feeds both the SCC
+    labeling and the IN/OUT reachability (a derived-edge frame like
+    the trade corridors would otherwise re-run its join chain per
+    consumer — measured 128 parquet scans in the un-shared plan).
     """
-    scc = strongly_connected_components(edges).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    edges = edges.localCheckpoint(eager=True)
+    closure = transitive_closure(edges)
+    scc = strongly_connected_components(
+        edges, closure=closure
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # largest SCC, min-id tiebreak, as a 1-row frame (argmax via the
     # max-struct trick; negated id so bigger size then smaller id wins)
     core_row = scc.groupBy("scc").agg(
@@ -4052,7 +4068,6 @@ def bowtie_classes(edges: DataFrame) -> DataFrame:
         scc["scc"] == core_row["_core_scc"],
         "left_semi",
     ).select("id")
-    closure = transitive_closure(edges)
     reaches_core = (
         closure.join(
             core_members.select(F.col("id").alias("b")), "b",
