@@ -7168,6 +7168,26 @@ def q_streaming_dedup_ingest(spark, sf_dir):
         xd.close()
 
 
+def q_gini_order_values(spark, sf_dir):
+    """Per-priority Gini coefficient of order values in exact integer
+    cents (profilef.gini_by_group): the sorted-rank identity
+    2·Σ rank·x − (n+1)·Σx folded over the per-(group, value)
+    histogram — gini_numerator is an exact BIGINT, the coefficient one
+    closed-form float. The whale-vs-broad-base inequality audit that
+    complements source_concentration's Pareto view."""
+    from akka_graph_db_spark.functions.profile import gini_by_group
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return gini_by_group(orders, "o_orderpriority", "cents").orderBy(
+        "o_orderpriority"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7460,6 +7480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_profile": q_embedding_dim_profile,
         "hard_negatives": q_hard_negatives,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
+        "gini_order_values": q_gini_order_values,
     }
 
 
@@ -13083,5 +13104,35 @@ def oracle_sql() -> dict[str, str]:
               ON len(list_intersect(n.toks, b.toks))::DOUBLE
                  / (len(n.toks) + len(b.toks)
                     - len(list_intersect(n.toks, b.toks))) >= 0.9
+        """,
+        # Sorted-rank Gini identity over the value histogram; HUGEINT
+        # intermediates cast to BIGINT before hashing; the one float
+        # division mirrors the engine's association.
+        "gini_order_values": """
+            WITH gv AS (
+              SELECT o_orderpriority AS g,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+            ),
+            gh AS (SELECT g, v, COUNT(*) AS c FROM gv GROUP BY 1, 2),
+            gc AS (
+              SELECT g, v, c,
+                     SUM(c) OVER (PARTITION BY g ORDER BY v) - c AS p
+              FROM gh
+            ),
+            ga AS (
+              SELECT g, SUM(c) AS n, SUM(v * c) AS total,
+                     SUM(v * (c * p + c * (c + 1) // 2)) AS s
+              FROM gc GROUP BY g
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(total AS BIGINT) AS total,
+                   CAST(2 * s - (n + 1) * total AS BIGINT)
+                     AS gini_numerator,
+                   ROUND(CAST(2 * s - (n + 1) * total AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)),
+                         6) AS gini
+            FROM ga ORDER BY g
         """,
     }

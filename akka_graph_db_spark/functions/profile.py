@@ -478,3 +478,65 @@ def winsorize_by_group(
             F.sum(F.col("_w") * F.col("_n")).alias("winsorized_sum"),
         )
     )
+
+
+def gini_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative INTEGER value
+    column (pass cents, tokens, counts — the caller quantizes) — the
+    inequality audit behind concentration questions ("is revenue in
+    this segment a few whales or a broad base?"). Returns (group, n,
+    total, gini_numerator, gini) where gini_numerator =
+    2·Σ rank_i·x_i − (n+1)·Σx is an EXACT BIGINT (the classic
+    sorted-rank identity) and gini = numerator / (n·Σx) is the one
+    closed-form float, ROUND(…, 6), computed with identical
+    association in the oracle.
+
+    Scale shape (the percentile_by_group discipline): Σ rank·x folds
+    over the per-(group, value) HISTOGRAM — a run of c equal values
+    starting after cumulative count p contributes
+    x·(c·p + c·(c+1)/2) — so the ordered window sees one row per
+    distinct value per group, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        group_col,
+        F.col(value_col).alias("_v"),
+        "_c",
+        (F.sum("_c").over(wcum) - F.col("_c")).alias("_p"),
+    )
+    # Σ rank·x for the bucket: v * (c*p + c*(c+1)/2)
+    rank_mass = F.col("_v") * (
+        F.col("_c") * F.col("_p")
+        + F.expr("_c * (_c + 1) div 2")
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.sum("_c").cast("bigint").alias("n"),
+        F.sum(F.col("_v") * F.col("_c")).cast("bigint").alias("total"),
+        F.sum(rank_mass).cast("bigint").alias("_s"),
+    )
+    num = (
+        F.lit(2) * F.col("_s")
+        - (F.col("n") + 1) * F.col("total")
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "total",
+        num.cast("bigint").alias("gini_numerator"),
+        F.round(
+            num.cast("double")
+            / (F.col("n").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("gini"),
+    )

@@ -542,3 +542,29 @@ def test_streaming_cross_dedup_equals_batch(spark, tmp_path):
     }
     assert got_set == want
     assert (11, 1, 1.0) in got_set
+
+
+# ------------------------------------------------------------------ gini
+def test_gini_by_group_closed_forms(spark):
+    from akka_graph_db_spark.functions.profile import gini_by_group
+
+    # perfect equality -> 0; one-takes-all over n=4 -> (n-1)/n = 0.75
+    rows = (
+        [("eq", 5)] * 4
+        + [("whale", 0), ("whale", 0), ("whale", 0), ("whale", 100)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {r.g: r for r in gini_by_group(df, "g", "v").collect()}
+    assert got["eq"].gini == 0.0 and got["eq"].gini_numerator == 0
+    assert got["whale"].gini == 0.75
+    # brute-force identity on an arbitrary multiset
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df2 = spark.createDataFrame(
+        [("x", v) for v in vals], "g string, v bigint"
+    )
+    out = gini_by_group(df2, "g", "v").collect()[0]
+    sv = sorted(vals)
+    n, tot = len(sv), sum(sv)
+    s = sum((i + 1) * x for i, x in enumerate(sv))
+    assert out.gini_numerator == 2 * s - (n + 1) * tot
+    assert out.n == n and out.total == tot

@@ -167,6 +167,7 @@ AUDITED = [
     ("kmeans_ari", "contingency groupBy + tagged-union 1-row agg"),
     ("embedding_dim_profile", "posexplode + per-dim histogram windows"),
     ("hard_negatives", "one corpus scan x broadcast queries + window"),
+    ("gini_order_values", "histogram rank-mass fold, one float at end"),
 ]
 
 
