@@ -7408,13 +7408,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-8 additions: round-9 rotation candidates ---
-        # (53 entries, pattern_diamond .. dedup_cluster_stats — 43 here
-        # plus the 10-entry second block after matching_parts: never
+        # (64 entries, pattern_diamond .. gini_order_values — 43 here
+        # plus the 21-entry second block after matching_parts: never
         # driver-certified; all local-green at sf0.001 AND sf0.01 —
         # these + any CORRECTNESS_r08 reds should LEAD round 9's
-        # first-50 window (53 > 50: hold the 3 cheapest scans for r10);
-        # any remaining slots take the oldest driver certifications
-        # for re-cert.)
+        # first-50 window (64 > 50: defer the cheapest relational
+        # scans — skyline/sample/winsorize/l_diversity/reorder/gini,
+        # brand_mixing, rfm — to round 10's window), then backfill any
+        # remaining slots with the oldest driver certifications.)
         "pattern_diamond": q_pattern_diamond,
         "pattern_supply_gap": q_pattern_supply_gap,
         "bloom_prune_report": q_bloom_prune_report,
