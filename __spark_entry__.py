@@ -7188,6 +7188,34 @@ def q_gini_order_values(spark, sf_dir):
     )
 
 
+def q_order_reconciliation(spark, sf_dir):
+    """Cross-table consistency audit (profilef.sum_reconciliation):
+    o_totalprice vs the recomputed Σ extendedprice·(1−disc)·(1+tax)
+    per order, in exact DECIMAL end to end — per priority: match /
+    mismatch / no-lineitem counts and exact diff extremes. On this
+    synthetic fixture the invariant NEVER holds (every order
+    mismatches) and some orders have no lines — precisely what a
+    reconciliation must surface rather than paper over."""
+    from akka_graph_db_spark.functions.profile import sum_reconciliation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    calc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(5,2)"))
+            * (F.lit(1) + F.col("l_tax").cast("decimal(5,2)"))
+        ).alias("calc")
+    ).select(F.col("l_orderkey").alias("o_orderkey"), "calc")
+    return sum_reconciliation(
+        orders, calc, "o_orderkey", "o_orderpriority"
+    ).orderBy("o_orderpriority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7482,6 +7510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         "gini_order_values": q_gini_order_values,
+        "order_reconciliation": q_order_reconciliation,
     }
 
 
@@ -13135,5 +13164,40 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)),
                          6) AS gini
             FROM ga ORDER BY g
+        """,
+        # Exact DECIMAL reconciliation; orders with no lines counted
+        # separately (LEFT join), never as silent matches.
+        "order_reconciliation": """
+            WITH rc_calc AS (
+              SELECT l_orderkey AS o_orderkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(5,2)))
+                         * (1 + CAST(l_tax AS DECIMAL(5,2)))) AS calc
+              FROM lineitem GROUP BY 1
+            ),
+            rc_j AS (
+              SELECT o.o_orderpriority AS g,
+                     CAST(o.o_totalprice AS DECIMAL(18,2)) AS amt,
+                     c.calc
+              FROM orders o LEFT JOIN rc_calc c USING (o_orderkey)
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_parents,
+                   CAST(SUM(CASE WHEN calc IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_children,
+                   CAST(SUM(CASE WHEN calc IS NOT NULL
+                                  AND ABS(amt - calc)
+                                      <= CAST('0.00' AS DECIMAL(18,6))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+                   CAST(SUM(CASE WHEN calc IS NOT NULL
+                                  AND ABS(amt - calc)
+                                      > CAST('0.00' AS DECIMAL(18,6))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_mismatch,
+                   MAX(CASE WHEN calc IS NOT NULL
+                       THEN ABS(amt - calc) END) AS max_abs_diff,
+                   SUM(CASE WHEN calc IS NOT NULL
+                       THEN ABS(amt - calc) END) AS sum_abs_diff
+            FROM rc_j GROUP BY g ORDER BY g
         """,
     }

@@ -540,3 +540,60 @@ def gini_by_group(
             6,
         ).alias("gini"),
     )
+
+
+def sum_reconciliation(
+    parent: DataFrame,
+    child_sums: DataFrame,
+    key_col: str,
+    group_col: str,
+    amount_col: str = "amount",
+    calc_col: str = "calc",
+    tolerance: str = "0.00",
+) -> DataFrame:
+    """Cross-table consistency audit — does a parent's stored total
+    equal the recomputed sum of its children? The reconciliation every
+    warehouse runs before trusting a denormalized column. ``parent``
+    carries (key, group, amount), ``child_sums`` the recomputed
+    (key, calc); both amounts must be DECIMAL (exact — a float
+    reconciliation would report its own rounding as mismatches).
+
+    Per group: (group, n_parents, n_no_children, n_match, n_mismatch,
+    max_abs_diff, sum_abs_diff) — matches are |amount − calc| <=
+    tolerance in exact decimal arithmetic; parents with no child rows
+    are counted separately, never as silent matches.
+
+    Shape: one LEFT equi-join on the key + one groupBy — both keyed,
+    map-side combinable aggregates; no window, no floats.
+    """
+    j = parent.select(
+        F.col(key_col).alias("_k"),
+        F.col(group_col).alias("_g"),
+        F.col(amount_col).alias("_amt"),
+    ).join(
+        child_sums.select(
+            F.col(key_col).alias("_k"), F.col(calc_col).alias("_calc")
+        ),
+        "_k",
+        "left",
+    )
+    diff = F.abs(F.col("_amt") - F.col("_calc"))
+    tol = F.lit(tolerance).cast("decimal(18,6)")
+    has = F.col("_calc").isNotNull()
+    return (
+        j.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parents"),
+            F.sum(F.when(~has, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_children"),
+            F.sum(F.when(has & (diff <= tol), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+            F.sum(F.when(has & (diff > tol), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mismatch"),
+            F.max(F.when(has, diff)).alias("max_abs_diff"),
+            F.sum(F.when(has, diff)).alias("sum_abs_diff"),
+        )
+    )

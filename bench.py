@@ -237,6 +237,7 @@ HEADLINE = [
     "hard_negatives",         # different-label nearest neighbors
     "streaming_dedup_ingest", # at-ingest dedup vs persisted base index
     "gini_order_values",      # exact sorted-rank Gini per group
+    "order_reconciliation",   # exact-decimal cross-table audit
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -568,3 +568,32 @@ def test_gini_by_group_closed_forms(spark):
     s = sum((i + 1) * x for i, x in enumerate(sv))
     assert out.gini_numerator == 2 * s - (n + 1) * tot
     assert out.n == n and out.total == tot
+
+
+# -------------------------------------------------------- reconciliation
+def test_sum_reconciliation_classes(spark):
+    from decimal import Decimal
+
+    from akka_graph_db_spark.functions.profile import sum_reconciliation
+
+    parent = spark.createDataFrame(
+        [
+            (1, "A", Decimal("10.00")),   # matches
+            (2, "A", Decimal("10.00")),   # off by 0.01
+            (3, "A", Decimal("5.00")),    # no children
+        ],
+        "k bigint, g string, amount decimal(18,2)",
+    )
+    child = spark.createDataFrame(
+        [(1, Decimal("10.00")), (2, Decimal("10.01"))],
+        "k bigint, calc decimal(18,2)",
+    )
+    out = sum_reconciliation(parent, child, "k", "g").collect()[0]
+    assert out.n_parents == 3 and out.n_no_children == 1
+    assert out.n_match == 1 and out.n_mismatch == 1
+    assert out.max_abs_diff == Decimal("0.01")
+    # tolerance widens the match
+    out2 = sum_reconciliation(
+        parent, child, "k", "g", tolerance="0.05"
+    ).collect()[0]
+    assert out2.n_match == 2 and out2.n_mismatch == 0

@@ -168,6 +168,7 @@ AUDITED = [
     ("embedding_dim_profile", "posexplode + per-dim histogram windows"),
     ("hard_negatives", "one corpus scan x broadcast queries + window"),
     ("gini_order_values", "histogram rank-mass fold, one float at end"),
+    ("order_reconciliation", "left equi-join + keyed decimal aggs"),
 ]
 
 
