@@ -7216,6 +7216,18 @@ def q_order_reconciliation(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q_label_noise_knn(spark, sf_dir):
+    """kNN label-noise audit (similarity.label_noise_knn, k=10): per
+    label, how often members' 10 nearest neighbors (exact int64 grid
+    distances, id tiebreaks) carry a different label — mislabeled data
+    or unseparable classes surface as high disagree_ppm before any
+    training run. One numpy matmul pass; |labels| output rows."""
+    from akka_graph_db_spark.functions.similarity import label_noise_knn
+
+    emb = read_embeddings(spark, sf_dir)
+    return label_noise_knn(emb, k=10).orderBy("label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7436,11 +7448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-8 additions: round-9 rotation candidates ---
-        # (64 entries, pattern_diamond .. gini_order_values — 43 here
-        # plus the 21-entry second block after matching_parts: never
+        # (66 entries, pattern_diamond .. label_noise_knn — 43 here
+        # plus the 23-entry second block after matching_parts: never
         # driver-certified; all local-green at sf0.001 AND sf0.01 —
         # these + any CORRECTNESS_r08 reds should LEAD round 9's
-        # first-50 window (64 > 50: defer the cheapest relational
+        # first-50 window (66 > 50: defer the cheapest relational
         # scans — skyline/sample/winsorize/l_diversity/reorder/gini,
         # brand_mixing, rfm — to round 10's window), then backfill any
         # remaining slots with the oldest driver certifications.)
@@ -7511,6 +7523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         "gini_order_values": q_gini_order_values,
         "order_reconciliation": q_order_reconciliation,
+        "label_noise_knn": q_label_noise_knn,
     }
 
 
@@ -13199,5 +13212,41 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN calc IS NOT NULL
                        THEN ABS(amt - calc) END) AS sum_abs_diff
             FROM rc_j GROUP BY g ORDER BY g
+        """,
+        # Exact int64 grid kNN (ROW_NUMBER over d2 with id ties) +
+        # integer-div ppm — mirrors the engine's lexsort exactly.
+        "label_noise_knn": """
+            WITH lnq AS MATERIALIZED (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            lnr AS (
+              SELECT vec_id, label, blabel FROM (
+                SELECT a.vec_id, a.label, b.label AS blabel,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY a.vec_id
+                         ORDER BY list_dot_product(a.v, a.v)
+                                  + list_dot_product(b.v, b.v)
+                                  - 2 * list_dot_product(a.v, b.v),
+                                  b.vec_id) AS rn
+                FROM lnq a JOIN lnq b ON b.vec_id <> a.vec_id
+              ) WHERE rn <= 10
+            ),
+            lnn AS (
+              SELECT vec_id, label,
+                     SUM(CASE WHEN blabel <> label THEN 1 ELSE 0 END)
+                       AS nd
+              FROM lnr GROUP BY 1, 2
+            )
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   CAST(10 AS INT) AS k,
+                   CAST(SUM(nd) AS BIGINT) AS n_disagree,
+                   CAST(SUM(nd) * 1000000 // (COUNT(*) * 10)
+                        AS BIGINT) AS disagree_ppm
+            FROM lnn GROUP BY label ORDER BY label
         """,
     }

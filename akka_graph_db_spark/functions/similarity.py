@@ -1167,3 +1167,99 @@ def hard_negatives(
         "d2",
         "neighbor_label",
     ).where(F.col("rank") <= k)
+
+
+def label_noise_knn(
+    corpus: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    grid: int = 1_000_000,
+    max_rows: int = 200_000,
+) -> DataFrame:
+    """kNN label-noise audit — the training-data quality gate for
+    labeled embeddings: for every vector, how many of its ``k``
+    nearest neighbors carry a DIFFERENT label, aggregated per label to
+    (label, n_vectors, k, n_disagree, disagree_ppm). A label whose
+    members' neighborhoods disagree heavily is either mislabeled data
+    or a class the embedding cannot separate — both need a look before
+    training.
+
+    Exactness: distances are int64 squared grid distances (the
+    kmeans_quantized contract), ranking ties break by neighbor id, the
+    ppm is integer DIV — the whole report is engine-reproducible.
+
+    Scale shape: the corpus matrix ships in the UDF closure
+    (``max_rows``-gated like :func:`knn_graph`; at 100 TB run the same
+    kernel per IVF cell / LSH bucket); scoring is one numpy int64
+    matmul per Arrow batch; the output aggregate is |labels| rows.
+    """
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute-force kNN over {n} rows exceeds max_rows="
+            f"{max_rows}; bucket the corpus first (IVF/LSH)"
+        )
+    base = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * grid, 0).cast(
+                "bigint"
+            ),
+        ).alias("_qv"),
+    )
+    rows = base.collect()
+    ids = [r[id_col] for r in rows]
+    labels = [r[label_col] for r in rows]
+    mat = [list(r["_qv"]) for r in rows]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(mat, dtype=np.int64)
+        cn = (C * C).sum(axis=1)
+        cid = np.asarray(ids, dtype=np.int64)
+        clab = np.asarray(labels)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["_qv"]]
+            )
+            vn = (V * V).sum(axis=1)
+            D = vn[:, None] + cn[None, :] - 2 * (V @ C.T)
+            qid = pdf[id_col].to_numpy(dtype="int64")
+            # exclude self: +inf-like sentinel in int64 domain
+            D = D.astype("float64")
+            D[qid[:, None] == cid[None, :]] = np.inf
+            order = np.lexsort(
+                (cid[None, :].repeat(len(V), 0), D), axis=1
+            )
+            top = order[:, :k]
+            diff = (
+                clab[top] != pdf[label_col].to_numpy()[:, None]
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "label": pdf[label_col],
+                    "n_disagree": diff.astype("int64"),
+                }
+            )
+
+    per_vec = base.mapInPandas(
+        _score, schema="label int, n_disagree bigint"
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.lit(k).cast("int").alias("k"),
+        F.sum("n_disagree").cast("bigint").alias("n_disagree"),
+    ).select(
+        "*",
+        F.expr(f"n_disagree * 1000000 div (n_vectors * {k})")
+        .cast("bigint")
+        .alias("disagree_ppm"),
+    )

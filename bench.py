@@ -238,6 +238,7 @@ HEADLINE = [
     "streaming_dedup_ingest", # at-ingest dedup vs persisted base index
     "gini_order_values",      # exact sorted-rank Gini per group
     "order_reconciliation",   # exact-decimal cross-table audit
+    "label_noise_knn",        # kNN label-disagreement audit
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -597,3 +597,42 @@ def test_sum_reconciliation_classes(spark):
         parent, child, "k", "g", tolerance="0.05"
     ).collect()[0]
     assert out2.n_match == 2 and out2.n_mismatch == 0
+
+
+# -------------------------------------------------------- label noise knn
+def test_label_noise_knn_planted(spark):
+    from akka_graph_db_spark.functions.similarity import label_noise_knn
+
+    # two tight blobs; one point of blob B planted inside blob A
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.001 * i, 0.0], 1))
+        rows.append((100 + i, [-10.0 - 0.001 * i, 0.0], 2))
+    rows.append((999, [10.003, 0.0], 2))  # mislabeled: sits in blob A
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in label_noise_knn(df, k=3).collect()}
+    # the planted point's 3 NNs are all label 1 -> contributes 3
+    # disagreements to label 2; blob-A points near the plant each see
+    # it among their 3 NNs -> label 1 has some disagreement too
+    assert got[2].n_disagree >= 3
+    assert got[2].n_vectors == 7
+    assert 0 < got[2].disagree_ppm <= 1_000_000
+    # pure-blob sanity: without the plant there is zero disagreement
+    clean = df.where(F.col("vec_id") != 999)
+    got2 = {r.label: r for r in label_noise_knn(clean, k=3).collect()}
+    assert got2[1].n_disagree == 0 and got2[2].n_disagree == 0
+
+
+def test_label_noise_knn_max_rows_gate(spark):
+    from akka_graph_db_spark.functions.similarity import label_noise_knn
+
+    df = spark.createDataFrame(
+        [(i, [0.0], 0) for i in range(5)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        label_noise_knn(df, k=2, max_rows=3)

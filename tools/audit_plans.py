@@ -169,6 +169,7 @@ AUDITED = [
     ("hard_negatives", "one corpus scan x broadcast queries + window"),
     ("gini_order_values", "histogram rank-mass fold, one float at end"),
     ("order_reconciliation", "left equi-join + keyed decimal aggs"),
+    ("label_noise_knn", "one int64 matmul pass + |labels|-row agg"),
 ]
 
 
