@@ -7228,6 +7228,18 @@ def q_label_noise_knn(spark, sf_dir):
     return label_noise_knn(emb, k=10).orderBy("label")
 
 
+def q_budget_trim_docs(spark, sf_dir):
+    """Per-source token-budget enforcement (mixture.budget_trim, 300
+    tokens per source): the longest md5-ranked document prefix whose
+    running token total fits — the execution step that turns planned
+    mixture shares into an actual corpus cut, deterministic and
+    stable under corpus growth. One window; exact integers."""
+    from akka_graph_db_spark.functions.mixture import budget_trim
+
+    docs = read_documents(spark, sf_dir)
+    return budget_trim(docs, budget_tokens=300)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7448,11 +7460,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         # --- round-8 additions: round-9 rotation candidates ---
-        # (66 entries, pattern_diamond .. label_noise_knn — 43 here
-        # plus the 23-entry second block after matching_parts: never
+        # (67 entries, pattern_diamond .. budget_trim_docs — 43 here
+        # plus the 24-entry second block after matching_parts: never
         # driver-certified; all local-green at sf0.001 AND sf0.01 —
         # these + any CORRECTNESS_r08 reds should LEAD round 9's
-        # first-50 window (66 > 50: defer the cheapest relational
+        # first-50 window (67 > 50: defer the cheapest relational
         # scans — skyline/sample/winsorize/l_diversity/reorder/gini,
         # brand_mixing, rfm — to round 10's window), then backfill any
         # remaining slots with the oldest driver certifications.)
@@ -7524,6 +7536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_order_values": q_gini_order_values,
         "order_reconciliation": q_order_reconciliation,
         "label_noise_knn": q_label_noise_knn,
+        "budget_trim_docs": q_budget_trim_docs,
     }
 
 
@@ -13248,5 +13261,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(nd) * 1000000 // (COUNT(*) * 10)
                         AS BIGINT) AS disagree_ppm
             FROM lnn GROUP BY label ORDER BY label
+        """,
+        # md5-ranked running token sum per source; RANGE==ROWS here
+        # (hash+id order is tie-free).
+        "budget_trim_docs": f"""
+            SELECT doc_id, text, lang, source, n_chars,
+                   tok AS _tokens, cum AS _cum_tokens
+            FROM (
+              SELECT doc_id, text, lang, source, n_chars, tok,
+                     CAST(SUM(tok) OVER (
+                       PARTITION BY source
+                       ORDER BY (md5_number_upper(
+                                   CAST(doc_id AS VARCHAR))
+                                 & 9223372036854775807), doc_id)
+                       AS BIGINT) AS cum
+              FROM (
+                SELECT doc_id, text, lang, source, n_chars,
+                       CAST(len({_TOK}) AS BIGINT) AS tok
+                FROM documents
+              )
+            ) WHERE cum <= 300
         """,
     }

@@ -138,3 +138,40 @@ def sample_k_per_group(
     return df.select(
         "*", F.row_number().over(rank_win).alias("_rank")
     ).where(F.col("_rank") <= k)
+
+
+def budget_trim(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Execute a per-source token budget: keep each group's md5-ranked
+    document prefix whose RUNNING token total fits the budget — the
+    enforcement step that turns :func:`mixture_weights`' planned
+    token shares into an actual corpus cut. Deterministic and stable
+    under corpus growth (hash rank, same argument as
+    :func:`sample_k_per_group`); a doc is kept only if it fits
+    ENTIRELY (no partial docs). Returns the surviving rows plus
+    ``_tokens`` and ``_cum_tokens``.
+
+    One shuffle: a single window partitioned by group computes rank
+    and running sum together. Exact integers end to end.
+    """
+    from akka_graph_db_spark.functions.text import token_count
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    key = F.col(key_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(md5_63(key.cast("string")), key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = df.withColumn(
+        "_tokens", token_count(F.col(text_col)).cast("bigint")
+    )
+    return with_tok.withColumn(
+        "_cum_tokens", F.sum("_tokens").over(w)
+    ).where(F.col("_cum_tokens") <= budget_tokens)

@@ -239,6 +239,7 @@ HEADLINE = [
     "gini_order_values",      # exact sorted-rank Gini per group
     "order_reconciliation",   # exact-decimal cross-table audit
     "label_noise_knn",        # kNN label-disagreement audit
+    "budget_trim_docs",       # per-source token-budget enforcement
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -636,3 +636,29 @@ def test_label_noise_knn_max_rows_gate(spark):
 
     with _pytest.raises(ValueError):
         label_noise_knn(df, k=2, max_rows=3)
+
+
+# ------------------------------------------------------------ budget trim
+def test_budget_trim_prefix_semantics(spark):
+    from akka_graph_db_spark.functions.mixture import budget_trim
+
+    rows = [(i, "w " * 10, "S") for i in range(6)]  # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = budget_trim(df, budget_tokens=35).collect()
+    # exactly 3 docs fit (30 tokens); the 4th would make 40 > 35
+    assert len(out) == 3
+    assert max(r._cum_tokens for r in out) == 30
+    # stable prefix: kept set is a prefix of the hash order, so the
+    # k=3 sample equals the trimmed ids
+    from akka_graph_db_spark.functions.mixture import sample_k_per_group
+
+    top3 = {
+        r.doc_id for r in sample_k_per_group(df, k=3).collect()
+    }
+    assert {r.doc_id for r in out} == top3
+    # zero budget keeps nothing; negative raises
+    assert budget_trim(df, budget_tokens=0).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        budget_trim(df, budget_tokens=-1)
