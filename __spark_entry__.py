@@ -7047,7 +7047,7 @@ def q_source_concentration(spark, sf_dir):
     )
 
 
-def q_rfm_segments(spark, sf_dir):
+def q_rfm_quintiles(spark, sf_dir):
     """RFM customer-value grid (ranking.rfm_segments, quintiles):
     recency anchored to the data's max order date via a 1-row
     broadcast, frequency and exact-DECIMAL monetary ranked with
@@ -7248,15 +7248,92 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
-    # entries only. Round-8 rotation: positions 1-19 are the round-7
-    # late additions (never driver-certified; all local-green at
-    # sf0.001 AND sf0.01); 20-31 are the r7-reworked superstep-family
-    # queries whose driver rows predate the exchange-free rework;
-    # 32-50 are the oldest (r4-latest) certifications for re-cert.
-    # Green here => all 195 oracled queries driver-certified
-    # cumulatively (dedup_minhash_keep_star is rows-only by design
-    # and deliberately kept OUT of the window).
-    # --- never-certified r7 late additions (1-19) ---
+    # entries only. Round-9 rotation (VERDICT r8 #3): the window is
+    # the never-driver-certified round-8 additions (all local-green
+    # at sf0.001 AND sf0.01 via tools/check_correctness.py), led by
+    # the two RFM queries from the r8 duplicate-key collision fix
+    # (VERDICT r8 #1: rfm_segments restored to the r06-certified
+    # threshold query; the r8 quintile grid renamed rfm_quintiles)
+    # and the queries whose substrate churned most. 18 cheap stable
+    # relational/event scans are deferred to round 10's window (see
+    # the 'round-10 rotation block' comment below) — after THIS
+    # window goes green, those 18 are the only oracled entries left
+    # without a driver row.
+        "rfm_segments": q_rfm_segments,
+        "rfm_quintiles": q_rfm_quintiles,
+        "dedup_recall_eval": q_dedup_recall_eval,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "dedup_manifest": q_dedup_manifest,
+        "store_version_diff": q_store_version_diff,
+        "store_incremental_topk": q_store_incremental_topk,
+        "scc_condensation_trade": q_scc_condensation_trade,
+        "bowtie_trade": q_bowtie_trade,
+        "katz_parts": q_katz_parts,
+        "streaming_dedup_ingest": q_streaming_dedup_ingest,
+        "pattern_diamond": q_pattern_diamond,
+        "pattern_supply_gap": q_pattern_supply_gap,
+        "bloom_prune_report": q_bloom_prune_report,
+        "closeness_parts": q_closeness_parts,
+        "temporal_triples": q_temporal_triples,
+        "split_leakage_report": q_split_leakage_report,
+        "corpus_drift_tvd": q_corpus_drift_tvd,
+        "knn_components": q_knn_components,
+        "lexical_diversity": q_lexical_diversity,
+        "retrieval_eval_bm25": q_retrieval_eval_bm25,
+        "coloring_geo": q_coloring_geo,
+        "session_paths": q_session_paths,
+        "clique_profile_parts": q_clique_profile_parts,
+        "negative_edges_coorder": q_negative_edges_coorder,
+        "fastrp_parts": q_fastrp_parts,
+        "phrase_search": q_phrase_search,
+        "entity_linkage_parts": q_entity_linkage_parts,
+        "ra_link_prediction": q_ra_link_prediction,
+        "degree_anomalies_parts": q_degree_anomalies_parts,
+        "textrank_keywords": q_textrank_keywords,
+        "wl_colors_parts": q_wl_colors_parts,
+        "dag_layers_graph": q_dag_layers_graph,
+        "edge_embeddedness": q_edge_embeddedness,
+        "seeded_labels_parts": q_seeded_labels_parts,
+        "cc_incremental_geo": q_cc_incremental_geo,
+        "label_path_census": q_label_path_census,
+        "basket_triples": q_basket_triples,
+        "local_clustering_parts": q_local_clustering_parts,
+        "fd_discovery_part": q_fd_discovery_part,
+        "matching_parts": q_matching_parts,
+        "source_concentration": q_source_concentration,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "kmeans_ari": q_kmeans_ari,
+        "embedding_dim_profile": q_embedding_dim_profile,
+        "hard_negatives": q_hard_negatives,
+        "order_reconciliation": q_order_reconciliation,
+        "label_noise_knn": q_label_noise_knn,
+        "budget_trim_docs": q_budget_trim_docs,
+    # --- certification window ends here (50 entries). ---
+    # round-10 rotation block: never driver-certified, local-green,
+    # deferred from round 9 (68 candidates > 50 slots) — these 18
+    # MUST lead round 10's first-50 window:
+        "skyline_parts": q_skyline_parts,
+        "sample_per_source": q_sample_per_source,
+        "winsorize_orders": q_winsorize_orders,
+        "l_diversity_customers": q_l_diversity_customers,
+        "reorder_gaps": q_reorder_gaps,
+        "gini_order_values": q_gini_order_values,
+        "brand_mixing_parts": q_brand_mixing_parts,
+        "k_anonymity_customers": q_k_anonymity_customers,
+        "price_qty_correlation": q_price_qty_correlation,
+        "event_trends": q_event_trends,
+        "interval_coverage": q_interval_coverage,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "equidepth_prices": q_equidepth_prices,
+        "rolling_active_users": q_rolling_active_users,
+        "scd2_user_state": q_scd2_user_state,
+        "time_weighted_value": q_time_weighted_value,
+        "concurrent_sessions": q_concurrent_sessions,
+        "event_bursts": q_event_bursts,
+    # Certified tail: every entry below has a green driver row in
+    # CORRECTNESS_r02..r08.json (except rows-only
+    # dedup_minhash_keep_star, excluded from windows by design).
         "dedup_containment": q_dedup_containment,
         "store_version_summary": q_store_version_summary,
         "hll_grouped_events": q_hll_grouped_events,
@@ -7276,7 +7353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "blocklist_report": q_blocklist_report,
         "profile_orders": q_profile_orders,
-    # --- r7-reworked superstep family re-certs (20-31) ---
         "kcore_parts": q_kcore_parts,
         "hits_top20": q_hits_top20,
         "betweenness_parts": q_betweenness_parts,
@@ -7289,7 +7365,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_parts": q_link_prediction_parts,
         "dedup_keep_source": q_dedup_keep_source,
         "connected_components_two_phase_geo": q_connected_components_two_phase_geo,
-    # --- oldest (r4-latest) re-certs (32-50) ---
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "multimodal_meta": q_multimodal_meta,
@@ -7309,10 +7384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_node_merge": q_update_node_merge,
         "update_edge_merge": q_update_edge_merge,
         "remove_node_cascade": q_remove_node_cascade,
-    # --- certification window ends here (50 entries). ---
-    # Certified tail: every entry below has a green driver row in
-    # CORRECTNESS_r04..r07.json (except rows-only
-    # dedup_minhash_keep_star, excluded from windows by design).
         "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
@@ -7398,7 +7469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_customers": q_zorder_customers,
         "store_incremental_counts": q_store_incremental_counts,
         "recency_histogram": q_recency_histogram,
-        "rfm_segments": q_rfm_segments,
         "order_intervals": q_order_intervals,
         "activity_heatmap": q_activity_heatmap,
         "revenue_concentration": q_revenue_concentration,
@@ -7459,84 +7529,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
-        # --- round-8 additions: round-9 rotation candidates ---
-        # (67 entries, pattern_diamond .. budget_trim_docs — 43 here
-        # plus the 24-entry second block after matching_parts: never
-        # driver-certified; all local-green at sf0.001 AND sf0.01 —
-        # these + any CORRECTNESS_r08 reds should LEAD round 9's
-        # first-50 window (67 > 50: defer the cheapest relational
-        # scans — skyline/sample/winsorize/l_diversity/reorder/gini,
-        # brand_mixing, rfm — to round 10's window), then backfill any
-        # remaining slots with the oldest driver certifications.)
-        "pattern_diamond": q_pattern_diamond,
-        "pattern_supply_gap": q_pattern_supply_gap,
-        "bloom_prune_report": q_bloom_prune_report,
-        "closeness_parts": q_closeness_parts,
-        "temporal_triples": q_temporal_triples,
-        "split_leakage_report": q_split_leakage_report,
-        "corpus_drift_tvd": q_corpus_drift_tvd,
-        "knn_components": q_knn_components,
-        "lexical_diversity": q_lexical_diversity,
-        "store_incremental_topk": q_store_incremental_topk,
-        "retrieval_eval_bm25": q_retrieval_eval_bm25,
-        "coloring_geo": q_coloring_geo,
-        "concurrent_sessions": q_concurrent_sessions,
-        "session_paths": q_session_paths,
-        "clique_profile_parts": q_clique_profile_parts,
-        "negative_edges_coorder": q_negative_edges_coorder,
-        "fastrp_parts": q_fastrp_parts,
-        "phrase_search": q_phrase_search,
-        "entity_linkage_parts": q_entity_linkage_parts,
-        "ra_link_prediction": q_ra_link_prediction,
-        "degree_anomalies_parts": q_degree_anomalies_parts,
-        "rolling_active_users": q_rolling_active_users,
-        "scd2_user_state": q_scd2_user_state,
-        "time_weighted_value": q_time_weighted_value,
-        "textrank_keywords": q_textrank_keywords,
-        "wl_colors_parts": q_wl_colors_parts,
-        "event_bursts": q_event_bursts,
-        "dag_layers_graph": q_dag_layers_graph,
-        "equidepth_prices": q_equidepth_prices,
-        "edge_embeddedness": q_edge_embeddedness,
-        "seeded_labels_parts": q_seeded_labels_parts,
-        "store_version_diff": q_store_version_diff,
-        "cc_incremental_geo": q_cc_incremental_geo,
-        "doc_length_percentiles": q_doc_length_percentiles,
-        "label_path_census": q_label_path_census,
-        "basket_triples": q_basket_triples,
-        "price_qty_correlation": q_price_qty_correlation,
-        "interval_coverage": q_interval_coverage,
-        "local_clustering_parts": q_local_clustering_parts,
-        "event_trends": q_event_trends,
-        "k_anonymity_customers": q_k_anonymity_customers,
-        "fd_discovery_part": q_fd_discovery_part,
-        "matching_parts": q_matching_parts,
-        # --- round-8 second block (this session): rotation candidates
-        # alongside pattern_diamond..matching_parts above ---
-        "skyline_parts": q_skyline_parts,
-        "sample_per_source": q_sample_per_source,
-        "winsorize_orders": q_winsorize_orders,
-        "l_diversity_customers": q_l_diversity_customers,
-        "reorder_gaps": q_reorder_gaps,
-        "katz_parts": q_katz_parts,
-        "brand_mixing_parts": q_brand_mixing_parts,
-        "scc_condensation_trade": q_scc_condensation_trade,
-        "dedup_recall_eval": q_dedup_recall_eval,
-        "dedup_cluster_stats": q_dedup_cluster_stats,
-        "dedup_manifest": q_dedup_manifest,
-        "source_concentration": q_source_concentration,
-        "bowtie_trade": q_bowtie_trade,
-        "rfm_segments": q_rfm_segments,
-        "pq_codes": q_pq_codes,
-        "pq_topk": q_pq_topk,
-        "kmeans_ari": q_kmeans_ari,
-        "embedding_dim_profile": q_embedding_dim_profile,
-        "hard_negatives": q_hard_negatives,
-        "streaming_dedup_ingest": q_streaming_dedup_ingest,
-        "gini_order_values": q_gini_order_values,
-        "order_reconciliation": q_order_reconciliation,
-        "label_noise_knn": q_label_noise_knn,
-        "budget_trim_docs": q_budget_trim_docs,
     }
 
 
@@ -12998,7 +12990,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same integer-div tiles, same id tiebreaks, same DECIMAL
         # monetary sums, same max-date recency anchor.
-        "rfm_segments": """
+        "rfm_quintiles": """
             WITH rf_pc AS (
               SELECT o_custkey AS customer,
                      MAX(o_orderdate) AS last_o,

@@ -229,7 +229,8 @@ HEADLINE = [
     "dedup_manifest",         # survivor -> removed lineage manifest
     "source_concentration",   # per-source token Pareto audit
     "bowtie_trade",           # Broder bow-tie macro-structure
-    "rfm_segments",           # integer-tile RFM customer grid
+    "rfm_quintiles",          # integer-tile RFM customer grid
+    "rfm_segments",           # fixed-threshold 8-way RFM split
     "pq_codes",               # product-quantization encoding (4x16)
     "pq_topk",                # PQ asymmetric-distance top-10
     "kmeans_ari",             # clustering-vs-label ARI (exact C(n,2))

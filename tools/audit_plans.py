@@ -161,7 +161,8 @@ AUDITED = [
     ("dedup_manifest", "component-map filter (no second agg)"),
     ("source_concentration", "histogram cumsum + interior ceil div"),
     ("bowtie_trade", "closure + semi-joins vs tiny core set"),
-    ("rfm_segments", "per-customer agg windows + 1-row anchor"),
+    ("rfm_quintiles", "per-customer agg windows + 1-row anchor"),
+    ("rfm_segments", "threshold flags: 2 aggs + 1-row broadcast"),
     ("pq_codes", "m subspace kmeans runs, narrow projections"),
     ("pq_topk", "codes explode + broadcast LUT + one groupBy"),
     ("kmeans_ari", "contingency groupBy + tagged-union 1-row agg"),
