@@ -86,3 +86,41 @@ def test_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert missing == []
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_child_groups_cover_headline_exactly():
+    groups = bench.child_groups(bench.HEADLINE)
+    flat = [n for g in groups for n in g]
+    assert sorted(flat) == sorted(bench.HEADLINE)
+    # every unknown/new query is isolated; batch sizes are respected
+    known = bench._BATCH10 | bench._BATCH4 | bench._BATCH2
+    for g in groups:
+        if any(n not in known for n in g):
+            assert len(g) == 1
+        elif all(n in bench._BATCH2 for n in g):
+            assert len(g) <= 2
+        elif all(n in bench._BATCH4 for n in g):
+            assert len(g) <= 4
+        else:
+            assert len(g) <= 10
+    # heavies-first ordering: a budget skip sheds batched cheap queries
+    iso_count = sum(1 for g in groups if g[0] not in known)
+    assert all(g[0] not in known for g in groups[:iso_count])
+
+
+def test_child_group_count_fits_wall_budget():
+    """The r8 driver bench died at 203 subprocess children (~60-70 min of
+    untimed JVM overhead). Batching must keep the child count bounded so
+    overhead stays within the wall budget."""
+    assert len(bench.child_groups(bench.HEADLINE)) <= 110
+
+
+def test_bucket_names_resolve():
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    for bucket in (bench._BATCH10, bench._BATCH4, bench._BATCH2):
+        assert bucket <= qs, sorted(bucket - qs)
+    assert not (bench._BATCH10 & bench._BATCH4)
+    assert not (bench._BATCH10 & bench._BATCH2)
+    assert not (bench._BATCH4 & bench._BATCH2)
