@@ -12898,7 +12898,17 @@ def oracle_sql() -> dict[str, str]:
             FROM sc_c
             WHERE cum >= (tot * 800 + 999) // 1000
               AND cum - mass < (tot * 800 + 999) // 1000
-            ORDER BY src
+            UNION ALL
+            -- all-zero-token source: no crossing bucket exists (cum -
+            -- mass < 0 is never true at tot = 0); mirror the engine's
+            -- explicit tot=0 branch (ADVICE r8)
+            SELECT src AS source,
+                   CAST(MAX(totd) AS BIGINT) AS n_docs,
+                   CAST(MAX(tot) AS BIGINT) AS total_tokens,
+                   CAST(0 AS BIGINT) AS docs_to_target,
+                   CAST(0 AS INT) AS top_doc_share_permille
+            FROM sc_c GROUP BY src HAVING MAX(tot) = 0
+            ORDER BY source
         """,
         # Trade corridors -> closure -> SCC labels -> bow-tie classes.
         # (IN ∩ OUT outside the core is impossible — mutual
@@ -13058,13 +13068,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(srm AS BIGINT) AS sum_comb_clusters,
                    CAST(scm AS BIGINT) AS sum_comb_labels,
                    ROUND(
+                     CASE WHEN (CAST(srm AS DOUBLE) + CAST(scm AS DOUBLE))
+                               / 2.0
+                            <> CAST(srm AS DOUBLE) * CAST(scm AS DOUBLE)
+                               / CAST(n * (n - 1) // 2 AS DOUBLE)
+                     THEN
                      (CAST(scc AS DOUBLE)
                       - CAST(srm AS DOUBLE) * CAST(scm AS DOUBLE)
                         / CAST(n * (n - 1) // 2 AS DOUBLE))
                      / ((CAST(srm AS DOUBLE) + CAST(scm AS DOUBLE))
                         / 2.0
                         - CAST(srm AS DOUBLE) * CAST(scm AS DOUBLE)
-                          / CAST(n * (n - 1) // 2 AS DOUBLE)), 6)
+                          / CAST(n * (n - 1) // 2 AS DOUBLE))
+                     ELSE 1.0 END, 6)
                      AS ari
             FROM ar_s
             """,

@@ -146,6 +146,7 @@ def budget_trim(
     group_col: str = "source",
     key_col: str = "doc_id",
     text_col: str = "text",
+    buckets: int = 64,
 ) -> DataFrame:
     """Execute a per-source token budget: keep each group's md5-ranked
     document prefix whose RUNNING token total fits the budget — the
@@ -156,22 +157,69 @@ def budget_trim(
     ENTIRELY (no partial docs). Returns the surviving rows plus
     ``_tokens`` and ``_cum_tokens``.
 
-    One shuffle: a single window partitioned by group computes rank
-    and running sum together. Exact integers end to end.
+    Scale shape (VERDICT r8 #5): a naive ``Window.partitionBy(source)``
+    running sum sorts each source's ENTIRE document set on one
+    partition — at 100 TB the dominant source (web crawl ≫ everything
+    else) is a straggler. Decomposed here into the house bucket-cumsum
+    shape (same as ``vocab_growth``/peak-concurrency): docs land in
+    ``buckets`` hash-RANGE buckets per source (bucket is monotone in the
+    md5 rank key, so bucket order IS prefix order and the decomposition
+    is exact); per-(source, bucket) token sums are one map-side-
+    combinable aggregation; the cross-bucket offsets window runs over
+    sources × buckets rows (bounded, tiny); the within-bucket running
+    sum sorts only ~1/buckets of a source per partition. One data-sized
+    shuffle on (source, bucket) plus a broadcast offsets join. Exact
+    integers end to end.
     """
     from akka_graph_db_spark.functions.text import token_count
 
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
     key = F.col(key_col)
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(md5_63(key.cast("string")), key)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    rank_hash = md5_63(key.cast("string"))
+    # BIGINT-safe range split of md5_63's [0, 2^63): the divisor stays
+    # below 2^63 (a lit(2**63) would overflow), and the final least()
+    # pins the top-of-range edge into bucket buckets-1 — monotone in the
+    # hash either way, which is all the decomposition needs.
+    if buckets == 1:  # divisor would be 2^63, itself un-lit-able
+        bucket = F.lit(0).cast("bigint")
+    else:
+        divisor = (2**63 - 1) // buckets + 1
+        bucket = F.least(
+            F.floor(rank_hash.cast("bigint") / F.lit(divisor)),
+            F.lit(buckets - 1),
+        ).cast("bigint")
     with_tok = df.withColumn(
         "_tokens", token_count(F.col(text_col)).cast("bigint")
+    ).withColumn("_bucket", bucket)
+    # one-row-per-(source, bucket) offsets: tokens in all EARLIER buckets
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return with_tok.withColumn(
-        "_cum_tokens", F.sum("_tokens").over(w)
-    ).where(F.col("_cum_tokens") <= budget_tokens)
+    offsets = (
+        with_tok.groupBy(group_col, "_bucket")
+        .agg(F.sum("_tokens").alias("_btoks"))
+        .select(
+            group_col,
+            "_bucket",
+            F.coalesce(F.sum("_btoks").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+    in_w = (
+        Window.partitionBy(group_col, "_bucket")
+        .orderBy(rank_hash, key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_tok.withColumn("_in_cum", F.sum("_tokens").over(in_w))
+        .join(F.broadcast(offsets), [group_col, "_bucket"])
+        .withColumn(
+            "_cum_tokens", (F.col("_off") + F.col("_in_cum")).cast("bigint")
+        )
+        .where(F.col("_cum_tokens") <= budget_tokens)
+        .drop("_bucket", "_off", "_in_cum")
+    )

@@ -981,10 +981,14 @@ def clustering_label_agreement(
         F.col("sum_comb_clusters").cast("double")
         + F.col("sum_comb_labels").cast("double")
     ) / F.lit(2.0)
-    ari = (
+    # degenerate partitions (k=1 cluster or a single label) make
+    # maxi == expected; ARI is conventionally 1.0 there — both trivial
+    # partitions are identical (ADVICE r8; guard mirrored in the oracle)
+    ari = F.when(
+        maxi != expected,
         (F.col("sum_comb_cells").cast("double") - expected)
-        / (maxi - expected)
-    )
+        / (maxi - expected),
+    ).otherwise(F.lit(1.0))
     return out.select(
         "n",
         "n_clusters",
@@ -1201,6 +1205,11 @@ def label_noise_knn(
             f"brute-force kNN over {n} rows exceeds max_rows="
             f"{max_rows}; bucket the corpus first (IVF/LSH)"
         )
+    if k > n - 1:
+        # with self-matches masked there are only n-1 candidate
+        # neighbors; a larger k would select masked sentinel rows and
+        # count them as disagreements (ADVICE r8)
+        raise ValueError(f"k={k} exceeds n-1={n - 1} candidate neighbors")
     base = corpus.select(
         F.col(id_col),
         F.col(label_col),
@@ -1233,9 +1242,11 @@ def label_noise_knn(
             vn = (V * V).sum(axis=1)
             D = vn[:, None] + cn[None, :] - 2 * (V @ C.T)
             qid = pdf[id_col].to_numpy(dtype="int64")
-            # exclude self: +inf-like sentinel in int64 domain
-            D = D.astype("float64")
-            D[qid[:, None] == cid[None, :]] = np.inf
+            # exclude self with an INT64 sentinel: a float64 cast
+            # would lose exactness above 2^53, breaking the
+            # bit-reproducible contract on larger grids/dims (ADVICE
+            # r8); int64 max sorts self-matches last exactly
+            D[qid[:, None] == cid[None, :]] = np.iinfo(np.int64).max
             order = np.lexsort(
                 (cid[None, :].repeat(len(V), 0), D), axis=1
             )

@@ -3957,8 +3957,12 @@ def katz_centrality(
         "id",
         *[f"walks_{l}" for l in range(1, max_len + 1)],
         nano.cast("bigint").alias("katz_nano"),
-    )
+    ).localCheckpoint(eager=True)
+    # result is materialized (|V| rows, same footprint as each round's
+    # checkpointed state) — release BOTH cached frames so repeated calls
+    # in a long-lived session don't accumulate (ADVICE r8)
     sym.unpersist()
+    nodes.unpersist()
     return res
 
 
@@ -4109,5 +4113,9 @@ def bowtie_classes(edges: DataFrame) -> DataFrame:
               F.lit("OUT"))
         .otherwise(F.lit("OTHER"))
         .alias("bowtie_class"),
-    )
+    ).localCheckpoint(eager=True)
+    # result materialized (|V| rows, bounded by the derived-graph
+    # contract) — release the SCC cache so repeated calls don't
+    # accumulate cached frames (ADVICE r8)
+    scc.unpersist()
     return res

@@ -143,6 +143,17 @@ class StreamingCrossDedup:
             .start()
         )
         q.awaitTermination()
+        # A zero-duplicate stream is a normal outcome, not an error:
+        # _each appends only when a batch has matches, so out_path may
+        # not exist at all — return an empty typed frame instead of
+        # letting the read raise AnalysisException (ADVICE r8).
+        import os
+
+        if not os.path.exists(out_path):
+            empty = spark.createDataFrame([], stream.schema)
+            return spark.createDataFrame(
+                [], self._match_batch(empty).schema
+            )
         return spark.read.parquet(out_path)
 
     def close(self):

@@ -662,3 +662,30 @@ def test_budget_trim_prefix_semantics(spark):
 
     with _pytest.raises(ValueError):
         budget_trim(df, budget_tokens=-1)
+    with _pytest.raises(ValueError):
+        budget_trim(df, budget_tokens=1, buckets=0)
+
+
+def test_budget_trim_bucket_decomposition_exact(spark):
+    """The bucket-cumsum decomposition (hash-range buckets + offsets +
+    within-bucket running sums) must reproduce the single-window running
+    sum EXACTLY for any bucket count — bucket id is monotone in the md5
+    rank key, so bucket order is prefix order."""
+    from akka_graph_db_spark.functions.mixture import budget_trim
+
+    rows = [
+        (i, "tok " * (1 + i % 7), ["A", "B"][i % 2]) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    want = {
+        (r.doc_id, r._cum_tokens)
+        for r in budget_trim(df, budget_tokens=50, buckets=1).collect()
+    }
+    for b in (2, 8, 64):
+        got = {
+            (r.doc_id, r._cum_tokens)
+            for r in budget_trim(df, budget_tokens=50, buckets=b).collect()
+        }
+        assert got == want, f"buckets={b}"

@@ -1,0 +1,135 @@
+"""Round-9 regression tests for the r8 ADVICE fixes.
+
+Each test pins a specific defect the round-8 audit flagged:
+zero-match streaming dedup, label-noise k clamp + int64 sentinel,
+degenerate-partition ARI, zero-token-source concentration parity,
+and the budget_trim bucket decomposition (the latter lives in
+test_round8b next to the original semantics test).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ zero-match stream dedup
+def test_streaming_cross_dedup_zero_matches(spark, tmp_path):
+    """A stream with ZERO duplicates is a normal case: no batch ever
+    appends, out_path never exists, and run() must return an empty
+    typed frame instead of raising AnalysisException (ADVICE r8)."""
+    from akka_graph_db_spark.streaming.ingest import StreamingCrossDedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(11, "totally unrelated words here")],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "src")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    xd = StreamingCrossDedup(base, threshold=0.9)
+    try:
+        got = xd.run(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+        assert got.count() == 0
+        assert got.columns == ["new_id", "base_id", "jaccard_sim"]
+    finally:
+        xd.close()
+
+
+# --------------------------------------------------- label-noise k clamp
+def test_label_noise_knn_k_exceeds_candidates_raises(spark):
+    """With self-matches masked there are only n-1 candidates; a larger
+    k would count sentinel rows as disagreements (ADVICE r8)."""
+    from akka_graph_db_spark.functions.similarity import label_noise_knn
+
+    rows = [(i, [float(i), 0.0], i % 2) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="n-1"):
+        label_noise_knn(df, k=3)
+    # k = n-1 is the maximum legal value and must run
+    out = label_noise_knn(df, k=2).collect()
+    assert sum(r.n_vectors for r in out) == 3
+
+
+# ----------------------------------------------------- degenerate ARI
+def test_ari_degenerate_single_label_is_one(spark):
+    """k=1 cluster x 1 ground-truth label: maxi == expected, the raw
+    formula is 0/0 — ARI is conventionally 1.0 for identical trivial
+    partitions (ADVICE r8; the oracle carries the same guard)."""
+    from akka_graph_db_spark.functions.similarity import (
+        clustering_label_agreement,
+    )
+
+    rows = [(i, [1.0, 2.0], 7) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    row = clustering_label_agreement(df, k=1, n_iter=1).collect()[0]
+    assert row.n_clusters == 1 and row.n_labels == 1
+    assert row.ari == 1.0
+
+
+# ------------------------------------- zero-token source concentration
+def test_source_concentration_zero_token_source_parity(spark, tmp_path):
+    """A source whose documents are ALL zero-token must appear with
+    (total_tokens=0, docs_to_target=0) in BOTH the engine and the
+    DuckDB oracle — the r8 oracle's crossing-bucket WHERE silently
+    dropped it (ADVICE r8)."""
+    import __spark_entry__ as entrymod
+    from akka_graph_db_spark.functions.text import source_concentration
+
+    rows = [
+        (1, "alpha beta gamma", "A"),
+        (2, "delta", "A"),
+        (3, "", "E"),
+        (4, "   ", "E"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        (r.source, r.n_docs, r.total_tokens, r.docs_to_target,
+         r.top_doc_share_permille)
+        for r in source_concentration(df).collect()
+    }
+    assert ("E", 2, 0, 0, 0) in got
+
+    pq = str(tmp_path / "documents.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'"
+    )
+    want = set(
+        map(tuple, con.execute(
+            entrymod.oracle_sql()["source_concentration"]
+        ).fetchall())
+    )
+    assert got == want
+
+
+# -------------------------------------------- unpersist hygiene (katz)
+def test_katz_and_bowtie_release_their_caches(spark):
+    """katz_centrality persisted `nodes` (and bowtie_classes `scc`)
+    without release — repeated calls in a long-lived session
+    accumulated cached frames (ADVICE r8)."""
+    from akka_graph_db_spark.operators.analytics import (
+        bowtie_classes,
+        katz_centrality,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "a bigint, b bigint"
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    katz_centrality(pairs, max_len=2).collect()
+    bowtie_classes(pairs).collect()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # localCheckpoint RDDs of the RESULTS may linger until GC; cached
+    # operator-internal frames must not (persist leak = monotone growth)
+    katz_centrality(pairs, max_len=2).collect()
+    bowtie_classes(pairs).collect()
+    again = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert again - after <= after - before

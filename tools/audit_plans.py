@@ -171,7 +171,7 @@ AUDITED = [
     ("gini_order_values", "histogram rank-mass fold, one float at end"),
     ("order_reconciliation", "left equi-join + keyed decimal aggs"),
     ("label_noise_knn", "one int64 matmul pass + |labels|-row agg"),
-    ("budget_trim_docs", "single window: hash rank + running sum"),
+    ("budget_trim_docs", "hash-range bucket cumsum + broadcast offsets"),
 ]
 
 
