@@ -2115,6 +2115,29 @@ def q_betweenness_parts(spark, sf_dir):
     )
 
 
+def q_edge_betweenness_parts(spark, sf_dir):
+    """Girvan-Newman EDGE betweenness from the same 8-landmark bounded
+    Brandes sweeps as betweenness_parts: the backward sweep's
+    per-DAG-edge dependency σv/σw·(1+δ(w)) — formed anyway before the
+    per-node aggregation — is kept per edge and summed over landmarks
+    onto the canonical undirected edge. The community-cut ranking
+    (Girvan-Newman 2002): the top edges are the bridges between
+    modules. Top-20 on the ROUNDED score then (a, b); oracle = the
+    node oracle's unrolled σ/δ CTEs with a per-edge union tail."""
+    b = analytics.betweenness_landmarks(
+        _coorder_pairs(spark, sf_dir), landmarks=8, max_depth=3,
+        level="edge",
+    )
+    return (
+        b.select(
+            "a", "b",
+            F.round("edge_betweenness", 6).alias("edge_betweenness"),
+        )
+        .orderBy(F.col("edge_betweenness").desc(), "a", "b")
+        .limit(20)
+    )
+
+
 def q_collocations(spark, sf_dir):
     """Bigram collocation mining: adjacent word pairs scored by exact
     rational lift — (c12/N_bi) / ((c1/N_uni)·(c2/N_uni)), computed as
@@ -7529,6 +7552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
+    # --- round-9 additions: round-10 rotation candidates (join the
+    # 18-entry deferred block above in round 10's first-50 window) ---
+        "edge_betweenness_parts": q_edge_betweenness_parts,
     }
 
 
@@ -8014,6 +8040,112 @@ def oracle_sql() -> dict[str, str]:
               FROM alld WHERE id <> s GROUP BY id
             )
             ORDER BY betweenness DESC, id LIMIT 20
+        """,
+        # Same unrolled sigma/delta CTEs as betweenness_parts; the tail
+        # unions the per-layer DAG-edge dependencies sv/sw*(1+delta_w)
+        # instead of aggregating them per node, then sums onto the
+        # canonical undirected edge.
+        "edge_betweenness_parts": """
+            WITH e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS MATERIALIZED (
+              SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+            ),
+            seeds AS (
+              SELECT a FROM (SELECT DISTINCT a FROM sym)
+              ORDER BY a LIMIT 8
+            ),
+            l0 AS MATERIALIZED (
+              SELECT a AS s, a AS id, CAST(1 AS BIGINT) AS sig FROM seeds
+            ),
+            c1 AS MATERIALIZED (
+              SELECT l0.s, sym.b AS id, SUM(l0.sig) AS sig
+              FROM l0 JOIN sym ON l0.id = sym.a GROUP BY 1, 2
+            ),
+            l1 AS MATERIALIZED (
+              SELECT c1.s, c1.id, c1.sig FROM c1
+              LEFT JOIN l0 ON l0.s = c1.s AND l0.id = c1.id
+              WHERE l0.id IS NULL
+            ),
+            v1 AS MATERIALIZED (
+              SELECT s, id FROM l0 UNION ALL SELECT s, id FROM l1
+            ),
+            c2 AS MATERIALIZED (
+              SELECT l1.s, sym.b AS id, SUM(l1.sig) AS sig
+              FROM l1 JOIN sym ON l1.id = sym.a GROUP BY 1, 2
+            ),
+            l2 AS MATERIALIZED (
+              SELECT c2.s, c2.id, c2.sig FROM c2
+              LEFT JOIN v1 ON v1.s = c2.s AND v1.id = c2.id
+              WHERE v1.id IS NULL
+            ),
+            v2 AS MATERIALIZED (
+              SELECT s, id FROM v1 UNION ALL SELECT s, id FROM l2
+            ),
+            c3 AS MATERIALIZED (
+              SELECT l2.s, sym.b AS id, SUM(l2.sig) AS sig
+              FROM l2 JOIN sym ON l2.id = sym.a GROUP BY 1, 2
+            ),
+            l3 AS MATERIALIZED (
+              SELECT c3.s, c3.id, c3.sig FROM c3
+              LEFT JOIN v2 ON v2.s = c3.s AND v2.id = c3.id
+              WHERE v2.id IS NULL
+            ),
+            pe3 AS MATERIALIZED (
+              SELECT l2.s, l2.id AS v, l2.sig AS sv,
+                     l3.id AS w, l3.sig AS sw
+              FROM l2 JOIN sym ON l2.id = sym.a
+              JOIN l3 ON l3.s = l2.s AND l3.id = sym.b
+            ),
+            d2 AS MATERIALIZED (
+              SELECT s, v AS id, SUM(CAST(sv AS DOUBLE) / sw) AS delta
+              FROM pe3 GROUP BY s, v
+            ),
+            pe2 AS MATERIALIZED (
+              SELECT l1.s, l1.id AS v, l1.sig AS sv,
+                     l2.id AS w, l2.sig AS sw
+              FROM l1 JOIN sym ON l1.id = sym.a
+              JOIN l2 ON l2.s = l1.s AND l2.id = sym.b
+            ),
+            d1 AS MATERIALIZED (
+              SELECT pe2.s, pe2.v AS id,
+                     SUM(CAST(pe2.sv AS DOUBLE) / pe2.sw
+                         * (1 + COALESCE(d2.delta, 0))) AS delta
+              FROM pe2 LEFT JOIN d2
+                ON d2.s = pe2.s AND d2.id = pe2.w
+              GROUP BY 1, 2
+            ),
+            pe1 AS MATERIALIZED (
+              SELECT l0.s, l0.id AS v, l0.sig AS sv,
+                     l1.id AS w, l1.sig AS sw
+              FROM l0 JOIN sym ON l0.id = sym.a
+              JOIN l1 ON l1.s = l0.s AND l1.id = sym.b
+            ),
+            alle AS (
+              SELECT s, v, w, CAST(sv AS DOUBLE) / sw AS c FROM pe3
+              UNION ALL
+              SELECT pe2.s, pe2.v, pe2.w,
+                     CAST(pe2.sv AS DOUBLE) / pe2.sw
+                     * (1 + COALESCE(d2.delta, 0))
+              FROM pe2 LEFT JOIN d2
+                ON d2.s = pe2.s AND d2.id = pe2.w
+              UNION ALL
+              SELECT pe1.s, pe1.v, pe1.w,
+                     CAST(pe1.sv AS DOUBLE) / pe1.sw
+                     * (1 + COALESCE(d1.delta, 0))
+              FROM pe1 LEFT JOIN d1
+                ON d1.s = pe1.s AND d1.id = pe1.w
+            )
+            SELECT a, b, edge_betweenness FROM (
+              SELECT LEAST(v, w) AS a, GREATEST(v, w) AS b,
+                     ROUND(SUM(c), 6) AS edge_betweenness
+              FROM alle GROUP BY 1, 2
+            )
+            ORDER BY edge_betweenness DESC, a, b LIMIT 20
         """,
         "graph_summary": _GRAPH_WITH + """
             SELECT 'node' AS kind, label, COUNT(*) AS n_rows,

@@ -2725,6 +2725,7 @@ def betweenness_landmarks(
     pairs: DataFrame,
     landmarks: int | Sequence[int] = 8,
     max_depth: int = 3,
+    level: str = "node",
 ) -> DataFrame:
     """Bounded-distance betweenness centrality, Brandes' algorithm from a
     landmark sample (Brandes 2001; landmark/bounded sampling per
@@ -2750,7 +2751,18 @@ def betweenness_landmarks(
     (landmarks × Σdeg) is never reshuffled. Past the gate, the joins
     fall back to shuffles — the still-correct big-graph path. Returns
     (id, betweenness) for every node with a nonzero score.
+
+    ``level="edge"`` returns Girvan-Newman EDGE betweenness instead:
+    the per-DAG-edge dependency σv/σw · (1 + δ(w)) — the exact term the
+    backward sweep already forms before its per-node aggregation — is
+    kept per edge and summed over landmarks onto the canonical
+    undirected edge, giving (a, b, edge_betweenness). Same sweeps, same
+    shuffle shape; only the final grouping key changes. Edge
+    betweenness is the community-cut signal (Girvan-Newman 2002): the
+    highest-scoring edges are the bridges between modules.
     """
+    if level not in ("node", "edge"):
+        raise ValueError("level must be 'node' or 'edge'")
     e = canonical_undirected(pairs)
     npart = pairs.sparkSession.sparkContext.defaultParallelism
     base_sym = e.unionByName(
@@ -2815,6 +2827,7 @@ def betweenness_landmarks(
             persisted.append(visited)
         # backward dependency sweep over the BFS DAG, deepest layer first
         delta_parts: list[DataFrame] = []
+        edge_parts: list[DataFrame] = []
         delta_cur = layers[-1].select(
             "s", "id", F.lit(0.0).alias("delta")
         )
@@ -2853,21 +2866,44 @@ def betweenness_landmarks(
                     "left",
                 )
             )
+            contrib = pe.select(
+                "s",
+                "v",
+                F.col("id").alias("w"),
+                (
+                    (F.col("_sv").cast("double") / F.col("_sw"))
+                    * (1.0 + F.coalesce("_dw", F.lit(0.0)))
+                ).alias("_c"),
+            )
+            if level == "edge":
+                contrib = contrib.localCheckpoint(eager=True)
+                edge_parts.append(contrib)
             delta_prev = (
-                pe.select(
-                    "s",
-                    F.col("v").alias("id"),
-                    (
-                        (F.col("_sv").cast("double") / F.col("_sw"))
-                        * (1.0 + F.coalesce("_dw", F.lit(0.0)))
-                    ).alias("_c"),
-                )
+                contrib.select("s", F.col("v").alias("id"), "_c")
                 .groupBy("s", "id")
                 .agg(F.sum("_c").alias("delta"))
                 .localCheckpoint(eager=True)
             )
             delta_parts.append(delta_prev)
             delta_cur = delta_prev
+        if level == "edge":
+            if not edge_parts:
+                return l0.limit(0).select(
+                    F.col("id").alias("a"),
+                    F.col("id").alias("b"),
+                    F.lit(0.0).alias("edge_betweenness"),
+                )
+            all_e = edge_parts[0]
+            for p in edge_parts[1:]:
+                all_e = all_e.unionByName(p)
+            return (
+                all_e.groupBy(
+                    F.least("v", "w").alias("a"),
+                    F.greatest("v", "w").alias("b"),
+                )
+                .agg(F.sum("_c").alias("edge_betweenness"))
+                .localCheckpoint(eager=True)
+            )
         if not delta_parts:
             return l0.select("id").limit(0).select(
                 "id", F.lit(0.0).alias("betweenness")

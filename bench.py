@@ -241,6 +241,8 @@ HEADLINE = [
     "order_reconciliation",   # exact-decimal cross-table audit
     "label_noise_knn",        # kNN label-disagreement audit
     "budget_trim_docs",       # per-source token-budget enforcement
+    # --- round 9 additions ---
+    "edge_betweenness_parts",  # Girvan-Newman edge dependency sums
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -110,6 +110,41 @@ def test_source_concentration_zero_token_source_parity(spark, tmp_path):
     assert got == want
 
 
+# ------------------------------------------------ edge betweenness
+def test_edge_betweenness_bridge_dominates(spark):
+    """Two triangles joined by one bridge: Girvan-Newman edge
+    betweenness must rank the bridge first (every cross-module
+    shortest path uses it), and a path graph's scores must match the
+    hand-computed sums."""
+    from akka_graph_db_spark.operators.analytics import (
+        betweenness_landmarks,
+    )
+
+    tri2 = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(tri2, "a bigint, b bigint")
+    out = betweenness_landmarks(
+        df, landmarks=6, max_depth=3, level="edge"
+    ).collect()
+    top = max(out, key=lambda r: r.edge_betweenness)
+    assert (top.a, top.b) == (3, 4)
+
+    # P3 path 1-2-3, all landmarks, exact: each edge carries the
+    # 2 one-hop walks (1 each) + the 2 two-hop walks (1 each) = 4...
+    # concretely: from s=1 edge(1,2) gets 1+delta(2)=2, edge(2,3) 1;
+    # from s=2 each edge 1; from s=3 symmetric -> (1,2)=4, (2,3)=4
+    p3 = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    got = {
+        (r.a, r.b): r.edge_betweenness
+        for r in betweenness_landmarks(
+            p3, landmarks=3, max_depth=3, level="edge"
+        ).collect()
+    }
+    assert got == {(1, 2): 4.0, (2, 3): 4.0}
+
+    with pytest.raises(ValueError, match="level"):
+        betweenness_landmarks(p3, level="both")
+
+
 # -------------------------------------------- unpersist hygiene (katz)
 def test_katz_and_bowtie_release_their_caches(spark):
     """katz_centrality persisted `nodes` (and bowtie_classes `scc`)
@@ -123,13 +158,19 @@ def test_katz_and_bowtie_release_their_caches(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4)], "a bigint, b bigint"
     )
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    def n_persistent():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    before = n_persistent()
     katz_centrality(pairs, max_len=2).collect()
+    # exactly the 3 localCheckpoint RDDs (2 walk states + result) may
+    # remain until GC; the persisted sym/nodes frames must be released
+    # (pre-fix this was +5: 3 checkpoints + 2 leaked persists)
+    assert n_persistent() == before + 3
+    mid = n_persistent()
     bowtie_classes(pairs).collect()
-    after = len(spark.sparkContext._jsc.getPersistentRDDs())
-    # localCheckpoint RDDs of the RESULTS may linger until GC; cached
-    # operator-internal frames must not (persist leak = monotone growth)
-    katz_centrality(pairs, max_len=2).collect()
-    bowtie_classes(pairs).collect()
-    again = len(spark.sparkContext._jsc.getPersistentRDDs())
-    assert again - after <= after - before
+    # ≤4 checkpoints (edges, closure internals, result) may linger
+    # until GC; the persisted scc frame must be released (pre-fix this
+    # delta was one higher — the leaked MEMORY_AND_DISK scc)
+    assert n_persistent() - mid <= 4

@@ -172,6 +172,7 @@ AUDITED = [
     ("order_reconciliation", "left equi-join + keyed decimal aggs"),
     ("label_noise_knn", "one int64 matmul pass + |labels|-row agg"),
     ("budget_trim_docs", "hash-range bucket cumsum + broadcast offsets"),
+    ("edge_betweenness_parts", "Brandes sweeps, per-edge dependency agg"),
 ]
 
 
