@@ -7263,6 +7263,44 @@ def q_budget_trim_docs(spark, sf_dir):
     return budget_trim(docs, budget_tokens=300)
 
 
+def q_importance_scores_docs(spark, sf_dir):
+    """DSIR-style data selection (mixture.importance_scores): tokens
+    hash into 1024 buckets; bucket weight = target token-share ppm
+    minus background ppm (src0 is the in-domain target); doc score =
+    sum of its tokens' weights — exact BIGINTs, no transcendentals.
+    Top-25 background docs by in-domain likeness; the resampling
+    shortlist. Oracle reproduces bucket hashing (md5_number_upper),
+    ppm division, and the score sum bit-for-bit."""
+    from akka_graph_db_spark.functions.mixture import importance_scores
+
+    docs = read_documents(spark, sf_dir)
+    s = importance_scores(docs, target=F.col("source") == "src0")
+    return (
+        s.where(~F.col("is_target"))
+        .select("doc_id", "n_tokens", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+def q_neighborhood_function_trade(spark, sf_dir):
+    """Exact neighborhood function N(r) (analytics.neighborhood_function,
+    Palmer et al. ANF) of the undirected trade-corridor graph, radius
+    0..4: ordered pairs within distance r plus per-radius growth — the
+    distance-distribution / effective-diameter report. Exact
+    distinct-pair supersteps on the bounded derived digraph (the
+    closure-family contract); at web scale the documented swap is
+    per-node HLL registers (HyperANF) with this exact operator as the
+    small-graph correctness reference."""
+    from akka_graph_db_spark.operators.analytics import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(
+        _trade_corridors(spark, sf_dir), max_radius=4
+    ).orderBy("r")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7555,6 +7593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- round-9 additions: round-10 rotation candidates (join the
     # 18-entry deferred block above in round 10's first-50 window) ---
         "edge_betweenness_parts": q_edge_betweenness_parts,
+        "importance_scores_docs": q_importance_scores_docs,
+        "neighborhood_function_trade": q_neighborhood_function_trade,
     }
 
 
@@ -8146,6 +8186,114 @@ def oracle_sql() -> dict[str, str]:
               FROM alle GROUP BY 1, 2
             )
             ORDER BY edge_betweenness DESC, a, b LIMIT 20
+        """,
+        # Same md5 bucket hash, same integer ppm shares, same score sum
+        # — bit-identical BIGINT arithmetic end to end.
+        "importance_scores_docs": f"""
+            WITH im_tok AS (
+              SELECT id, is_t,
+                     CAST((md5_number_upper(term)
+                           & 9223372036854775807) AS BIGINT) % 1024 AS b
+              FROM (
+                SELECT doc_id AS id, (source = 'src0') AS is_t,
+                       unnest({_TOK}) AS term
+                FROM documents
+              )
+            ),
+            im_stats AS (
+              SELECT b,
+                     SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                     SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cb
+              FROM im_tok GROUP BY b
+            ),
+            im_tot AS (
+              SELECT SUM(ct) AS tt, SUM(cb) AS tb FROM im_stats
+            ),
+            im_w AS (
+              SELECT b,
+                     (CASE WHEN tt > 0 THEN ct * 1000000 // tt
+                           ELSE 0 END
+                      - CASE WHEN tb > 0 THEN cb * 1000000 // tb
+                             ELSE 0 END) AS w
+              FROM im_stats, im_tot
+            )
+            SELECT id AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w) AS BIGINT) AS score
+            FROM im_tok JOIN im_w USING (b)
+            WHERE NOT is_t
+            GROUP BY id
+            ORDER BY score DESC, doc_id LIMIT 25
+        """,
+        # Same top-40 trade corridors, canonicalized undirected, then
+        # one distinct-merge superstep per radius — identical pair sets.
+        "neighborhood_function_trade": """
+            WITH te AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+              FROM te WHERE a <> b
+            ),
+            nsym AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+            ),
+            nv0 AS MATERIALIZED (
+              SELECT DISTINCT a AS src, a AS dst FROM nsym
+            ),
+            nv1 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv0
+                UNION ALL
+                SELECT nv0.src, nsym.b FROM nv0
+                JOIN nsym ON nsym.a = nv0.dst)
+            ),
+            nv2 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv1
+                UNION ALL
+                SELECT nv1.src, nsym.b FROM nv1
+                JOIN nsym ON nsym.a = nv1.dst)
+            ),
+            nv3 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv2
+                UNION ALL
+                SELECT nv2.src, nsym.b FROM nv2
+                JOIN nsym ON nsym.a = nv2.dst)
+            ),
+            nv4 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv3
+                UNION ALL
+                SELECT nv3.src, nsym.b FROM nv3
+                JOIN nsym ON nsym.a = nv3.dst)
+            ),
+            nc AS (
+              SELECT 0 AS r, (SELECT COUNT(*) FROM nv0) AS n
+              UNION ALL
+              SELECT 1, (SELECT COUNT(*) FROM nv1)
+              UNION ALL
+              SELECT 2, (SELECT COUNT(*) FROM nv2)
+              UNION ALL
+              SELECT 3, (SELECT COUNT(*) FROM nv3)
+              UNION ALL
+              SELECT 4, (SELECT COUNT(*) FROM nv4)
+            )
+            SELECT CAST(r AS INT) AS r,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CAST(n - COALESCE(LAG(n) OVER (ORDER BY r), 0)
+                        AS BIGINT) AS new_pairs
+            FROM nc ORDER BY r
         """,
         "graph_summary": _GRAPH_WITH + """
             SELECT 'node' AS kind, label, COUNT(*) AS n_rows,

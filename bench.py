@@ -243,6 +243,8 @@ HEADLINE = [
     "budget_trim_docs",       # per-source token-budget enforcement
     # --- round 9 additions ---
     "edge_betweenness_parts",  # Girvan-Newman edge dependency sums
+    "importance_scores_docs",  # hashed-bucket DSIR-style selection
+    "neighborhood_function_trade",  # exact ANF distance distribution
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -110,6 +110,37 @@ def test_source_concentration_zero_token_source_parity(spark, tmp_path):
     assert got == want
 
 
+# ------------------------------------------- DSIR-style importance
+def test_importance_scores_rank_in_domain_likeness(spark):
+    """Background docs sharing the target's vocabulary must outscore
+    background docs that don't; scores are exact integers."""
+    from akka_graph_db_spark.functions.mixture import importance_scores
+
+    rows = [
+        (1, "quantum physics quantum theory", "T"),
+        (2, "quantum mechanics physics", "T"),
+        (3, "quantum physics paper", "B"),      # in-domain-like
+        (4, "cooking recipes and pasta", "B"),  # off-domain
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    from pyspark.sql import functions as SF
+
+    out = {
+        r.doc_id: r
+        for r in importance_scores(
+            df, target=SF.col("source") == "T"
+        ).collect()
+    }
+    assert out[1].is_target and not out[3].is_target
+    assert out[3].score > out[4].score
+    assert isinstance(out[3].score, int)
+    # every off-domain token carries a NEGATIVE background-share weight
+    assert out[4].score < 0
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        importance_scores(df, target=SF.col("source") == "T", n_buckets=0)
+
+
 # ------------------------------------------------ edge betweenness
 def test_edge_betweenness_bridge_dominates(spark):
     """Two triangles joined by one bridge: Girvan-Newman edge
@@ -145,6 +176,30 @@ def test_edge_betweenness_bridge_dominates(spark):
         betweenness_landmarks(p3, level="both")
 
 
+# ------------------------------------------- neighborhood function
+def test_neighborhood_function_path_graph(spark):
+    """P4 path 1-2-3-4: N(0)=4, N(1)=4+2*3=10, N(2)=10+4=14,
+    N(3)=16=|V|^2, then plateau (the short-circuit keeps emitting
+    plateau rows up to max_radius)."""
+    from akka_graph_db_spark.operators.analytics import (
+        neighborhood_function,
+    )
+
+    p4 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a bigint, b bigint"
+    )
+    got = {
+        r.r: (r.n_pairs, r.new_pairs)
+        for r in neighborhood_function(p4, max_radius=5).collect()
+    }
+    assert got == {
+        0: (4, 4), 1: (10, 6), 2: (14, 4), 3: (16, 2),
+        4: (16, 0), 5: (16, 0),
+    }
+    with pytest.raises(ValueError, match="max_radius"):
+        neighborhood_function(p4, max_radius=-1)
+
+
 # -------------------------------------------- unpersist hygiene (katz)
 def test_katz_and_bowtie_release_their_caches(spark):
     """katz_centrality persisted `nodes` (and bowtie_classes `scc`)
@@ -164,10 +219,12 @@ def test_katz_and_bowtie_release_their_caches(spark):
 
     before = n_persistent()
     katz_centrality(pairs, max_len=2).collect()
-    # exactly the 3 localCheckpoint RDDs (2 walk states + result) may
+    # at most the 3 localCheckpoint RDDs (2 walk states + result) may
     # remain until GC; the persisted sym/nodes frames must be released
-    # (pre-fix this was +5: 3 checkpoints + 2 leaked persists)
-    assert n_persistent() == before + 3
+    # (pre-fix this was +5: 3 checkpoints + 2 leaked persists). Upper
+    # bound, not equality: the async ContextCleaner may reclaim other
+    # tests' checkpoint RDDs between the two measurements.
+    assert n_persistent() - before <= 3
     mid = n_persistent()
     bowtie_classes(pairs).collect()
     # ≤4 checkpoints (edges, closure internals, result) may linger

@@ -173,6 +173,8 @@ AUDITED = [
     ("label_noise_knn", "one int64 matmul pass + |labels|-row agg"),
     ("budget_trim_docs", "hash-range bucket cumsum + broadcast offsets"),
     ("edge_betweenness_parts", "Brandes sweeps, per-edge dependency agg"),
+    ("importance_scores_docs", "bucket stats + broadcast weights join"),
+    ("neighborhood_function_trade", "distinct-merge supersteps, bounded"),
 ]
 
 
