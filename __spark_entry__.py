@@ -7301,6 +7301,40 @@ def q_neighborhood_function_trade(spark, sf_dir):
     ).orderBy("r")
 
 
+def q_balanced_shards_docs(spark, sf_dir):
+    """Size-balanced shard packing (mixture.balanced_shards, 8 shards):
+    docs take shards round-robin in global (tokens DESC, id) order —
+    sorted-greedy load balancing without a single-partition ORDER BY
+    (ranking.global_rank range shuffle underneath). Per-shard summary:
+    the writer's balance audit. Oracle reproduces the total order, the
+    modulo assignment, and the exact token sums."""
+    from akka_graph_db_spark.functions.mixture import balanced_shards
+
+    docs = read_documents(spark, sf_dir)
+    sh = balanced_shards(docs, n_shards=8)
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_tokens").cast("bigint").alias("total_tokens"),
+            F.max("_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_tokenizer_fertility_docs(spark, sf_dir):
+    """Per-source tokenizer fertility (text.tokenizer_fertility):
+    BPE-ish subword units per whitespace word and per character, exact
+    integer permille — the cost model behind token budgets (code and
+    noisy sources burn budget faster than word counts suggest). One
+    map-side aggregation to |sources| rows; zero Python."""
+    from akka_graph_db_spark.functions.text import tokenizer_fertility
+
+    docs = read_documents(spark, sf_dir)
+    return tokenizer_fertility(docs).orderBy("source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7595,6 +7629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_parts": q_edge_betweenness_parts,
         "importance_scores_docs": q_importance_scores_docs,
         "neighborhood_function_trade": q_neighborhood_function_trade,
+        "balanced_shards_docs": q_balanced_shards_docs,
+        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
     }
 
 
@@ -8294,6 +8330,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n - COALESCE(LAG(n) OVER (ORDER BY r), 0)
                         AS BIGINT) AS new_pairs
             FROM nc ORDER BY r
+        """,
+        # Same (tokens DESC, doc_id) total order, same modulo shards.
+        "balanced_shards_docs": f"""
+            WITH bs_t AS (
+              SELECT doc_id, len({_TOK}) AS tok FROM documents
+            ),
+            bs_r AS (
+              SELECT doc_id, tok,
+                     ROW_NUMBER() OVER (ORDER BY tok DESC, doc_id) AS rk
+              FROM bs_t
+            )
+            SELECT CAST((rk - 1) % 8 AS INT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                   CAST(MAX(tok) AS BIGINT) AS max_tokens
+            FROM bs_r GROUP BY 1 ORDER BY 1
+        """,
+        # Same whitespace + BPE-ish token counts (text_tokens idiom),
+        # same integer permille divisions.
+        "tokenizer_fertility_docs": f"""
+            WITH tf_d AS (
+              SELECT source,
+                     len({_TOK}) AS ws,
+                     list_sum(list_transform(
+                       regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                       p -> CAST(ceil(strlen(p) / 4.0) AS BIGINT)
+                     )) AS bpe,
+                     strlen(text) AS ch
+              FROM documents
+            ),
+            tf_a AS (
+              SELECT source,
+                     COUNT(*) AS n_docs,
+                     SUM(ws) AS ws_tokens,
+                     SUM(COALESCE(bpe, 0)) AS bpe_tokens,
+                     SUM(ch) AS chars
+              FROM tf_d GROUP BY source
+            )
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(ws_tokens AS BIGINT) AS ws_tokens,
+                   CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+                   CAST(chars AS BIGINT) AS chars,
+                   CAST(CASE WHEN ws_tokens > 0
+                        THEN bpe_tokens * 1000 // ws_tokens
+                        ELSE 0 END AS BIGINT) AS fertility_permille,
+                   CAST(CASE WHEN bpe_tokens > 0
+                        THEN chars * 1000 // bpe_tokens
+                        ELSE 0 END AS BIGINT) AS chars_per_bpe_permille
+            FROM tf_a ORDER BY source
         """,
         "graph_summary": _GRAPH_WITH + """
             SELECT 'node' AS kind, label, COUNT(*) AS n_rows,

@@ -301,3 +301,44 @@ def importance_scores(
         )
         .select(F.col("id").alias(id_col), "is_target", "n_tokens", "score")
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Size-balanced shard assignment — the training-shard writer's bin
+    packer: documents take shards ROUND-ROBIN in (token_count DESC, id)
+    order, the distributed form of sorted greedy load balancing (each
+    rank band of ``n_shards`` docs spreads one near-equal-size doc to
+    every shard, so any two shards' token totals differ by at most the
+    within-band spread summed over bands — in practice a fraction of one
+    large doc). Deterministic and total-ordered, so the assignment is
+    reproducible on any partitioning or engine. Returns the rows plus
+    ``_tokens``, ``_rank`` and ``shard``.
+
+    Scale shape: the global (tokens DESC, id) order comes from
+    :func:`~akka_graph_db_spark.functions.ranking.global_rank` — one
+    range shuffle + parallel per-partition windows + a P-row offset
+    broadcast, never a single-partition ORDER BY; the shard id is then
+    a pure modulo expression.
+    """
+    from akka_graph_db_spark.functions.ranking import global_rank
+    from akka_graph_db_spark.functions.text import token_count
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    with_tok = df.withColumn(
+        "_tokens", token_count(F.col(text_col)).cast("bigint")
+    )
+    ranked = global_rank(
+        with_tok,
+        [F.col("_tokens").desc(), F.col(key_col)],
+        rank_col="_rank",
+    )
+    return ranked.withColumn(
+        "shard",
+        ((F.col("_rank") - 1) % n_shards).cast("int"),
+    )

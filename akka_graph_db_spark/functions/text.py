@@ -1341,3 +1341,58 @@ def source_concentration(
         .cast("int")
         .alias("top_doc_share_permille"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer fertility report — the cost model behind
+    token-budget planning: how many subword units the BPE-ish tokenizer
+    spends per whitespace word (fertility) and per character, by
+    source. High-fertility sources (code, non-Latin scripts, noisy
+    text) consume budget faster than their word counts suggest.
+    Returns (source, n_docs, ws_tokens, bpe_tokens, chars,
+    fertility_permille, chars_per_bpe_permille) — exact integers, the
+    two ratios as permille integer divisions (0 when the denominator
+    is 0).
+
+    Scale shape: pure column expressions folded by ONE
+    map-side-combinable aggregation to |sources| rows — no windows, no
+    joins, no Python.
+    """
+    c = F.col(text_col)
+    per_doc = df.select(
+        F.col(group_col),
+        token_count(c).cast("bigint").alias("_ws"),
+        token_count_bpe(c).cast("bigint").alias("_bpe"),
+        F.length(c).cast("bigint").alias("_ch"),
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("_ch").cast("bigint").alias("chars"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "chars",
+        F.when(
+            F.col("ws_tokens") > 0,
+            F.expr("bpe_tokens * 1000 div ws_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("fertility_permille"),
+        F.when(
+            F.col("bpe_tokens") > 0,
+            F.expr("chars * 1000 div bpe_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("chars_per_bpe_permille"),
+    )

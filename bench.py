@@ -245,6 +245,8 @@ HEADLINE = [
     "edge_betweenness_parts",  # Girvan-Newman edge dependency sums
     "importance_scores_docs",  # hashed-bucket DSIR-style selection
     "neighborhood_function_trade",  # exact ANF distance distribution
+    "balanced_shards_docs",   # global-rank round-robin bin packing
+    "tokenizer_fertility_docs",  # per-source subword cost model
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -176,6 +176,50 @@ def test_edge_betweenness_bridge_dominates(spark):
         betweenness_landmarks(p3, level="both")
 
 
+# --------------------------------------------------- balanced shards
+def test_balanced_shards_round_robin_balance(spark):
+    """16 docs with sizes 16..1 into 4 shards: round-robin over the
+    DESC order gives every shard 4 docs and token sums within one
+    band-spread of each other; the assignment is the exact modulo of
+    the global rank."""
+    from akka_graph_db_spark.functions.mixture import balanced_shards
+
+    rows = [(i, "w " * (16 - i), "s") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = balanced_shards(df, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    sums = {s: sum(r._tokens for r in v) for s, v in by_shard.items()}
+    assert all(len(v) == 4 for v in by_shard.values())
+    # sizes 16..1 round-robin: shard k gets 16-k, 12-k, 8-k, 4-k
+    assert sums == {0: 40, 1: 36, 2: 32, 3: 28}
+    with pytest.raises(ValueError, match="n_shards"):
+        balanced_shards(df, n_shards=0)
+
+
+# ------------------------------------------------ tokenizer fertility
+def test_tokenizer_fertility_integer_ratios(spark):
+    from akka_graph_db_spark.functions.text import tokenizer_fertility
+
+    rows = [
+        # 2 ws tokens, ceil(5/4)*2 = 4 bpe units
+        (1, "hello world", "prose"),
+        # 1 ws token, ceil(20/4) = 5 bpe units
+        (2, "internationalization", "prose"),
+        (3, "", "empty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.source: r for r in tokenizer_fertility(df).collect()}
+    p = got["prose"]
+    assert (p.ws_tokens, p.bpe_tokens, p.chars) == (3, 9, 31)
+    assert p.fertility_permille == 9 * 1000 // 3
+    assert p.chars_per_bpe_permille == 31 * 1000 // 9
+    e = got["empty"]
+    assert (e.ws_tokens, e.bpe_tokens, e.fertility_permille) == (0, 0, 0)
+
+
 # ------------------------------------------- neighborhood function
 def test_neighborhood_function_path_graph(spark):
     """P4 path 1-2-3-4: N(0)=4, N(1)=4+2*3=10, N(2)=10+4=14,

@@ -175,6 +175,8 @@ AUDITED = [
     ("edge_betweenness_parts", "Brandes sweeps, per-edge dependency agg"),
     ("importance_scores_docs", "bucket stats + broadcast weights join"),
     ("neighborhood_function_trade", "distinct-merge supersteps, bounded"),
+    ("balanced_shards_docs", "range-shuffle global rank + modulo"),
+    ("tokenizer_fertility_docs", "one map-side agg to |sources| rows"),
 ]
 
 
