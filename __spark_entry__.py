@@ -7335,6 +7335,44 @@ def q_tokenizer_fertility_docs(spark, sf_dir):
     return tokenizer_fertility(docs).orderBy("source")
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Cross-set semantic decontamination
+    (dedup.embedding_decontamination): eval vectors with a cosine ≥0.95
+    train neighbor — the paraphrase-leakage check n-gram decontam
+    misses. The eval set PLANTS exact copies of train vec_id < 10 (the
+    natural corpus has no near-dups, max pairwise cosine ≈ 0.51), so
+    LSH recall is exactly 100% and the brute-force SQL oracle applies
+    — same plant-based determinism argument as embedding_dedup_pairs.
+    Eval side broadcast: the train corpus streams through one scan."""
+    from akka_graph_db_spark.functions.dedup import (
+        embedding_decontamination,
+    )
+
+    emb = read_embeddings(spark, sf_dir)
+    eval_df = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return (
+        embedding_decontamination(emb, eval_df, threshold=0.95)
+        .select("eval_id", "train_id")
+        .orderBy("eval_id", "train_id")
+    )
+
+
+def q_nearest_seed_parts(spark, sf_dir):
+    """Graph Voronoi labeling (analytics.nearest_seed): every part
+    within 3 hops of the 8 lowest-id seed parts is assigned its
+    CLOSEST seed (hop distance, seed-id tiebreak) on the co-order
+    graph — multi-source BFS with one concurrent frontier, argmin via
+    the min-struct trick (no window). Oracle = recursive-CTE BFS with
+    the same (d, s) lexicographic argmin."""
+    from akka_graph_db_spark.operators.analytics import nearest_seed
+
+    return nearest_seed(
+        _coorder_pairs(spark, sf_dir), seeds=8, max_depth=3
+    ).orderBy("id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7631,6 +7669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_function_trade": q_neighborhood_function_trade,
         "balanced_shards_docs": q_balanced_shards_docs,
         "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
+        "semantic_decontam": q_semantic_decontam,
+        "nearest_seed_parts": q_nearest_seed_parts,
     }
 
 
@@ -8381,6 +8421,48 @@ def oracle_sql() -> dict[str, str]:
                         THEN chars * 1000 // bpe_tokens
                         ELSE 0 END AS BIGINT) AS chars_per_bpe_permille
             FROM tf_a ORDER BY source
+        """,
+        # Planted exact copies -> LSH recall 100%; brute-force cosine
+        # join is the exact truth (same argument as embedding_dedup).
+        "semantic_decontam": """
+            WITH sd_eval AS (
+              SELECT vec_id + 100000 AS eval_id, embedding
+              FROM embeddings WHERE vec_id < 10
+            )
+            SELECT e.eval_id, t.vec_id AS train_id
+            FROM sd_eval e JOIN embeddings t
+              ON list_cosine_similarity(e.embedding::DOUBLE[],
+                                        t.embedding::DOUBLE[]) >= 0.95
+            ORDER BY eval_id, train_id
+        """,
+        # Recursive-CTE BFS from the same 8 seeds; per-node argmin on
+        # (dist, seed) lexicographic order — identical tiebreak.
+        "nearest_seed_parts": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            seeds AS (
+              SELECT a FROM (SELECT DISTINCT a FROM sym)
+              ORDER BY a LIMIT 8
+            ),
+            bfs(s, id, d) AS (
+              SELECT a, a, 0 FROM seeds
+              UNION
+              SELECT bfs.s, sym.b, bfs.d + 1
+              FROM bfs JOIN sym ON bfs.id = sym.a
+              WHERE bfs.d < 3
+            ),
+            md AS (SELECT s, id, MIN(d) AS d FROM bfs GROUP BY s, id)
+            SELECT id, CAST(s AS BIGINT) AS seed, CAST(d AS INT) AS dist
+            FROM (
+              SELECT id, s, d, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY d, s) AS rn
+              FROM md
+            ) WHERE rn = 1 ORDER BY id
         """,
         "graph_summary": _GRAPH_WITH + """
             SELECT 'node' AS kind, label, COUNT(*) AS n_rows,

@@ -1747,3 +1747,57 @@ def dedup_manifest(
         F.col("component").alias("survivor_id"),
         F.col(id_col).alias("removed_id"),
     )
+
+
+def embedding_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 12,
+) -> DataFrame:
+    """Cross-set SEMANTIC decontamination: eval vectors whose cosine
+    similarity to any TRAIN vector reaches ``threshold`` — the
+    embedding-space complement of n-gram decontamination
+    (``decontam.contamination_report``), which paraphrased benchmark
+    leakage slips past. Returns (eval_id, train_id, cosine_sim), one
+    row per leaked (eval, train) pair.
+
+    Candidate generation is the same hyperplane-LSH bucket equi-join as
+    :func:`embedding_dedup_pairs` (near-identical unit vectors agree on
+    every hyperplane sign, so recall at the near-duplicate thresholds
+    this targets is the bucket-collision probability of the planted
+    pair — 100% for exact/near-exact copies); the exact cosine verify
+    gives precision. Asymmetric shape for scale: the EVAL side is
+    benchmark-sized and broadcast, so the train corpus streams through
+    one scan with no shuffle — the decontamination pass costs one read
+    of the training set regardless of corpus size.
+    """
+    from akka_graph_db_spark.functions.similarity import (
+        cosine,
+        hyperplane_signature,
+        infer_dim,
+        unit_vector,
+    )
+
+    dim = infer_dim(train, vec_col)
+    tb = train.select(
+        F.col(id_col).alias("train_id"),
+        unit_vector(F.col(vec_col)).alias("_ut"),
+    ).withColumn("_sig", hyperplane_signature(F.col("_ut"), planes, dim))
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        unit_vector(F.col(vec_col)).alias("_ue"),
+    ).withColumn("_sig", hyperplane_signature(F.col("_ue"), planes, dim))
+    return (
+        tb.join(F.broadcast(ev), "_sig", "inner")
+        .select(
+            "eval_id",
+            "train_id",
+            cosine(F.col("_ue"), F.col("_ut"), assume_unit=True).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

@@ -4223,3 +4223,41 @@ def neighborhood_function(
     return spark.createDataFrame(
         rows, "r int, n_pairs bigint, new_pairs bigint"
     )
+
+
+def nearest_seed(
+    pairs: DataFrame,
+    seeds: "int | Sequence[int]" = 8,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Multi-source BFS "nearest facility" labeling: each node within
+    ``max_depth`` hops of any seed gets its CLOSEST seed (hop distance,
+    seed-id tiebreak) — the graph Voronoi partition behind
+    assign-to-nearest-hub queries (warehouse assignment, seed-expansion
+    community labeling). Returns (id, seed, dist).
+
+    Scale shape: rides :func:`landmark_hop_distances` unchanged (all
+    seed frontiers advance in one superstep join, exchange-free under
+    the broadcast gate); the argmin is ONE aggregation via the
+    min-struct trick — (dist, seed) pairs minimize lexicographically,
+    so no window and no second shuffle beyond the groupBy.
+    """
+    d = landmark_hop_distances(
+        pairs, landmarks=seeds, max_depth=max_depth
+    )
+    return (
+        d.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist").alias("dist"),
+                    F.col("landmark").alias("seed"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "id",
+            F.col("_b.seed").alias("seed"),
+            F.col("_b.dist").cast("int").alias("dist"),
+        )
+    )

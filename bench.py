@@ -247,6 +247,8 @@ HEADLINE = [
     "neighborhood_function_trade",  # exact ANF distance distribution
     "balanced_shards_docs",   # global-rank round-robin bin packing
     "tokenizer_fertility_docs",  # per-source subword cost model
+    "semantic_decontam",      # broadcast-eval LSH cross-set leak scan
+    "nearest_seed_parts",     # multi-source BFS Voronoi labeling
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -176,6 +176,44 @@ def test_edge_betweenness_bridge_dominates(spark):
         betweenness_landmarks(p3, level="both")
 
 
+# -------------------------------------------- semantic decontamination
+def test_embedding_decontamination_finds_planted_leak(spark):
+    from akka_graph_db_spark.functions.dedup import (
+        embedding_decontamination,
+    )
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]),      # exact leak of train 1
+         (101, [0.5, 0.5, 0.7071])],  # no near neighbor
+        "vec_id bigint, embedding array<float>",
+    )
+    out = embedding_decontamination(train, eval_df, threshold=0.95).collect()
+    assert [(r.eval_id, r.train_id) for r in out] == [(100, 1)]
+    assert abs(out[0].cosine_sim - 1.0) < 1e-9
+
+
+# ------------------------------------------------------- nearest seed
+def test_nearest_seed_voronoi_tiebreak(spark):
+    """Path 1-2-3-4-5 with seeds {1, 5}: node 3 is 2 hops from both —
+    the tiebreak must pick the SMALLER seed id."""
+    from akka_graph_db_spark.operators.analytics import nearest_seed
+
+    p5 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    got = {
+        r.id: (r.seed, r.dist)
+        for r in nearest_seed(p5, seeds=[1, 5], max_depth=4).collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (5, 1), 5: (5, 0),
+    }
+
+
 # --------------------------------------------------- balanced shards
 def test_balanced_shards_round_robin_balance(spark):
     """16 docs with sizes 16..1 into 4 shards: round-robin over the

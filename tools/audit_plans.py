@@ -177,6 +177,8 @@ AUDITED = [
     ("neighborhood_function_trade", "distinct-merge supersteps, bounded"),
     ("balanced_shards_docs", "range-shuffle global rank + modulo"),
     ("tokenizer_fertility_docs", "one map-side agg to |sources| rows"),
+    ("semantic_decontam", "broadcast eval x one train scan, LSH gate"),
+    ("nearest_seed_parts", "one concurrent frontier + min-struct argmin"),
 ]
 
 
