@@ -7373,6 +7373,33 @@ def q_nearest_seed_parts(spark, sf_dir):
     ).orderBy("id")
 
 
+def q_streaming_histogram(spark, sf_dir):
+    """§2.9 mergeable streaming histogram (streaming/sketch.py
+    StreamingHistogram): fixed-width bin counts accumulated over a
+    4-micro-batch event-value stream (maxFilesPerTrigger=1 forces real
+    multi-batch merging). Bin counts ADD, so the merged histogram is
+    bit-identical to the batch GROUP BY of the same rows — which is
+    exactly what the oracle computes (bin_width 8 = power of two, so
+    the IEEE binning division is exact cross-engine). State = one row
+    per occupied bin, value-range-bounded, not volume-bounded."""
+    import os
+    import tempfile
+
+    from akka_graph_db_spark.streaming.sketch import StreamingHistogram
+
+    ev_df = read_events(spark, sf_dir).select("value")
+    tmp = tempfile.mkdtemp(prefix="shist_")
+    src = os.path.join(tmp, "src")
+    ev_df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hist = StreamingHistogram(value_col="value", bin_width=8.0)
+    return hist.run(stream, os.path.join(tmp, "ckpt")).orderBy("bin")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7671,6 +7698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
         "semantic_decontam": q_semantic_decontam,
         "nearest_seed_parts": q_nearest_seed_parts,
+        "streaming_histogram": q_streaming_histogram,
     }
 
 
@@ -8463,6 +8491,14 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY id ORDER BY d, s) AS rn
               FROM md
             ) WHERE rn = 1 ORDER BY id
+        """,
+        # stream≡batch: merged bin counts == one batch GROUP BY; the
+        # /8.0 division is exact IEEE (power of two), FLOOR identical.
+        "streaming_histogram": """
+            SELECT CAST(FLOOR(value / 8.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "graph_summary": _GRAPH_WITH + """
             SELECT 'node' AS kind, label, COUNT(*) AS n_rows,

@@ -597,3 +597,27 @@ def sum_reconciliation(
             F.sum(F.when(has, diff)).alias("sum_abs_diff"),
         )
     )
+
+
+def fixed_bin_histogram(
+    df: DataFrame, value_col: str, bin_width: float = 8.0
+) -> DataFrame:
+    """Fixed-width histogram: (bin, cnt) with bin = floor(value /
+    bin_width) — the mergeable distribution summary (counts ADD, so
+    per-partition/per-batch histograms union+sum to the global one,
+    the property streaming.sketch.StreamingHistogram exploits). Use a
+    power-of-two ``bin_width``: the IEEE division is then exact and
+    the binning engine-reproducible. One map-side-combinable
+    aggregation to range/bin_width rows; NULL values are dropped.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.floor(F.col(value_col) / F.lit(float(bin_width)))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )

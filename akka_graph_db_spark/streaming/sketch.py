@@ -115,3 +115,51 @@ class StreamingHLL:
         if self.sketch is None:
             return spark.createDataFrame([], "bucket bigint, register int")
         return self.sketch
+
+
+@dataclass
+class StreamingHistogram:
+    """Fixed-width histogram accumulated across micro-batches: bin
+    counts ADD, so the merged histogram is bit-identical to the batch
+    histogram of the same rows (same stream≡batch property as the CMS;
+    the binning is an exact IEEE division when ``bin_width`` is a power
+    of two). State is one row per OCCUPIED bin — value-range-bounded,
+    not volume-bounded — the streaming distribution monitor."""
+
+    value_col: str
+    bin_width: float = 8.0
+    sketch: DataFrame | None = field(default=None, repr=False)
+    batches_applied: int = 0
+
+    def step(self, batch: DataFrame, batch_id: int) -> None:
+        from akka_graph_db_spark.functions.profile import (
+            fixed_bin_histogram,
+        )
+
+        part = fixed_bin_histogram(
+            batch, self.value_col, bin_width=self.bin_width
+        )
+        merged = (
+            part
+            if self.sketch is None
+            else self.sketch.unionByName(part)
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        self.sketch = merged.localCheckpoint(eager=True)
+        self.batches_applied += 1
+
+    def run(self, value_stream: DataFrame, checkpoint_dir: str) -> DataFrame:
+        """Consume an entire available stream (Trigger.AvailableNow) and
+        return the accumulated histogram frame (bin, cnt)."""
+        q = (
+            value_stream.writeStream.foreachBatch(self.step)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark = value_stream.sparkSession
+        if self.sketch is None:
+            return spark.createDataFrame([], "bin bigint, cnt bigint")
+        return self.sketch

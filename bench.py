@@ -249,6 +249,7 @@ HEADLINE = [
     "tokenizer_fertility_docs",  # per-source subword cost model
     "semantic_decontam",      # broadcast-eval LSH cross-set leak scan
     "nearest_seed_parts",     # multi-source BFS Voronoi labeling
+    "streaming_histogram",    # mergeable fixed-bin distribution
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -176,6 +176,42 @@ def test_edge_betweenness_bridge_dominates(spark):
         betweenness_landmarks(p3, level="both")
 
 
+# -------------------------------------------- streaming histogram
+def test_streaming_histogram_merge_equals_batch(spark, tmp_path):
+    """Bin counts add across micro-batches: the streamed histogram is
+    bit-identical to one batch GROUP BY over the same rows; an empty
+    stream yields an empty typed frame."""
+    from akka_graph_db_spark.functions.profile import fixed_bin_histogram
+    from akka_graph_db_spark.streaming.sketch import StreamingHistogram
+
+    vals = [(float(v),) for v in (-9, -1, 0, 3, 7.5, 8, 15.99, 16, 100)]
+    df = spark.createDataFrame(vals, "value double")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    h = StreamingHistogram(value_col="value", bin_width=8.0)
+    got = {
+        (r.bin, r.cnt)
+        for r in h.run(stream, str(tmp_path / "ckpt")).collect()
+    }
+    want = {
+        (r.bin, r.cnt) for r in fixed_bin_histogram(df, "value").collect()
+    }
+    assert got == want and h.batches_applied == 3
+    assert want == {
+        (-2, 1), (-1, 1), (0, 3), (1, 2), (2, 1), (12, 1),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bin_width"):
+        fixed_bin_histogram(df, "value", bin_width=0)
+
+
 # -------------------------------------------- semantic decontamination
 def test_embedding_decontamination_finds_planted_leak(spark):
     from akka_graph_db_spark.functions.dedup import (

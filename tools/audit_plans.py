@@ -179,6 +179,7 @@ AUDITED = [
     ("tokenizer_fertility_docs", "one map-side agg to |sources| rows"),
     ("semantic_decontam", "broadcast eval x one train scan, LSH gate"),
     ("nearest_seed_parts", "one concurrent frontier + min-struct argmin"),
+    ("streaming_histogram", "per-batch bin counts, union+sum merge"),
 ]
 
 
