@@ -1228,6 +1228,74 @@ def _hll_oracle(p: int = 10) -> str:
     """
 
 
+def _onion_oracle(waves: int = 48) -> str:
+    """q_onion_layers_parts' oracle: the peel-wave loop unrolled as
+    DuckDB CTEs over the support-≥2 part co-order graph. Per wave:
+    remaining degrees (isolated survivors included at 0 via the node
+    frame), the ratcheting core value k = GREATEST(min remaining
+    degree, previous k), the removed set (degree <= k, tagged with
+    wave index and k), and the shrunken node/edge frames. Waves past
+    exhaustion are no-ops (empty MIN coalesces to 0, removal selects
+    nothing) — the coreness/kcore unroll contract; measured exhaustion
+    is 36 waves at sf0.001 and 18 at sf0.01 (48 here)."""
+    ctes = [
+        """on_b AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )""",
+        """on_p AS MATERIALIZED (
+            SELECT a, b FROM (
+              SELECT x.l_partkey AS a, y.l_partkey AS b,
+                     COUNT(*) AS m
+              FROM on_b x JOIN on_b y
+                ON x.l_orderkey = y.l_orderkey
+               AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2
+            ) WHERE m >= 2
+        )""",
+        """on_s0 AS MATERIALIZED (
+            SELECT a, b FROM on_p UNION ALL SELECT b, a FROM on_p
+        )""",
+        """on_n0 AS MATERIALIZED (SELECT DISTINCT a FROM on_s0)""",
+        """on_k0 AS (SELECT 0 AS k)""",
+    ]
+    for i in range(1, waves + 1):
+        j = i - 1
+        ctes.append(f"""on_d{i} AS MATERIALIZED (
+            SELECT n.a, COALESCE(d.dd, 0) AS d FROM on_n{j} n
+            LEFT JOIN (SELECT a, COUNT(*) AS dd FROM on_s{j}
+                       GROUP BY a) d ON d.a = n.a
+        )""")
+        ctes.append(f"""on_k{i} AS MATERIALIZED (
+            SELECT GREATEST(COALESCE((SELECT MIN(d) FROM on_d{i}), 0),
+                            (SELECT k FROM on_k{j})) AS k
+        )""")
+        ctes.append(f"""on_r{i} AS MATERIALIZED (
+            SELECT a, {i} AS layer, (SELECT k FROM on_k{i}) AS k
+            FROM on_d{i} WHERE d <= (SELECT k FROM on_k{i})
+        )""")
+        ctes.append(f"""on_n{i} AS MATERIALIZED (
+            SELECT a FROM on_n{j}
+            WHERE a NOT IN (SELECT a FROM on_r{i})
+        )""")
+        ctes.append(f"""on_s{i} AS MATERIALIZED (
+            SELECT a, b FROM on_s{j}
+            WHERE a NOT IN (SELECT a FROM on_r{i})
+              AND b NOT IN (SELECT a FROM on_r{i})
+        )""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT a, layer, k FROM on_r{i}" for i in range(1, waves + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a AS id, CAST(layer AS INT) AS layer,
+               CAST(k AS INT) AS coreness
+        FROM ({union}) ORDER BY id
+        """
+    )
+
+
 def _coreness_oracle(rounds: int = 24) -> str:
     """q_coreness_parts' oracle: h-index iteration unrolled as DuckDB
     CTEs over the part co-order graph. h⁰ = degree; each round's H
@@ -7400,6 +7468,71 @@ def q_streaming_histogram(spark, sf_dir):
     return hist.run(stream, os.path.join(tmp, "ckpt")).orderBy("bin")
 
 
+def q_induced_subgraph_parts(spark, sf_dir):
+    """Deterministic induced-subgraph sample
+    (analytics.induced_subgraph_sample, 250 permille, node-induced) of
+    the part co-order graph, summarized as (n_nodes, n_edges,
+    avg_degree_permille) — the debug-at-scale ladder rung: edges
+    survive at p² uniformly, so structure extrapolates. Two hash
+    filters, zero shuffles before the summary agg; oracle reproduces
+    the md5 node draw exactly."""
+    from akka_graph_db_spark.operators.analytics import (
+        induced_subgraph_sample,
+    )
+
+    sub = induced_subgraph_sample(
+        _coorder_pairs(spark, sf_dir), keep_permille=250, salt="sub"
+    )
+    nodes = (
+        sub.select(F.col("a").alias("id"))
+        .unionByName(sub.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    return nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).crossJoin(
+        sub.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    ).select(
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") > 0,
+            F.expr("2 * n_edges * 1000 div n_nodes"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("avg_degree_permille"),
+    )
+
+
+def q_onion_layers_parts(spark, sf_dir):
+    """Onion decomposition (analytics.onion_layers) of the FREQUENTLY
+    co-ordered parts graph (support ≥2, the clique-profile discipline —
+    the raw co-order graph's peel runs 71 waves at sf0.01, the thinned
+    recurring structure 18): peel-wave index + coreness per node — the
+    within-shell structural position coreness alone flattens
+    (Hébert-Dufresne et al. 2016). Engine = the kcore peel loop with a
+    wave counter and an explicit node frame (peeled-isolated nodes
+    still get layers); oracle = the same waves unrolled as CTEs, with
+    no-op tail waves past exhaustion (measured 36 at sf0.001, 18 at
+    sf0.01; unrolled 48)."""
+    from akka_graph_db_spark.operators.analytics import onion_layers
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("a", "b")
+    )
+    return onion_layers(pairs).orderBy("id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7472,7 +7605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- certification window ends here (50 entries). ---
     # round-10 rotation block: never driver-certified, local-green,
     # deferred from round 9 (68 candidates > 50 slots) — these 18
-    # MUST lead round 10's first-50 window:
+    # MUST lead round 10's first-50 window, followed by the 10
+    # round-9 additions at the END of this dict (edge_betweenness_parts
+    # .. onion_layers_parts; 28 never-certified total, so round 10's
+    # window has 22 free slots for re-certs):
         "skyline_parts": q_skyline_parts,
         "sample_per_source": q_sample_per_source,
         "winsorize_orders": q_winsorize_orders,
@@ -7699,6 +7835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "nearest_seed_parts": q_nearest_seed_parts,
         "streaming_histogram": q_streaming_histogram,
+        "induced_subgraph_parts": q_induced_subgraph_parts,
+        "onion_layers_parts": q_onion_layers_parts,
     }
 
 
@@ -8500,6 +8638,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value IS NOT NULL
             GROUP BY 1 ORDER BY 1
         """,
+        # Same md5 node draw (":sub" salt), same canonical edges, same
+        # integer summary.
+        "induced_subgraph_parts": """
+            WITH isp_e AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+            ),
+            isp_k AS (
+              SELECT a, b FROM isp_e
+              WHERE CAST((md5_number_upper(CAST(a AS VARCHAR) || ':sub')
+                          & 9223372036854775807) AS BIGINT) % 1000 < 250
+                AND CAST((md5_number_upper(CAST(b AS VARCHAR) || ':sub')
+                          & 9223372036854775807) AS BIGINT) % 1000 < 250
+            ),
+            isp_n AS (
+              SELECT COUNT(DISTINCT id) AS n_nodes FROM (
+                SELECT a AS id FROM isp_k
+                UNION ALL SELECT b FROM isp_k)
+            ),
+            isp_m AS (SELECT COUNT(*) AS n_edges FROM isp_k)
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN n_nodes > 0
+                        THEN 2 * n_edges * 1000 // n_nodes
+                        ELSE 0 END AS BIGINT) AS avg_degree_permille
+            FROM isp_n, isp_m
+        """,
+        "onion_layers_parts": _onion_oracle(waves=48),
         "graph_summary": _GRAPH_WITH + """
             SELECT 'node' AS kind, label, COUNT(*) AS n_rows,
                    CAST(NULL AS BIGINT) AS n_src,

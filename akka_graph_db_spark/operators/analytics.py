@@ -4261,3 +4261,116 @@ def nearest_seed(
             F.col("_b.dist").cast("int").alias("dist"),
         )
     )
+
+
+def induced_subgraph_sample(
+    pairs: DataFrame, keep_permille: int = 250, salt: str = "sub"
+) -> DataFrame:
+    """Deterministic induced-subgraph sample: a node survives iff
+    md5_63("<id>:<salt>") % 1000 < keep_permille; an edge survives iff
+    BOTH endpoints do (node-induced sampling — Leskovec-Faloutsos 2006's
+    random-node baseline with a reproducible hash in place of the RNG).
+    The debug-at-scale tool: run an expensive analytic on a p-sample
+    whose degree structure is an unbiased p²-thinning of the original
+    (each edge survives with probability p², uniformly), then
+    extrapolate. Same-salt samples NEST across permille levels (the
+    hash is fixed, thresholds order), so 10%/25%/50% debug ladders
+    share nodes. Returns the surviving canonical (a, b) edges.
+
+    Scale shape: two pure-expression hash filters on the edge list —
+    no join against a sampled-node table, no shuffle at all; the salt
+    keeps independent samples independent.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    if not 0 <= keep_permille <= 1000:
+        raise ValueError("keep_permille must be in 0..1000")
+
+    def _kept(c):
+        return (
+            F.pmod(
+                md5_63(
+                    F.concat(c.cast("string"), F.lit(":" + salt))
+                ),
+                F.lit(1000),
+            )
+            < keep_permille
+        )
+
+    e = canonical_undirected(pairs)
+    return e.where(_kept(F.col("a")) & _kept(F.col("b")))
+
+
+def onion_layers(pairs: DataFrame, max_waves: int = 200) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016,
+    Sci. Rep. 6:31708): the peel ORDER that coreness discards. Wave ℓ
+    removes every node whose degree in the REMAINING graph is <= the
+    current core value k (k ratchets up to the remaining minimum degree
+    whenever the previous k-shell is exhausted); a node's layer is the
+    wave that removed it, its coreness is the k in force at removal.
+    Layers localize nodes within their k-shell (early = periphery of
+    the shell, late = its dense core) — the structural centrality the
+    plain coreness number flattens.
+
+    Returns (id, layer, coreness) for every non-isolated node.
+
+    Scale shape: each wave is one degree aggregation over the remaining
+    edge frame + a min-degree scalar + one anti-join shrink — the exact
+    :func:`kcore` peel loop with a wave counter; edge frames are
+    localCheckpointed per wave (lineage truncation), removed-node
+    frames accumulate by union. Wave count is diameter-and-density
+    bounded (the sf0.1 co-order graph peels in well under 100); raises
+    RuntimeError past ``max_waves`` — a silent stop would mislabel every
+    remaining node (the coreness contract, ADVICE r6).
+    """
+    e = canonical_undirected(pairs)
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    # an explicit node frame: a node whose last edge was peeled away has
+    # remaining degree 0 and MUST still be assigned a layer — it no
+    # longer appears in the edge frame at all
+    nodes = sym.select("a").distinct().localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    out_parts: list[DataFrame] = []
+    k = 0
+    for wave in range(1, max_waves + 1):
+        if nodes.isEmpty():
+            break
+        deg = nodes.join(
+            sym.groupBy("a").agg(F.count(F.lit(1)).alias("_dd")),
+            "a",
+            "left",
+        ).select("a", F.coalesce("_dd", F.lit(0)).alias("_d"))
+        k = max(k, int(deg.agg(F.min("_d")).collect()[0][0]))
+        removed = deg.where(F.col("_d") <= k).select(
+            F.col("a").alias("id"),
+            F.lit(wave).cast("int").alias("layer"),
+            F.lit(k).cast("int").alias("coreness"),
+        ).localCheckpoint(eager=True)
+        nodes = nodes.join(
+            removed.select(F.col("id").alias("a")), "a", "left_anti"
+        ).localCheckpoint(eager=True)
+        sym = (
+            sym.join(
+                removed.select(F.col("id").alias("a")), "a", "left_anti"
+            )
+            .join(
+                removed.select(F.col("id").alias("b")), "b", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+        out_parts.append(removed)
+    else:
+        raise RuntimeError(
+            f"onion_layers did not exhaust the graph in {max_waves} "
+            "waves; raise max_waves"
+        )
+    if not out_parts:
+        return spark.createDataFrame(
+            [], "id bigint, layer int, coreness int"
+        )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -250,6 +250,8 @@ HEADLINE = [
     "semantic_decontam",      # broadcast-eval LSH cross-set leak scan
     "nearest_seed_parts",     # multi-source BFS Voronoi labeling
     "streaming_histogram",    # mergeable fixed-bin distribution
+    "induced_subgraph_parts", # shuffle-free hash-sampled subgraph
+    "onion_layers_parts",     # peel-wave onion decomposition
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

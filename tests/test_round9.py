@@ -176,6 +176,76 @@ def test_edge_betweenness_bridge_dominates(spark):
         betweenness_landmarks(p3, level="both")
 
 
+# ------------------------------------------------- onion layers
+def test_onion_layers_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4: wave 1 peels the pendant at k=1,
+    wave 2 peels the whole triangle at k=2. Star 1-(2,3,4): the hub
+    survives wave 1 but becomes ISOLATED — it must still get a layer
+    (wave 2, coreness 1), the case a pure edge-frame loop drops."""
+    from akka_graph_db_spark.operators.analytics import onion_layers
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "a bigint, b bigint"
+    )
+    got = {
+        r.id: (r.layer, r.coreness)
+        for r in onion_layers(tri).collect()
+    }
+    assert got == {4: (1, 1), 1: (2, 2), 2: (2, 2), 3: (2, 2)}
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a bigint, b bigint"
+    )
+    got = {
+        r.id: (r.layer, r.coreness)
+        for r in onion_layers(star).collect()
+    }
+    assert got == {2: (1, 1), 3: (1, 1), 4: (1, 1), 1: (2, 1)}
+
+    with pytest.raises(RuntimeError, match="waves"):
+        onion_layers(tri, max_waves=1)
+
+
+# ----------------------------------------------- induced subgraph
+def test_induced_subgraph_nesting_and_induction(spark):
+    """Same-salt samples NEST across permille levels, a kept edge's
+    endpoints are both kept nodes, and permille 1000 keeps the whole
+    canonical graph."""
+    from akka_graph_db_spark.operators.analytics import (
+        canonical_undirected,
+        induced_subgraph_sample,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(1, 30) for b in range(a + 1, 30)
+         if (a * b) % 3 == 0],
+        "a bigint, b bigint",
+    )
+    full = {(r.a, r.b) for r in canonical_undirected(pairs).collect()}
+    s250 = {
+        (r.a, r.b)
+        for r in induced_subgraph_sample(pairs, 250).collect()
+    }
+    s500 = {
+        (r.a, r.b)
+        for r in induced_subgraph_sample(pairs, 500).collect()
+    }
+    s1000 = {
+        (r.a, r.b)
+        for r in induced_subgraph_sample(pairs, 1000).collect()
+    }
+    assert s250 <= s500 <= s1000 == full
+    assert len(s250) < len(s500) < len(full)
+    # different salt -> a different (independent) draw
+    other = {
+        (r.a, r.b)
+        for r in induced_subgraph_sample(pairs, 500, salt="x").collect()
+    }
+    assert other != s500
+    with pytest.raises(ValueError, match="keep_permille"):
+        induced_subgraph_sample(pairs, 1001)
+
+
 # -------------------------------------------- streaming histogram
 def test_streaming_histogram_merge_equals_batch(spark, tmp_path):
     """Bin counts add across micro-batches: the streamed histogram is

@@ -180,6 +180,8 @@ AUDITED = [
     ("semantic_decontam", "broadcast eval x one train scan, LSH gate"),
     ("nearest_seed_parts", "one concurrent frontier + min-struct argmin"),
     ("streaming_histogram", "per-batch bin counts, union+sum merge"),
+    ("induced_subgraph_parts", "two hash filters, no pre-summary shuffle"),
+    ("onion_layers_parts", "kcore peel loop + wave counter, anti-joins"),
 ]
 
 
