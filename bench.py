@@ -275,6 +275,7 @@ HEADLINE = [
 # stable and auditable round-over-round; re-derive with
 # tools/regen_bench_buckets.py when a query's band genuinely moves.
 _BATCH10 = {
+    "tokenizer_fertility_docs",
     "asof_purchase_click", "asof_view_next_purchase", "blocklist_report",
     "bloom_prune_report", "bm25_search", "bpe_pair_counts",
     "budget_trim_docs", "cms_heavy_hitters", "codec_roundtrip",
@@ -303,6 +304,11 @@ _BATCH10 = {
     "tpch_q9", "vocab_growth", "window_rank_customers", "winsorize_orders",
 }
 _BATCH4 = {
+    "balanced_shards_docs",
+    "induced_subgraph_parts",
+    "neighborhood_function_trade",
+    "semantic_decontam",
+    "streaming_histogram",
     "assortativity_coorder", "basket_lift", "basket_triples",
     "bowtie_trade", "brand_mixing_parts", "butterfly_count",
     "cc_incremental_geo", "coloring_geo", "concurrent_sessions",
@@ -320,6 +326,8 @@ _BATCH4 = {
     "tpch_q5",
 }
 _BATCH2 = {
+    "importance_scores_docs",
+    "nearest_seed_parts",
     "cdc_chunks", "connected_components_two_phase_geo", "dag_layers_graph",
     "dedup_minhash", "degree_anomalies_parts", "doc_novelty",
     "eccentricity_parts", "harmonic_parts", "hits_top20", "katz_parts",
@@ -439,18 +447,24 @@ def _contention_guard(
     max_waits: int = 5,
 ) -> dict[str, dict[str, float]]:
     """Contention guard (VERDICT r7 #3): the host shows multi-minute
-    degraded windows that bookend calibration can straddle — when the END
-    calibration drifted >25% above the START, the slowest children (long
-    shuffle-heavy jobs, where a burst survives min-of-2) may carry
-    inflated numbers. Wait for a quieter window (calibration back within
-    drift_ratio of start, up to max_waits minutes), re-measure the top-N
-    slowest children, record BOTH values, and commit the min into
-    ``timings`` in place. Returns {query: {in_run, remeasure}}."""
+    degraded windows that bookend calibration can straddle — when the
+    two calibrations disagree by >25% IN EITHER DIRECTION (the r9 full
+    run STARTED degraded: cal 6.0 -> 2.5, inflating every early heavy
+    child — the original end-over-start test missed exactly that), the
+    slowest children (long shuffle-heavy jobs, where a burst survives
+    min-of-2) may carry inflated numbers. Wait for a quieter window
+    (calibration back within drift_ratio of the BETTER bookend, up to
+    max_waits minutes), re-measure the top-N slowest children, record
+    BOTH values, and commit the min into ``timings`` in place. Returns
+    {query: {in_run, remeasure}}."""
     remeasures: dict[str, dict[str, float]] = {}
-    if not (cal_start > 0 and cal_end > 0 and cal_end / cal_start > drift_ratio):
+    if not (cal_start > 0 and cal_end > 0):
+        return remeasures
+    lo = min(cal_start, cal_end)
+    if max(cal_start, cal_end) / lo <= drift_ratio:
         return remeasures
     for _ in range(max_waits):
-        if cal_child() / cal_start <= drift_ratio:
+        if cal_child() / lo <= drift_ratio:
             break
         sleep(60)
     slowest = sorted(

@@ -68,6 +68,23 @@ def test_guard_waits_for_quiet_window():
     assert slept == [60, 60]
 
 
+def test_guard_fires_on_start_degradation_too():
+    """The r9 full run STARTED degraded (cal 6.0 -> 2.5) and the old
+    end-over-start test stayed quiet while every early heavy child
+    carried inflated numbers — drift in EITHER direction must fire."""
+    timings = {"a": 10.0, "b": 5.0}
+    out = bench._contention_guard(
+        timings,
+        6.0,   # degraded start
+        2.5,   # healthy end
+        _fake_children({"a": 4.0, "b": 2.0}),
+        lambda: 2.5,  # already quiet vs the BETTER bookend
+        lambda s: None,
+    )
+    assert set(out) == {"a", "b"}
+    assert timings == {"a": 4.0, "b": 2.0}
+
+
 def test_guard_skips_failed_children_and_errors():
     timings = {"a": 3.0, "bad": -1.0}
     out = bench._contention_guard(
