@@ -412,22 +412,28 @@ def _run_query(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
     entrymod._g(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in names:
-        # Two runs, report the min: a fresh JVM pays ~10-15s of C2-JIT
-        # on its first pass through the codegen paths (measured: the
-        # same dedup query is 20.6s cold / 6.1s warm in one session),
-        # which is session overhead, not query cost — the steady-state
-        # number is what a long-lived cluster session would see. Always
-        # re-run: the host shows transient 1-4x contention bursts, and a
-        # first pass caught in one would otherwise be locked in as the
-        # reported number (measured: the same child 65s in a burst,
-        # 13-21s on re-runs).
+        # Up to two runs, report the min: a fresh JVM pays ~10-15s of
+        # C2-JIT on its first pass through the codegen paths (measured:
+        # the same dedup query is 20.6s cold / 6.1s warm in one
+        # session), which is session overhead, not query cost — the
+        # steady-state number is what a long-lived cluster session
+        # would see. Re-run when the first pass took >= 2s: it may
+        # carry cold JIT or one of the host's transient 1-4x contention
+        # bursts (measured: the same child 65s in a burst, 13-21s on
+        # re-runs). A sub-2s first pass is already steady-state — in a
+        # cost-batched child the session is warm from the batch's
+        # earlier queries, and a burst short enough to only inflate a
+        # sub-2s query sits below the band noise floor — so skipping
+        # its re-run buys ~200s of wall per full run at zero signal
+        # cost (r9 wall-budget work, VERDICT r8 #1).
         try:
-            best = None
-            for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = round(time.time() - t0, 3)
+            if best >= 2.0:
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
-                took = round(time.time() - t0, 3)
-                best = took if best is None else min(best, took)
+                best = min(best, round(time.time() - t0, 3))
             timings[name] = best
         except Exception as e:  # report, don't abort the whole bench
             timings[name] = -1.0
@@ -572,7 +578,7 @@ def main() -> None:
     # beats a dead one. Children are ordered heavies-first so a skip sheds
     # sub-second canaries, not regression-prone queries.
     t_start = time.time()
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000"))
     cal_start = _cal_child()
     timings: dict[str, float] = {}
     skipped: list[str] = []
