@@ -8,12 +8,17 @@ Each query is executed through the same ``__spark_entry__.queries()``
 callables the correctness gate checks — benchmarking the verified plans,
 not specially-tuned variants.
 
-PER-QUERY PROCESS ISOLATION (VERDICT r4 #2): every headline query runs in
-its own driver subprocess. A shared session accumulates localCheckpoint
-RDD blocks, broadcast remnants, and GC pressure across 40+ queries —
-measured 3x distortion on queries that follow a heavy one (motif 24.3s
-in-bench vs ~8.5s standalone, r4 audit). Real deployments run one driver
-per job; this bench now matches that. The graph snapshot is built ONCE in
+COST-BATCHED PROCESS ISOLATION (VERDICT r4 #2 refined by r8 #1): heavy
+queries run in private driver subprocesses — a shared session
+accumulates localCheckpoint RDD blocks, broadcast remnants, and GC
+pressure across 40+ queries (measured 3x distortion on queries that
+follow a heavy one: motif 24.3s in-bench vs ~8.5s standalone, r4
+audit) — while sub-second scans share a JVM 10-per-child: the r8
+one-query-per-child design paid ~203 x (JVM+warmup) ≈ 60-70 min of
+untimed overhead and the DRIVER's bench timed out (rc=124, no
+artifact). Children launch heavies-first under a wall budget
+(SPARK_GRAFT_BENCH_BUDGET_SEC) that sheds cheap batches into a
+"skipped" list instead of dying. The graph snapshot is built ONCE in
 the parent (reported as graph_ingest_sec) and shared with children via
 SPARK_GRAFT_SNAPSHOT_ROOT, so children pay only the parquet load. JVM
 startup stays OUTSIDE the timer (the child times only plan + execution).
