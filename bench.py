@@ -310,7 +310,6 @@ _BATCH10 = {
 }
 _BATCH4 = {
     "balanced_shards_docs",
-    "induced_subgraph_parts",
     "neighborhood_function_trade",
     "semantic_decontam",
     "streaming_histogram",
@@ -348,17 +347,28 @@ _BATCH2 = {
 }
 
 
+# Session-cost canaries: if these drift, the fixed per-child session
+# cost drifted, not a query plan. They ride in the FIRST child so even
+# a severely budget-squeezed run records them — at the tail of the
+# batch-10 block they were the first queries shed.
+_CANARIES = ["get_node", "codec_roundtrip", "topk_orders"]
+
+
 def child_groups(headline: list[str]) -> list[list[str]]:
-    """Partition the headline into subprocess batches: isolated heavies
-    first (so a wall-budget skip sheds cheap canaries, not the queries
-    regressions hide in), then 2/4/10-per-child batches in listed order."""
-    iso = [n for n in headline
+    """Partition the headline into subprocess batches: the canary batch
+    first (always recorded), then isolated heavies (so a wall-budget
+    skip sheds cheap scans, not the queries regressions hide in), then
+    2/4/10-per-child batches in listed order."""
+    canaries = [n for n in headline if n in _CANARIES]
+    rest = [n for n in headline if n not in _CANARIES]
+    iso = [n for n in rest
            if n not in _BATCH10 and n not in _BATCH4 and n not in _BATCH2]
-    groups: list[list[str]] = [[n] for n in iso]
+    groups: list[list[str]] = [canaries] if canaries else []
+    groups.extend([n] for n in iso)
     for names, size in (
-        ([n for n in headline if n in _BATCH2], 2),
-        ([n for n in headline if n in _BATCH4], 4),
-        ([n for n in headline if n in _BATCH10], 10),
+        ([n for n in rest if n in _BATCH2], 2),
+        ([n for n in rest if n in _BATCH4], 4),
+        ([n for n in rest if n in _BATCH10], 10),
     ):
         groups.extend(
             names[i:i + size] for i in range(0, len(names), size)

@@ -120,9 +120,13 @@ def test_child_groups_cover_headline_exactly():
             assert len(g) <= 4
         else:
             assert len(g) <= 10
-    # heavies-first ordering: a budget skip sheds batched cheap queries
+    # canary batch first (always recorded), then heavies — a budget
+    # skip sheds batched cheap queries, never canaries or heavies
+    assert set(groups[0]) == set(bench._CANARIES)
     iso_count = sum(1 for g in groups if g[0] not in known)
-    assert all(g[0] not in known for g in groups[:iso_count])
+    assert all(
+        g[0] not in known for g in groups[1:1 + iso_count]
+    )
 
 
 def test_child_group_count_fits_wall_budget():
