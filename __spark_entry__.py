@@ -8461,14 +8461,23 @@ def oracle_sql() -> dict[str, str]:
                       - CASE WHEN tb > 0 THEN cb * 1000000 // tb
                              ELSE 0 END) AS w
               FROM im_stats, im_tot
+            ),
+            im_doc AS (
+              SELECT id, COUNT(*) AS n_tokens, SUM(w) AS score
+              FROM im_tok JOIN im_w USING (b)
+              WHERE NOT is_t
+              GROUP BY id
             )
-            SELECT id AS doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   CAST(SUM(w) AS BIGINT) AS score
-            FROM im_tok JOIN im_w USING (b)
-            WHERE NOT is_t
-            GROUP BY id
-            ORDER BY score DESC, doc_id LIMIT 25
+            -- LEFT join from all background docs: zero-token docs
+            -- appear with n_tokens 0 / score 0 (explode_outer parity)
+            SELECT d.doc_id,
+                   CAST(COALESCE(im_doc.n_tokens, 0) AS BIGINT)
+                     AS n_tokens,
+                   CAST(COALESCE(im_doc.score, 0) AS BIGINT) AS score
+            FROM (SELECT doc_id FROM documents
+                  WHERE source <> 'src0') d
+            LEFT JOIN im_doc ON im_doc.id = d.doc_id
+            ORDER BY score DESC, d.doc_id LIMIT 25
         """,
         # Same top-40 trade corridors, canonicalized undirected, then
         # one distinct-merge superstep per radius — identical pair sets.
@@ -8565,9 +8574,9 @@ def oracle_sql() -> dict[str, str]:
                      list_sum(list_transform(
                        regexp_extract_all(text,
                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
-                       p -> CAST(ceil(strlen(p) / 4.0) AS BIGINT)
+                       p -> CAST(ceil(length(p) / 4.0) AS BIGINT)
                      )) AS bpe,
-                     strlen(text) AS ch
+                     length(text) AS ch
               FROM documents
             ),
             tf_a AS (
@@ -9850,7 +9859,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(
                      regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
-                     p -> CAST(ceil(strlen(p) / 4.0) AS BIGINT)
+                     p -> CAST(ceil(length(p) / 4.0) AS BIGINT)
                    )) AS BIGINT) AS n_bpe_tokens
             FROM documents WHERE doc_id < 100
         """,
@@ -13884,10 +13893,12 @@ def oracle_sql() -> dict[str, str]:
                                       > CAST('0.00' AS DECIMAL(18,6))
                             THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_mismatch,
-                   MAX(CASE WHEN calc IS NOT NULL
-                       THEN ABS(amt - calc) END) AS max_abs_diff,
-                   SUM(CASE WHEN calc IS NOT NULL
-                       THEN ABS(amt - calc) END) AS sum_abs_diff
+                   CAST(MAX(CASE WHEN calc IS NOT NULL
+                       THEN CAST(ABS(amt - calc) * 1000000 AS BIGINT)
+                       END) AS BIGINT) AS max_abs_diff_micros,
+                   CAST(SUM(CASE WHEN calc IS NOT NULL
+                       THEN CAST(ABS(amt - calc) * 1000000 AS BIGINT)
+                       END) AS BIGINT) AS sum_abs_diff_micros
             FROM rc_j GROUP BY g ORDER BY g
         """,
         # Exact int64 grid kNN (ROW_NUMBER over d2 with id ties) +

@@ -247,7 +247,10 @@ def importance_scores(
     and honest about being a linear surrogate otherwise.
 
     ``target`` is a boolean Column marking the in-domain rows. Returns
-    (id, is_target, n_tokens, score) for every document.
+    (id, is_target, n_tokens, score) for EVERY document — zero-token
+    documents survive the explode (``explode_outer``) and score 0 with
+    n_tokens 0, so the selector never silently drops rows the filter
+    upstream forgot about (ADVICE r9).
 
     Scale shape (100 TB): one explode scan; bucket stats are ONE
     map-side-combinable groupBy to ``n_buckets`` rows; totals fold in
@@ -262,11 +265,14 @@ def importance_scores(
     tok = df.select(
         F.col(id_col).alias("id"),
         target.cast("boolean").alias("is_target"),
-        F.explode(tokens(F.col(text_col))).alias("_term"),
+        F.explode_outer(tokens(F.col(text_col))).alias("_term"),
     ).withColumn(
         "_bucket", F.pmod(md5_63(F.col("_term")), F.lit(n_buckets))
     )
-    stats = tok.groupBy("_bucket").agg(
+    # bucket statistics over REAL tokens only — the explode_outer NULL
+    # placeholder of a zero-token doc must not mint a phantom bucket
+    # or inflate the corpus token totals
+    stats = tok.where(F.col("_term").isNotNull()).groupBy("_bucket").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0))
         .cast("bigint")
         .alias("_ct"),
@@ -293,11 +299,15 @@ def importance_scores(
         .alias("_w"),
     )
     return (
-        tok.join(F.broadcast(weights), "_bucket")
+        tok.join(F.broadcast(weights), "_bucket", "left")
         .groupBy("id", "is_target")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("_w").cast("bigint").alias("score"),
+            # count REAL tokens (the NULL placeholder row doesn't) and
+            # give zero-token docs an explicit 0 score
+            F.count("_term").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("_w"), F.lit(0))
+            .cast("bigint")
+            .alias("score"),
         )
         .select(F.col("id").alias(id_col), "is_target", "n_tokens", "score")
     )

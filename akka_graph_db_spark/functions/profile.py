@@ -559,9 +559,18 @@ def sum_reconciliation(
     reconciliation would report its own rounding as mismatches).
 
     Per group: (group, n_parents, n_no_children, n_match, n_mismatch,
-    max_abs_diff, sum_abs_diff) — matches are |amount − calc| <=
-    tolerance in exact decimal arithmetic; parents with no child rows
-    are counted separately, never as silent matches.
+    max_abs_diff_micros, sum_abs_diff_micros) — matches are |amount −
+    calc| <= tolerance in exact decimal arithmetic; parents with no
+    child rows are counted separately, never as silent matches. The
+    diff extremes are BIGINT micro-units (|diff| × 1e6, exact for any
+    decimal scale ≤ 6): a wide-DECIMAL output column (precision > 18)
+    survives Spark's pandas round-trip as exact ``decimal.Decimal``
+    but degrades to float64 in DuckDB's, so value-identical results
+    hash differently (the HUGEINT hazard, CORRECTNESS_r09
+    ``order_reconciliation``) — the house exact-integer form is the
+    fix, not a symptom patch. Sums stay in-range below ~9.2e12
+    aggregate currency units of drift; past that, reconcile per
+    shard/group.
 
     Shape: one LEFT equi-join on the key + one groupBy — both keyed,
     map-side combinable aggregates; no window, no floats.
@@ -578,6 +587,9 @@ def sum_reconciliation(
         "left",
     )
     diff = F.abs(F.col("_amt") - F.col("_calc"))
+    # exact BIGINT micro-units per row, BEFORE aggregation (the per-row
+    # diff has bounded scale; the aggregate would widen to DECIMAL(38,s))
+    diff_micros = (diff * F.lit(1000000)).cast("bigint")
     tol = F.lit(tolerance).cast("decimal(18,6)")
     has = F.col("_calc").isNotNull()
     return (
@@ -593,8 +605,12 @@ def sum_reconciliation(
             F.sum(F.when(has & (diff > tol), 1).otherwise(0))
             .cast("bigint")
             .alias("n_mismatch"),
-            F.max(F.when(has, diff)).alias("max_abs_diff"),
-            F.sum(F.when(has, diff)).alias("sum_abs_diff"),
+            F.max(F.when(has, diff_micros))
+            .cast("bigint")
+            .alias("max_abs_diff_micros"),
+            F.sum(F.when(has, diff_micros))
+            .cast("bigint")
+            .alias("sum_abs_diff_micros"),
         )
     )
 

@@ -4370,7 +4370,12 @@ def onion_layers(pairs: DataFrame, max_waves: int = 200) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         out_parts.append(removed)
-    else:
+    # post-loop emptiness check, NOT for/else: the for/else form raised
+    # even when the graph exhausts in exactly max_waves waves, because
+    # the empty-nodes break only fires at the START of the wave AFTER
+    # the last peel — which never runs when the loop range is spent
+    # (ADVICE r9)
+    if not nodes.isEmpty():
         raise RuntimeError(
             f"onion_layers did not exhaust the graph in {max_waves} "
             "waves; raise max_waves"

@@ -591,7 +591,17 @@ def test_sum_reconciliation_classes(spark):
     out = sum_reconciliation(parent, child, "k", "g").collect()[0]
     assert out.n_parents == 3 and out.n_no_children == 1
     assert out.n_match == 1 and out.n_mismatch == 1
-    assert out.max_abs_diff == Decimal("0.01")
+    # exact BIGINT micro-units (0.01 -> 10000), never wide DECIMAL:
+    # DECIMAL(38,6) output degrades to float64 in DuckDB's pandas
+    # round-trip while Spark keeps Decimal -> driver hash divergence
+    assert out.max_abs_diff_micros == 10000
+    assert out.sum_abs_diff_micros == 10000
+    schema = {
+        f.name: f.dataType.simpleString()
+        for f in sum_reconciliation(parent, child, "k", "g").schema
+    }
+    assert schema["max_abs_diff_micros"] == "bigint"
+    assert schema["sum_abs_diff_micros"] == "bigint"
     # tolerance widens the match
     out2 = sum_reconciliation(
         parent, child, "k", "g", tolerance="0.05"

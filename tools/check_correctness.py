@@ -50,10 +50,18 @@ def type_class(t: str) -> str:
     if t.startswith("decimal"):
         # precision widens differently (duckdb SUM -> DECIMAL(38,s)),
         # scale must agree or string forms diverge ("1.50" vs "1.5000").
+        # Precision > 18 is hash-UNSAFE the same way HUGEINT is: at
+        # 15-16+ significant digits DuckDB's pandas round-trip degrades
+        # the value to float64 while Spark keeps exact Decimal, so the
+        # driver hash diverges on value-identical rows
+        # (CORRECTNESS_r09 order_reconciliation). Flag it even when
+        # both sides are wide.
         import re as _re
 
-        m = _re.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", t)
-        return f"dec({m.group(1)})" if m else "dec(?)"
+        m = _re.search(r"\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m and int(m.group(1)) > 18:
+            return "decwide"
+        return f"dec({m.group(2)})" if m else "dec(?)"
     if t in ("tinyint", "smallint", "int", "integer", "bigint"):
         return "int"
     if t in ("hugeint", "uhugeint"):
@@ -72,6 +80,11 @@ def type_class(t: str) -> str:
 
 
 def _classes_compatible(a: str, b: str) -> bool:
+    # wide decimal (precision > 18) is never hash-safe, even paired
+    # with itself: both engines may print identical values while only
+    # one keeps the exact Decimal through the pandas round-trip
+    if "decwide" in (a, b):
+        return False
     if a == b or "other" in (a, b):
         return True
     # float vs decimal is driver-tolerated (empirical: update_edge_merge,
