@@ -69,6 +69,20 @@ _GRAPH_WITH = (
 # whitespace-split, empties dropped.
 _TOK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
+# HyperANF oracle constants — imported from the OPERATOR so the SQL
+# literal lookup and the Spark plan share the same baked integers
+# (analytics._hll_lc_milli: lc(e) = round(1000·16·ln(16/e)))
+from akka_graph_db_spark.operators.analytics import _hll_lc_milli as _lcf
+
+_HLL_ALPHA_NUM = 673 * 16 * 16 * (1 << 32)
+_HLL_LC_CASE = (
+    "CASE (16 - occ) "
+    + " ".join(
+        f"WHEN {e} THEN {v}" for e, v in enumerate(_lcf(16), start=1)
+    )
+    + " END"
+)
+
 _DEC_SUM = "CAST(SUM(CAST({col} AS DECIMAL(30,2))) AS DOUBLE)"
 
 
@@ -7536,6 +7550,81 @@ def q_onion_layers_parts(spark, sf_dir):
     return onion_layers(pairs).orderBy("id")
 
 
+def q_hyperanf_trade(spark, sf_dir):
+    """HyperANF (analytics.hyperanf, Boldi-Vigna 2011) on the trade
+    graph: per-node HLL counters (m=16 sparse registers) max-merged
+    along edges, radius 0..3 — the fixed-memory neighborhood function
+    whose exact twin is neighborhood_function_trade. Every number is
+    exact-integer (md5 registers, BIGINT harmonic division, BAKED
+    linear-counting lookup — no transcendental in either plan), so the
+    SQL oracle reproduces the registers AND the estimates bit-for-bit:
+    a fully certified sketch, not a rows-only approximation."""
+    from akka_graph_db_spark.operators.analytics import hyperanf
+
+    return hyperanf(
+        _trade_corridors(spark, sf_dir), max_radius=3
+    ).orderBy("r")
+
+
+def q_effective_diameter_trade(spark, sf_dir):
+    """Effective diameter (analytics.effective_diameter, 90th
+    percentile, Leskovec et al. 2005) of the trade graph: smallest
+    radius reaching 90% of reachable pairs, linearly interpolated in
+    exact ppm integers off neighborhood_function's exact counts — the
+    one-row distance summary robust to a single long path. Oracle =
+    the ANF recursion + the same BIGINT interpolation."""
+    from akka_graph_db_spark.operators.analytics import (
+        effective_diameter,
+    )
+
+    return effective_diameter(
+        _trade_corridors(spark, sf_dir), max_radius=6
+    )
+
+
+def q_stratified_kfold_embeddings(spark, sf_dir):
+    """Stratified 5-fold CV assignment (mixture.stratified_kfold):
+    every label's vectors spread round-robin over folds in md5 order,
+    per-(label, fold) counts within 1 — summarized as (label, fold,
+    n, vec_checksum). Rank = ONE global_rank over (label, md5, id)
+    minus broadcast per-label offsets; no per-label window, so one
+    dominant class cannot funnel through a single task."""
+    from akka_graph_db_spark.functions.mixture import stratified_kfold
+
+    emb = read_embeddings(spark, sf_dir).select("vec_id", "label")
+    return (
+        stratified_kfold(emb, k=5)
+        .groupBy("label", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("vec_id").cast("bigint").alias("vec_checksum"),
+        )
+        .orderBy("label", "fold")
+    )
+
+
+def q_mad_outliers_events(spark, sf_dir):
+    """Robust per-type outlier audit (profile.mad_outliers, Hampel
+    1974): exact lower-median and MAD of event value in integer
+    micro-units, rows beyond 3·MAD counted — the heavy-tail screen
+    z-scores get wrong because outliers drag the mean/stddev they are
+    measured against (contrast events.value_outliers). Discrete order
+    statistics with id tiebreaks — the oracle reproduces every median
+    element bit-for-bit."""
+    from akka_graph_db_spark.functions.profile import mad_outliers
+
+    ev_micro = read_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+    return mad_outliers(
+        ev_micro, "event_type", "value_micros", "event_id"
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7544,19 +7633,72 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
-    # entries only. Round-9 rotation (VERDICT r8 #3): the window is
-    # the never-driver-certified round-8 additions (all local-green
-    # at sf0.001 AND sf0.01 via tools/check_correctness.py), led by
-    # the two RFM queries from the r8 duplicate-key collision fix
-    # (VERDICT r8 #1: rfm_segments restored to the r06-certified
-    # threshold query; the r8 quintile grid renamed rfm_quintiles)
-    # and the queries whose substrate churned most. 18 cheap stable
-    # relational/event scans are deferred to round 10's window (see
-    # the 'round-10 rotation block' comment below) — after THIS
-    # window goes green, those 18 are the only oracled entries left
-    # without a driver row.
+    # entries only. Round-10 rotation (VERDICT r9 "What's missing"
+    # #1-#2): the window leads with order_reconciliation (the one r9
+    # red row, re-emitted as exact BIGINT micros this round), drains
+    # ALL 28 never-driver-certified entries (18 round-8 leftovers +
+    # the 10 round-9 additions -- every oracled entry now has a shot
+    # at a driver row), adds the 4 round-10 operators (hyperanf,
+    # effective_diameter, stratified_kfold, mad_outliers), and spends
+    # the 17 spare slots on re-certs of queries whose substrate or
+    # oracle changed this round (profile/mixture/dedup/text edits;
+    # text_tokens' oracle swapped strlen->length) plus the oldest
+    # r2-era certs. After this window goes green, zero oracled
+    # entries lack a driver row.
+        "order_reconciliation": q_order_reconciliation,
+        "skyline_parts": q_skyline_parts,
+        "sample_per_source": q_sample_per_source,
+        "winsorize_orders": q_winsorize_orders,
+        "l_diversity_customers": q_l_diversity_customers,
+        "reorder_gaps": q_reorder_gaps,
+        "gini_order_values": q_gini_order_values,
+        "brand_mixing_parts": q_brand_mixing_parts,
+        "k_anonymity_customers": q_k_anonymity_customers,
+        "price_qty_correlation": q_price_qty_correlation,
+        "event_trends": q_event_trends,
+        "interval_coverage": q_interval_coverage,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "equidepth_prices": q_equidepth_prices,
+        "rolling_active_users": q_rolling_active_users,
+        "scd2_user_state": q_scd2_user_state,
+        "time_weighted_value": q_time_weighted_value,
+        "concurrent_sessions": q_concurrent_sessions,
+        "event_bursts": q_event_bursts,
+        "edge_betweenness_parts": q_edge_betweenness_parts,
+        "importance_scores_docs": q_importance_scores_docs,
+        "neighborhood_function_trade": q_neighborhood_function_trade,
+        "balanced_shards_docs": q_balanced_shards_docs,
+        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
+        "semantic_decontam": q_semantic_decontam,
+        "nearest_seed_parts": q_nearest_seed_parts,
+        "streaming_histogram": q_streaming_histogram,
+        "induced_subgraph_parts": q_induced_subgraph_parts,
+        "onion_layers_parts": q_onion_layers_parts,
+        "hyperanf_trade": q_hyperanf_trade,
+        "effective_diameter_trade": q_effective_diameter_trade,
+        "stratified_kfold_embeddings": q_stratified_kfold_embeddings,
+        "mad_outliers_events": q_mad_outliers_events,
+        "text_tokens": q_text_tokens,
+        "profile_orders": q_profile_orders,
+        "budget_trim_docs": q_budget_trim_docs,
+        "label_noise_knn": q_label_noise_knn,
         "rfm_segments": q_rfm_segments,
         "rfm_quintiles": q_rfm_quintiles,
+        "corpus_drift_tvd": q_corpus_drift_tvd,
+        "quantile_filter_docs": q_quantile_filter_docs,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "codec_roundtrip": q_codec_roundtrip,
+        "kcore_parts": q_kcore_parts,
+        "hits_top20": q_hits_top20,
+        "dedup_minhash": q_dedup_minhash,
+        "store_version_summary": q_store_version_summary,
+        "funnel_events": q_funnel_events,
+        "cohort_retention": q_cohort_retention,
+    # --- certification window ends here (50 entries). ---
+    # Certified tail: every entry below has a green driver row in
+    # CORRECTNESS_r02..r09.json (except rows-only
+    # dedup_minhash_keep_star, excluded from windows by design).
         "dedup_recall_eval": q_dedup_recall_eval,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_manifest": q_dedup_manifest,
@@ -7572,7 +7714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_parts": q_closeness_parts,
         "temporal_triples": q_temporal_triples,
         "split_leakage_report": q_split_leakage_report,
-        "corpus_drift_tvd": q_corpus_drift_tvd,
         "knn_components": q_knn_components,
         "lexical_diversity": q_lexical_diversity,
         "retrieval_eval_bm25": q_retrieval_eval_bm25,
@@ -7602,39 +7743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_ari": q_kmeans_ari,
         "embedding_dim_profile": q_embedding_dim_profile,
         "hard_negatives": q_hard_negatives,
-        "order_reconciliation": q_order_reconciliation,
-        "label_noise_knn": q_label_noise_knn,
-        "budget_trim_docs": q_budget_trim_docs,
-    # --- certification window ends here (50 entries). ---
-    # round-10 rotation block: never driver-certified, local-green,
-    # deferred from round 9 (68 candidates > 50 slots) — these 18
-    # MUST lead round 10's first-50 window, followed by the 10
-    # round-9 additions at the END of this dict (edge_betweenness_parts
-    # .. onion_layers_parts; 28 never-certified total, so round 10's
-    # window has 22 free slots for re-certs):
-        "skyline_parts": q_skyline_parts,
-        "sample_per_source": q_sample_per_source,
-        "winsorize_orders": q_winsorize_orders,
-        "l_diversity_customers": q_l_diversity_customers,
-        "reorder_gaps": q_reorder_gaps,
-        "gini_order_values": q_gini_order_values,
-        "brand_mixing_parts": q_brand_mixing_parts,
-        "k_anonymity_customers": q_k_anonymity_customers,
-        "price_qty_correlation": q_price_qty_correlation,
-        "event_trends": q_event_trends,
-        "interval_coverage": q_interval_coverage,
-        "doc_length_percentiles": q_doc_length_percentiles,
-        "equidepth_prices": q_equidepth_prices,
-        "rolling_active_users": q_rolling_active_users,
-        "scd2_user_state": q_scd2_user_state,
-        "time_weighted_value": q_time_weighted_value,
-        "concurrent_sessions": q_concurrent_sessions,
-        "event_bursts": q_event_bursts,
-    # Certified tail: every entry below has a green driver row in
-    # CORRECTNESS_r02..r08.json (except rows-only
-    # dedup_minhash_keep_star, excluded from windows by design).
         "dedup_containment": q_dedup_containment,
-        "store_version_summary": q_store_version_summary,
         "hll_grouped_events": q_hll_grouped_events,
         "asof_view_next_purchase": q_asof_view_next_purchase,
         "event_rate_features": q_event_rate_features,
@@ -7644,16 +7753,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "distinctive_terms": q_distinctive_terms,
         "vocab_growth": q_vocab_growth,
-        "quantile_filter_docs": q_quantile_filter_docs,
         "streaming_cms": q_streaming_cms,
         "streaming_hll": q_streaming_hll,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "ngram_diversity": q_ngram_diversity,
         "blocklist_report": q_blocklist_report,
-        "profile_orders": q_profile_orders,
-        "kcore_parts": q_kcore_parts,
-        "hits_top20": q_hits_top20,
         "betweenness_parts": q_betweenness_parts,
         "harmonic_parts": q_harmonic_parts,
         "eccentricity_parts": q_eccentricity_parts,
@@ -7665,7 +7770,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_source": q_dedup_keep_source,
         "connected_components_two_phase_geo": q_connected_components_two_phase_geo,
         "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
         "multimodal_meta": q_multimodal_meta,
         "events_tumbling": q_events_tumbling,
         "window_rank_customers": q_window_rank_customers,
@@ -7716,7 +7820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ivf": q_similarity_ivf,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_keep": q_dedup_minhash_keep,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -7800,46 +7903,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_multi": q_events_rollup_multi,
         "length_quantiles": q_length_quantiles,
         "ppr_customer": q_ppr_customer,
-        "funnel_events": q_funnel_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         "sql_interface": q_sql_interface,
         "cube_order_stats": q_cube_order_stats,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "events_outliers": q_events_outliers,
-        "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "store_time_travel": q_store_time_travel,
         "pipeline_e2e": q_pipeline_e2e,
         "clustering_coefficient": q_clustering_coefficient,
         "aggmsg_max_acctbal": q_aggmsg_max_acctbal,
-        "cohort_retention": q_cohort_retention,
         "streaming_static_join": q_streaming_static_join,
         "event_transitions": q_event_transitions,
         "basket_lift": q_basket_lift,
         "gopher_quality": q_gopher_quality,
         "dedup_minhash_keep_best": q_dedup_minhash_keep_best,
         "dedup_exact_spans": q_dedup_exact_spans,
-        "tpch_q6": q_tpch_q6,
         "remove_nodes_predicate": q_remove_nodes_predicate,
         "remove_edges_predicate": q_remove_edges_predicate,
         "store_delta_merge": q_store_delta_merge,
-        "codec_roundtrip": q_codec_roundtrip,
         "rollup_order_stats": q_rollup_order_stats,
         "set_ops_customers": q_set_ops_customers,
         "topk_orders": q_topk_orders,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
-    # --- round-9 additions: round-10 rotation candidates (join the
-    # 18-entry deferred block above in round 10's first-50 window) ---
-        "edge_betweenness_parts": q_edge_betweenness_parts,
-        "importance_scores_docs": q_importance_scores_docs,
-        "neighborhood_function_trade": q_neighborhood_function_trade,
-        "balanced_shards_docs": q_balanced_shards_docs,
-        "tokenizer_fertility_docs": q_tokenizer_fertility_docs,
-        "semantic_decontam": q_semantic_decontam,
-        "nearest_seed_parts": q_nearest_seed_parts,
-        "streaming_histogram": q_streaming_histogram,
-        "induced_subgraph_parts": q_induced_subgraph_parts,
-        "onion_layers_parts": q_onion_layers_parts,
     }
 
 
@@ -13956,5 +14042,264 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
               )
             ) WHERE cum <= 300
+        """,
+        # HyperANF registers + integer estimator — same md5 register
+        # hash, same BIGINT harmonic division, same baked linear-
+        # counting lookup (module constants _HLL_ALPHA_NUM /
+        # _HLL_LC_CASE, imported from the operator) — bit-identical.
+        "hyperanf_trade": f"""
+            WITH te AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+              FROM te WHERE a <> b
+            ),
+            hsym AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+            ),
+            h0 AS MATERIALIZED (
+              SELECT v,
+                     CAST((md5_number_upper('reg:' || CAST(v AS VARCHAR))
+                           & 9223372036854775807) AS BIGINT) % 16 AS j,
+                     LEAST(bit_count((w & -w) - 1) + 1, 32) AS reg
+              FROM (SELECT DISTINCT a AS v,
+                           CAST((md5_number_upper(
+                                   'rho:' || CAST(a AS VARCHAR))
+                                 & 9223372036854775807) AS BIGINT) AS w
+                    FROM hsym)
+            ),
+            h1 AS MATERIALIZED (
+              SELECT v, j, MAX(reg) AS reg FROM (
+                SELECT v, j, reg FROM h0
+                UNION ALL
+                SELECT hsym.b AS v, h0.j, h0.reg
+                FROM h0 JOIN hsym ON hsym.a = h0.v
+              ) GROUP BY 1, 2
+            ),
+            h2 AS MATERIALIZED (
+              SELECT v, j, MAX(reg) AS reg FROM (
+                SELECT v, j, reg FROM h1
+                UNION ALL
+                SELECT hsym.b AS v, h1.j, h1.reg
+                FROM h1 JOIN hsym ON hsym.a = h1.v
+              ) GROUP BY 1, 2
+            ),
+            h3 AS MATERIALIZED (
+              SELECT v, j, MAX(reg) AS reg FROM (
+                SELECT v, j, reg FROM h2
+                UNION ALL
+                SELECT hsym.b AS v, h2.j, h2.reg
+                FROM h2 JOIN hsym ON hsym.a = h2.v
+              ) GROUP BY 1, 2
+            ),
+            hall AS (
+              SELECT 0 AS r, v, j, reg FROM h0
+              UNION ALL SELECT 1, v, j, reg FROM h1
+              UNION ALL SELECT 2, v, j, reg FROM h2
+              UNION ALL SELECT 3, v, j, reg FROM h3
+            ),
+            hnode AS (
+              SELECT r, v, SUM(reg) AS sumreg, COUNT(*) AS occ,
+                     SUM(CAST(1 AS BIGINT) << (32 - reg))
+                     + (16 - COUNT(*)) * (CAST(1 AS BIGINT) << 32)
+                       AS denom
+              FROM hall GROUP BY 1, 2
+            ),
+            hest AS (
+              SELECT r, v, sumreg,
+                     CASE WHEN ({_HLL_ALPHA_NUM} // denom) <= 40000
+                               AND occ < 16
+                          THEN {_HLL_LC_CASE}
+                          ELSE {_HLL_ALPHA_NUM} // denom END AS est
+              FROM hnode
+            )
+            SELECT CAST(r AS INT) AS r,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(sumreg) AS BIGINT) AS sum_registers,
+                   CAST(SUM(est) AS BIGINT) AS est_pairs_milli
+            FROM hest GROUP BY r ORDER BY r
+        """,
+        # Same ANF recursion as neighborhood_function_trade unrolled
+        # to radius 6, then the identical BIGINT ppm interpolation.
+        "effective_diameter_trade": """
+            WITH te AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+              FROM te WHERE a <> b
+            ),
+            esym AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+            ),
+            nv0 AS MATERIALIZED (
+              SELECT DISTINCT a AS src, a AS dst FROM esym
+            ),
+            nv1 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv0
+                UNION ALL
+                SELECT nv0.src, esym.b FROM nv0
+                JOIN esym ON esym.a = nv0.dst)
+            ),
+            nv2 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv1
+                UNION ALL
+                SELECT nv1.src, esym.b FROM nv1
+                JOIN esym ON esym.a = nv1.dst)
+            ),
+            nv3 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv2
+                UNION ALL
+                SELECT nv2.src, esym.b FROM nv2
+                JOIN esym ON esym.a = nv2.dst)
+            ),
+            nv4 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv3
+                UNION ALL
+                SELECT nv3.src, esym.b FROM nv3
+                JOIN esym ON esym.a = nv3.dst)
+            ),
+            nv5 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv4
+                UNION ALL
+                SELECT nv4.src, esym.b FROM nv4
+                JOIN esym ON esym.a = nv4.dst)
+            ),
+            nv6 AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM nv5
+                UNION ALL
+                SELECT nv5.src, esym.b FROM nv5
+                JOIN esym ON esym.a = nv5.dst)
+            ),
+            nc AS (
+              SELECT 0 AS r, (SELECT COUNT(*) FROM nv0) AS n
+              UNION ALL SELECT 1, (SELECT COUNT(*) FROM nv1)
+              UNION ALL SELECT 2, (SELECT COUNT(*) FROM nv2)
+              UNION ALL SELECT 3, (SELECT COUNT(*) FROM nv3)
+              UNION ALL SELECT 4, (SELECT COUNT(*) FROM nv4)
+              UNION ALL SELECT 5, (SELECT COUNT(*) FROM nv5)
+              UNION ALL SELECT 6, (SELECT COUNT(*) FROM nv6)
+            ),
+            ng AS (
+              SELECT r, n,
+                     n - COALESCE(LAG(n) OVER (ORDER BY r), 0) AS gr
+              FROM nc
+            ),
+            nmx AS (
+              SELECT MAX(n) AS nmax,
+                     MIN(CASE WHEN r = 0 THEN n END) AS nnodes,
+                     MAX(CASE WHEN gr > 0 THEN r END) AS rlast,
+                     MAX(r) AS rcap
+              FROM ng
+            ),
+            hit AS (
+              SELECT nc.r AS r, nc.n AS n, COALESCE(p.n, 0) AS prev
+              FROM nc LEFT JOIN nc p ON p.r = nc.r - 1, nmx
+              WHERE nc.n * 1000000 >= nmx.nmax * 900000
+              ORDER BY nc.r LIMIT 1
+            )
+            SELECT CAST(nmx.nnodes AS BIGINT) AS n_nodes,
+                   CAST(nmx.nmax AS BIGINT) AS n_pairs_max,
+                   (nmx.rlast < nmx.rcap) AS diameter_reached,
+                   CAST(CASE WHEN hit.r = 0 THEN 0
+                        ELSE (hit.r - 1) * 1000000
+                             + (nmx.nmax * 900000
+                                - hit.prev * 1000000)
+                               // (hit.n - hit.prev)
+                        END AS BIGINT) AS effective_diameter_ppm
+            FROM hit, nmx
+        """,
+        # Same md5-shuffled within-label ROW_NUMBER, same modulo folds.
+        "stratified_kfold_embeddings": """
+            WITH kf AS (
+              SELECT label, vec_id,
+                     (ROW_NUMBER() OVER (
+                        PARTITION BY label ORDER BY
+                          CAST((md5_number_upper(
+                                  CAST(label AS VARCHAR) || ':'
+                                  || CAST(vec_id AS VARCHAR))
+                                & 9223372036854775807) AS BIGINT),
+                          vec_id) - 1) % 5 AS fold
+              FROM embeddings
+            )
+            SELECT label, CAST(fold AS INT) AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(vec_id) AS BIGINT) AS vec_checksum
+            FROM kf GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Same discrete lower medians ((n+1) div 2 under (value, id)),
+        # same exact integer micro-units and ppm division.
+        "mad_outliers_events": """
+            WITH mb AS (
+              SELECT event_type AS g,
+                     CAST(FLOOR(value * 1000000) AS BIGINT) AS v,
+                     event_id AS id
+              FROM events
+            ),
+            mr AS (
+              SELECT g, v,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                                        ORDER BY v, id) AS rn,
+                     COUNT(*) OVER (PARTITION BY g) AS n
+              FROM mb
+            ),
+            mm AS (
+              SELECT g, v AS med, n FROM mr WHERE rn = (n + 1) // 2
+            ),
+            md AS (
+              SELECT mb.g, ABS(mb.v - mm.med) AS dv, mb.id
+              FROM mb JOIN mm USING (g)
+            ),
+            mr2 AS (
+              SELECT g, dv,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                                        ORDER BY dv, id) AS rn,
+                     COUNT(*) OVER (PARTITION BY g) AS n
+              FROM md
+            ),
+            mmad AS (
+              SELECT g, dv AS mad FROM mr2 WHERE rn = (n + 1) // 2
+            ),
+            mout AS (
+              SELECT mb.g,
+                     SUM(CASE WHEN ABS(mb.v - mm.med) > 3 * mmad.mad
+                              THEN 1 ELSE 0 END) AS nout
+              FROM mb JOIN mm USING (g) JOIN mmad USING (g)
+              GROUP BY 1
+            )
+            SELECT mm.g AS event_type,
+                   CAST(mm.n AS BIGINT) AS n,
+                   CAST(mm.med AS BIGINT) AS median,
+                   CAST(mmad.mad AS BIGINT) AS mad,
+                   CAST(mout.nout AS BIGINT) AS n_outliers,
+                   CAST(mout.nout * 1000000 // mm.n AS BIGINT)
+                     AS outlier_ppm
+            FROM mm JOIN mmad USING (g) JOIN mout USING (g)
+            ORDER BY 1
         """,
     }

@@ -352,3 +352,53 @@ def balanced_shards(
         "shard",
         ((F.col("_rank") - 1) % n_shards).cast("int"),
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment: every label's rows
+    are spread round-robin over ``k`` folds in md5-shuffled order, so
+    per-(label, fold) counts differ by at most 1 — the
+    class-imbalance-preserving CV split (Kohavi 1995) that a plain
+    hash-mod split (`text.hash_split`) only achieves in expectation.
+    Appends a ``fold`` column (0..k−1); membership is stable across
+    runs and engines (md5-keyed, not RNG-keyed).
+
+    Scale shape: the within-label rank comes from ONE
+    :func:`~akka_graph_db_spark.functions.ranking.global_rank` over the
+    composite key (label, md5, id) — a range shuffle whose partitions
+    split big labels across many tasks — minus a per-label offset
+    (= the label's min global rank) folded in via a |labels|-row
+    broadcast. No ``Window.partitionBy(label)``: with few heavy labels
+    that window funnels each label through one task, the exact skew
+    this decomposition avoids.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+    from akka_graph_db_spark.functions.ranking import global_rank
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = md5_63(
+        F.concat_ws(
+            ":", F.col(label_col).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    ranked = global_rank(
+        df.withColumn("_key", key),
+        [label_col, "_key", id_col],
+        rank_col="_grk",
+    )
+    offs = ranked.groupBy(label_col).agg(F.min("_grk").alias("_off"))
+    return (
+        ranked.join(F.broadcast(offs), label_col)
+        .withColumn(
+            "fold",
+            F.pmod(F.col("_grk") - F.col("_off"), F.lit(k)).cast("int"),
+        )
+        .drop("_key", "_grk", "_off")
+    )

@@ -637,3 +637,103 @@ def fixed_bin_histogram(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    mad_multiplier: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier audit via median absolute deviation
+    (Hampel 1974; the robust-statistics replacement for the z-score
+    screen, whose mean/stddev are themselves dragged by the outliers
+    being hunted — ``events.value_outliers`` is the classical
+    counterpart). Per group: the exact lower median of the value, the
+    exact lower median of |value − median| (the MAD), and how many rows
+    sit more than ``mad_multiplier``·MAD from the median. Returns
+    (group, n, median, mad, n_outliers, outlier_ppm).
+
+    Exactness contract: medians are DISCRETE order statistics — the
+    element at 1-based rank (n+1) div 2 under the total order
+    (value, id) — never interpolated floats, so a SQL oracle reproduces
+    them bit-for-bit on any dtype (use exact integer/decimal values;
+    the ppm is one integer division). Deviations for the MAD pass are
+    |value − median| with id tiebreak, same rule.
+
+    Scale shape: two ranking passes (value, then deviation), each ONE
+    window partitioned by group + a |groups|-row median frame broadcast
+    back — groups are the natural parallelism key; a single dominant
+    group funnels through one task, the documented window tradeoff
+    (same as ``percentile_by_group``; decompose via the bucket-cumsum
+    shape if one group ever holds most of the data). No collect, no
+    global sort.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col).alias("_g")
+    base = df.select(
+        g, F.col(value_col).alias("_v"), F.col(id_col).alias("_id")
+    )
+
+    def _group_median(frame: DataFrame, vcol: str) -> DataFrame:
+        w = Window.partitionBy("_g").orderBy(vcol, "_id")
+        n = Window.partitionBy("_g")
+        ranked = frame.select(
+            "_g",
+            F.col(vcol),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(n).alias("_n"),
+        )
+        return ranked.where(
+            F.col("_rn") == F.expr("(_n + 1) div 2")
+        ).select(
+            "_g", F.col(vcol).alias("_med"), F.col("_n").alias("_gn")
+        )
+    # the median frames are |groups|-row; localCheckpoint them so each
+    # downstream reuse reads the tiny result instead of re-evaluating
+    # the full ranked lineage (uncheckpointed, the input was scanned
+    # 14 times; checkpointed, 3 — once per pass)
+    med = (
+        _group_median(base, "_v")
+        .select("_g", "_med", "_gn")
+        .localCheckpoint(eager=True)
+    )
+    dev = base.join(F.broadcast(med.select("_g", "_med")), "_g").select(
+        "_g", F.abs(F.col("_v") - F.col("_med")).alias("_d"), "_id"
+    )
+    mad = (
+        _group_median(dev.withColumnRenamed("_d", "_v"), "_v")
+        .select("_g", F.col("_med").alias("_mad"))
+        .localCheckpoint(eager=True)
+    )
+    stats = med.join(mad, "_g")
+    flagged = (
+        base.join(F.broadcast(stats), "_g")
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("_v") - F.col("_med"))
+                    > F.lit(int(mad_multiplier)) * F.col("_mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_nout")
+        )
+    )
+    return (
+        stats.join(flagged, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_gn").cast("bigint").alias("n"),
+            F.col("_med").alias("median"),
+            F.col("_mad").alias("mad"),
+            F.col("_nout").alias("n_outliers"),
+            F.expr("_nout * 1000000 div _gn")
+            .cast("bigint")
+            .alias("outlier_ppm"),
+        )
+    )

@@ -4388,3 +4388,228 @@ def onion_layers(pairs: DataFrame, max_waves: int = 200) -> DataFrame:
     for p in out_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# HLL linear-counting lookup, milli-units: lc(e) = round(1000·m·ln(m/e))
+# for e empty registers out of m. Baked as integer literals at module
+# load so Spark and the SQL oracle share the SAME constants — no libm
+# ln() in either engine's query plan (engine-identical by construction).
+_HLL_ALPHA_MILLI = {16: 673, 32: 697, 64: 709}
+
+
+def _hll_lc_milli(m: int) -> list[int]:
+    import math as _math
+
+    return [round(1000 * m * _math.log(m / e)) for e in range(1, m)]
+
+
+def hyperanf(
+    pairs: DataFrame,
+    max_radius: int = 3,
+    m: int = 16,
+    rho_cap: int = 32,
+) -> DataFrame:
+    """HyperANF (Boldi, Rosa & Vigna 2011, "HyperANF: approximating the
+    neighbourhood function of very large graphs on a budget"): the
+    neighborhood function N(r) estimated with ONE HyperLogLog counter
+    per node, merged along edges — the 100 TB path
+    :func:`neighborhood_function` documents, with the exact operator as
+    its small-graph correctness oracle.
+
+    State is the sparse register table (node, register, rho): node v
+    starts with only its own element inserted (register
+    ``hash('reg:'||v) mod m`` holding ``rho('rho:'||v)`` = trailing
+    zeros + 1 of an md5-derived 63-bit hash, capped at ``rho_cap``);
+    each superstep element-wise max-merges every node's counter with
+    its neighbors' — after r rounds node v's counter sketches its
+    r-ball. Missing rows ARE register value 0, so the superstep is one
+    equi-join + one (node, register) groupBy-max; state is at most
+    |V|·m rows FOREVER, the fixed-memory contract exact ANF cannot
+    offer.
+
+    Per-node estimates stay in EXACT integer arithmetic end to end so a
+    SQL oracle reproduces every row: the raw HLL estimator
+    alpha_m·m²/Σ_j 2^(−rho_j) is computed as one BIGINT division with
+    the harmonic denominator pre-scaled by 2^rho_cap, and the
+    small-range regime (raw ≤ 2.5m, the HLL84 correction) switches to
+    linear counting m·ln(m/empty) via a BAKED 15-entry integer lookup
+    (`_hll_lc_milli`) — identical literals in both engines, no
+    transcendental in any plan. Returns one row per radius:
+    (r, n_nodes, sum_registers, est_pairs_milli) where est_pairs_milli
+    = Σ_v est_v in milli-units (exact ANF's n_pairs·1000 is the
+    comparison target; pytest pins the ratio on the trade graph).
+
+    Reference: the exact-pair contract at neighborhood_function
+    (analytics.py) names this operator as its web-scale swap; Palmer et
+    al. 2002 (ANF) for the superstep recursion.
+    """
+    from akka_graph_db_spark.functions.hashing import md5_63
+
+    if m not in _HLL_ALPHA_MILLI:
+        raise ValueError(f"m must be one of {sorted(_HLL_ALPHA_MILLI)}")
+    if max_radius < 0:
+        raise ValueError("max_radius must be >= 0")
+    spark = pairs.sparkSession
+    e = canonical_undirected(pairs)
+    sym = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = sym.select("a").distinct()
+    w = md5_63(F.concat(F.lit("rho:"), F.col("a").cast("string")))
+    rho = F.least(
+        F.bit_count(
+            (w.bitwiseAND(-w) - F.lit(1)).cast("bigint")
+        ).cast("int")
+        + F.lit(1),
+        F.lit(rho_cap),
+    )
+    state = nodes.select(
+        "a",
+        F.pmod(
+            md5_63(F.concat(F.lit("reg:"), F.col("a").cast("string"))),
+            F.lit(m),
+        ).cast("int").alias("_j"),
+        rho.cast("int").alias("_reg"),
+    ).localCheckpoint(eager=True)
+
+    alpha_num = _HLL_ALPHA_MILLI[m] * m * m * (1 << rho_cap)
+    lc = _hll_lc_milli(m)
+    lc_expr = "CASE _empty " + " ".join(
+        f"WHEN {e_} THEN {v}" for e_, v in enumerate(lc, start=1)
+    ) + " END"
+
+    def _summary(st: DataFrame, r: int) -> tuple:
+        per_node = st.groupBy("a").agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), {rho_cap} - _reg)"
+                )
+            ).alias("_occ_denom"),
+            F.sum("_reg").cast("bigint").alias("_sumreg"),
+        ).select(
+            "_sumreg",
+            (F.lit(m) - F.col("_occ")).cast("int").alias("_empty"),
+            (
+                F.col("_occ_denom")
+                + (F.lit(m) - F.col("_occ"))
+                * F.lit(1 << rho_cap).cast("bigint")
+            ).alias("_denom"),
+        ).select(
+            "_sumreg",
+            F.when(
+                (F.expr(f"{alpha_num} div _denom") <= F.lit(2500 * m))
+                & (F.col("_empty") > 0),
+                F.expr(lc_expr),
+            )
+            .otherwise(F.expr(f"{alpha_num} div _denom"))
+            .cast("bigint")
+            .alias("_est"),
+        )
+        row = per_node.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("_sumreg").cast("bigint").alias("sum_registers"),
+            F.sum("_est").cast("bigint").alias("est_pairs_milli"),
+        ).collect()[0]
+        return (r, row.n_nodes, row.sum_registers, row.est_pairs_milli)
+
+    rows = [_summary(state, 0)]
+    for r in range(1, max_radius + 1):
+        state = (
+            state.join(sym, state["a"] == sym["a"], "inner")
+            .select(F.col("b").alias("a"), "_j", "_reg")
+            .unionByName(state)
+            .groupBy("a", "_j")
+            .agg(F.max("_reg").alias("_reg"))
+            .localCheckpoint(eager=True)
+        )
+        rows.append(_summary(state, r))
+    sym.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "r int, n_nodes bigint, sum_registers bigint, "
+        "est_pairs_milli bigint",
+    )
+
+
+def effective_diameter(
+    pairs: DataFrame,
+    max_radius: int = 8,
+    fraction_ppm: int = 900000,
+) -> DataFrame:
+    """Effective diameter (Palmer et al. 2002; Leskovec et al. 2005
+    "Graphs over Time" use the 90th-percentile form): the smallest
+    radius r where the neighborhood function reaches ``fraction_ppm``
+    (default 90%) of its plateau, linearly interpolated between N(r−1)
+    and N(r) — the distance summary robust to the one long path that
+    dominates the true diameter. Returns ONE row: (n_nodes,
+    n_pairs_max, diameter_reached, effective_diameter_ppm), the
+    interpolated radius in exact ppm integers (eff·1e6).
+
+    Everything derives from :func:`neighborhood_function`'s exact pair
+    counts with pure integer arithmetic — frac = (t − N(r−1)) /
+    (N(r) − N(r−1)) with target t = fraction_ppm·Nmax/1e6 becomes ONE
+    BIGINT division (fraction_ppm·Nmax − 1e6·N(r−1)) div (N(r) −
+    N(r−1)), exact while Nmax < 9.2e12 pairs (past that exact ANF's
+    O(N(r)) state is the binding limit anyway — use :func:`hyperanf`).
+    The (max_radius+1)-row frame is joined to its own r−1 row and the
+    1-row plateau aggregate, both broadcast — no window, nothing
+    driver-side but the final row. ``diameter_reached`` is true when
+    the plateau was hit within ``max_radius`` (otherwise the reported
+    value is a lower bound).
+    """
+    if not 0 < fraction_ppm <= 1000000:
+        raise ValueError("fraction_ppm must be in (0, 1e6]")
+    nf = neighborhood_function(pairs, max_radius).select(
+        "r", "n_pairs", "new_pairs"
+    )
+    mx = nf.agg(
+        F.max("n_pairs").alias("_nmax"),
+        F.max(F.when(F.col("new_pairs") > 0, F.col("r"))).alias(
+            "_rlast"
+        ),
+        F.max("r").alias("_rcap"),
+        F.min(F.when(F.col("r") == 0, F.col("n_pairs"))).alias(
+            "_nnodes"
+        ),
+    )
+    prev = nf.select(
+        (F.col("r") + 1).alias("r"), F.col("n_pairs").alias("_prev")
+    )
+    hit = (
+        nf.join(F.broadcast(prev), "r", "left")
+        .crossJoin(F.broadcast(mx))
+        .where(
+            F.col("n_pairs") * F.lit(1000000)
+            >= F.col("_nmax") * F.lit(fraction_ppm)
+        )
+        .select(
+            "_nnodes",
+            "_nmax",
+            "_rlast",
+            "_rcap",
+            "r",
+            "n_pairs",
+            F.coalesce("_prev", F.lit(0)).alias("_prev"),
+        )
+        .orderBy("r")
+        .limit(1)
+    )
+    return hit.select(
+        F.col("_nnodes").cast("bigint").alias("n_nodes"),
+        F.col("_nmax").cast("bigint").alias("n_pairs_max"),
+        (F.col("_rlast") < F.col("_rcap")).alias("diameter_reached"),
+        F.when(F.col("r") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            (F.col("r") - 1) * F.lit(1000000)
+            + F.expr(
+                f"(_nmax * {int(fraction_ppm)} - _prev * 1000000) "
+                "div (n_pairs - _prev)"
+            )
+        )
+        .cast("bigint")
+        .alias("effective_diameter_ppm"),
+    )

@@ -257,6 +257,11 @@ HEADLINE = [
     "streaming_histogram",    # mergeable fixed-bin distribution
     "induced_subgraph_parts", # shuffle-free hash-sampled subgraph
     "onion_layers_parts",     # peel-wave onion decomposition
+    # --- round 10 additions ---
+    "hyperanf_trade",         # HLL-register ANF, fixed-memory sketch
+    "effective_diameter_trade",  # 90% interpolated distance summary
+    "stratified_kfold_embeddings",  # balanced per-label CV folds
+    "mad_outliers_events",    # robust median/MAD outlier audit
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

@@ -1,0 +1,229 @@
+"""Round-10 operator tests: HyperANF registers, effective diameter,
+stratified k-fold, MAD outliers, plus regression pins for the r9
+ADVICE fixes (decontamination recall bands, onion max_waves boundary,
+importance_scores zero-token docs, wide-decimal hash guard).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------- hyperanf
+def test_hyperanf_tracks_exact_anf_on_path(spark):
+    """m=16 HLL estimates on the 5-path stay within 25% of the exact
+    neighborhood function at every radius, and the register totals are
+    monotone (max-merge can only grow state)."""
+    from akka_graph_db_spark.operators.analytics import (
+        hyperanf,
+        neighborhood_function,
+    )
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    exact = {r.r: r.n_pairs for r in neighborhood_function(path, 4).collect()}
+    rows = hyperanf(path, max_radius=4).collect()
+    assert [r.r for r in rows] == [0, 1, 2, 3, 4]
+    sumregs = [r.sum_registers for r in rows]
+    assert sumregs == sorted(sumregs)
+    for r in rows:
+        est = r.est_pairs_milli / 1000.0
+        assert est == pytest.approx(exact[r.r], rel=0.25)
+        assert r.n_nodes == 5
+
+
+def test_hyperanf_deterministic_and_m_validated(spark):
+    from akka_graph_db_spark.operators.analytics import hyperanf
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    a = hyperanf(tri, max_radius=2).collect()
+    b = hyperanf(tri, max_radius=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # r=1 already saturates a triangle: ball = whole graph, frozen after
+    assert a[1].sum_registers == a[2].sum_registers
+    assert a[1].est_pairs_milli == a[2].est_pairs_milli
+    with pytest.raises(ValueError):
+        hyperanf(tri, m=13)
+
+
+# ------------------------------------------------- effective diameter
+def test_effective_diameter_path_interpolation(spark):
+    """5-path: N = [5,13,19,23,25]; target 22.5 falls between N(2)=19
+    and N(3)=23 -> 2 + 3.5/4 = 2.875 exactly (ppm integers)."""
+    from akka_graph_db_spark.operators.analytics import effective_diameter
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, b bigint"
+    )
+    row = effective_diameter(path, max_radius=4).collect()[0]
+    assert row.n_nodes == 5 and row.n_pairs_max == 25
+    assert row.effective_diameter_ppm == 2875000
+    # still growing at the cap -> plateau NOT observed
+    assert row.diameter_reached is False
+    # radius 6 sees the plateau (diameter 4 < cap)
+    row2 = effective_diameter(path, max_radius=6).collect()[0]
+    assert row2.diameter_reached is True
+    assert row2.effective_diameter_ppm == 2875000
+
+
+def test_effective_diameter_complete_graph_zero_hops(spark):
+    """K3: N(1) is already the plateau; the 90% target falls in the
+    (0,1] segment -> interpolated value <= 1.0 and r=0 never divides."""
+    from akka_graph_db_spark.operators.analytics import effective_diameter
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    row = effective_diameter(tri, max_radius=3).collect()[0]
+    # N = [3, 9, 9, 9]; target 8.1 -> r=1, frac=(8.1-3)/6=0.85
+    assert row.effective_diameter_ppm == 850000
+    assert row.diameter_reached is True
+    with pytest.raises(ValueError):
+        effective_diameter(tri, fraction_ppm=0)
+
+
+# ------------------------------------------------- stratified k-fold
+def test_stratified_kfold_balance_and_determinism(spark):
+    from akka_graph_db_spark.functions.mixture import stratified_kfold
+
+    rows = [(i, i % 3) for i in range(101)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int")
+    out = stratified_kfold(df, k=5, label_col="label", id_col="vec_id")
+    per = (
+        out.groupBy("label", "fold")
+        .count()
+        .groupBy("label")
+        .agg(F.min("count").alias("lo"), F.max("count").alias("hi"),
+             F.count(F.lit(1)).alias("nfolds"))
+        .collect()
+    )
+    for r in per:
+        assert r.hi - r.lo <= 1   # round-robin balance within 1
+        assert r.nfolds == 5      # every fold populated
+    # membership is a pure function of (label, id) — rerun identical
+    a = {(r.vec_id): r.fold for r in out.collect()}
+    b = {
+        (r.vec_id): r.fold
+        for r in stratified_kfold(
+            df, k=5, label_col="label", id_col="vec_id"
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        stratified_kfold(df, k=0)
+
+
+# ----------------------------------------------------- mad outliers
+def test_mad_outliers_hand_case(spark):
+    from akka_graph_db_spark.functions.profile import mad_outliers
+
+    t = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate([1, 2, 3, 4, 100])],
+        "g string, v bigint, id bigint",
+    )
+    row = mad_outliers(t, "g", "v", "id").collect()[0]
+    # sorted values 1,2,3,4,100: lower median 3; |v-3| = 2,1,0,1,97
+    # sorted 0,1,1,2,97: MAD 1; only 100 exceeds 3*1 from the median
+    assert row.n == 5 and row.median == 3 and row.mad == 1
+    assert row.n_outliers == 1 and row.outlier_ppm == 200000
+
+
+def test_mad_outliers_robust_where_zscore_is_dragged(spark):
+    """One extreme value inflates mean/stddev enough that a 2-sigma
+    z-screen misses it on a tiny group; MAD still flags it."""
+    from akka_graph_db_spark.functions.profile import mad_outliers
+
+    vals = [10, 11, 12, 13, 14, 1000]
+    t = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate(vals)],
+        "g string, v bigint, id bigint",
+    )
+    row = mad_outliers(t, "g", "v", "id").collect()[0]
+    assert row.median == 12 and row.mad == 1
+    assert row.n_outliers == 1
+
+
+# ------------------------------------------- r9 ADVICE regression pins
+def test_decontamination_multiband_recall(spark):
+    """A pair at cosine ~0.95 (NOT an exact copy) must be reachable:
+    with 6 OR'd bands the planted near-copy is found (the old single
+    12-plane band missed ~70% of such pairs; this seed is one it
+    catches via a later band, any-band collision being the contract)."""
+    from akka_graph_db_spark.functions.dedup import (
+        embedding_decontamination,
+    )
+    import math
+
+    # 64-dim: e1 and cos(t)*e1 + sin(t)*e2 with t = acos(0.95)
+    t = math.acos(0.95)
+    v1 = [1.0] + [0.0] * 63
+    v2 = [math.cos(t), math.sin(t)] + [0.0] * 62
+    train = spark.createDataFrame(
+        [(1, v1), (2, [0.0] * 32 + [1.0] * 32)],
+        "vec_id bigint, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(100, v2)], "vec_id bigint, embedding array<float>"
+    )
+    out = embedding_decontamination(
+        train, ev, threshold=0.94
+    ).collect()
+    assert [(r.eval_id, r.train_id) for r in out] == [(100, 1)]
+    # exactly once, despite colliding in multiple bands
+    assert len(out) == 1
+
+
+def test_onion_layers_exact_max_waves_boundary(spark):
+    """A triangle peels in exactly ONE wave; max_waves=1 must succeed
+    (the old for/else raised even on exact exhaustion, ADVICE r9)."""
+    from akka_graph_db_spark.operators.analytics import onion_layers
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    rows = onion_layers(tri, max_waves=1).collect()
+    assert sorted((r.id, r.layer, r.coreness) for r in rows) == [
+        (1, 1, 2), (2, 1, 2), (3, 1, 2)
+    ]
+    path = spark.createDataFrame([(1, 2), (2, 3)], "a bigint, b bigint")
+    with pytest.raises(RuntimeError):
+        onion_layers(path, max_waves=1)  # genuinely needs 2 waves
+
+
+def test_importance_scores_keeps_zero_token_docs(spark):
+    from akka_graph_db_spark.functions.mixture import importance_scores
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "src0"), (2, "alpha", "bg"), (3, "", "bg"),
+         (4, "   ", "bg")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in importance_scores(
+            docs, target=F.col("source") == "src0"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for d in (3, 4):
+        assert out[d].n_tokens == 0 and out[d].score == 0
+    # bucket totals exclude the NULL placeholders: doc 2's single
+    # 'alpha' token scores target-share - background-share of its
+    # bucket computed over REAL tokens only (1/2 vs 1/1 -> -500000)
+    assert out[2].score == -500000
+
+
+def test_type_class_flags_wide_decimals():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_correctness import type_class, _classes_compatible
+
+    assert type_class("decimal(38,6)") == "decwide"
+    assert type_class("DECIMAL(19,2)") == "decwide"
+    assert type_class("decimal(18,2)") == "dec(2)"
+    # wide decimal is unsafe even against itself
+    assert not _classes_compatible("decwide", "decwide")
+    assert not _classes_compatible("decwide", "float")
+    assert _classes_compatible("dec(2)", "float")

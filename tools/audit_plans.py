@@ -182,6 +182,10 @@ AUDITED = [
     ("streaming_histogram", "per-batch bin counts, union+sum merge"),
     ("induced_subgraph_parts", "two hash filters, no pre-summary shuffle"),
     ("onion_layers_parts", "kcore peel loop + wave counter, anti-joins"),
+    ("hyperanf_trade", "sparse register max-merge supersteps, V*m state cap"),
+    ("effective_diameter_trade", "ANF counts + broadcast 1-row plateau"),
+    ("stratified_kfold_embeddings", "one global_rank + per-label offsets"),
+    ("mad_outliers_events", "two per-group rank passes + median joins"),
 ]
 
 
