@@ -83,6 +83,15 @@ _HLL_LC_CASE = (
     + " END"
 )
 
+# Benford oracle CASE — same baked ppm table as the operator
+from akka_graph_db_spark.functions.profile import BENFORD_PPM as _BPPM
+
+_BENFORD_CASE = (
+    "CASE bgrid.d "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BPPM.items())
+    + " END"
+)
+
 _DEC_SUM = "CAST(SUM(CAST({col} AS DECIMAL(30,2))) AS DOUBLE)"
 
 
@@ -6941,7 +6950,10 @@ def q_winsorize_orders(spark, sf_dir):
     winsorize_by_group at 1%/99% rank cuts): exact type-1 quantile
     cuts via the histogram-windowed integer-rank discipline, DECIMAL
     sums — the outlier-clamped mean's numerator with zero float
-    accumulation."""
+    accumulation. The sum is emitted in exact BIGINT cents: the raw
+    DECIMAL sum widens past precision 18, which is hash-unsafe across
+    engines (the order_reconciliation lesson — DuckDB's pandas
+    round-trip degrades wide decimals to float64)."""
     from akka_graph_db_spark.functions.profile import (
         winsorize_by_group,
     )
@@ -6952,9 +6964,16 @@ def q_winsorize_orders(spark, sf_dir):
             "o_totalprice"
         ),
     )
-    return winsorize_by_group(
+    w = winsorize_by_group(
         orders, "o_orderpriority", "o_totalprice",
         lower_permille=10, upper_permille=990,
+    )
+    return w.select(
+        "o_orderpriority", "n", "lo_cut", "hi_cut",
+        "n_clipped_low", "n_clipped_high",
+        (F.col("winsorized_sum") * 100)
+        .cast("bigint")
+        .alias("winsorized_sum_cents"),
     )
 
 
@@ -7625,6 +7644,59 @@ def q_mad_outliers_events(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_benford_orders(spark, sf_dir):
+    """Benford first-digit conformity audit (profile.benford_deviation,
+    Nigrini's forensic screen): per priority, exact-ppm distance of the
+    order-total first-digit distribution from the BAKED Benford table
+    (no log10 in either plan) plus the most over-represented digit.
+    The synthetic uniform totals deviate heavily — exactly what the
+    audit exists to flag. One map-side agg to |groups|x9 rows."""
+    from akka_graph_db_spark.functions.profile import benford_deviation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return benford_deviation(orders, "o_orderpriority", "cents").orderBy(
+        "o_orderpriority"
+    )
+
+
+def q_coverage_curve_docs(spark, sf_dir):
+    """Greedy vocabulary set cover over sources
+    (mixture.coverage_curve, 3-gram shingles, 5 rounds): which 5
+    sources buy the broadest shingle vocabulary — the diminishing-
+    returns source-selection curve behind mixture budgeting. Each
+    round is one anti-join against the covered set (vocabulary-
+    bounded) + a |sources|-row argmax; the fixture's 20 sources keep
+    all 5 rounds strictly positive at both cert scales, so the
+    fixed-5-round oracle unroll matches the engine's early-stop
+    semantics exactly."""
+    from akka_graph_db_spark.functions.mixture import coverage_curve
+
+    docs = read_documents(spark, sf_dir)
+    return coverage_curve(docs, k=5, shingle_n=3).orderBy("round")
+
+
+def q_kcenter_trade(spark, sf_dir):
+    """Farthest-first k-center landmark selection
+    (analytics.kcenter_landmarks, Gonzalez 1985, k=3, depth 4) on the
+    trade graph: the principled spread-out landmark pick for the
+    sampled-centrality operators (lowest-id seeds cluster wherever ids
+    cluster). Unreachable-within-depth nodes rank dist = 5, smallest-id
+    tiebreak — a pure (dist DESC, id) argmax the oracle reproduces by
+    unrolling the same min-dist relaxation per round."""
+    from akka_graph_db_spark.operators.analytics import (
+        kcenter_landmarks,
+    )
+
+    return kcenter_landmarks(
+        _trade_corridors(spark, sf_dir), k=3, max_depth=4
+    ).orderBy("center_rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7692,13 +7764,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": q_kcore_parts,
         "hits_top20": q_hits_top20,
         "dedup_minhash": q_dedup_minhash,
-        "store_version_summary": q_store_version_summary,
-        "funnel_events": q_funnel_events,
-        "cohort_retention": q_cohort_retention,
+        "benford_orders": q_benford_orders,
+        "coverage_curve_docs": q_coverage_curve_docs,
+        "kcenter_trade": q_kcenter_trade,
     # --- certification window ends here (50 entries). ---
     # Certified tail: every entry below has a green driver row in
     # CORRECTNESS_r02..r09.json (except rows-only
     # dedup_minhash_keep_star, excluded from windows by design).
+        "store_version_summary": q_store_version_summary,
+        "funnel_events": q_funnel_events,
+        "cohort_retention": q_cohort_retention,
         "dedup_recall_eval": q_dedup_recall_eval,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_manifest": q_dedup_manifest,
@@ -13324,9 +13399,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_clipped_low,
                    CAST(SUM(CASE WHEN val > hi_cut THEN n ELSE 0 END)
                         AS BIGINT) AS n_clipped_high,
-                   SUM(CAST(GREATEST(lo_cut, LEAST(hi_cut, val))
-                            AS DECIMAL(25,2))
-                       * CAST(n AS DECIMAL(10,0))) AS winsorized_sum
+                   CAST(SUM(CAST(GREATEST(lo_cut, LEAST(hi_cut, val))
+                                 AS DECIMAL(25,2))
+                            * CAST(n AS DECIMAL(10,0))) * 100
+                        AS BIGINT) AS winsorized_sum_cents
             FROM wc c JOIN wcut USING (g) GROUP BY c.g
         """,
         "l_diversity_customers": """
@@ -14301,5 +14377,214 @@ def oracle_sql() -> dict[str, str]:
                      AS outlier_ppm
             FROM mm JOIN mmad USING (g) JOIN mout USING (g)
             ORDER BY 1
+        """,
+        # Same baked Benford ppm table (module const _BENFORD_CASE),
+        # same integer ppm divisions, same (diff, digit) argmax.
+        "benford_orders": f"""
+            WITH bsrc AS (
+              SELECT o_orderpriority AS g,
+                     CAST(substr(CAST(CAST(CAST(o_totalprice
+                            AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS d
+              FROM orders
+              WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) > 0
+            ),
+            bpd AS (SELECT g, d, COUNT(*) AS c FROM bsrc GROUP BY 1, 2),
+            bt AS (SELECT g, SUM(c) AS n FROM bpd GROUP BY 1),
+            bgrid AS (
+              SELECT bt.g, bt.n, gs.d
+              FROM bt, (SELECT unnest(range(1, 10)) AS d) gs
+            ),
+            bfull AS (
+              SELECT bgrid.g, bgrid.d AS d, bgrid.n,
+                     COALESCE(bpd.c * 1000000 // bgrid.n, 0)
+                       - {_BENFORD_CASE} AS diff
+              FROM bgrid LEFT JOIN bpd
+                ON bpd.g = bgrid.g AND bpd.d = bgrid.d
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(ABS(diff)) // 2 AS BIGINT) AS tvd_ppm,
+                   CAST(arg_max(d, diff * 4294967296 + d) AS INT)
+                     AS worst_digit,
+                   CAST(arg_max(diff, diff * 4294967296 + d) AS BIGINT)
+                     AS worst_excess_ppm
+            FROM bfull GROUP BY g ORDER BY g
+        """,
+        # Same 3-gram shingle construction (source_overlap idiom), same
+        # greedy (count DESC, source) picks unrolled 5 rounds.
+        "coverage_curve_docs": f"""
+            WITH cvt AS (SELECT source, {_TOK} AS toks FROM documents),
+            cv AS MATERIALIZED (
+              SELECT DISTINCT source AS g, unnest(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM cvt
+            ),
+            p1 AS MATERIALIZED (
+              SELECT g, COUNT(*) AS c FROM cv
+              GROUP BY 1 ORDER BY c DESC, g LIMIT 1
+            ),
+            c1 AS MATERIALIZED (
+              SELECT sh FROM cv WHERE g = (SELECT g FROM p1)
+            ),
+            r2 AS MATERIALIZED (
+              SELECT g, sh FROM cv
+              WHERE sh NOT IN (SELECT sh FROM c1)
+            ),
+            p2 AS MATERIALIZED (
+              SELECT g, COUNT(*) AS c FROM r2
+              GROUP BY 1 ORDER BY c DESC, g LIMIT 1
+            ),
+            r3 AS MATERIALIZED (
+              SELECT g, sh FROM r2
+              WHERE g <> (SELECT g FROM p2)
+                AND sh NOT IN (SELECT sh FROM r2
+                               WHERE g = (SELECT g FROM p2))
+            ),
+            p3 AS MATERIALIZED (
+              SELECT g, COUNT(*) AS c FROM r3
+              GROUP BY 1 ORDER BY c DESC, g LIMIT 1
+            ),
+            r4 AS MATERIALIZED (
+              SELECT g, sh FROM r3
+              WHERE g <> (SELECT g FROM p3)
+                AND sh NOT IN (SELECT sh FROM r3
+                               WHERE g = (SELECT g FROM p3))
+            ),
+            p4 AS MATERIALIZED (
+              SELECT g, COUNT(*) AS c FROM r4
+              GROUP BY 1 ORDER BY c DESC, g LIMIT 1
+            ),
+            r5 AS MATERIALIZED (
+              SELECT g, sh FROM r4
+              WHERE g <> (SELECT g FROM p4)
+                AND sh NOT IN (SELECT sh FROM r4
+                               WHERE g = (SELECT g FROM p4))
+            ),
+            p5 AS MATERIALIZED (
+              SELECT g, COUNT(*) AS c FROM r5
+              GROUP BY 1 ORDER BY c DESC, g LIMIT 1
+            )
+            SELECT CAST(1 AS INT) AS round,
+                   (SELECT g FROM p1) AS source,
+                   CAST((SELECT c FROM p1) AS BIGINT) AS new_tokens,
+                   CAST((SELECT c FROM p1) AS BIGINT) AS covered_total
+            UNION ALL
+            SELECT 2, (SELECT g FROM p2),
+                   CAST((SELECT c FROM p2) AS BIGINT),
+                   CAST((SELECT c FROM p1) + (SELECT c FROM p2)
+                        AS BIGINT)
+            UNION ALL
+            SELECT 3, (SELECT g FROM p3),
+                   CAST((SELECT c FROM p3) AS BIGINT),
+                   CAST((SELECT c FROM p1) + (SELECT c FROM p2)
+                        + (SELECT c FROM p3) AS BIGINT)
+            UNION ALL
+            SELECT 4, (SELECT g FROM p4),
+                   CAST((SELECT c FROM p4) AS BIGINT),
+                   CAST((SELECT c FROM p1) + (SELECT c FROM p2)
+                        + (SELECT c FROM p3) + (SELECT c FROM p4)
+                        AS BIGINT)
+            UNION ALL
+            SELECT 5, (SELECT g FROM p5),
+                   CAST((SELECT c FROM p5) AS BIGINT),
+                   CAST((SELECT c FROM p1) + (SELECT c FROM p2)
+                        + (SELECT c FROM p3) + (SELECT c FROM p4)
+                        + (SELECT c FROM p5) AS BIGINT)
+            ORDER BY round
+        """,
+        # Same farthest-first rounds: min-dist relaxation unrolled 4
+        # deep per round, unreached = 5, (dist DESC, id) argmax.
+        "kcenter_trade": """
+            WITH te AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            und AS MATERIALIZED (
+              SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+              FROM te WHERE a <> b
+            ),
+            ksym AS MATERIALIZED (
+              SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+            ),
+            kn AS MATERIALIZED (SELECT DISTINCT a FROM ksym),
+            b10 AS (SELECT (SELECT MIN(a) FROM kn) AS id, 0 AS d),
+            b11 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b10
+              UNION ALL
+              SELECT ksym.b, b10.d + 1 FROM b10
+              JOIN ksym ON ksym.a = b10.id) GROUP BY 1),
+            b12 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b11
+              UNION ALL
+              SELECT ksym.b, b11.d + 1 FROM b11
+              JOIN ksym ON ksym.a = b11.id) GROUP BY 1),
+            b13 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b12
+              UNION ALL
+              SELECT ksym.b, b12.d + 1 FROM b12
+              JOIN ksym ON ksym.a = b12.id) GROUP BY 1),
+            b14 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b13
+              UNION ALL
+              SELECT ksym.b, b13.d + 1 FROM b13
+              JOIN ksym ON ksym.a = b13.id) GROUP BY 1),
+            p2 AS MATERIALIZED (
+              SELECT kn.a AS id, COALESCE(b14.d, 5) AS d
+              FROM kn LEFT JOIN b14 ON b14.id = kn.a
+              ORDER BY d DESC, id LIMIT 1
+            ),
+            b20 AS (
+              SELECT (SELECT MIN(a) FROM kn) AS id, 0 AS d
+              UNION ALL
+              SELECT id, 0 FROM p2
+            ),
+            b21 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b20
+              UNION ALL
+              SELECT ksym.b, b20.d + 1 FROM b20
+              JOIN ksym ON ksym.a = b20.id) GROUP BY 1),
+            b22 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b21
+              UNION ALL
+              SELECT ksym.b, b21.d + 1 FROM b21
+              JOIN ksym ON ksym.a = b21.id) GROUP BY 1),
+            b23 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b22
+              UNION ALL
+              SELECT ksym.b, b22.d + 1 FROM b22
+              JOIN ksym ON ksym.a = b22.id) GROUP BY 1),
+            b24 AS (SELECT id, MIN(d) AS d FROM (
+              SELECT id, d FROM b23
+              UNION ALL
+              SELECT ksym.b, b23.d + 1 FROM b23
+              JOIN ksym ON ksym.a = b23.id) GROUP BY 1),
+            p3 AS MATERIALIZED (
+              SELECT kn.a AS id, COALESCE(b24.d, 5) AS d
+              FROM kn LEFT JOIN b24 ON b24.id = kn.a
+              ORDER BY d DESC, id LIMIT 1
+            )
+            SELECT CAST(1 AS INT) AS center_rank,
+                   CAST((SELECT MIN(a) FROM kn) AS BIGINT) AS id,
+                   CAST(0 AS INT) AS dist
+            UNION ALL
+            SELECT 2, CAST((SELECT id FROM p2) AS BIGINT),
+                   CAST((SELECT d FROM p2) AS INT)
+            UNION ALL
+            SELECT 3, CAST((SELECT id FROM p3) AS BIGINT),
+                   CAST((SELECT d FROM p3) AS INT)
+            ORDER BY center_rank
         """,
     }

@@ -402,3 +402,81 @@ def stratified_kfold(
         )
         .drop("_key", "_grk", "_off")
     )
+
+
+def coverage_curve(
+    df: DataFrame,
+    k: int = 4,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Greedy vocabulary set cover over sources (the classical
+    (1−1/e)-approximate greedy of Nemhauser et al. 1978): round r picks
+    the source contributing the most NOT-YET-COVERED distinct tokens
+    (tiebreak source name), up to ``k`` rounds — "which k sources buy
+    the broadest vocabulary?", the source-selection curve behind
+    data-mixture budgeting. Returns (round, source, new_tokens,
+    covered_total); stops early if full coverage is reached before k.
+    ``shingle_n`` > 1 covers n-gram shingles instead of unigrams (the
+    text.shingles construction, short docs contributing their full-text
+    shingle) — the right unit when the unigram vocabulary is too small
+    to discriminate sources.
+
+    Determinism: the marginal-gain argmax is (count DESC, source ASC) —
+    a total order, so the SQL oracle reproduces every pick by unrolling
+    the same rounds.
+
+    Scale shape: the substrate is ONE distinct over (source, token) —
+    vocabulary-bounded, not corpus-bounded — localCheckpointed once;
+    each round is one anti-join against the covered-token frame (also
+    vocabulary-bounded) + a |sources|-row aggregate + a 1-row argmax
+    collect. k is a report size, not a data size.
+    """
+    from akka_graph_db_spark.functions.text import shingles, tokens
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tok = tokens(F.col(text_col))
+    unit = tok if shingle_n <= 1 else shingles(tok, shingle_n)
+    pairs = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(unit).alias("_tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    covered = None
+    total = 0
+    out: list[tuple] = []
+    for r in range(1, k + 1):
+        remaining = (
+            pairs
+            if covered is None
+            else pairs.join(covered, "_tok", "left_anti")
+        )
+        pick = (
+            remaining.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .orderBy(F.col("_c").desc(), F.col("_g").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick or pick[0]._c == 0:
+            break
+        g, c = pick[0]._g, int(pick[0]._c)
+        total += c
+        out.append((r, g, c, total))
+        newly = pairs.where(F.col("_g") == g).select("_tok")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out,
+        f"round int, {group_col} string, new_tokens bigint, "
+        "covered_total bigint",
+    )

@@ -737,3 +737,104 @@ def mad_outliers(
             .alias("outlier_ppm"),
         )
     )
+
+
+# Benford expected first-digit shares in exact ppm: round(1e6 *
+# log10(1 + 1/d)) for d = 1..9. Baked integer literals (sum 1_000_002;
+# the 2-ppm rounding surplus is part of the fixed contract) so Spark
+# and the SQL oracle share the SAME constants — no log10 in any plan.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Benford first-digit conformity audit (Benford 1938; Nigrini's
+    forensic-accounting screen): per group, the observed first-digit
+    distribution of a positive numeric column vs the Benford
+    expectation, summarized as one exact integer distance —
+    tvd_ppm = ½ Σ_d |observed_ppm(d) − benford_ppm(d)| — plus the most
+    over-represented digit. Fabricated or capped amounts drift from
+    Benford; a high tvd_ppm flags the group for inspection. Returns
+    (group, n, tvd_ppm, worst_digit, worst_excess_ppm).
+
+    Exactness: the first digit comes from the value's string form
+    (positive integers only — cast/scale upstream, e.g. cents), the
+    per-digit shares are integer ppm divisions, and the expectation is
+    the BAKED ``BENFORD_PPM`` table — identical literals in the SQL
+    oracle, no transcendental anywhere. Rows with value <= 0 are
+    excluded (Benford is undefined there), counted via ``n``.
+
+    Scale shape: ONE map-side-combinable groupBy to |groups|·9 rows,
+    then a 9-entry literal map join folded as a pure expression —
+    no window, no second scan, nothing data-sized after the agg.
+    """
+    bexpr = "CASE _digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+    ) + " END"
+    digits = df.where(F.col(value_col) > 0).select(
+        F.col(group_col).alias("_g"),
+        F.substring(
+            F.col(value_col).cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("_digit"),
+    )
+    # |groups|x9 rows — localCheckpoint so the four downstream
+    # references (totals, scored, grid join) read the tiny result
+    # instead of re-scanning the input per reference
+    per_digit = digits.groupBy("_g", "_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    ).localCheckpoint(eager=True)
+    totals = per_digit.groupBy("_g").agg(
+        F.sum("_c").cast("bigint").alias("_n")
+    )
+    scored = (
+        per_digit.join(F.broadcast(totals), "_g")
+        .select(
+            "_g",
+            "_digit",
+            (F.expr("_c * 1000000 div _n") - F.expr(bexpr))
+            .cast("bigint")
+            .alias("_diff"),
+        )
+    )
+    # digits absent from a group contribute their full benford_ppm to
+    # the TVD; add them via the 9-row literal grid so no digit is
+    # silently dropped
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(d,) for d in BENFORD_PPM], "_digit int"
+    )
+    full = (
+        totals.crossJoin(F.broadcast(grid))
+        .join(scored, ["_g", "_digit"], "left")
+        .select(
+            "_g",
+            "_digit",
+            "_n",
+            F.coalesce(
+                F.col("_diff"), -F.expr(bexpr).cast("bigint")
+            ).alias("_diff"),
+        )
+    )
+    return (
+        full.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.first("_n").alias("n"),
+            F.sum(F.abs(F.col("_diff"))).cast("bigint").alias("_tvd2"),
+            F.max(F.struct(F.col("_diff"), F.col("_digit"))).alias("_w"),
+        )
+        .select(
+            group_col,
+            "n",
+            # integer div, not /2.0: an odd |diff| sum must floor the
+            # same way in both engines
+            F.expr("_tvd2 div 2").cast("bigint").alias("tvd_ppm"),
+            F.col("_w._digit").cast("int").alias("worst_digit"),
+            F.col("_w._diff").cast("bigint").alias("worst_excess_ppm"),
+        )
+    )

@@ -4178,8 +4178,9 @@ def neighborhood_function(
     polynomial in the budget). At web scale swap the distinct-pair
     state for per-node HLL registers merged along edges (HyperANF):
     same superstep shape, fixed 2^p state per node, approximate counts
-    — this exact operator is the oracle-checkable core and the
-    register variant's correctness reference on small graphs.
+    — implemented as :func:`hyperanf`; this exact operator is the
+    oracle-checkable core and the register variant's correctness
+    reference on small graphs (pytest pins the ratio).
     """
     if max_radius < 0:
         raise ValueError("max_radius must be >= 0")
@@ -4612,4 +4613,66 @@ def effective_diameter(
         )
         .cast("bigint")
         .alias("effective_diameter_ppm"),
+    )
+
+
+def kcenter_landmarks(
+    pairs: DataFrame,
+    k: int = 3,
+    max_depth: int = 4,
+) -> DataFrame:
+    """Farthest-first traversal (Gonzalez 1985, 2-approximate metric
+    k-center) under the hop metric: start from the lowest node id, then
+    repeatedly add the node FARTHEST from the current center set — the
+    principled landmark selection for the sampled-centrality and
+    landmark-BFS operators (spread-out landmarks bound the distance
+    oracle error; lowest-id seeds cluster wherever ids cluster).
+    Returns (center_rank, id, dist) — dist is the node's hop distance
+    to the PREVIOUS centers when it was chosen (the k-center radius
+    after rank i is row i+1's dist; rank 1 carries 0).
+
+    Determinism contract: nodes beyond ``max_depth`` hops of every
+    center (or disconnected) rank as dist = max_depth + 1, tiebreak
+    smallest id — so the pick is a pure (dist DESC, id ASC) argmax,
+    reproducible by the SQL oracle via the same unrolled min-dist
+    relaxation.
+
+    Scale shape: each round is ONE :func:`nearest_seed` multi-source
+    sweep from the center set (all center frontiers advance in the same
+    superstep join — k rounds cost k sweeps, never k·|V| BFS runs) plus
+    a 1-row argmax collect; centers accumulate driver-side (k is small
+    by definition — it parameterizes landmark budgets, not data).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = canonical_undirected(pairs)
+    nodes = e.select("a").unionByName(
+        e.select(F.col("b").alias("a"))
+    ).distinct()
+    first = nodes.agg(F.min("a")).collect()[0][0]
+    if first is None:
+        return pairs.sparkSession.createDataFrame(
+            [], "center_rank int, id bigint, dist int"
+        )
+    centers = [int(first)]
+    out = [(1, int(first), 0)]
+    far = F.lit(max_depth + 1)
+    for rank in range(2, k + 1):
+        near = nearest_seed(pairs, seeds=centers, max_depth=max_depth)
+        scored = nodes.join(
+            near.select(F.col("id").alias("a"), "dist"), "a", "left"
+        ).select(
+            "a", F.coalesce(F.col("dist"), far).cast("int").alias("_d")
+        )
+        pick = (
+            scored.orderBy(F.col("_d").desc(), F.col("a").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        centers.append(int(pick[0].a))
+        out.append((rank, int(pick[0].a), int(pick[0]._d)))
+    return pairs.sparkSession.createDataFrame(
+        out, "center_rank int, id bigint, dist int"
     )

@@ -262,6 +262,9 @@ HEADLINE = [
     "effective_diameter_trade",  # 90% interpolated distance summary
     "stratified_kfold_embeddings",  # balanced per-label CV folds
     "mad_outliers_events",    # robust median/MAD outlier audit
+    "benford_orders",         # first-digit forensic conformity audit
+    "coverage_curve_docs",    # greedy vocabulary set cover of sources
+    "kcenter_trade",          # farthest-first landmark selection
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

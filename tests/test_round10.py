@@ -227,3 +227,106 @@ def test_type_class_flags_wide_decimals():
     assert not _classes_compatible("decwide", "decwide")
     assert not _classes_compatible("decwide", "float")
     assert _classes_compatible("dec(2)", "float")
+
+
+# ----------------------------------------------------------- benford
+def test_benford_deviation_conforming_vs_uniform(spark):
+    from akka_graph_db_spark.functions.profile import (
+        BENFORD_PPM,
+        benford_deviation,
+    )
+
+    # a synthetic Benford-conforming multiset: counts proportional to
+    # the ppm table itself -> tvd ~ 0 (only integer-rounding residue)
+    rows = []
+    i = 0
+    for d, p in BENFORD_PPM.items():
+        for _ in range(round(p / 1000)):
+            rows.append(("ok", d * 100 + (i % 10), i))
+            i += 1
+    # a uniform-digits group: every first digit equally likely
+    for j in range(900):
+        rows.append(("uni", (j % 9 + 1) * 1000 + j, 10000 + j))
+    df = spark.createDataFrame(rows, "g string, v bigint, id bigint")
+    got = {r.g: r for r in benford_deviation(df, "g", "v").collect()}
+    assert got["ok"].tvd_ppm < 2000          # rounding residue only
+    assert got["uni"].tvd_ppm > 200000       # uniform is far from Benford
+    # uniform over-represents the rare high digits most: worst digit 9
+    assert got["uni"].worst_digit == 9
+    # non-positive rows are excluded from n
+    df2 = spark.createDataFrame(
+        [("g", 0, 1), ("g", -5, 2), ("g", 123, 3)],
+        "g string, v bigint, id bigint",
+    )
+    assert benford_deviation(df2, "g", "v").collect()[0].n == 1
+
+
+# ----------------------------------------------------- coverage curve
+def test_coverage_curve_greedy_semantics(spark):
+    from akka_graph_db_spark.functions.mixture import coverage_curve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),      # 4 tokens
+            (2, "c d e", "s2"),        # 3 tokens, 2 overlap s1
+            (3, "x y", "s3"),          # 2 disjoint tokens
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = coverage_curve(docs, k=5).collect()
+    # greedy: s1 (4 new) -> s3 (2 new) -> s2 (1 new: e) -> stop (covered)
+    assert [(r.round, r.source, r.new_tokens, r.covered_total)
+            for r in rows] == [
+        (1, "s1", 4, 4), (2, "s3", 2, 6), (3, "s2", 1, 7)
+    ]
+    # monotone diminishing gains is NOT guaranteed in general, but
+    # covered_total must be strictly increasing and rounds contiguous
+    with pytest.raises(ValueError):
+        coverage_curve(docs, k=0)
+
+
+def test_coverage_curve_shingles_mode(spark):
+    from akka_graph_db_spark.functions.mixture import coverage_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = coverage_curve(docs, k=3, shingle_n=3).collect()
+    # s1: shingles {a b c, b c d}; s2 short doc -> full-text {a b}
+    assert [(r.source, r.new_tokens) for r in rows] == [
+        ("s1", 2), ("s2", 1)
+    ]
+
+
+# ---------------------------------------------------------- k-center
+def test_kcenter_farthest_first(spark):
+    from akka_graph_db_spark.operators.analytics import kcenter_landmarks
+
+    # path 1-2-3-4-5 plus disconnected edge 10-11
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "a bigint, b bigint",
+    )
+    rows = kcenter_landmarks(g, k=3, max_depth=4).collect()
+    # rank1: min id (1); rank2: unreachable component -> dist 5, min id
+    # 10; rank3: farthest reachable from {1, 10} is 5 at dist 4
+    assert [(r.center_rank, r.id, r.dist) for r in rows] == [
+        (1, 1, 0), (2, 10, 5), (3, 5, 4)
+    ]
+    with pytest.raises(ValueError):
+        kcenter_landmarks(g, k=0)
+
+
+def test_kcenter_radius_shrinks(spark):
+    """Adding centers never increases the covering radius — the
+    farthest-first invariant (each pick's dist is the CURRENT radius,
+    and it is non-increasing in rank)."""
+    from akka_graph_db_spark.operators.analytics import kcenter_landmarks
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "a bigint, b bigint"
+    )
+    rows = kcenter_landmarks(ring, k=4, max_depth=6).collect()
+    dists = [r.dist for r in rows][1:]
+    assert dists == sorted(dists, reverse=True)

@@ -186,6 +186,9 @@ AUDITED = [
     ("effective_diameter_trade", "ANF counts + broadcast 1-row plateau"),
     ("stratified_kfold_embeddings", "one global_rank + per-label offsets"),
     ("mad_outliers_events", "two per-group rank passes + median joins"),
+    ("benford_orders", "one map-side digit agg + 9-row literal grid"),
+    ("coverage_curve_docs", "vocab-bounded anti-join rounds + argmax"),
+    ("kcenter_trade", "nearest_seed sweeps from accumulated centers"),
 ]
 
 
