@@ -1785,36 +1785,79 @@ def embedding_decontamination(
     the FIRST band where it collides (no earlier-band agreement), a
     pure array predicate on the carried signature arrays, so no
     dedup shuffle is needed after the join.
+
+    The bands×planes projections are ONE numpy matmul per Arrow batch
+    (mapInPandas, the ivf_assignments precedent: Spark interprets
+    higher-order-function lambdas, so 48 aggregate() dot products per
+    row ran ~20× slower than the batched (rows × dim) @ (dim ×
+    bands·planes) product). Both sides use the same routine, so
+    signatures stay internally consistent; the plane weights are the
+    same `_plane_weight` literals the JVM path uses.
     """
     from akka_graph_db_spark.functions.similarity import (
+        _plane_weight,
         cosine,
-        hyperplane_signature,
         infer_dim,
-        unit_vector,
     )
 
     if bands < 1:
         raise ValueError("bands must be >= 1")
     dim = infer_dim(train, vec_col)
+    wmat = [
+        [_plane_weight(t, p, d) for d in range(dim)]
+        for t in range(bands)
+        for p in range(planes)
+    ]
 
-    def _sigs(u):
-        return F.array(
-            *[
-                hyperplane_signature(u, planes, dim, table=t)
-                for t in range(bands)
-            ]
-        )
+    def _sig_pass(out_id: str, u_col: str, s_col: str):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            W = np.asarray(wmat, dtype=np.float64).T  # dim x (bands*planes)
+            pw = np.asarray(
+                [1 << p for p in range(planes)], dtype=np.int64
+            )
+            for pdf in batches:
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                norms = np.linalg.norm(V, axis=1)
+                norms[norms == 0] = 1.0
+                U = V / norms[:, None]
+                bits = (U @ W) > 0  # rows x (bands*planes)
+                sigs = (
+                    bits.reshape(len(U), bands, planes) * pw
+                ).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf["_id"],
+                        u_col: list(U),
+                        s_col: list(sigs),
+                    }
+                )
+
+        return gen
 
     tb = train.select(
-        F.col(id_col).alias("train_id"),
-        unit_vector(F.col(vec_col)).alias("_ut"),
-    ).withColumn("_sigs_t", _sigs(F.col("_ut")))
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(
+        _sig_pass("train_id", "_ut", "_sigs_t"),
+        schema=(
+            "train_id bigint, _ut array<double>, _sigs_t array<bigint>"
+        ),
+    )
     ev = (
         eval_df.select(
-            F.col(id_col).alias("eval_id"),
-            unit_vector(F.col(vec_col)).alias("_ue"),
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
         )
-        .withColumn("_sigs_e", _sigs(F.col("_ue")))
+        .mapInPandas(
+            _sig_pass("eval_id", "_ue", "_sigs_e"),
+            schema=(
+                "eval_id bigint, _ue array<double>, "
+                "_sigs_e array<bigint>"
+            ),
+        )
         .select(
             "eval_id",
             "_ue",

@@ -4645,10 +4645,13 @@ def kcenter_landmarks(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    e = canonical_undirected(pairs)
+    # checkpoint the canonical edges ONCE: each round's nearest_seed
+    # sweep starts from this frame instead of re-deriving the (possibly
+    # join-heavy) input lineage per round
+    e = canonical_undirected(pairs).localCheckpoint(eager=True)
     nodes = e.select("a").unionByName(
         e.select(F.col("b").alias("a"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     first = nodes.agg(F.min("a")).collect()[0][0]
     if first is None:
         return pairs.sparkSession.createDataFrame(
@@ -4658,7 +4661,7 @@ def kcenter_landmarks(
     out = [(1, int(first), 0)]
     far = F.lit(max_depth + 1)
     for rank in range(2, k + 1):
-        near = nearest_seed(pairs, seeds=centers, max_depth=max_depth)
+        near = nearest_seed(e, seeds=centers, max_depth=max_depth)
         scored = nodes.join(
             near.select(F.col("id").alias("a"), "dist"), "a", "left"
         ).select(
