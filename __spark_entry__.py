@@ -7697,6 +7697,39 @@ def q_kcenter_trade(spark, sf_dir):
     ).orderBy("center_rank")
 
 
+def q_mmr_topk_embeddings(spark, sf_dir):
+    """Diversity-aware retrieval (similarity.mmr_topk, Carbonell &
+    Goldstein MMR, λ=0.7, k=4): greedy picks maximizing λ·relevance −
+    (1−λ)·max redundancy to already-picked — in exact int64 grid inner
+    products (the label_noise discipline) with permille λ, so every
+    greedy round is a total-order argmax the unrolled SQL oracle
+    reproduces. Query = vec_id 0; one checkpointed scored scan + k
+    top-1 picks."""
+    from akka_graph_db_spark.functions.similarity import mmr_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    return mmr_topk(
+        emb,
+        emb.where(F.col("vec_id") == 0),
+        k=4,
+        lambda_permille=700,
+    ).orderBy("rank")
+
+
+def q_cusum_events(spark, sf_dir):
+    """Mean-shift changepoint screen (events.cusum_changepoints, Page
+    CUSUM): per event type, the time index where the value prefix sum
+    strays farthest from the no-change diagonal — |n·S_k − k·S_n| in
+    exact micro-unit integers, earliest-index tiebreak. One per-group
+    window pass + a max-struct argmax; the monitoring primitive behind
+    'which stream shifted?'."""
+    from akka_graph_db_spark.functions.events import cusum_changepoints
+
+    return cusum_changepoints(read_events(spark, sf_dir)).orderBy(
+        "event_type"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_egress_edges(spark, SF_SMOKE)
@@ -7761,9 +7794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "codec_roundtrip": q_codec_roundtrip,
-        "kcore_parts": q_kcore_parts,
-        "hits_top20": q_hits_top20,
         "dedup_minhash": q_dedup_minhash,
+        "mmr_topk_embeddings": q_mmr_topk_embeddings,
+        "cusum_events": q_cusum_events,
         "benford_orders": q_benford_orders,
         "coverage_curve_docs": q_coverage_curve_docs,
         "kcenter_trade": q_kcenter_trade,
@@ -7772,6 +7805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r02..r09.json (except rows-only
     # dedup_minhash_keep_star, excluded from windows by design).
         "store_version_summary": q_store_version_summary,
+        "kcore_parts": q_kcore_parts,
+        "hits_top20": q_hits_top20,
         "funnel_events": q_funnel_events,
         "cohort_retention": q_cohort_retention,
         "dedup_recall_eval": q_dedup_recall_eval,
@@ -14586,5 +14621,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, CAST((SELECT id FROM p3) AS BIGINT),
                    CAST((SELECT d FROM p3) AS INT)
             ORDER BY center_rank
+        """,
+        # Same int64 grid quantization (ROUND half-away), same BIGINT
+        # permille scoring, same (score DESC, id) greedy unrolled.
+        "mmr_topk_embeddings": """
+            WITH mg AS MATERIALIZED (
+              SELECT vec_id AS id,
+                     list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            mb AS MATERIALIZED (
+              SELECT id, v,
+                     CAST(list_dot_product(v,
+                       (SELECT v FROM mg WHERE id = 0)) AS BIGINT)
+                       AS rel
+              FROM mg WHERE id <> 0
+            ),
+            p1 AS MATERIALIZED (
+              SELECT id, v, rel, 700 * rel AS s FROM mb
+              ORDER BY s DESC, id LIMIT 1
+            ),
+            p2 AS MATERIALIZED (
+              SELECT id, v, rel,
+                     700 * rel - 300 * CAST(list_dot_product(v,
+                       (SELECT v FROM p1)) AS BIGINT) AS s
+              FROM mb WHERE id <> (SELECT id FROM p1)
+              ORDER BY s DESC, id LIMIT 1
+            ),
+            p3 AS MATERIALIZED (
+              SELECT id, v, rel,
+                     700 * rel - 300 * GREATEST(
+                       CAST(list_dot_product(v,
+                         (SELECT v FROM p1)) AS BIGINT),
+                       CAST(list_dot_product(v,
+                         (SELECT v FROM p2)) AS BIGINT)) AS s
+              FROM mb WHERE id NOT IN
+                ((SELECT id FROM p1), (SELECT id FROM p2))
+              ORDER BY s DESC, id LIMIT 1
+            ),
+            p4 AS MATERIALIZED (
+              SELECT id, v, rel,
+                     700 * rel - 300 * GREATEST(
+                       CAST(list_dot_product(v,
+                         (SELECT v FROM p1)) AS BIGINT),
+                       CAST(list_dot_product(v,
+                         (SELECT v FROM p2)) AS BIGINT),
+                       CAST(list_dot_product(v,
+                         (SELECT v FROM p3)) AS BIGINT)) AS s
+              FROM mb WHERE id NOT IN
+                ((SELECT id FROM p1), (SELECT id FROM p2),
+                 (SELECT id FROM p3))
+              ORDER BY s DESC, id LIMIT 1
+            )
+            SELECT CAST(1 AS INT) AS rank,
+                   CAST((SELECT id FROM p1) AS BIGINT) AS id,
+                   CAST((SELECT rel FROM p1) AS BIGINT) AS relevance,
+                   CAST((SELECT s FROM p1) AS BIGINT) AS mmr_score
+            UNION ALL
+            SELECT 2, CAST((SELECT id FROM p2) AS BIGINT),
+                   CAST((SELECT rel FROM p2) AS BIGINT),
+                   CAST((SELECT s FROM p2) AS BIGINT)
+            UNION ALL
+            SELECT 3, CAST((SELECT id FROM p3) AS BIGINT),
+                   CAST((SELECT rel FROM p3) AS BIGINT),
+                   CAST((SELECT s FROM p3) AS BIGINT)
+            UNION ALL
+            SELECT 4, CAST((SELECT id FROM p4) AS BIGINT),
+                   CAST((SELECT rel FROM p4) AS BIGINT),
+                   CAST((SELECT s FROM p4) AS BIGINT)
+            ORDER BY rank
+        """,
+        # Same micro-unit floor, same |n*Sk - k*Sn| statistic, same
+        # earliest-index tiebreak via ROW_NUMBER.
+        "cusum_events": """
+            WITH cb AS (
+              SELECT event_type AS g, ts, event_id AS id,
+                     CAST(FLOOR(value * 1000000) AS BIGINT) AS v
+              FROM events
+            ),
+            cp AS (
+              SELECT g, ts,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                                        ORDER BY ts, id) AS k,
+                     SUM(v) OVER (PARTITION BY g ORDER BY ts, id
+                                  ROWS UNBOUNDED PRECEDING) AS sk,
+                     SUM(v) OVER (PARTITION BY g) AS sn,
+                     COUNT(*) OVER (PARTITION BY g) AS n
+              FROM cb
+            ),
+            cd AS (
+              SELECT g, ts, k, n, ABS(n * sk - k * sn) AS dev
+              FROM cp WHERE k < n
+            ),
+            cr AS (
+              SELECT g, n, k, ts, dev,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                                        ORDER BY dev DESC, k ASC) AS rn
+              FROM cd
+            )
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS change_index,
+                   ts AS change_ts,
+                   CAST(dev AS BIGINT) AS deviation
+            FROM cr WHERE rn = 1 ORDER BY 1
         """,
     }

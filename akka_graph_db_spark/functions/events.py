@@ -1092,3 +1092,85 @@ def interarrival_quantiles(
             F.max("_gap").cast("bigint").alias("max_gap_days"),
         )
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Single changepoint detection per group via the max-CUSUM
+    statistic (Page 1954; the at-most-one-change mean-shift screen):
+    for the time-ordered value sequence, the split index k maximizing
+    |n·S_k − k·S_n| — the common-denominator form of
+    |S_k − (k/n)·S_n|, i.e. how far the prefix sum strays from the
+    no-change diagonal — in EXACT integers (values floored to
+    micro-units), so the pick is engine-reproducible. Returns
+    (group, n, change_index, change_ts, deviation) — deviation is the
+    scaled statistic n·|S_k − k/n·S_n| in micro-units; ties break on
+    the EARLIEST index.
+
+    A monitoring screen, not a test: compare deviation across groups
+    (or against a permutation threshold computed offline) to rank
+    which streams shifted. Overflow bound: n·Σ|v_micros| must stay
+    below 2^63 — at ~1e11 rows run it per shard/window, which is how
+    changepoint monitors deploy anyway.
+
+    Scale shape: one per-group ordered window pass (prefix sums +
+    row index over (ts, id) — groups are the parallelism key) + one
+    groupBy with a lexicographic max-struct argmax ((deviation,
+    −index) — no second window, no join back).
+    """
+    from pyspark.sql.window import Window
+
+    base = events.select(
+        F.col(group_col).alias("_g"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.floor(F.col(value_col).cast("double") * 1000000.0)
+        .cast("bigint")
+        .alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy("_ts", "_id")
+    wall = Window.partitionBy("_g")
+    pre = base.select(
+        "_g",
+        "_ts",
+        F.row_number().over(w).alias("_k"),
+        F.sum("_v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_sk"),
+        F.sum("_v").over(wall).alias("_sn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    dev = pre.where(F.col("_k") < F.col("_n")).select(
+        "_g",
+        "_ts",
+        "_k",
+        "_n",
+        F.abs(
+            F.col("_n") * F.col("_sk") - F.col("_k") * F.col("_sn")
+        ).alias("_dev"),
+    )
+    return (
+        dev.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.first("_n").cast("bigint").alias("n"),
+            F.max(
+                F.struct(
+                    F.col("_dev"),
+                    (-F.col("_k")).alias("_nk"),
+                    F.col("_ts"),
+                )
+            ).alias("_w"),
+        )
+        .select(
+            group_col,
+            "n",
+            (-F.col("_w._nk")).cast("bigint").alias("change_index"),
+            F.col("_w._ts").alias("change_ts"),
+            F.col("_w._dev").cast("bigint").alias("deviation"),
+        )
+    )

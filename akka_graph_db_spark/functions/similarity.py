@@ -1274,3 +1274,129 @@ def label_noise_knn(
         .cast("bigint")
         .alias("disagree_ppm"),
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 4,
+    lambda_permille: int = 700,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` corpus vectors maximizing
+    λ·relevance(c, q) − (1−λ)·max_{s∈picked} redundancy(c, s) — the
+    diversity-aware top-k that plain cosine top-k lacks (its results
+    cluster around one mode; MMR spreads them). ``queries`` must be a
+    SINGLE-row frame (MMR is per-query; loop queries outside — each
+    run is one corpus scan per round).
+
+    Exactness contract (the label_noise_knn grid discipline): vectors
+    quantize to the int64 1e6 grid (ROUND(x·1e6)), relevance and
+    redundancy are exact BIGINT inner products on the grid, and λ is a
+    permille integer — the greedy argmax is (score DESC, id ASC), a
+    total order a SQL oracle reproduces round by round. With λ in
+    permille and 64-dim grid dots bounded by ~6e14, scores stay below
+    2^63. Returns (rank, id, relevance, mmr_score).
+
+    Similarity is the raw INNER PRODUCT on the grid (MIPS-MMR): for
+    classic cosine MMR, L2-normalize the embedding column upstream —
+    normalizing inside the operator would put an engine-specific
+    float norm in front of the quantizer and break the exact-integer
+    contract (a last-ulp norm difference can flip a ROUND boundary).
+
+    Scale shape: the corpus is grid-quantized + relevance-scored in ONE
+    scan and localCheckpointed (id, rel, grid vector); each round is a
+    pure-expression score over that frame (redundancy = greatest of ≤k
+    literal-vector dots, the picked vectors being driver-held by
+    definition of k) + a top-1 argmax (TakeOrdered, never a global
+    sort). k rounds = k scans of the checkpointed frame, nothing
+    quadratic, no window.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 <= lambda_permille <= 1000:
+        raise ValueError("lambda_permille must be in [0, 1000]")
+    grid = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * 1000000.0).cast("bigint"),
+    )
+    # quantize the query with the SAME engine expression — Python's
+    # round() is half-to-even while F.round/DuckDB ROUND are
+    # half-away-from-zero, an exact-.5 divergence this avoids entirely
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), grid.alias("_qg")
+    ).collect()
+    if len(qrows) != 1:
+        raise ValueError("queries must contain exactly one row")
+    qgrid = [int(x) for x in qrows[0]["_qg"]]
+    qlit = F.array(*[F.lit(v) for v in qgrid])
+    base = (
+        corpus.select(
+            F.col(id_col).alias("id"), grid.alias("_gv")
+        )
+        .where(F.col("id") != F.lit(int(qrows[0]["_qid"])))
+        .select(
+            "id",
+            "_gv",
+            F.aggregate(
+                F.zip_with(F.col("_gv"), qlit, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("relevance"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam = int(lambda_permille)
+    picked: list[tuple] = []
+    picked_vecs: list[list[int]] = []
+    for rank in range(1, k + 1):
+        cand = base.where(
+            ~F.col("id").isin([p[1] for p in picked])
+            if picked
+            else F.lit(True)
+        )
+        if picked_vecs:
+            red = F.greatest(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_gv"),
+                            F.array(*[F.lit(v) for v in pv]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, v: acc + v,
+                    )
+                    for pv in picked_vecs
+                ]
+            ) if len(picked_vecs) > 1 else F.aggregate(
+                F.zip_with(
+                    F.col("_gv"),
+                    F.array(*[F.lit(v) for v in picked_vecs[0]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            score = (
+                F.lit(lam) * F.col("relevance") - F.lit(1000 - lam) * red
+            )
+        else:
+            score = F.lit(lam) * F.col("relevance")
+        top = (
+            cand.select("id", "_gv", "relevance", score.alias("_s"))
+            .orderBy(F.col("_s").desc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picked.append((rank, int(row.id), int(row.relevance), int(row._s)))
+        picked_vecs.append([int(x) for x in row._gv])
+    return corpus.sparkSession.createDataFrame(
+        picked,
+        "rank int, id bigint, relevance bigint, mmr_score bigint",
+    )

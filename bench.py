@@ -265,6 +265,8 @@ HEADLINE = [
     "benford_orders",         # first-digit forensic conformity audit
     "coverage_curve_docs",    # greedy vocabulary set cover of sources
     "kcenter_trade",          # farthest-first landmark selection
+    "mmr_topk_embeddings",    # diversity-aware greedy re-ranking
+    "cusum_events",           # integer CUSUM mean-shift changepoints
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary

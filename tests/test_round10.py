@@ -330,3 +330,89 @@ def test_kcenter_radius_shrinks(spark):
     rows = kcenter_landmarks(ring, k=4, max_depth=6).collect()
     dists = [r.dist for r in rows][1:]
     assert dists == sorted(dists, reverse=True)
+
+
+# ------------------------------------------------------------ MMR
+def test_mmr_topk_diversifies(spark):
+    """Plain top-k would pick the two near-duplicates of the query;
+    MMR (on unit-norm vectors = cosine semantics) picks one of them,
+    then the orthogonal direction — the twin's marginal gain goes
+    negative once its near-copy is selected."""
+    from akka_graph_db_spark.functions.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # the query itself
+        (1, [0.9950, 0.0998, 0.0, 0.0]),    # near-dup of q
+        (2, [0.9902, 0.1397, 0.0, 0.0]),    # second near-dup (twin of 1)
+        (3, [0.7071, 0.7071, 0.0, 0.0]),    # somewhat relevant, diverse
+        (4, [0.0, 0.0, 1.0, 0.0]),          # orthogonal
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    out = mmr_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=3, lambda_permille=500
+    ).collect()
+    ids = [r.id for r in out]
+    assert ids[0] == 1                      # pure relevance first
+    assert ids[1] == 4                      # diversity: orthogonal next
+    assert 2 not in ids[:2]                 # redundancy blocks the twin
+    # determinism
+    out2 = mmr_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=3, lambda_permille=500
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+    with pytest.raises(ValueError):
+        mmr_topk(emb, emb.where(F.col("vec_id") <= 1), k=3)
+    with pytest.raises(ValueError):
+        mmr_topk(emb, emb.where(F.col("vec_id") == 0), k=0)
+
+
+def test_mmr_lambda_1000_is_pure_relevance(spark):
+    from akka_graph_db_spark.functions.similarity import mmr_topk
+
+    rows = [(i, [float(10 - i), 1.0]) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    out = mmr_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=3, lambda_permille=1000
+    ).collect()
+    # with lambda=1 the picks are exactly relevance order: ids 1,2,3
+    assert [r.id for r in out] == [1, 2, 3]
+    assert [r.relevance for r in out] == sorted(
+        [r.relevance for r in out], reverse=True
+    )
+
+
+# ----------------------------------------------------------- CUSUM
+def test_cusum_finds_planted_shift(spark):
+    from datetime import datetime, timedelta
+
+    from akka_graph_db_spark.functions.events import cusum_changepoints
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # group "shift": 20 values at 1.0, then 20 at 5.0 -> change at k=20
+    for i in range(40):
+        rows.append(
+            (i, t0 + timedelta(minutes=i), 1, "shift",
+             1.0 if i < 20 else 5.0)
+        )
+    # group "flat": constant -> deviation 0 everywhere, earliest k=1
+    for i in range(10):
+        rows.append(
+            (100 + i, t0 + timedelta(minutes=i), 1, "flat", 2.0)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double"
+    )
+    got = {r.event_type: r for r in cusum_changepoints(df).collect()}
+    assert got["shift"].change_index == 20
+    assert got["shift"].n == 40
+    # exact statistic: |40*S_20 - 20*S_40| micros
+    # S_20 = 20e6, S_40 = 120e6 -> |8e8 - 24e8| = 16e8
+    assert got["shift"].deviation == 1_600_000_000
+    assert got["flat"].deviation == 0
+    assert got["flat"].change_index == 1   # earliest-index tiebreak

@@ -189,6 +189,8 @@ AUDITED = [
     ("benford_orders", "one map-side digit agg + 9-row literal grid"),
     ("coverage_curve_docs", "vocab-bounded anti-join rounds + argmax"),
     ("kcenter_trade", "nearest_seed sweeps from accumulated centers"),
+    ("mmr_topk_embeddings", "one scored scan + k top-1 argmax picks"),
+    ("cusum_events", "per-group prefix-sum window + struct argmax"),
 ]
 
 
