@@ -7743,12 +7743,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # red row, re-emitted as exact BIGINT micros this round), drains
     # ALL 28 never-driver-certified entries (18 round-8 leftovers +
     # the 10 round-9 additions -- every oracled entry now has a shot
-    # at a driver row), adds the 4 round-10 operators (hyperanf,
-    # effective_diameter, stratified_kfold, mad_outliers), and spends
-    # the 17 spare slots on re-certs of queries whose substrate or
-    # oracle changed this round (profile/mixture/dedup/text edits;
-    # text_tokens' oracle swapped strlen->length) plus the oldest
-    # r2-era certs. After this window goes green, zero oracled
+    # at a driver row), adds the 9 round-10 operators (hyperanf,
+    # effective_diameter, stratified_kfold, mad_outliers, benford,
+    # coverage_curve, kcenter, mmr_topk, cusum), and spends the 12
+    # spare slots on re-certs of queries whose substrate or oracle
+    # changed this round (profile/mixture/dedup/text edits;
+    # text_tokens' oracle swapped strlen->length; winsorize_orders'
+    # sum re-emitted as BIGINT cents) plus the oldest r2-era certs.
+    # Every window entry passed the exact local hash gate at sf0.01
+    # this session. After this window goes green, zero oracled
     # entries lack a driver row.
         "order_reconciliation": q_order_reconciliation,
         "skyline_parts": q_skyline_parts,

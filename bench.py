@@ -284,12 +284,16 @@ HEADLINE = [
 # and a 2-query session accumulates next to nothing. Queries are therefore
 # batched by their recorded steady-state cost (BENCH_DETAIL.json r8, with
 # the six contention-artifact rows replaced by the r8 audit's quiet-host
-# re-measures): <1.5s -> 10/child, 1.5-4s -> 4/child, 4-8s -> 2/child,
+# re-measures; r9/r10 queries placed by their isolated round-10
+# re-measures — this host's per-child overhead is ~25-35s, so every
+# needlessly-isolated query costs real budget): <1.5s -> 10/child,
+# 1.5-4s -> 4/child, 4-8s -> 2/child,
 # >=8s and any UNLISTED (new/unknown) query -> isolated. Membership is
 # hard-coded, not read from BENCH_DETAIL at runtime, so child grouping is
 # stable and auditable round-over-round; re-derive with
 # tools/regen_bench_buckets.py when a query's band genuinely moves.
 _BATCH10 = {
+    "benford_orders",
     "tokenizer_fertility_docs",
     "asof_purchase_click", "asof_view_next_purchase", "blocklist_report",
     "bloom_prune_report", "bm25_search", "bpe_pair_counts",
@@ -319,6 +323,10 @@ _BATCH10 = {
     "tpch_q9", "vocab_growth", "window_rank_customers", "winsorize_orders",
 }
 _BATCH4 = {
+    "mmr_topk_embeddings",
+    "cusum_events",
+    "mad_outliers_events",
+    "stratified_kfold_embeddings",
     "balanced_shards_docs",
     "neighborhood_function_trade",
     "semantic_decontam",
@@ -340,6 +348,19 @@ _BATCH4 = {
     "tpch_q5",
 }
 _BATCH2 = {
+    "closeness_parts",
+    "clustering_coefficient",
+    "customer_similarity",
+    "dedup_containment",
+    "dedup_containment_prune",
+    "kcenter_trade",
+    "ra_link_prediction",
+    "set_similarity_join",
+    "streaming_interval_join",
+    "coverage_curve_docs",
+    "effective_diameter_trade",
+    "hyperanf_trade",
+    "onion_layers_parts",
     "importance_scores_docs",
     "nearest_seed_parts",
     "cdc_chunks", "connected_components_two_phase_geo", "dag_layers_graph",
@@ -354,6 +375,27 @@ _BATCH2 = {
     "store_incremental_degrees", "store_incremental_topk",
     "streaming_dedup", "triangles_coorder", "walk_skipgrams",
     "winnow_fingerprints", "winnow_pairs", "wl_colors_parts",
+}
+
+
+_BATCH2H = {
+    # 8-18s heavies, paired (round-10 clean isolated measures): on this
+    # host each subprocess costs ~25-35s of untimed JVM+snapshot
+    # overhead, so full isolation for EVERY >=8s query spent more wall
+    # on startup than on measurement and the budget shed the entire
+    # cheap tail (r10 run 1: 152 of 223 skipped). A 2-query child
+    # accumulates one heavy query's session state before the second --
+    # far from the 40+-query pileup the r4 audit measured 3x distortion
+    # in; >=18s queries keep private JVMs.
+    "betweenness_parts", "clique_profile_parts", "coreness_parts",
+    "dedup_minhash_keep", "dedup_minhash_keep_best",
+    "dedup_policy_sweep", "dedup_recall_eval", "edge_betweenness_parts",
+    "edge_embeddedness", "fastrp_parts", "induced_subgraph_parts",
+    "link_prediction_parts", "local_clustering_parts", "node2vec_parts",
+    "node2vec_skipgrams", "pagerank_top20", "ppr_customer",
+    "store_version_diff", "store_version_summary", "streaming_cms",
+    "streaming_dedup_ingest", "streaming_session",
+    "streaming_store_sink",
 }
 
 
@@ -372,10 +414,12 @@ def child_groups(headline: list[str]) -> list[list[str]]:
     canaries = [n for n in headline if n in _CANARIES]
     rest = [n for n in headline if n not in _CANARIES]
     iso = [n for n in rest
-           if n not in _BATCH10 and n not in _BATCH4 and n not in _BATCH2]
+           if n not in _BATCH10 and n not in _BATCH4
+           and n not in _BATCH2 and n not in _BATCH2H]
     groups: list[list[str]] = [canaries] if canaries else []
     groups.extend([n] for n in iso)
     for names, size in (
+        ([n for n in rest if n in _BATCH2H], 2),
         ([n for n in rest if n in _BATCH2], 2),
         ([n for n in rest if n in _BATCH4], 4),
         ([n for n in rest if n in _BATCH10], 10),
