@@ -110,11 +110,13 @@ def test_child_groups_cover_headline_exactly():
     flat = [n for g in groups for n in g]
     assert sorted(flat) == sorted(bench.HEADLINE)
     # every unknown/new query is isolated; batch sizes are respected
-    known = bench._BATCH10 | bench._BATCH4 | bench._BATCH2
+    known = (
+        bench._BATCH10 | bench._BATCH4 | bench._BATCH2 | bench._BATCH2H
+    )
     for g in groups:
         if any(n not in known for n in g):
             assert len(g) == 1
-        elif all(n in bench._BATCH2 for n in g):
+        elif all(n in bench._BATCH2 | bench._BATCH2H for n in g):
             assert len(g) <= 2
         elif all(n in bench._BATCH4 for n in g):
             assert len(g) <= 4
