@@ -393,14 +393,22 @@ def stratified_kfold(
         [label_col, "_key", id_col],
         rank_col="_grk",
     )
-    offs = ranked.groupBy(label_col).agg(F.min("_grk").alias("_off"))
+    offs = ranked.groupBy(label_col).agg(
+        F.min("_grk").alias("_off")
+    ).withColumnRenamed(label_col, "_lbl")
+    # null-safe join: NULL labels form their own stratum and get folds
+    # like any other label — a plain equi-join on label_col would
+    # silently drop those rows from the output
     return (
-        ranked.join(F.broadcast(offs), label_col)
+        ranked.join(
+            F.broadcast(offs),
+            F.col(label_col).eqNullSafe(F.col("_lbl")),
+        )
         .withColumn(
             "fold",
             F.pmod(F.col("_grk") - F.col("_off"), F.lit(k)).cast("int"),
         )
-        .drop("_key", "_grk", "_off")
+        .drop("_key", "_grk", "_off", "_lbl")
     )
 
 

@@ -777,11 +777,14 @@ def benford_deviation(
     bexpr = "CASE _digit " + " ".join(
         f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
     ) + " END"
-    digits = df.where(F.col(value_col) > 0).select(
+    # filter on the CAST value: a raw `value > 0` test lets fractional
+    # values in (0,1) survive, cast to bigint 0, and mint a first digit
+    # '0' that inflates n yet never lands on the 1-9 grid — the
+    # positive-integer contract must be self-enforcing
+    _v = F.col(value_col).cast("bigint")
+    digits = df.where(_v > 0).select(
         F.col(group_col).alias("_g"),
-        F.substring(
-            F.col(value_col).cast("bigint").cast("string"), 1, 1
-        ).cast("int").alias("_digit"),
+        F.substring(_v.cast("string"), 1, 1).cast("int").alias("_digit"),
     )
     # |groups|x9 rows — localCheckpoint so the four downstream
     # references (totals, scored, grid join) read the tiny result

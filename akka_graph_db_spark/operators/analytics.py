@@ -4672,7 +4672,11 @@ def kcenter_landmarks(
             .limit(1)
             .collect()
         )
-        if not pick:
+        # dist 0 means the farthest node is already a center (only seeds
+        # sit at distance 0 under the hop metric) — every node is covered,
+        # so k exceeds the node count; stop instead of emitting the
+        # smallest-id center again as a duplicate landmark row.
+        if not pick or int(pick[0]._d) == 0:
             break
         centers.append(int(pick[0].a))
         out.append((rank, int(pick[0].a), int(pick[0]._d)))

