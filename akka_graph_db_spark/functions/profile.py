@@ -131,6 +131,70 @@ def drift_tvd(
     )
 
 
+def drift_alarms(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    bin_width: int,
+    shift_alarm_micros: int,
+) -> DataFrame:
+    """Per-group drift report with changepoint localization: WHICH
+    groups' value distribution drifts from the rest of the corpus
+    (:func:`drift_tvd`) and WHEN each group's own series shifted
+    (:func:`~akka_graph_db_spark.functions.events.cusum_changepoints`
+    over ``order_col``) — the per-source corpus-drift alarm a crawl
+    pipeline runs each ingest ("src7 reads differently this crawl, and
+    the break is at document #812").
+
+    The alarm rule is the CUSUM split's exact mean shift: at the argmax
+    index k, |mean(1..k) − mean(k+1..n)| = deviation / (k·(n−k)) in
+    micro-units (``deviation`` is the common-denominator statistic
+    |n·S_k − k·S_n|, so the division is pure integer floor —
+    ``shift_micros``). ``alarm`` fires when shift_micros ≥
+    ``shift_alarm_micros`` — an interpretable threshold in value units
+    ("the mean moved by ≥ X"), unlike the raw deviation whose magnitude
+    grows with n². Returns (group, n, change_index, change_order,
+    deviation, shift_micros, alarm, n_rest, tvd_num, tvd). Groups with
+    a single row have no split and are omitted (CUSUM needs n ≥ 2).
+
+    Scale shape: the CUSUM side is one per-group ordered window pass +
+    a max-struct argmax; the TVD side is two bounded aggregations + a
+    groups × bins grid; the final join broadcasts the |groups|-row TVD
+    frame. Nothing data-sized after the aggregations.
+    """
+    from akka_graph_db_spark.functions.events import cusum_changepoints
+
+    if shift_alarm_micros < 0:
+        raise ValueError("shift_alarm_micros must be >= 0")
+    cp = cusum_changepoints(
+        df,
+        group_col=group_col,
+        ts_col=order_col,
+        value_col=value_col,
+        id_col=order_col,
+    )
+    shift = F.expr("deviation div (change_index * (n - change_index))")
+    tv = drift_tvd(df, group_col, value_col, bin_width).select(
+        group_col, "n_rest", "tvd_num", "tvd"
+    )
+    return (
+        cp.join(F.broadcast(tv), group_col)
+        .select(
+            group_col,
+            "n",
+            "change_index",
+            F.col("change_ts").alias("change_order"),
+            "deviation",
+            shift.cast("bigint").alias("shift_micros"),
+            (shift >= F.lit(int(shift_alarm_micros))).alias("alarm"),
+            "n_rest",
+            "tvd_num",
+            "tvd",
+        )
+    )
+
+
 def equidepth_histogram(
     df: DataFrame,
     value_col: str,

@@ -55,6 +55,23 @@ def test_stratified_kfold_null_labels_get_folds(spark):
     assert len(per) == 5 and all(r["count"] == 2 for r in per)
 
 
+# --------------------------- planted star fixture (VERDICT r10 #3)
+def test_keep_star_planted_fixture_survivors_are_squares(spark):
+    """On the planted corpus (exact-duplicate clusters keyed by
+    floor(sqrt(id)), disjoint cross-cluster token sets) star linkage is
+    provably exact: survivors = min id per cluster = perfect squares."""
+    import __spark_entry__ as entrymod
+
+    got = sorted(
+        r.doc_id
+        for r in entrymod.q_dedup_minhash_keep_star(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    # ids 0..499 expand to 0..4999 -> clusters 0..70
+    assert got == [c * c for c in range(71)]
+
+
 # -------------------------------- ADVICE r10 #3: coverage oracle fixture
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
                                     "/root/testdata/sf0.01"])

@@ -191,6 +191,8 @@ AUDITED = [
     ("kcenter_trade", "nearest_seed sweeps from accumulated centers"),
     ("mmr_topk_embeddings", "one scored scan + k top-1 argmax picks"),
     ("cusum_events", "per-group prefix-sum window + struct argmax"),
+    ("drift_alarm_docs", "CUSUM window pass + broadcast TVD grid join"),
+    ("dedup_minhash_keep_star", "planted star: band buckets + CC, no pairs"),
 ]
 
 

@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Re-derive bench.py's child-batching bucket sets from BENCH_DETAIL.json.
+"""Re-derive bench.py's cost-band set literals from BENCH_DETAIL.json.
 
-Prints the _BATCH10/_BATCH4/_BATCH2 set literals (queries recorded <1.5s,
-1.5-4s, and 4-8s respectively; >=8s and unlisted queries stay isolated).
-Membership is hard-coded in bench.py so child grouping is stable and
-auditable round-over-round — run this, eyeball the diff for contention
-artifacts (a query should only change band when its PLAN changed), and
-paste the result in.
+Bands (see bench.py _BANDS): <1.5s -> _BATCH10, 1.5-4s -> _BATCH4,
+4-8s -> _BATCH2, 8-18s -> _BATCH2H; >=18s and unlisted queries stay
+isolated. Membership is hard-coded in bench.py so child grouping is
+stable and auditable round-over-round — run this against a CLEAN record
+(re-measured rows committed, no band-exceedance offenders left — the
+r10 record's contaminated shared-child rows would have promoted ~4s
+queries into the 8-18s band), eyeball the diff for contention artifacts
+(a query should only change band when its PLAN changed), and paste the
+result in.
 
 Usage: python tools/regen_bench_buckets.py [BENCH_DETAIL.json]
 """
@@ -18,22 +21,30 @@ import textwrap
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+BANDS = [
+    ("_BATCH10", 0.0, 1.5),
+    ("_BATCH4", 1.5, 4.0),
+    ("_BATCH2", 4.0, 8.0),
+    ("_BATCH2H", 8.0, 18.0),
+]
+
 
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         REPO, "BENCH_DETAIL.json"
     )
     q = json.load(open(path))["queries"]
-    buckets = {"_BATCH10": [], "_BATCH4": [], "_BATCH2": []}
+    buckets = {label: [] for label, _, _ in BANDS}
+    iso = []
     for name, t in q.items():
         if t < 0:
             continue
-        if t < 1.5:
-            buckets["_BATCH10"].append(name)
-        elif t < 4:
-            buckets["_BATCH4"].append(name)
-        elif t < 8:
-            buckets["_BATCH2"].append(name)
+        for label, lo, hi in BANDS:
+            if lo <= t < hi:
+                buckets[label].append(name)
+                break
+        else:
+            iso.append(name)
     for label, names in buckets.items():
         body = " ".join(f'"{n}",' for n in sorted(names))
         print(
@@ -43,6 +54,7 @@ def main() -> None:
             )
             + "\n}"
         )
+    print("# isolated (>=18s):", " ".join(sorted(iso)))
 
 
 if __name__ == "__main__":
