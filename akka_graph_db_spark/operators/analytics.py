@@ -4683,3 +4683,100 @@ def kcenter_landmarks(
     return pairs.sparkSession.createDataFrame(
         out, "center_rank int, id bigint, dist int"
     )
+
+
+def kcenter_landmarks_weighted(
+    wpairs: DataFrame,
+    k: int = 3,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Distance-weighted farthest-first traversal (Gonzalez 1985 under
+    an integer edge-cost metric): like :func:`kcenter_landmarks`, but
+    "far" means total edge COST, not hop count — the landmark pick for
+    weighted graphs, where the hop metric calls a node adjacent via one
+    expensive edge "close". ``wpairs`` is (a, b, w) with positive
+    integer costs; edges canonicalize undirected with the MIN cost when
+    both directions exist. Returns (center_rank, id, cost) — cost is
+    the node's bounded cheapest cost to the PREVIOUS centers when
+    chosen (rank 1 carries 0).
+
+    Determinism contract: the distance is Bellman-Ford with EXACTLY
+    ``max_rounds`` relaxation supersteps — the exact min total cost
+    over paths of ≤ max_rounds edges, a closed form the SQL oracle
+    reproduces by unrolling the same relaxations. Nodes unreached
+    within the bound rank as max_rounds · max(w) + 1 (strictly above
+    any reachable bounded cost), tiebreak smallest id — a pure
+    (cost DESC, id ASC) argmax, all in exact BIGINT.
+
+    Scale shape: the canonical weighted edges checkpoint ONCE; each
+    Gonzalez round costs max_rounds relaxation joins (frontier state is
+    one (id, cost) row per touched node — all centers relax in the
+    same superstep, never k separate sweeps) plus a 1-row argmax
+    collect. Two scalar collects (min id, max w) bootstrap the loop.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    spark = wpairs.sparkSession
+    e = (
+        wpairs.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col("w").cast("bigint").alias("w"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint(eager=True)
+    nodes = sym.select("a").distinct().localCheckpoint(eager=True)
+    row = nodes.agg(F.min("a")).collect()
+    first = row[0][0] if row else None
+    if first is None:
+        return spark.createDataFrame(
+            [], "center_rank int, id bigint, cost bigint"
+        )
+    far = int(e.agg(F.max("w")).collect()[0][0]) * max_rounds + 1
+    centers = [int(first)]
+    out = [(1, int(first), 0)]
+    for rank in range(2, k + 1):
+        dist = spark.createDataFrame(
+            [(c, 0) for c in centers], "id bigint, d bigint"
+        )
+        for _ in range(max_rounds):
+            relaxed = (
+                dist.join(sym, dist["id"] == sym["a"])
+                .select(
+                    F.col("b").alias("id"),
+                    (F.col("d") + F.col("w")).alias("d"),
+                )
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.min("d").alias("d"))
+            )
+        scored = nodes.join(
+            dist.withColumnRenamed("id", "a"), "a", "left"
+        ).select(
+            "a",
+            F.coalesce(F.col("d"), F.lit(far)).cast("bigint").alias("_d"),
+        )
+        pick = (
+            scored.orderBy(F.col("_d").desc(), F.col("a").asc())
+            .limit(1)
+            .collect()
+        )
+        # cost 0 <=> the farthest node is already a center (positive
+        # costs): stop, same duplicate-landmark guard as the hop form.
+        if not pick or int(pick[0]._d) == 0:
+            break
+        centers.append(int(pick[0].a))
+        out.append((rank, int(pick[0].a), int(pick[0]._d)))
+    return spark.createDataFrame(
+        out, "center_rank int, id bigint, cost bigint"
+    )

@@ -269,6 +269,7 @@ HEADLINE = [
     "cusum_events",           # integer CUSUM mean-shift changepoints
     # --- round 11 additions ---
     "drift_alarm_docs",       # per-source CUSUM drift alarms + TVD
+    "kcenter_weighted_trade",  # distance-weighted Gonzalez landmarks
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary
@@ -297,114 +298,99 @@ HEADLINE = [
 # hard-coded, not read from BENCH_DETAIL at runtime, so child grouping is
 # stable and auditable round-over-round; re-derive with
 # tools/regen_bench_buckets.py when a query's band genuinely moves.
+# Band membership regenerated from the round-11 clean full record
+# (224/224, 0 skipped, flat calibration 2.65->2.34, one guard
+# re-measure committed) with nine borderline rows placed by isolated
+# private-JVM re-measures instead of their shared-child numbers
+# (winnow_fingerprints 7.5, set_similarity_join 6.7, dedup_containment
+# 7.3 stay in the 4-8s band; similarity_lsh 10.3, winnow_pairs 10.7,
+# doc_novelty 9.7, closeness_parts 8.2, kcenter_trade 10.3 are
+# genuinely 8-18s now; kcenter_weighted_trade 5.5 lands 4-8s).
 _BATCH10 = {
-    "drift_alarm_docs",
-    "benford_orders",
-    "tokenizer_fertility_docs",
-    "asof_purchase_click", "asof_view_next_purchase", "blocklist_report",
-    "bloom_prune_report", "bm25_search", "bpe_pair_counts",
+    "asof_purchase_click", "asof_view_next_purchase", "benford_orders",
+    "blocklist_report", "bloom_prune_report", "bpe_pair_counts",
     "budget_trim_docs", "cms_heavy_hitters", "codec_roundtrip",
-    "cohort_retention", "collocations", "connected_components_geo",
-    "contamination", "corpus_diff", "corpus_drift_tvd", "dedup_exact",
-    "dedup_exact_spans", "dedup_simhash", "degrees", "doc_chunks",
-    "doc_length_percentiles", "egress_edges", "embedding_dim_profile",
+    "cohort_retention", "collocations", "corpus_diff", "corpus_drift_tvd",
+    "cusum_events", "dedup_exact", "dedup_exact_spans", "dedup_simhash",
+    "degrees", "distinctive_terms", "doc_chunks", "doc_length_percentiles",
+    "drift_alarm_docs", "egress_edges", "embedding_dim_profile",
     "event_rate_features", "event_transitions", "event_trends",
-    "events_outliers", "events_session", "events_sliding",
-    "events_tumbling", "fd_discovery_part", "funnel_events",
-    "get_edges_filtered", "get_node", "get_nodes_filtered",
+    "events_outliers", "events_rollup_multi", "events_session",
+    "events_sliding", "events_tumbling", "fd_discovery_part",
+    "funnel_events", "get_edges_filtered", "get_node", "get_nodes_filtered",
     "gini_order_values", "gopher_quality", "graph_summary",
     "hard_negatives", "hll_distinct_events", "hll_grouped_events",
     "ingress_edges", "interval_coverage", "k_anonymity_customers",
-    "l_diversity_customers", "label_noise_knn", "lexical_diversity",
+    "l_diversity_customers", "lexical_diversity", "mad_outliers_events",
     "mixture_sample", "mixture_weights", "multimodal_meta",
-    "order_reconciliation", "paths_to_undirected", "phrase_search",
-    "pipeline_e2e", "price_qty_correlation", "profile_orders",
-    "quality_topk", "quantile_filter_docs", "range_join_clicks",
-    "redact_pii", "reorder_gaps", "rfm_quintiles", "rfm_segments",
-    "rolling_active_users", "sample_per_source", "scd2_user_state",
+    "order_reconciliation", "phrase_search", "pipeline_e2e",
+    "price_qty_correlation", "profile_orders", "quality_topk",
+    "quantile_filter_docs", "range_join_clicks", "redact_pii",
+    "reorder_gaps", "rfm_quintiles", "rfm_segments", "rolling_active_users",
+    "sample_per_source", "scd2_user_state", "semantic_decontam",
     "session_paths", "sessionize_events", "skyline_parts",
-    "source_concentration", "text_stats", "time_weighted_value",
-    "token_rarity", "topk_orders", "tpch_q1", "tpch_q11", "tpch_q14",
-    "tpch_q16", "tpch_q19", "tpch_q20", "tpch_q3", "tpch_q4", "tpch_q6",
-    "tpch_q9", "vocab_growth", "window_rank_customers", "winsorize_orders",
+    "source_concentration", "stratified_kfold_embeddings",
+    "streaming_static_join", "text_stats", "time_weighted_value",
+    "token_rarity", "tokenizer_fertility_docs", "topk_orders", "tpch_q1",
+    "tpch_q10", "tpch_q11", "tpch_q14", "tpch_q16", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q5", "tpch_q6", "tpch_q9", "vocab_growth",
+    "window_rank_customers",
 }
 _BATCH4 = {
-    "mmr_topk_embeddings",
-    "cusum_events",
-    "mad_outliers_events",
-    "stratified_kfold_embeddings",
-    "balanced_shards_docs",
-    "neighborhood_function_trade",
-    "semantic_decontam",
-    "streaming_histogram",
-    "assortativity_coorder", "basket_lift", "basket_triples",
+    "balanced_shards_docs", "basket_lift", "basket_triples", "bm25_search",
     "bowtie_trade", "brand_mixing_parts", "butterfly_count",
     "cc_incremental_geo", "coloring_geo", "concurrent_sessions",
-    "curriculum_shards", "dedup_incremental", "dedup_jaccard",
-    "distinctive_terms", "embedding_dedup_pairs", "entity_linkage_parts",
-    "equidepth_prices", "event_bursts", "events_rollup_multi",
-    "hybrid_search", "khop_features", "kmeans_ari", "kmeans_embeddings",
-    "kmeans_quality_profile", "label_path_census", "mis_geo",
-    "motif_supply_chain", "paths_to", "pq_codes", "pq_topk",
-    "quantized_topk", "retrieval_eval_bm25", "rich_club_parts",
+    "connected_components_geo", "contamination", "curriculum_shards",
+    "dedup_incremental", "dedup_jaccard", "degree_anomalies_parts",
+    "effective_diameter_trade", "embedding_dedup_pairs",
+    "entity_linkage_parts", "equidepth_prices", "event_bursts",
+    "hybrid_search", "importance_scores_docs", "khop_features",
+    "kmeans_ari", "kmeans_embeddings", "kmeans_quality_profile",
+    "label_noise_knn", "label_path_census", "label_propagation_geo",
+    "mis_geo", "mmr_topk_embeddings", "motif_supply_chain",
+    "neighborhood_function_trade", "paths_to", "paths_to_undirected",
+    "pq_codes", "pq_topk", "quantized_topk", "retrieval_eval_bm25",
     "scc_condensation_trade", "scc_event_types", "similarity_ivf",
-    "similarity_topk", "streaming_fold", "streaming_hll",
-    "streaming_running_totals", "streaming_static_join", "temporal_triples",
-    "textrank_keywords", "tpch_q10", "tpch_q18", "tpch_q2", "tpch_q21",
-    "tpch_q5",
+    "similarity_topk", "streaming_dedup", "streaming_fold",
+    "streaming_histogram", "streaming_hll", "streaming_running_totals",
+    "temporal_triples", "textrank_keywords", "tpch_q2", "tpch_q21",
+    "tpch_q3", "tpch_q4", "winsorize_orders",
 }
 _BATCH2 = {
-    # r11: the planted provable star fixture (5.8s isolated at sf0.1)
-    "dedup_minhash_keep_star",
-    "closeness_parts",
-    "clustering_coefficient",
-    "customer_similarity",
-    "dedup_containment",
-    "dedup_containment_prune",
-    "kcenter_trade",
-    "ra_link_prediction",
-    "set_similarity_join",
-    "streaming_interval_join",
-    "coverage_curve_docs",
-    "effective_diameter_trade",
-    "hyperanf_trade",
-    "onion_layers_parts",
-    "importance_scores_docs",
-    "nearest_seed_parts",
-    "cdc_chunks", "connected_components_two_phase_geo", "dag_layers_graph",
-    "dedup_minhash", "degree_anomalies_parts", "doc_novelty",
-    "eccentricity_parts", "harmonic_parts", "hits_top20", "katz_parts",
+    "assortativity_coorder", "cdc_chunks", "clique_profile_parts",
+    "clustering_coefficient", "coverage_curve_docs", "customer_similarity",
+    "dag_layers_graph", "dedup_containment", "dedup_containment_prune",
+    "dedup_minhash", "dedup_minhash_keep_star", "eccentricity_parts",
+    "hits_top20", "hyperanf_trade", "katz_parts", "kcenter_weighted_trade",
     "kcore_parts", "knn_components", "ktruss_parts",
-    "label_propagation_geo", "matching_parts", "modularity_geo",
-    "negative_edges_coorder", "ngram_diversity", "pagerank_weighted",
-    "pattern_diamond", "pattern_supply_gap", "random_walks_parts",
-    "seeded_labels_parts", "semantic_prune", "similarity_lsh",
+    "link_prediction_parts", "matching_parts", "modularity_geo",
+    "nearest_seed_parts", "ngram_diversity", "onion_layers_parts",
+    "pagerank_top20", "pagerank_weighted", "pattern_diamond",
+    "pattern_supply_gap", "ra_link_prediction", "rich_club_parts",
+    "seeded_labels_parts", "semantic_prune", "set_similarity_join",
     "source_overlap", "split_leakage_report", "sssp_weighted",
     "store_incremental_degrees", "store_incremental_topk",
-    "streaming_dedup", "triangles_coorder", "walk_skipgrams",
-    "winnow_fingerprints", "winnow_pairs", "wl_colors_parts",
+    "streaming_interval_join", "triangles_coorder", "walk_skipgrams",
+    "winnow_fingerprints", "wl_colors_parts",
 }
-
-
 _BATCH2H = {
-    # 8-18s heavies (round-10 clean isolated measures): on this host
-    # each subprocess costs ~25-35s of untimed JVM+snapshot overhead,
-    # so full isolation for EVERY >=8s query spent more wall on startup
-    # than on measurement and the budget shed the entire cheap tail
-    # (r10 run 1: 152 of 223 skipped). A 3-query child accumulates at
-    # most two heavy queries' session state -- far from the 40+-query
-    # pileup the r4 audit measured 3x distortion in, and the band-
-    # exceedance guard re-measures anything it distorts anyway;
+    # 8-18s heavies, 3-per-child: on this host each subprocess costs
+    # ~25-35s of untimed JVM+snapshot overhead, so full isolation for
+    # every >=8s query spent more wall on startup than measurement and
+    # shed the cheap tail (r10 run 1: 152 of 223 skipped); the band-
+    # exceedance guard re-measures anything a shared session distorts.
     # >=18s queries keep private JVMs.
-    "betweenness_parts", "clique_profile_parts", "coreness_parts",
-    "dedup_minhash_keep", "dedup_minhash_keep_best",
-    "dedup_policy_sweep", "dedup_recall_eval", "edge_betweenness_parts",
-    "edge_embeddedness", "fastrp_parts", "induced_subgraph_parts",
-    "link_prediction_parts", "local_clustering_parts", "node2vec_parts",
-    "node2vec_skipgrams", "pagerank_top20", "ppr_customer",
+    "betweenness_parts", "closeness_parts",
+    "connected_components_two_phase_geo", "coreness_parts",
+    "dedup_minhash_keep", "dedup_minhash_keep_best", "dedup_policy_sweep",
+    "dedup_recall_eval", "doc_novelty", "edge_betweenness_parts",
+    "edge_embeddedness", "fastrp_parts", "harmonic_parts",
+    "induced_subgraph_parts", "kcenter_trade", "local_clustering_parts",
+    "negative_edges_coorder", "node2vec_parts", "node2vec_skipgrams",
+    "ppr_customer", "random_walks_parts", "similarity_lsh",
     "store_version_diff", "store_version_summary", "streaming_cms",
-    "streaming_dedup_ingest", "streaming_session",
-    "streaming_store_sink",
+    "streaming_dedup_ingest", "streaming_session", "streaming_store_sink",
+    "winnow_pairs",
 }
 
 

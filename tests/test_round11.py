@@ -55,6 +55,54 @@ def test_stratified_kfold_null_labels_get_folds(spark):
     assert len(per) == 5 and all(r["count"] == 2 for r in per)
 
 
+# ------------------------------------- weighted k-center (new r11)
+def test_kcenter_weighted_disagrees_with_hop_metric(spark):
+    """Path 1-2-3 with a cheap long way and one expensive direct edge
+    1-4: under hops node 4 is adjacent to 1 (dist 1, never the farthest
+    pick over node 3 at dist 2); under costs the 1000-cost edge makes 4
+    the farthest node — the exact case hop-metric landmarks get wrong."""
+    from akka_graph_db_spark.operators.analytics import (
+        kcenter_landmarks,
+        kcenter_landmarks_weighted,
+    )
+
+    w = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 4, 1000)],
+        "a bigint, b bigint, w bigint",
+    )
+    got = kcenter_landmarks_weighted(w, k=2, max_rounds=4).collect()
+    assert [(r.center_rank, r.id, r.cost) for r in got] == [
+        (1, 1, 0), (2, 4, 1000)
+    ]
+    hop = kcenter_landmarks(w.select("a", "b"), k=2, max_depth=4).collect()
+    assert hop[1].id == 3                        # hop metric picks 3
+
+
+def test_kcenter_weighted_bounded_rounds_and_min_cost_edges(spark):
+    """(a) exactly max_rounds relaxations: with max_rounds=1 the cheap
+    2-edge path is invisible and the direct expensive edge wins; (b)
+    duplicate directions collapse to the MIN cost; (c) k > |V| stops
+    without duplicate landmark rows."""
+    from akka_graph_db_spark.operators.analytics import (
+        kcenter_landmarks_weighted,
+    )
+
+    w = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 100), (3, 1, 40)],
+        "a bigint, b bigint, w bigint",
+    )
+    # min-cost collapse: 1-3 edge costs 40; bounded 1 round -> cost 40
+    r1 = kcenter_landmarks_weighted(w, k=2, max_rounds=1).collect()
+    assert (r1[1].id, r1[1].cost) == (3, 40)
+    # 4 rounds: cheapest <=4-edge path 1-2-3 = 10 < 40
+    r4 = kcenter_landmarks_weighted(w, k=2, max_rounds=4).collect()
+    assert (r4[1].id, r4[1].cost) == (3, 10)
+    # k exceeding |V| stops cleanly
+    rk = kcenter_landmarks_weighted(w, k=10, max_rounds=4).collect()
+    assert len(rk) == 3
+    assert len({r.id for r in rk}) == 3
+
+
 # --------------------------- planted star fixture (VERDICT r10 #3)
 def test_keep_star_planted_fixture_survivors_are_squares(spark):
     """On the planted corpus (exact-duplicate clusters keyed by

@@ -192,6 +192,7 @@ AUDITED = [
     ("mmr_topk_embeddings", "one scored scan + k top-1 argmax picks"),
     ("cusum_events", "per-group prefix-sum window + struct argmax"),
     ("drift_alarm_docs", "CUSUM window pass + broadcast TVD grid join"),
+    ("kcenter_weighted_trade", "cost-relaxation supersteps + 1-row argmax"),
     ("dedup_minhash_keep_star", "planted star: band buckets + CC, no pairs"),
 ]
 
