@@ -7826,6 +7826,37 @@ def q_kcenter_weighted_trade(spark, sf_dir):
     ).orderBy("center_rank")
 
 
+def q_weighted_voronoi_trade(spark, sf_dir):
+    """Cheapest-hub Voronoi on the weighted trade graph
+    (analytics.weighted_nearest_seed, new r11): every nation assigned
+    to its CHEAPEST of the three smallest-id nations by total corridor
+    cost (quantity cents), exactly 4 relaxation supersteps — the
+    weighted twin of nearest_seed_parts for graphs where hop count lies
+    about proximity. Lexicographic (cost, seed) min-plus is bounded-
+    Bellman-Ford-exact, so the oracle unrolls the same 4 rounds with a
+    per-round (cost, seed) argmin; unreached nations are omitted."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_nearest_seed,
+    )
+
+    w = _trade_corridors_weighted(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    seeds = [
+        int(r.a)
+        for r in w.select(F.col("a"))
+        .unionByName(w.select(F.col("b").alias("a")))
+        .where(F.col("a").isNotNull())
+        .distinct()
+        .orderBy("a")
+        .limit(3)
+        .collect()
+    ]
+    return weighted_nearest_seed(w, seeds=seeds, max_rounds=4).orderBy(
+        "id"
+    )
+
+
 def q_drift_alarm_docs(spark, sf_dir):
     """Per-source drift alarms with changepoint localization
     (profile.drift_alarms, new r11 — VERDICT r10 #7): for each source,
@@ -7859,16 +7890,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the correctness driver certifies the FIRST 50
     # entries only. Round-11 rotation (VERDICT r10 #3 + #6): with the
     # never-certified backlog at zero, the window (a) certifies the
-    # three NEW oracles -- drift_alarm_docs (per-source CUSUM drift
-    # alarms, new r11), dedup_minhash_keep_star (the one formerly
-    # rows-only entry, now oracle-EXACT on its planted provable
-    # fixture), and kcenter_weighted_trade (distance-weighted Gonzalez,
-    # new r11) -- and (b) spends the remaining 47 slots on the OLDEST
-    # certifications: all 6 r4-era rows plus 41 of the 44 r5-era rows
-    # (their substrate has been rewritten many times since; vocabulary,
-    # weighted_sample_docs, and tpch_q3 are the three r5 rows deferred
-    # to lead the r12 window). Every window entry passed the exact
-    # local hash gate at sf0.01 this session.
+    # four NEW oracles -- drift_alarm_docs (per-source CUSUM drift
+    # alarms), dedup_minhash_keep_star (the one formerly rows-only
+    # entry, now oracle-EXACT on its planted provable fixture),
+    # kcenter_weighted_trade (distance-weighted Gonzalez), and
+    # weighted_voronoi_trade (cheapest-hub Voronoi) -- and (b) spends
+    # the remaining 46 slots on the OLDEST certifications: all 6
+    # r4-era rows plus 40 of the 44 r5-era rows (their substrate has
+    # been rewritten many times since; vocabulary, weighted_sample_docs,
+    # tpch_q3, and text_repetition are the four r5 rows deferred to
+    # lead the r12 window). Every window entry passed the exact local
+    # hash gate at sf0.01 this session.
         "drift_alarm_docs": q_drift_alarm_docs,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         "remove_edges_predicate": q_remove_edges_predicate,
@@ -7917,14 +7949,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running_totals": q_streaming_running_totals,
         "streaming_session": q_streaming_session,
         "streaming_static_join": q_streaming_static_join,
-        "text_repetition": q_text_repetition,
         "kcenter_weighted_trade": q_kcenter_weighted_trade,
+        "weighted_voronoi_trade": q_weighted_voronoi_trade,
     # --- certification window ends here (50 entries). ---
     # Certified tail: every entry below has a green driver row in
-    # CORRECTNESS_r02..r10.json. (tpch_q3 yields its window slot to the
-    # third new r11 oracle, kcenter_weighted_trade, and joins vocabulary
-    # + weighted_sample_docs at the head of the r12 rotation.)
+    # CORRECTNESS_r02..r10.json. (tpch_q3 and text_repetition yield
+    # their window slots to the new r11 oracles kcenter_weighted_trade
+    # + weighted_voronoi_trade, and join vocabulary +
+    # weighted_sample_docs at the head of the r12 rotation.)
         "tpch_q3": q_tpch_q3,
+        "text_repetition": q_text_repetition,
         "order_reconciliation": q_order_reconciliation,
         "skyline_parts": q_skyline_parts,
         "sample_per_source": q_sample_per_source,
@@ -14855,6 +14889,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, CAST((SELECT id FROM p3) AS BIGINT),
                    CAST((SELECT d FROM p3) AS BIGINT)
             ORDER BY center_rank
+        """,
+        # Weighted Voronoi: the same wsym cost relaxation, but tracking
+        # the ORIGIN seed — per-round argmin of the lexicographic
+        # (cost, seed) pair (translation-invariant, so bounded
+        # Bellman-Ford stays exact), seeds = 3 smallest node ids.
+        "weighted_voronoi_trade": """
+            WITH twe AS MATERIALIZED (
+              SELECT a, b, CAST(q * 100 AS BIGINT) AS w FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            wund AS MATERIALIZED (
+              SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MIN(w) AS w
+              FROM twe WHERE a <> b GROUP BY 1, 2
+            ),
+            wsym AS MATERIALIZED (
+              SELECT a, b, w FROM wund
+              UNION ALL SELECT b, a, w FROM wund
+            ),
+            wn AS MATERIALIZED (SELECT DISTINCT a FROM wsym),
+            sd AS MATERIALIZED (SELECT a AS id FROM wn ORDER BY a LIMIT 3),
+            v0 AS (SELECT id, CAST(0 AS BIGINT) AS d, id AS seed FROM sd),
+            v1 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v0
+                    UNION ALL
+                    SELECT wsym.b, v0.d + wsym.w, v0.seed FROM v0
+                    JOIN wsym ON wsym.a = v0.id)) WHERE rn = 1),
+            v2 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v1
+                    UNION ALL
+                    SELECT wsym.b, v1.d + wsym.w, v1.seed FROM v1
+                    JOIN wsym ON wsym.a = v1.id)) WHERE rn = 1),
+            v3 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v2
+                    UNION ALL
+                    SELECT wsym.b, v2.d + wsym.w, v2.seed FROM v2
+                    JOIN wsym ON wsym.a = v2.id)) WHERE rn = 1),
+            v4 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v3
+                    UNION ALL
+                    SELECT wsym.b, v3.d + wsym.w, v3.seed FROM v3
+                    JOIN wsym ON wsym.a = v3.id)) WHERE rn = 1)
+            SELECT CAST(v4.id AS BIGINT) AS id,
+                   CAST(v4.seed AS BIGINT) AS seed,
+                   CAST(v4.d AS BIGINT) AS cost
+            FROM v4 JOIN wn ON wn.a = v4.id
+            ORDER BY id
         """,
         # Same int64 grid quantization (ROUND half-away), same BIGINT
         # permille scoring, same (score DESC, id) greedy unrolled.

@@ -4685,6 +4685,83 @@ def kcenter_landmarks(
     )
 
 
+def weighted_nearest_seed(
+    wpairs: DataFrame,
+    seeds: "Sequence[int]",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Multi-source cheapest-cost facility labeling — the weighted twin
+    of :func:`nearest_seed`: each node reachable within ``max_rounds``
+    edges gets its CHEAPEST seed by total edge cost (seed-id tiebreak)
+    — "assign every node to its cheapest hub" on graphs where hop count
+    lies about proximity. ``wpairs`` is (a, b, w) positive integer
+    costs, canonicalized undirected with MIN cost per edge. Returns
+    (id, seed, cost); nodes unreached within the bound are omitted.
+
+    Determinism contract: the state is the lexicographic MIN (cost,
+    seed) pair, relaxed for EXACTLY ``max_rounds`` supersteps.
+    Lexicographic min-plus is still Bellman-Ford-correct (adding w to
+    both candidates preserves the (cost, seed) order), so round r holds
+    the exact min over ≤r-edge paths — a closed form the SQL oracle
+    unrolls with the same per-round (cost, seed) argmin.
+
+    Scale shape: one (id, struct) row per touched node; every seed's
+    frontier advances in the same superstep join (k seeds cost ONE
+    sweep, never k); each round is one equi-join + one
+    map-side-combinable min aggregation on the stable node key.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    seeds = [int(s) for s in seeds]
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    spark = wpairs.sparkSession
+    e = (
+        wpairs.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col("w").cast("bigint").alias("w"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint(eager=True)
+    dist = spark.createDataFrame(
+        [(s, 0, s) for s in sorted(set(seeds))],
+        "id bigint, d bigint, seed bigint",
+    )
+    for _ in range(max_rounds):
+        relaxed = dist.join(sym, dist["id"] == sym["a"]).select(
+            F.col("b").alias("id"),
+            (F.col("d") + F.col("w")).alias("d"),
+            "seed",
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(F.col("d"), F.col("seed"))
+                ).alias("_b")
+            )
+            .select(
+                "id",
+                F.col("_b.d").alias("d"),
+                F.col("_b.seed").alias("seed"),
+            )
+        )
+    # restrict to actual graph nodes: a seed id that is not a node must
+    # not mint an output row
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    return dist.join(nodes, "id").select(
+        "id", "seed", F.col("d").cast("bigint").alias("cost")
+    )
+
+
 def kcenter_landmarks_weighted(
     wpairs: DataFrame,
     k: int = 3,

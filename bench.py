@@ -270,6 +270,7 @@ HEADLINE = [
     # --- round 11 additions ---
     "drift_alarm_docs",       # per-source CUSUM drift alarms + TVD
     "kcenter_weighted_trade",  # distance-weighted Gonzalez landmarks
+    "weighted_voronoi_trade",  # cheapest-hub weighted Voronoi labeling
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary
@@ -337,6 +338,7 @@ _BATCH10 = {
     "window_rank_customers",
 }
 _BATCH4 = {
+    "weighted_voronoi_trade",
     "balanced_shards_docs", "basket_lift", "basket_triples", "bm25_search",
     "bowtie_trade", "brand_mixing_parts", "butterfly_count",
     "cc_incremental_geo", "coloring_geo", "concurrent_sessions",

@@ -103,6 +103,38 @@ def test_kcenter_weighted_bounded_rounds_and_min_cost_edges(spark):
     assert len({r.id for r in rk}) == 3
 
 
+def test_weighted_nearest_seed_hand_case(spark):
+    """Path 1-2-3-4 with w=1 each, plus expensive edge 1-4 (w=10);
+    seeds {1, 4}: node 2 -> seed 1 (cost 1); node 3 -> seed 4 (cost 1);
+    seed-id tiebreak goes to the SMALLER seed on equal cost."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_nearest_seed,
+    )
+
+    w = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10)],
+        "a bigint, b bigint, w bigint",
+    )
+    got = {
+        r.id: (r.seed, r.cost)
+        for r in weighted_nearest_seed(w, seeds=[1, 4]).collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 1), 3: (4, 1), 4: (4, 0)}
+    # equal-cost tie: node 3 with seeds {2, 4} is cost 1 from both ->
+    # smaller seed id wins
+    tie = {
+        r.id: r.seed
+        for r in weighted_nearest_seed(w, seeds=[2, 4]).collect()
+    }
+    assert tie[3] == 2
+    # a seed that is not a graph node mints no output row
+    ghost = weighted_nearest_seed(w, seeds=[99], max_rounds=2)
+    assert ghost.count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_nearest_seed(w, seeds=[])
+
+
 # --------------------------- planted star fixture (VERDICT r10 #3)
 def test_keep_star_planted_fixture_survivors_are_squares(spark):
     """On the planted corpus (exact-duplicate clusters keyed by

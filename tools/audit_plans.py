@@ -193,6 +193,7 @@ AUDITED = [
     ("cusum_events", "per-group prefix-sum window + struct argmax"),
     ("drift_alarm_docs", "CUSUM window pass + broadcast TVD grid join"),
     ("kcenter_weighted_trade", "cost-relaxation supersteps + 1-row argmax"),
+    ("weighted_voronoi_trade", "one multi-seed relaxation sweep, min-struct"),
     ("dedup_minhash_keep_star", "planted star: band buckets + CC, no pairs"),
 ]
 
