@@ -1,9 +1,11 @@
 """Round-11 regression pins: the four r10 ADVICE items + the planted-star
-keep fixture + the per-source CUSUM drift composition."""
+keep fixture + the per-source CUSUM drift composition + randomized
+invariants for the weighted-graph operators."""
 
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 
@@ -168,3 +170,144 @@ def test_coverage_curve_fixture_five_productive_rounds(spark, sf_dir):
     assert len(rows) == 5
     assert all(r.new_tokens > 0 for r in rows)
     assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+
+
+# ----------------- randomized invariants for the weighted operators
+_SPARK = {}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bind_session(spark):
+    _SPARK["s"] = spark
+
+
+wedges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _brute_bounded_cost(edge_list, seeds, max_rounds):
+    """Reference bounded Bellman-Ford with (cost, seed) lexicographic
+    min-plus, driver-side."""
+    sym = {}
+    for a, b, w in edge_list:
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        sym[key] = min(sym.get(key, w), w)
+    adj = {}
+    for (a, b), w in sym.items():
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    state = {s: (0, s) for s in seeds}
+    for _ in range(max_rounds):
+        nxt = dict(state)
+        for u, (d, sd) in state.items():
+            for v, w in adj.get(u, []):
+                cand = (d + w, sd)
+                if v not in nxt or cand < nxt[v]:
+                    nxt[v] = cand
+        state = nxt
+    nodes = set(adj)
+    return {u: v for u, v in state.items() if u in nodes}
+
+
+@settings(max_examples=6, deadline=None)
+@given(edge_list=wedges_strategy)
+def test_weighted_nearest_seed_matches_brute_force(edge_list):
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_nearest_seed,
+    )
+
+    spark = _SPARK["s"]
+    if all(a == b for a, b, _ in edge_list):
+        return  # no canonical edges -> empty graph, nothing to check
+    w = spark.createDataFrame(edge_list, "a bigint, b bigint, w bigint")
+    seeds = [1, 4]
+    got = {
+        r.id: (r.cost, r.seed)
+        for r in weighted_nearest_seed(w, seeds=seeds, max_rounds=3)
+        .collect()
+    }
+    want = _brute_bounded_cost(edge_list, seeds, max_rounds=3)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(edge_list=wedges_strategy)
+def test_kcenter_weighted_invariants(edge_list):
+    """Gonzalez invariants on random weighted graphs: rank 1 is the
+    smallest node id at cost 0; landmark ids are distinct; picked
+    costs are non-increasing from rank 2 on (the center set only
+    grows, so the farthest remaining distance can only shrink)."""
+    from akka_graph_db_spark.operators.analytics import (
+        kcenter_landmarks_weighted,
+    )
+
+    spark = _SPARK["s"]
+    if all(a == b for a, b, _ in edge_list):
+        return
+    w = spark.createDataFrame(edge_list, "a bigint, b bigint, w bigint")
+    rows = kcenter_landmarks_weighted(w, k=4, max_rounds=3).collect()
+    nodes = {a for a, b, _ in edge_list if a != b} | {
+        b for a, b, _ in edge_list if a != b
+    }
+    assert rows[0].center_rank == 1
+    assert rows[0].id == min(nodes) and rows[0].cost == 0
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids))
+    costs = [r.cost for r in rows[1:]]
+    assert all(
+        costs[i] >= costs[i + 1] for i in range(len(costs) - 1)
+    )
+    assert len(rows) <= min(4, len(nodes))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=4, max_size=12
+    )
+)
+def test_drift_alarms_matches_brute_cusum(vals):
+    """drift_alarms' changepoint columns equal a driver-side exact
+    CUSUM recompute, and the alarm flag is exactly the integer
+    mean-shift threshold test."""
+    from akka_graph_db_spark.functions.profile import drift_alarms
+
+    spark = _SPARK["s"]
+    rows = [("g", i, v) for i, v in enumerate(vals)] + [
+        ("h", i, 7) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "src string, ord bigint, v bigint")
+    out = {
+        r.src: r
+        for r in drift_alarms(
+            df, "src", "ord", "v", bin_width=64,
+            shift_alarm_micros=5_000_000,
+        ).collect()
+    }
+    n = len(vals)
+    micros = [v * 1_000_000 for v in vals]
+    sn = sum(micros)
+    best = None
+    for k in range(1, n):
+        sk = sum(micros[:k])
+        dev = abs(n * sk - k * sn)
+        if best is None or dev > best[0]:
+            best = (dev, k)
+    dev, k = best
+    g = out["g"]
+    assert (g.n, g.change_index, g.deviation) == (n, k, dev)
+    shift = dev // (k * (n - k))
+    assert g.shift_micros == shift
+    assert g.alarm == (shift >= 5_000_000)
+    # constant series: every split has deviation 0, earliest index wins
+    h = out["h"]
+    assert (h.deviation, h.change_index, h.alarm) == (0, 1, False)
