@@ -14788,9 +14788,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 2, CAST((SELECT id FROM p2) AS BIGINT),
                    CAST((SELECT d FROM p2) AS INT)
+            WHERE (SELECT d FROM p2) > 0
             UNION ALL
             SELECT 3, CAST((SELECT id FROM p3) AS BIGINT),
                    CAST((SELECT d FROM p3) AS INT)
+            WHERE (SELECT d FROM p2) > 0 AND (SELECT d FROM p3) > 0
             ORDER BY center_rank
         """,
         # Weighted farthest-first rounds: the same Gonzalez unroll with
@@ -14885,9 +14887,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 2, CAST((SELECT id FROM p2) AS BIGINT),
                    CAST((SELECT d FROM p2) AS BIGINT)
+            WHERE (SELECT d FROM p2) > 0
             UNION ALL
             SELECT 3, CAST((SELECT id FROM p3) AS BIGINT),
                    CAST((SELECT d FROM p3) AS BIGINT)
+            WHERE (SELECT d FROM p2) > 0 AND (SELECT d FROM p3) > 0
             ORDER BY center_rank
         """,
         # Weighted Voronoi: the same wsym cost relaxation, but tracking

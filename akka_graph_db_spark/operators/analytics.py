@@ -4685,6 +4685,56 @@ def kcenter_landmarks(
     )
 
 
+def _canonical_weighted(wpairs: DataFrame):
+    """Canonical undirected weighted edges: (a<b, MIN cost) plus the
+    symmetric view, both checkpointed once — the shared substrate of
+    the weighted relaxation operators."""
+    e = (
+        wpairs.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col("w").cast("bigint").alias("w"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).localCheckpoint(eager=True)
+    return e, sym
+
+
+def _weighted_relax(sym: DataFrame, seeds, max_rounds: int) -> DataFrame:
+    """Bounded Bellman-Ford over the symmetric weighted edges: exactly
+    ``max_rounds`` supersteps of the lexicographic (cost, seed)
+    min-plus relaxation (translation-invariant, so round r holds the
+    exact min over ≤r-edge paths). Returns (id, d, seed) for every
+    touched id — seeds at d = 0."""
+    dist = sym.sparkSession.createDataFrame(
+        [(s, 0, s) for s in sorted(set(seeds))],
+        "id bigint, d bigint, seed bigint",
+    )
+    for _ in range(max_rounds):
+        relaxed = dist.join(sym, dist["id"] == sym["a"]).select(
+            F.col("b").alias("id"),
+            (F.col("d") + F.col("w")).alias("d"),
+            "seed",
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min(F.struct(F.col("d"), F.col("seed"))).alias("_b"))
+            .select(
+                "id",
+                F.col("_b.d").alias("d"),
+                F.col("_b.seed").alias("seed"),
+            )
+        )
+    return dist
+
+
 def weighted_nearest_seed(
     wpairs: DataFrame,
     seeds: "Sequence[int]",
@@ -4715,45 +4765,8 @@ def weighted_nearest_seed(
     seeds = [int(s) for s in seeds]
     if not seeds:
         raise ValueError("seeds must be non-empty")
-    spark = wpairs.sparkSession
-    e = (
-        wpairs.select(
-            F.least("a", "b").alias("a"),
-            F.greatest("a", "b").alias("b"),
-            F.col("w").cast("bigint").alias("w"),
-        )
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).localCheckpoint(eager=True)
-    dist = spark.createDataFrame(
-        [(s, 0, s) for s in sorted(set(seeds))],
-        "id bigint, d bigint, seed bigint",
-    )
-    for _ in range(max_rounds):
-        relaxed = dist.join(sym, dist["id"] == sym["a"]).select(
-            F.col("b").alias("id"),
-            (F.col("d") + F.col("w")).alias("d"),
-            "seed",
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("id")
-            .agg(
-                F.min(
-                    F.struct(F.col("d"), F.col("seed"))
-                ).alias("_b")
-            )
-            .select(
-                "id",
-                F.col("_b.d").alias("d"),
-                F.col("_b.seed").alias("seed"),
-            )
-        )
+    _, sym = _canonical_weighted(wpairs)
+    dist = _weighted_relax(sym, seeds, max_rounds)
     # restrict to actual graph nodes: a seed id that is not a node must
     # not mint an output row
     nodes = sym.select(F.col("a").alias("id")).distinct()
@@ -4796,20 +4809,7 @@ def kcenter_landmarks_weighted(
     if max_rounds < 1:
         raise ValueError("max_rounds must be >= 1")
     spark = wpairs.sparkSession
-    e = (
-        wpairs.select(
-            F.least("a", "b").alias("a"),
-            F.greatest("a", "b").alias("b"),
-            F.col("w").cast("bigint").alias("w"),
-        )
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).localCheckpoint(eager=True)
+    e, sym = _canonical_weighted(wpairs)
     nodes = sym.select("a").distinct().localCheckpoint(eager=True)
     row = nodes.agg(F.min("a")).collect()
     first = row[0][0] if row else None
@@ -4821,22 +4821,10 @@ def kcenter_landmarks_weighted(
     centers = [int(first)]
     out = [(1, int(first), 0)]
     for rank in range(2, k + 1):
-        dist = spark.createDataFrame(
-            [(c, 0) for c in centers], "id bigint, d bigint"
+        # the shared (cost, seed) sweep; Gonzalez only reads the cost
+        dist = _weighted_relax(sym, centers, max_rounds).select(
+            "id", "d"
         )
-        for _ in range(max_rounds):
-            relaxed = (
-                dist.join(sym, dist["id"] == sym["a"])
-                .select(
-                    F.col("b").alias("id"),
-                    (F.col("d") + F.col("w")).alias("d"),
-                )
-            )
-            dist = (
-                dist.unionByName(relaxed)
-                .groupBy("id")
-                .agg(F.min("d").alias("d"))
-            )
         scored = nodes.join(
             dist.withColumnRenamed("id", "a"), "a", "left"
         ).select(

@@ -160,6 +160,31 @@ def test_band_guard_remeasures_exceeders_only():
     assert timings["unknown_iso_query"] == 99.0
 
 
+def test_band_guard_anchors_to_recorded_cost():
+    """A bottom-of-band query inflated 3x sits under 2x the band CAP —
+    anchored to its own recorded steady-state cost it must trigger
+    (the r10 pq_topk failure mode: 4.1s true, 17.3s committed)."""
+    some_b2 = next(iter(bench._BATCH2))   # 4-8s band, cap 8
+    timings = {some_b2: 12.6}             # < 16 (2x cap), > 8.4 (2x 4.2)
+    out = bench._band_guard(
+        timings,
+        _fake_children({some_b2: 4.3}),
+        lambda: 1000.0,
+        expected={some_b2: 4.2},
+    )
+    assert out == {some_b2: {"in_run": 12.6, "remeasure": 4.3}}
+    assert timings[some_b2] == 4.3
+    # sub-second jitter stays floored at the band cap: expected 0.3,
+    # in-run 0.8 (2.7x its record) must NOT trigger in the <1.5s band
+    some_b10 = next(iter(bench._BATCH10))
+    t2 = {some_b10: 0.8}
+    out2 = bench._band_guard(
+        t2, _fake_children({some_b10: 0.3}), lambda: 1000.0,
+        expected={some_b10: 0.3},
+    )
+    assert out2 == {} and t2[some_b10] == 0.8
+
+
 def test_band_guard_never_raises_timings_and_respects_budget():
     some_b10 = sorted(bench._BATCH10)[0]
     other_b10 = sorted(bench._BATCH10)[1]
