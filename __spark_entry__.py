@@ -7857,6 +7857,37 @@ def q_weighted_voronoi_trade(spark, sf_dir):
     )
 
 
+def q_weighted_harmonic_trade(spark, sf_dir):
+    """Weighted harmonic centrality from landmarks
+    (analytics.weighted_harmonic, new r11): per nation, Σ over the 3
+    smallest-id landmark nations of 10⁹ div bounded-cost — exact
+    integer reciprocals of the same 4-superstep Bellman-Ford closed
+    form the voronoi oracle unrolls, completing the landmark-centrality
+    family on weighted graphs (the hop form calls a node adjacent via
+    one expensive corridor central). Oracle: the per-(id, landmark)
+    min-cost unroll (GROUP BY min, no argmin collapse) summed with the
+    same floor divisions."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_harmonic,
+    )
+
+    w = _trade_corridors_weighted(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    seeds = [
+        int(r.a)
+        for r in w.select(F.col("a"))
+        .unionByName(w.select(F.col("b").alias("a")))
+        .distinct()
+        .orderBy("a")
+        .limit(3)
+        .collect()
+    ]
+    return weighted_harmonic(w, landmarks=seeds, max_rounds=4).orderBy(
+        "id"
+    )
+
+
 def q_drift_alarm_docs(spark, sf_dir):
     """Per-source drift alarms with changepoint localization
     (profile.drift_alarms, new r11 — VERDICT r10 #7): for each source,
@@ -7894,13 +7925,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # alarms), dedup_minhash_keep_star (the one formerly rows-only
     # entry, now oracle-EXACT on its planted provable fixture),
     # kcenter_weighted_trade (distance-weighted Gonzalez), and
-    # weighted_voronoi_trade (cheapest-hub Voronoi) -- and (b) spends
-    # the remaining 46 slots on the OLDEST certifications: all 6
-    # r4-era rows plus 40 of the 44 r5-era rows (their substrate has
-    # been rewritten many times since; vocabulary, weighted_sample_docs,
-    # tpch_q3, and text_repetition are the four r5 rows deferred to
-    # lead the r12 window). Every window entry passed the exact local
-    # hash gate at sf0.01 this session.
+    # weighted_voronoi_trade (cheapest-hub Voronoi), and
+    # weighted_harmonic_trade (exact-integer weighted harmonic
+    # centrality) -- and (b) spends the remaining 45 slots on the
+    # OLDEST certifications: all 6 r4-era rows plus 39 of the 44
+    # r5-era rows (their substrate has been rewritten many times
+    # since; vocabulary, weighted_sample_docs, tpch_q3,
+    # text_repetition, and salted_join_orders are the five r5 rows
+    # deferred to lead the r12 window). Every window entry passed the
+    # exact local hash gate at sf0.01 this session.
         "drift_alarm_docs": q_drift_alarm_docs,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         "remove_edges_predicate": q_remove_edges_predicate,
@@ -7939,7 +7972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "range_join_clicks": q_range_join_clicks,
         "redact_pii": q_redact_pii,
-        "salted_join_orders": q_salted_join_orders,
+        "weighted_harmonic_trade": q_weighted_harmonic_trade,
         "sql_interface": q_sql_interface,
         "store_time_travel": q_store_time_travel,
         "stratified_sample": q_stratified_sample,
@@ -7953,12 +7986,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_voronoi_trade": q_weighted_voronoi_trade,
     # --- certification window ends here (50 entries). ---
     # Certified tail: every entry below has a green driver row in
-    # CORRECTNESS_r02..r10.json. (tpch_q3 and text_repetition yield
-    # their window slots to the new r11 oracles kcenter_weighted_trade
-    # + weighted_voronoi_trade, and join vocabulary +
+    # CORRECTNESS_r02..r10.json. (tpch_q3, text_repetition, and
+    # salted_join_orders yield their window slots to the new r11
+    # oracles kcenter_weighted_trade + weighted_voronoi_trade +
+    # weighted_harmonic_trade, and join vocabulary +
     # weighted_sample_docs at the head of the r12 rotation.)
         "tpch_q3": q_tpch_q3,
         "text_repetition": q_text_repetition,
+        "salted_join_orders": q_salted_join_orders,
         "order_reconciliation": q_order_reconciliation,
         "skyline_parts": q_skyline_parts,
         "sample_per_source": q_sample_per_source,
@@ -14959,6 +14994,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(v4.d AS BIGINT) AS cost
             FROM v4 JOIN wn ON wn.a = v4.id
             ORDER BY id
+        """,
+        # Weighted harmonic from landmarks: the same bounded relaxation
+        # kept PER (id, landmark) — each round is a plain GROUP BY MIN,
+        # no argmin collapse — then exact integer reciprocals
+        # 10^9 // cost summed per node (cost 0 self terms excluded).
+        "weighted_harmonic_trade": """
+            WITH twe AS MATERIALIZED (
+              SELECT a, b, CAST(q * 100 AS BIGINT) AS w FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            wund AS MATERIALIZED (
+              SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MIN(w) AS w
+              FROM twe WHERE a <> b GROUP BY 1, 2
+            ),
+            wsym AS MATERIALIZED (
+              SELECT a, b, w FROM wund
+              UNION ALL SELECT b, a, w FROM wund
+            ),
+            wn AS MATERIALIZED (SELECT DISTINCT a FROM wsym),
+            sd AS MATERIALIZED (SELECT a AS id FROM wn ORDER BY a LIMIT 3),
+            h0 AS (SELECT id, id AS lm, CAST(0 AS BIGINT) AS d FROM sd),
+            h1 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h0
+              UNION ALL
+              SELECT wsym.b, h0.lm, h0.d + wsym.w FROM h0
+              JOIN wsym ON wsym.a = h0.id) GROUP BY 1, 2),
+            h2 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h1
+              UNION ALL
+              SELECT wsym.b, h1.lm, h1.d + wsym.w FROM h1
+              JOIN wsym ON wsym.a = h1.id) GROUP BY 1, 2),
+            h3 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h2
+              UNION ALL
+              SELECT wsym.b, h2.lm, h2.d + wsym.w FROM h2
+              JOIN wsym ON wsym.a = h2.id) GROUP BY 1, 2),
+            h4 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h3
+              UNION ALL
+              SELECT wsym.b, h3.lm, h3.d + wsym.w FROM h3
+              JOIN wsym ON wsym.a = h3.id) GROUP BY 1, 2)
+            SELECT CAST(h4.id AS BIGINT) AS id,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(1000000000 // h4.d) AS BIGINT) AS h_ppb
+            FROM h4 JOIN wn ON wn.a = h4.id
+            WHERE h4.d > 0
+            GROUP BY 1 ORDER BY 1
         """,
         # Same int64 grid quantization (ROUND half-away), same BIGINT
         # permille scoring, same (score DESC, id) greedy unrolled.

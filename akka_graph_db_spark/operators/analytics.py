@@ -4775,6 +4775,80 @@ def weighted_nearest_seed(
     )
 
 
+def weighted_landmark_costs(
+    wpairs: DataFrame,
+    landmarks: "Sequence[int]",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Per-landmark bounded cheapest costs — the weighted twin of
+    :func:`landmark_hop_distances`: (id, landmark, cost) for every
+    (node, landmark) pair within ``max_rounds`` edges, cost = exact min
+    total edge cost over ≤max_rounds-edge paths (plain Bellman-Ford per
+    landmark, all landmarks advancing in the SAME superstep join — the
+    state is keyed (id, landmark), so k landmarks cost one sweep with
+    k× state, never k sweeps). The substrate for weighted sampled
+    centralities; :func:`weighted_nearest_seed` is its argmin.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    landmarks = sorted({int(s) for s in landmarks})
+    if not landmarks:
+        raise ValueError("landmarks must be non-empty")
+    _, sym = _canonical_weighted(wpairs)
+    state = sym.sparkSession.createDataFrame(
+        [(s, s, 0) for s in landmarks],
+        "id bigint, landmark bigint, d bigint",
+    )
+    for _ in range(max_rounds):
+        relaxed = state.join(sym, state["id"] == sym["a"]).select(
+            F.col("b").alias("id"),
+            "landmark",
+            (F.col("d") + F.col("w")).alias("d"),
+        )
+        state = (
+            state.unionByName(relaxed)
+            .groupBy("id", "landmark")
+            .agg(F.min("d").alias("d"))
+        )
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    return state.join(nodes, "id").select(
+        "id", "landmark", F.col("d").cast("bigint").alias("cost")
+    )
+
+
+def weighted_harmonic(
+    wpairs: DataFrame,
+    landmarks: "Sequence[int]",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Weighted harmonic centrality estimate from a landmark sample
+    (Eppstein-Wang under the edge-cost metric): per node, the sum of
+    reciprocal bounded costs to the landmarks — in EXACT integers,
+    h_ppb = Σ_l (10^9 div cost(l, node)) over landmarks with cost > 0
+    (the node-is-landmark 1/0 term is excluded; nodes reaching no
+    landmark are omitted). The hop-metric ``harmonic_parts`` ranks a
+    node adjacent via one expensive edge as central; this is the form
+    that doesn't. Returns (id, n_reached, h_ppb).
+
+    Scale shape: one :func:`weighted_landmark_costs` sweep (state
+    |touched| × |landmarks| rows, one equi-join + one min agg per
+    superstep) + one map-side-combinable groupBy; the reciprocals are
+    integer floor divisions, so any engine reproduces the scores
+    bit-for-bit.
+    """
+    c = weighted_landmark_costs(wpairs, landmarks, max_rounds)
+    return (
+        c.where(F.col("cost") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum(F.expr("1000000000 div cost"))
+            .cast("bigint")
+            .alias("h_ppb"),
+        )
+    )
+
+
 def kcenter_landmarks_weighted(
     wpairs: DataFrame,
     k: int = 3,

@@ -271,6 +271,7 @@ HEADLINE = [
     "drift_alarm_docs",       # per-source CUSUM drift alarms + TVD
     "kcenter_weighted_trade",  # distance-weighted Gonzalez landmarks
     "weighted_voronoi_trade",  # cheapest-hub weighted Voronoi labeling
+    "weighted_harmonic_trade",  # exact-integer weighted harmonic centrality
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary
@@ -308,7 +309,8 @@ HEADLINE = [
 # doc_novelty 9.7, closeness_parts 8.2, kcenter_trade 10.3 are
 # genuinely 8-18s now; the two queries newer than the record were
 # placed by the same isolated measures: kcenter_weighted_trade 5.5
-# lands 4-8s, weighted_voronoi_trade 3.7 lands 1.5-4s).
+# lands 4-8s, weighted_voronoi_trade 3.7 and weighted_harmonic_trade
+# 3.1 land 1.5-4s).
 _BATCH10 = {
     "asof_purchase_click", "asof_view_next_purchase", "benford_orders",
     "blocklist_report", "bloom_prune_report", "bpe_pair_counts",
@@ -341,6 +343,7 @@ _BATCH10 = {
 }
 _BATCH4 = {
     "weighted_voronoi_trade",
+    "weighted_harmonic_trade",
     "balanced_shards_docs", "basket_lift", "basket_triples", "bm25_search",
     "bowtie_trade", "brand_mixing_parts", "butterfly_count",
     "cc_incremental_geo", "coloring_geo", "concurrent_sessions",

@@ -137,6 +137,39 @@ def test_weighted_nearest_seed_hand_case(spark):
         weighted_nearest_seed(w, seeds=[])
 
 
+def test_weighted_harmonic_hand_case_and_voronoi_consistency(spark):
+    """Path 1-2-3 (w=4 each): from landmarks {1, 3}, node 2 scores
+    10^9//4 twice; node 1 scores 10^9//8 (to 3) — self term excluded.
+    And min-over-landmarks of weighted_landmark_costs must equal the
+    weighted_nearest_seed cost for every node."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_harmonic,
+        weighted_landmark_costs,
+        weighted_nearest_seed,
+    )
+
+    w = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 4)], "a bigint, b bigint, w bigint"
+    )
+    got = {
+        r.id: (r.n_reached, r.h_ppb)
+        for r in weighted_harmonic(w, landmarks=[1, 3]).collect()
+    }
+    assert got[2] == (2, 2 * (10**9 // 4))
+    assert got[1] == (1, 10**9 // 8)
+    assert got[3] == (1, 10**9 // 8)
+    costs = weighted_landmark_costs(w, landmarks=[1, 3]).collect()
+    mins = {}
+    for r in costs:
+        if r.id not in mins or (r.cost, r.landmark) < mins[r.id]:
+            mins[r.id] = (r.cost, r.landmark)
+    voro = {
+        r.id: (r.cost, r.seed)
+        for r in weighted_nearest_seed(w, seeds=[1, 3]).collect()
+    }
+    assert mins == voro
+
+
 # --------------------------- planted star fixture (VERDICT r10 #3)
 def test_keep_star_planted_fixture_survivors_are_squares(spark):
     """On the planted corpus (exact-duplicate clusters keyed by

@@ -194,6 +194,7 @@ AUDITED = [
     ("drift_alarm_docs", "CUSUM window pass + broadcast TVD grid join"),
     ("kcenter_weighted_trade", "cost-relaxation supersteps + 1-row argmax"),
     ("weighted_voronoi_trade", "one multi-seed relaxation sweep, min-struct"),
+    ("weighted_harmonic_trade", "per-landmark relax + integer reciprocal agg"),
     ("dedup_minhash_keep_star", "planted star: band buckets + CC, no pairs"),
 ]
 
