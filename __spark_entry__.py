@@ -7888,6 +7888,92 @@ def q_weighted_harmonic_trade(spark, sf_dir):
     )
 
 
+def _trade_landmark_seeds(spark, sf_dir):
+    """The 3 smallest-id nations on the weighted trade graph, plus the
+    checkpointed corridor frame — the shared seed pick of the weighted
+    landmark-centrality queries (voronoi/harmonic/ecc/closeness/
+    effdiam all sample the SAME landmarks so their substrate sweeps
+    are comparable)."""
+    w = _trade_corridors_weighted(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    seeds = [
+        int(r.a)
+        for r in w.select(F.col("a"))
+        .unionByName(w.select(F.col("b").alias("a")))
+        .distinct()
+        .orderBy("a")
+        .limit(3)
+        .collect()
+    ]
+    return w, seeds
+
+
+def q_weighted_ecc_trade(spark, sf_dir):
+    """Weighted bounded eccentricity from landmarks
+    (analytics.weighted_eccentricity, new r12 — VERDICT r11 #4): per
+    nation, the MAX bounded cheapest cost to any of the 3 smallest-id
+    landmark nations (corridor quantity cents, 4 Bellman-Ford
+    supersteps) — the per-node weighted diameter lower bound, exact
+    BIGINT. Completes the landmark-centrality family's weighted twins
+    alongside harmonic (r11): same certified weighted_landmark_costs
+    substrate, one extra MAX/COUNT aggregation. Oracle: the h0..h4
+    per-(id, landmark) min-cost unroll with MAX/COUNT (self cost-0
+    rows INCLUDED in n_reached — they never move the max)."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_eccentricity,
+    )
+
+    w, seeds = _trade_landmark_seeds(spark, sf_dir)
+    return weighted_eccentricity(
+        w, landmarks=seeds, max_rounds=4
+    ).orderBy("id")
+
+
+def q_weighted_closeness_trade(spark, sf_dir):
+    """Weighted bounded closeness from landmarks
+    (analytics.weighted_closeness, new r12 — VERDICT r11 #4): per
+    nation, c_ppb = (n_reached · 10⁹) div Σ bounded cost to the 3
+    smallest-id landmark nations — the reciprocal-mean-distance
+    estimator (Eppstein-Wang) under the corridor cost metric, in EXACT
+    integer floor division (the hop-form closeness_parts rounds one
+    IEEE divide; the weighted twin needs no float at all). Self cost-0
+    pairs excluded, matching weighted_harmonic. Oracle: the same
+    h0..h4 unroll with SUM/COUNT and the identical BIGINT division."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_closeness,
+    )
+
+    w, seeds = _trade_landmark_seeds(spark, sf_dir)
+    return weighted_closeness(
+        w, landmarks=seeds, max_rounds=4
+    ).orderBy("id")
+
+
+def q_weighted_effdiam_trade(spark, sf_dir):
+    """Weighted effective diameter of the trade graph
+    (analytics.weighted_effective_diameter, new r12 — VERDICT r11 #4):
+    the 90% interpolated quantile of the bounded (nation, landmark)
+    cost distribution — "90% of sampled reachable pairs sit within
+    this total corridor cost" — the edge-cost twin of
+    effective_diameter_trade's hop form, exact ppm integers
+    (interpolation = the hop formula with the unit radius gap
+    generalized to the cost gap between adjacent distinct costs).
+    Plan: the certified substrate sweep + a distributed global_rank
+    order-statistic pick + one bounded interpolation aggregate —
+    never a single-partition sort. Oracle: the h0..h4 unroll, the
+    ⌈0.9·n⌉-th smallest cost by window rank, and the same integer
+    interpolation."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_effective_diameter,
+    )
+
+    w, seeds = _trade_landmark_seeds(spark, sf_dir)
+    return weighted_effective_diameter(
+        w, landmarks=seeds, max_rounds=4, fraction_ppm=900000
+    )
+
+
 def q_drift_alarm_docs(spark, sf_dir):
     """Per-source drift alarms with changepoint localization
     (profile.drift_alarms, new r11 — VERDICT r10 #7): for each source,
@@ -7919,21 +8005,73 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
-    # entries only. Round-11 rotation (VERDICT r10 #3 + #6): with the
-    # never-certified backlog at zero, the window (a) certifies the
-    # four NEW oracles -- drift_alarm_docs (per-source CUSUM drift
-    # alarms), dedup_minhash_keep_star (the one formerly rows-only
-    # entry, now oracle-EXACT on its planted provable fixture),
-    # kcenter_weighted_trade (distance-weighted Gonzalez), and
-    # weighted_voronoi_trade (cheapest-hub Voronoi), and
-    # weighted_harmonic_trade (exact-integer weighted harmonic
-    # centrality) -- and (b) spends the remaining 45 slots on the
-    # OLDEST certifications: all 6 r4-era rows plus 39 of the 44
-    # r5-era rows (their substrate has been rewritten many times
-    # since; vocabulary, weighted_sample_docs, tpch_q3,
-    # text_repetition, and salted_join_orders are the five r5 rows
-    # deferred to lead the r12 window). Every window entry passed the
-    # exact local hash gate at sf0.01 this session.
+    # entries only. Round-12 rotation (VERDICT r11 #1 + #4): the window
+    # (a) certifies the THREE new oracles -- weighted_ecc_trade,
+    # weighted_closeness_trade, and weighted_effdiam_trade (the
+    # weighted landmark-centrality family completed on the certified
+    # weighted_landmark_costs substrate), (b) drains the five-query
+    # deferred queue from r11 (vocabulary, weighted_sample_docs,
+    # tpch_q3, text_repetition, salted_join_orders -- the r5-era rows
+    # that yielded their slots to the r11 oracles), and (c) spends the
+    # remaining 42 slots on the OLDEST surviving certifications: 41
+    # r6-era rows plus the single oldest r7 row (min-age-maximizing,
+    # ages recomputed from CORRECTNESS_r02..r11.json this session).
+    # Every window entry passed the exact local hash gate at sf0.01
+    # this session.
+        "weighted_ecc_trade": q_weighted_ecc_trade,
+        "weighted_closeness_trade": q_weighted_closeness_trade,
+        "weighted_effdiam_trade": q_weighted_effdiam_trade,
+        "vocabulary": q_vocabulary,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "tpch_q3": q_tpch_q3,
+        "text_repetition": q_text_repetition,
+        "salted_join_orders": q_salted_join_orders,
+        "pack_chunks": q_pack_chunks,
+        "tpch_q5": q_tpch_q5,
+        "assortativity_coorder": q_assortativity_coorder,
+        "pagerank_weighted": q_pagerank_weighted,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "curriculum_shards": q_curriculum_shards,
+        "graph_summary": q_graph_summary,
+        "cdc_chunks": q_cdc_chunks,
+        "collocations": q_collocations,
+        "kmeans_quality_profile": q_kmeans_quality_profile,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
+        "mixture_weights": q_mixture_weights,
+        "mixture_sample": q_mixture_sample,
+        "streaming_store_sink": q_streaming_store_sink,
+        "modularity_geo": q_modularity_geo,
+        "ktruss_parts": q_ktruss_parts,
+        "token_rarity": q_token_rarity,
+        "dedup_incremental": q_dedup_incremental,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
+        "engagement_decay": q_engagement_decay,
+        "embedding_outliers": q_embedding_outliers,
+        "customer_similarity": q_customer_similarity,
+        "butterfly_count": q_butterfly_count,
+        "orc_roundtrip": q_orc_roundtrip,
+        "skew_report_parts": q_skew_report_parts,
+        "zorder_customers": q_zorder_customers,
+        "store_incremental_counts": q_store_incremental_counts,
+        "recency_histogram": q_recency_histogram,
+        "order_intervals": q_order_intervals,
+        "activity_heatmap": q_activity_heatmap,
+        "revenue_concentration": q_revenue_concentration,
+        "conversion_latency": q_conversion_latency,
+        "weekly_revenue_growth": q_weekly_revenue_growth,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+    # --- certification window ends here (50 entries). ---
+    # Certified tail: every entry below has a green driver row in
+    # CORRECTNESS_r02..r11.json (cumulative union 286/286 green before
+    # this round's three additions).
         "drift_alarm_docs": q_drift_alarm_docs,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         "remove_edges_predicate": q_remove_edges_predicate,
@@ -7984,16 +8122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_static_join": q_streaming_static_join,
         "kcenter_weighted_trade": q_kcenter_weighted_trade,
         "weighted_voronoi_trade": q_weighted_voronoi_trade,
-    # --- certification window ends here (50 entries). ---
-    # Certified tail: every entry below has a green driver row in
-    # CORRECTNESS_r02..r10.json. (tpch_q3, text_repetition, and
-    # salted_join_orders yield their window slots to the new r11
-    # oracles kcenter_weighted_trade + weighted_voronoi_trade +
-    # weighted_harmonic_trade, and join vocabulary +
-    # weighted_sample_docs at the head of the r12 rotation.)
-        "tpch_q3": q_tpch_q3,
-        "text_repetition": q_text_repetition,
-        "salted_join_orders": q_salted_join_orders,
         "order_reconciliation": q_order_reconciliation,
         "skyline_parts": q_skyline_parts,
         "sample_per_source": q_sample_per_source,
@@ -8135,7 +8263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_node_merge": q_update_node_merge,
         "update_edge_merge": q_update_edge_merge,
         "remove_node_cascade": q_remove_node_cascade,
-        "tpch_q8": q_tpch_q8,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
@@ -8184,49 +8311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
-        "pack_chunks": q_pack_chunks,
-        "tpch_q5": q_tpch_q5,
-        "assortativity_coorder": q_assortativity_coorder,
-        "pagerank_weighted": q_pagerank_weighted,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "curriculum_shards": q_curriculum_shards,
-        "graph_summary": q_graph_summary,
-        "cdc_chunks": q_cdc_chunks,
-        "collocations": q_collocations,
-        "kmeans_quality_profile": q_kmeans_quality_profile,
-        "tpch_q4": q_tpch_q4,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q16": q_tpch_q16,
-        "tpch_q18": q_tpch_q18,
-        "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
-        "mixture_weights": q_mixture_weights,
-        "mixture_sample": q_mixture_sample,
-        "streaming_store_sink": q_streaming_store_sink,
-        "modularity_geo": q_modularity_geo,
-        "ktruss_parts": q_ktruss_parts,
-        "token_rarity": q_token_rarity,
-        "dedup_incremental": q_dedup_incremental,
-        "dup_cluster_histogram": q_dup_cluster_histogram,
-        "engagement_decay": q_engagement_decay,
-        "embedding_outliers": q_embedding_outliers,
-        "customer_similarity": q_customer_similarity,
-        "butterfly_count": q_butterfly_count,
-        "orc_roundtrip": q_orc_roundtrip,
-        "skew_report_parts": q_skew_report_parts,
-        "zorder_customers": q_zorder_customers,
-        "store_incremental_counts": q_store_incremental_counts,
-        "recency_histogram": q_recency_histogram,
-        "order_intervals": q_order_intervals,
-        "activity_heatmap": q_activity_heatmap,
-        "revenue_concentration": q_revenue_concentration,
-        "conversion_latency": q_conversion_latency,
-        "weekly_revenue_growth": q_weekly_revenue_growth,
-        "tpch_q7": q_tpch_q7,
-        "vocabulary": q_vocabulary,
-        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -15049,6 +15133,195 @@ def oracle_sql() -> dict[str, str]:
             FROM h4 JOIN wn ON wn.a = h4.id
             WHERE h4.d > 0
             GROUP BY 1 ORDER BY 1
+        """,
+        # Weighted eccentricity: the same per-(id, landmark) bounded
+        # min-cost unroll, MAX over landmarks (self cost-0 rows counted
+        # in n_reached — they never move the max).
+        "weighted_ecc_trade": """
+            WITH twe AS MATERIALIZED (
+              SELECT a, b, CAST(q * 100 AS BIGINT) AS w FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            wund AS MATERIALIZED (
+              SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MIN(w) AS w
+              FROM twe WHERE a <> b GROUP BY 1, 2
+            ),
+            wsym AS MATERIALIZED (
+              SELECT a, b, w FROM wund
+              UNION ALL SELECT b, a, w FROM wund
+            ),
+            wn AS MATERIALIZED (SELECT DISTINCT a FROM wsym),
+            sd AS MATERIALIZED (SELECT a AS id FROM wn ORDER BY a LIMIT 3),
+            h0 AS (SELECT id, id AS lm, CAST(0 AS BIGINT) AS d FROM sd),
+            h1 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h0
+              UNION ALL
+              SELECT wsym.b, h0.lm, h0.d + wsym.w FROM h0
+              JOIN wsym ON wsym.a = h0.id) GROUP BY 1, 2),
+            h2 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h1
+              UNION ALL
+              SELECT wsym.b, h1.lm, h1.d + wsym.w FROM h1
+              JOIN wsym ON wsym.a = h1.id) GROUP BY 1, 2),
+            h3 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h2
+              UNION ALL
+              SELECT wsym.b, h2.lm, h2.d + wsym.w FROM h2
+              JOIN wsym ON wsym.a = h2.id) GROUP BY 1, 2),
+            h4 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h3
+              UNION ALL
+              SELECT wsym.b, h3.lm, h3.d + wsym.w FROM h3
+              JOIN wsym ON wsym.a = h3.id) GROUP BY 1, 2)
+            SELECT CAST(h4.id AS BIGINT) AS id,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(MAX(h4.d) AS BIGINT) AS ecc_lb
+            FROM h4 JOIN wn ON wn.a = h4.id
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Weighted closeness: SUM over landmarks at cost > 0, then the
+        # identical (n_reached * 1e9) // sum_cost BIGINT floor division.
+        "weighted_closeness_trade": """
+            WITH twe AS MATERIALIZED (
+              SELECT a, b, CAST(q * 100 AS BIGINT) AS w FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            wund AS MATERIALIZED (
+              SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MIN(w) AS w
+              FROM twe WHERE a <> b GROUP BY 1, 2
+            ),
+            wsym AS MATERIALIZED (
+              SELECT a, b, w FROM wund
+              UNION ALL SELECT b, a, w FROM wund
+            ),
+            wn AS MATERIALIZED (SELECT DISTINCT a FROM wsym),
+            sd AS MATERIALIZED (SELECT a AS id FROM wn ORDER BY a LIMIT 3),
+            h0 AS (SELECT id, id AS lm, CAST(0 AS BIGINT) AS d FROM sd),
+            h1 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h0
+              UNION ALL
+              SELECT wsym.b, h0.lm, h0.d + wsym.w FROM h0
+              JOIN wsym ON wsym.a = h0.id) GROUP BY 1, 2),
+            h2 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h1
+              UNION ALL
+              SELECT wsym.b, h1.lm, h1.d + wsym.w FROM h1
+              JOIN wsym ON wsym.a = h1.id) GROUP BY 1, 2),
+            h3 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h2
+              UNION ALL
+              SELECT wsym.b, h2.lm, h2.d + wsym.w FROM h2
+              JOIN wsym ON wsym.a = h2.id) GROUP BY 1, 2),
+            h4 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h3
+              UNION ALL
+              SELECT wsym.b, h3.lm, h3.d + wsym.w FROM h3
+              JOIN wsym ON wsym.a = h3.id) GROUP BY 1, 2)
+            SELECT CAST(h4.id AS BIGINT) AS id,
+                   CAST(COUNT(*) AS BIGINT) AS n_reached,
+                   CAST(SUM(h4.d) AS BIGINT) AS sum_cost,
+                   CAST((COUNT(*) * 1000000000) // SUM(h4.d) AS BIGINT)
+                     AS c_ppb
+            FROM h4 JOIN wn ON wn.a = h4.id
+            WHERE h4.d > 0
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Weighted effective diameter: the ceil(0.9*n)-th smallest
+        # bounded cost by window rank (self cost-0 pairs included, as
+        # the hop form counts its dist-0 pairs in N(0)), interpolated
+        # between adjacent distinct costs with the same exact-BIGINT
+        # formula: cp*1e6 + (hd-cp)*(ppm*n - cumprev*1e6) // cnt_hit.
+        "weighted_effdiam_trade": """
+            WITH twe AS MATERIALIZED (
+              SELECT a, b, CAST(q * 100 AS BIGINT) AS w FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            wund AS MATERIALIZED (
+              SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MIN(w) AS w
+              FROM twe WHERE a <> b GROUP BY 1, 2
+            ),
+            wsym AS MATERIALIZED (
+              SELECT a, b, w FROM wund
+              UNION ALL SELECT b, a, w FROM wund
+            ),
+            wn AS MATERIALIZED (SELECT DISTINCT a FROM wsym),
+            sd AS MATERIALIZED (SELECT a AS id FROM wn ORDER BY a LIMIT 3),
+            h0 AS (SELECT id, id AS lm, CAST(0 AS BIGINT) AS d FROM sd),
+            h1 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h0
+              UNION ALL
+              SELECT wsym.b, h0.lm, h0.d + wsym.w FROM h0
+              JOIN wsym ON wsym.a = h0.id) GROUP BY 1, 2),
+            h2 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h1
+              UNION ALL
+              SELECT wsym.b, h1.lm, h1.d + wsym.w FROM h1
+              JOIN wsym ON wsym.a = h1.id) GROUP BY 1, 2),
+            h3 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h2
+              UNION ALL
+              SELECT wsym.b, h2.lm, h2.d + wsym.w FROM h2
+              JOIN wsym ON wsym.a = h2.id) GROUP BY 1, 2),
+            h4 AS (SELECT id, lm, MIN(d) AS d FROM (
+              SELECT id, lm, d FROM h3
+              UNION ALL
+              SELECT wsym.b, h3.lm, h3.d + wsym.w FROM h3
+              JOIN wsym ON wsym.a = h3.id) GROUP BY 1, 2),
+            costs AS MATERIALIZED (
+              SELECT h4.d AS d, h4.id AS id, h4.lm AS lm
+              FROM h4 JOIN wn ON wn.a = h4.id
+            ),
+            tot AS (SELECT COUNT(*) AS n, MAX(d) AS mx FROM costs),
+            hit AS (
+              SELECT d AS hd FROM (
+                SELECT d,
+                       ROW_NUMBER() OVER (ORDER BY d, id, lm) AS rn
+                FROM costs)
+              WHERE rn = (SELECT (900000 * n + 999999) // 1000000
+                          FROM tot)
+            ),
+            itp AS (
+              SELECT COALESCE(MAX(CASE WHEN d < (SELECT hd FROM hit)
+                                       THEN d END), 0) AS cp,
+                     SUM(CASE WHEN d < (SELECT hd FROM hit)
+                              THEN 1 ELSE 0 END) AS cumprev,
+                     SUM(CASE WHEN d = (SELECT hd FROM hit)
+                              THEN 1 ELSE 0 END) AS cnth
+              FROM costs
+            )
+            SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_pairs,
+                   CAST((SELECT mx FROM tot) AS BIGINT) AS max_cost,
+                   CAST(cp * 1000000
+                        + (((SELECT hd FROM hit) - cp)
+                           * (900000 * (SELECT n FROM tot)
+                              - cumprev * 1000000)) // cnth
+                        AS BIGINT) AS eff_cost_ppm
+            FROM itp
+            WHERE cnth IS NOT NULL AND cnth > 0
         """,
         # Same int64 grid quantization (ROUND half-away), same BIGINT
         # permille scoring, same (score DESC, id) greedy unrolled.

@@ -97,10 +97,24 @@ def drift_tvd(
     bins = b.groupBy("bin").agg(F.count(F.lit(1)).alias("tot"))
     groups = b.groupBy("grp").agg(F.count(F.lit(1)).alias("n_group"))
     grand = b.agg(F.count(F.lit(1)).alias("n_all"))
+    # eqNullSafe on both keys: a NULL group (or a NULL-value bin) is a
+    # real histogram cell on both sides — a plain equi-join would charge
+    # the NULL group ZERO of its own observations and fold them all into
+    # "rest", silently inflating its TVD (ADVICE r11 failure class).
     grid = (
         groups.crossJoin(F.broadcast(bins))
         .crossJoin(F.broadcast(grand))
-        .join(counts, ["grp", "bin"], "left")
+        .join(
+            counts.select(
+                F.col("grp").alias("_c_grp"),
+                F.col("bin").alias("_c_bin"),
+                "o",
+            ),
+            F.col("grp").eqNullSafe(F.col("_c_grp"))
+            & F.col("bin").eqNullSafe(F.col("_c_bin")),
+            "left",
+        )
+        .drop("_c_grp", "_c_bin")
         .withColumn("o", F.coalesce("o", F.lit(0)))
         .withColumn("r", F.col("tot") - F.col("o"))
         .withColumn("n_rest", F.col("n_all") - F.col("n_group"))
@@ -176,10 +190,17 @@ def drift_alarms(
     )
     shift = F.expr("deviation div (change_index * (n - change_index))")
     tv = drift_tvd(df, group_col, value_col, bin_width).select(
-        group_col, "n_rest", "tvd_num", "tvd"
+        F.col(group_col).alias("_tv_group"), "n_rest", "tvd_num", "tvd"
     )
+    # eqNullSafe: a NULL group is a real group on both sides (CUSUM and
+    # TVD both emit it) — a plain equi-join would silently drop it from
+    # the report, the exact failure class the stratified_kfold NULL-label
+    # fix closed (ADVICE r11).
     return (
-        cp.join(F.broadcast(tv), group_col)
+        cp.join(
+            F.broadcast(tv),
+            F.col(group_col).eqNullSafe(F.col("_tv_group")),
+        )
         .select(
             group_col,
             "n",

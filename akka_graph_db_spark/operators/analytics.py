@@ -4849,6 +4849,156 @@ def weighted_harmonic(
     )
 
 
+def weighted_eccentricity(
+    wpairs: DataFrame,
+    landmarks: "Sequence[int]",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Weighted bounded eccentricity from a landmark sample — the
+    edge-cost twin of the hop-metric landmark eccentricity (same
+    Eppstein-Wang landmark-sampling substrate): per node, the MAX
+    bounded cheapest cost to any landmark it reaches within
+    ``max_rounds`` edges, a lower bound on the node's true weighted
+    eccentricity (more landmarks → tighter; exact when landmarks = all
+    nodes and max_rounds ≥ |V|−1). Returns (id, n_reached, ecc_lb) in
+    exact BIGINT; ``n_reached`` counts all (node, landmark) pairs
+    within the bound INCLUDING the node-is-landmark cost-0 self pair
+    (which never moves the max). Nodes reaching no landmark are
+    omitted.
+
+    Scale shape: one :func:`weighted_landmark_costs` sweep (all
+    landmarks advance in the same superstep join, state |touched| ×
+    |landmarks| rows) + one map-side-combinable groupBy MAX/COUNT —
+    nothing data-sized after the sweep, no windows, no collects.
+    """
+    c = weighted_landmark_costs(wpairs, landmarks, max_rounds)
+    return c.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.max("cost").cast("bigint").alias("ecc_lb"),
+    )
+
+
+def weighted_closeness(
+    wpairs: DataFrame,
+    landmarks: "Sequence[int]",
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Weighted bounded closeness centrality from a landmark sample —
+    the edge-cost twin of the hop-metric sampled closeness (reciprocal
+    mean landmark distance, Eppstein-Wang): per node, c_ppb =
+    (n_reached · 10⁹) div Σ cost over the landmarks reached at cost > 0
+    within ``max_rounds`` edges (the self pair is excluded, matching
+    :func:`weighted_harmonic`) — EXACT integer floor division, so any
+    engine reproduces the scores bit-for-bit. Returns (id, n_reached,
+    sum_cost, c_ppb); nodes reaching no landmark at positive cost are
+    omitted. Where harmonic sums reciprocals (robust to one unreachable
+    landmark), closeness reciprocates the sum — both off ONE shared
+    substrate sweep.
+
+    Scale shape: one :func:`weighted_landmark_costs` sweep + one
+    map-side-combinable groupBy SUM/COUNT + a pure projection.
+    """
+    c = weighted_landmark_costs(wpairs, landmarks, max_rounds)
+    return (
+        c.where(F.col("cost") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum("cost").cast("bigint").alias("sum_cost"),
+        )
+        .select(
+            "id",
+            "n_reached",
+            "sum_cost",
+            F.expr("(n_reached * 1000000000) div sum_cost")
+            .cast("bigint")
+            .alias("c_ppb"),
+        )
+    )
+
+
+def weighted_effective_diameter(
+    wpairs: DataFrame,
+    landmarks: "Sequence[int]",
+    max_rounds: int = 4,
+    fraction_ppm: int = 900000,
+) -> DataFrame:
+    """Weighted effective diameter from a landmark sample — the
+    edge-cost twin of :func:`effective_diameter` (Palmer et al. 2002;
+    Leskovec et al. 2005 90th-percentile form): the ``fraction_ppm``
+    quantile of the bounded (node, landmark) COST distribution,
+    linearly interpolated between the adjacent distinct costs —
+    "within what total edge cost do 90% of sampled reachable pairs
+    sit". The pair population is every (node, landmark) pair within
+    ``max_rounds`` edges, including the cost-0 landmark self pairs
+    (the hop form likewise counts its dist-0 pairs in N(0)). Returns
+    ONE row (n_pairs, max_cost, eff_cost_ppm), eff_cost_ppm = the
+    interpolated quantile cost × 10⁶ in exact BIGINT arithmetic:
+    with hit = the ⌈ppm·n/10⁶⌉-th smallest cost, c_prev = the largest
+    cost below it (0 if none) and cum_prev/cnt_hit their counts,
+    eff_cost_ppm = 10⁶·c_prev + (hit−c_prev)·(ppm·n − 10⁶·cum_prev)
+    div cnt_hit — the hop form's interpolation with the unit radius
+    gap generalized to the cost gap (exact while cost_gap · ppm · n
+    < 2⁶³).
+
+    Scale shape: one :func:`weighted_landmark_costs` sweep, a 1-row
+    total aggregate, a :func:`~akka_graph_db_spark.functions.ranking.
+    global_rank` order-statistic pick (range repartition + parallel
+    windows — never a single-partition sort), and one bounded
+    interpolation aggregate against the broadcast 1-row hit — no
+    data-sized window, no driver-side data but 1-row frames.
+    """
+    if not 0 < fraction_ppm <= 1000000:
+        raise ValueError("fraction_ppm must be in (0, 1e6]")
+    from akka_graph_db_spark.functions.ranking import global_rank
+
+    c = weighted_landmark_costs(wpairs, landmarks, max_rounds)
+    tot = c.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("cost").alias("_mx")
+    )
+    # the t-th smallest cost IS "the smallest cost whose cumulative
+    # count reaches t": one distributed order statistic, no cost-CDF
+    # materialization
+    ranked = global_rank(c, ["cost", "id", "landmark"], rank_col="_rn")
+    hit = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("_rn")
+            == F.expr(f"({int(fraction_ppm)} * _n + 999999) div 1000000")
+        )
+        .select(F.col("cost").alias("_hd"), "_n", "_mx")
+    )
+    parts = (
+        c.crossJoin(F.broadcast(hit))
+        .groupBy("_hd", "_n", "_mx")
+        .agg(
+            F.max(
+                F.when(F.col("cost") < F.col("_hd"), F.col("cost"))
+            ).alias("_cp"),
+            F.sum(
+                F.when(F.col("cost") < F.col("_hd"), 1).otherwise(0)
+            ).alias("_cumprev"),
+            F.sum(
+                F.when(F.col("cost") == F.col("_hd"), 1).otherwise(0)
+            ).alias("_cnth"),
+        )
+    )
+    return parts.select(
+        F.col("_n").cast("bigint").alias("n_pairs"),
+        F.col("_mx").cast("bigint").alias("max_cost"),
+        (
+            F.coalesce("_cp", F.lit(0)) * F.lit(1000000)
+            + F.expr(
+                f"((_hd - coalesce(_cp, 0)) * "
+                f"({int(fraction_ppm)} * _n - _cumprev * 1000000)) "
+                "div _cnth"
+            )
+        )
+        .cast("bigint")
+        .alias("eff_cost_ppm"),
+    )
+
+
 def kcenter_landmarks_weighted(
     wpairs: DataFrame,
     k: int = 3,

@@ -272,6 +272,10 @@ HEADLINE = [
     "kcenter_weighted_trade",  # distance-weighted Gonzalez landmarks
     "weighted_voronoi_trade",  # cheapest-hub weighted Voronoi labeling
     "weighted_harmonic_trade",  # exact-integer weighted harmonic centrality
+    # --- round 12 additions ---
+    "weighted_ecc_trade",     # weighted bounded eccentricity from landmarks
+    "weighted_closeness_trade",  # exact-integer weighted closeness
+    "weighted_effdiam_trade",  # interpolated weighted effective diameter
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary
@@ -307,10 +311,13 @@ HEADLINE = [
 # (winnow_fingerprints 7.5, set_similarity_join 6.7, dedup_containment
 # 7.3 stay in the 4-8s band; similarity_lsh 10.3, winnow_pairs 10.7,
 # doc_novelty 9.7, closeness_parts 8.2, kcenter_trade 10.3 are
-# genuinely 8-18s now; the two queries newer than the record were
+# genuinely 8-18s now; the three queries newer than the record were
 # placed by the same isolated measures: kcenter_weighted_trade 5.5
 # lands 4-8s, weighted_voronoi_trade 3.7 and weighted_harmonic_trade
-# 3.1 land 1.5-4s).
+# 3.1 land 1.5-4s). The three r12 weighted-centrality queries were
+# placed by isolated subset-bench measures at sf0.1 (weighted_ecc_trade
+# 6.8, weighted_closeness_trade 4.9, weighted_effdiam_trade 7.1 — all
+# 4-8s band).
 _BATCH10 = {
     "asof_purchase_click", "asof_view_next_purchase", "benford_orders",
     "blocklist_report", "bloom_prune_report", "bpe_pair_counts",
@@ -364,6 +371,8 @@ _BATCH4 = {
     "tpch_q3", "tpch_q4", "winsorize_orders",
 }
 _BATCH2 = {
+    "weighted_ecc_trade", "weighted_closeness_trade",
+    "weighted_effdiam_trade",
     "assortativity_coorder", "cdc_chunks", "clique_profile_parts",
     "clustering_coefficient", "coverage_curve_docs", "customer_similarity",
     "dag_layers_graph", "dedup_containment", "dedup_containment_prune",
@@ -407,8 +416,10 @@ _BATCH2H = {
 # the authoritative packing is the third tuple element (repacked r11,
 # VERDICT r10 #1: denser children cut the untimed JVM overhead that
 # shed 93 queries in r10, and the band-exceedance guard re-measures
-# any query the denser session distorts). The cap doubles as the
-# exceedance threshold: in-run timing > 2 x cap -> isolated re-measure.
+# any query the denser session distorts). The cap feeds the exceedance
+# threshold: max(2 x the query's last recorded cost, band cap) when a
+# BENCH_DETAIL record exists, 2 x cap as the fallback for queries absent
+# from the record — see _band_guard's docstring (the authoritative rule).
 _BANDS = [
     (_BATCH2H, 18.0, 3),
     (_BATCH2, 8.0, 4),

@@ -1,0 +1,134 @@
+"""Round-12 pinning tests: the weighted landmark-centrality completions
+(eccentricity / closeness / effective diameter on the certified
+weighted_landmark_costs substrate, VERDICT r11 #4) and the NULL-group
+null-safe-join fixes in profile.drift_tvd / drift_alarms (ADVICE r11).
+
+Hand graph for the weighted family: 1-2 (w10), 2-3 (w20), 1-3 (w50),
+3-4 (w5); landmarks {1, 2}, max_rounds=4. Bounded cheapest costs:
+  from 1: 1:0, 2:10, 3:30 (via 2), 4:35
+  from 2: 2:0, 1:10, 3:20, 4:25
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from akka_graph_db_spark.operators.analytics import (
+    weighted_closeness,
+    weighted_eccentricity,
+    weighted_effective_diameter,
+)
+
+
+@pytest.fixture(scope="module")
+def wgraph(spark):
+    return spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 20), (1, 3, 50), (3, 4, 5)],
+        "a bigint, b bigint, w bigint",
+    )
+
+
+def test_weighted_eccentricity_hand_values(wgraph):
+    rows = {
+        r.id: (r.n_reached, r.ecc_lb)
+        for r in weighted_eccentricity(wgraph, [1, 2]).collect()
+    }
+    # max over landmark costs; self cost-0 pairs counted in n_reached
+    assert rows == {1: (2, 10), 2: (2, 10), 3: (2, 30), 4: (2, 35)}
+
+
+def test_weighted_closeness_hand_values(wgraph):
+    rows = {
+        r.id: (r.n_reached, r.sum_cost, r.c_ppb)
+        for r in weighted_closeness(wgraph, [1, 2]).collect()
+    }
+    # self pairs excluded; c_ppb = (n_reached * 1e9) div sum_cost
+    assert rows == {
+        1: (1, 10, 100000000),
+        2: (1, 10, 100000000),
+        3: (2, 50, 40000000),
+        4: (2, 60, 33333333),
+    }
+
+
+def test_weighted_effective_diameter_interpolation(wgraph):
+    # cost multiset: 0,0,10,10,20,25,30,35 (n=8). t = ceil(0.9*8) = 8
+    # -> hit=35, c_prev=30, cum_prev=7, cnt_hit=1:
+    # eff = 30 + 5 * (7.2 - 7) / 1 = 31.0 -> 31_000_000 ppm, exact.
+    row = weighted_effective_diameter(wgraph, [1, 2]).collect()
+    assert len(row) == 1
+    assert (row[0].n_pairs, row[0].max_cost, row[0].eff_cost_ppm) == (
+        8,
+        35,
+        31000000,
+    )
+
+
+def test_weighted_effective_diameter_median(wgraph):
+    # fraction 50%: t = ceil(0.5*8) = 4 -> hit = 10 (4th smallest),
+    # c_prev=0, cum_prev=2, cnt_hit=2:
+    # eff = 0 + 10 * (4.0 - 2) / 2 = 10.0 -> 10_000_000 ppm.
+    row = weighted_effective_diameter(
+        wgraph, [1, 2], fraction_ppm=500000
+    ).collect()
+    assert row[0].eff_cost_ppm == 10000000
+
+
+def test_weighted_effective_diameter_empty_and_validation(spark, wgraph):
+    empty = spark.createDataFrame([], "a bigint, b bigint, w bigint")
+    assert weighted_effective_diameter(empty, [1]).collect() == []
+    assert weighted_eccentricity(empty, [1]).collect() == []
+    assert weighted_closeness(empty, [1]).collect() == []
+    with pytest.raises(ValueError):
+        weighted_effective_diameter(wgraph, [1], fraction_ppm=0)
+
+
+def test_drift_tvd_null_group_keeps_own_counts(spark):
+    """ADVICE r11: a NULL group must be charged its OWN histogram
+    counts. Pre-fix, the plain equi-join zeroed them and folded them
+    into "rest": tvd_num would read 8 (tvd 1.0) instead of 4."""
+    from akka_graph_db_spark.functions.profile import drift_tvd
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 25), (None, 25), (None, 25)],
+        "src string, v int",
+    )
+    rows = {
+        r.src: (r.n_group, r.n_rest, r.tvd_num, float(r.tvd))
+        for r in drift_tvd(df, "src", "v", bin_width=10).collect()
+    }
+    assert None in rows
+    # NULL group: bins {2: o=2, 0: o=0}; rest holds {0:1, 2:1}
+    # tvd_num = |0*2 - 1*2| + |2*2 - 1*2| = 4; tvd = 4/(2*2*2) = 0.5
+    # (group dist (0,1) vs rest dist (0.5,0.5): TVD = 0.5)
+    assert rows[None] == (2, 2, 4, 0.5)
+    assert rows["a"] == (2, 2, 4, 0.5)
+
+
+def test_drift_alarms_null_group_survives_join(spark):
+    """ADVICE r11 item 3 verbatim: drift_alarms' CUSUM x TVD join must
+    be null-safe or the NULL group silently vanishes from the report."""
+    from akka_graph_db_spark.functions.profile import drift_alarms
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10),
+            ("a", 2, 10),
+            ("a", 3, 500),
+            (None, 1, 10),
+            (None, 2, 600),
+            (None, 3, 620),
+        ],
+        "src string, ord int, v int",
+    )
+    out = drift_alarms(
+        df,
+        group_col="src",
+        order_col="ord",
+        value_col="v",
+        bin_width=64,
+        shift_alarm_micros=100_000_000,
+    )
+    groups = {r.src for r in out.collect()}
+    assert groups == {"a", None}
