@@ -317,7 +317,14 @@ HEADLINE = [
 # 3.1 land 1.5-4s). The three r12 weighted-centrality queries were
 # placed by isolated subset-bench measures at sf0.1 (weighted_ecc_trade
 # 6.8, weighted_closeness_trade 4.9, weighted_effdiam_trade 7.1 — all
-# 4-8s band).
+# 4-8s band). r12 regen audit (VERDICT r11 #5): re-deriving membership
+# from the driver's r11 record (227/227, 912s) was evaluated and
+# REJECTED — it repacks to 50 children with 10 isolated (worse density:
+# the bimodal heavies' slow-mode in-run numbers promote them to
+# isolated) versus 46/4 under the r11-session placement, and per this
+# tool's own rule a band move needs a PLAN change, which none of the
+# drifted rows had. The _bimodal_triplets guard now pins those rows'
+# fast-mode costs in the artifact instead.
 _BATCH10 = {
     "asof_purchase_click", "asof_view_next_purchase", "benford_orders",
     "blocklist_report", "bloom_prune_report", "bpe_pair_counts",
@@ -598,6 +605,79 @@ def _band_guard(
     return remeasures
 
 
+# Documented-bimodal heavies -> SCALE.md §9 family-band FLOOR (sec).
+# The keep-substrate dedup family shows a spill mode (same code, same
+# data: 13-28s across JVMs) and the materialized-fixpoint loops
+# (coreness, fastrp) are GC-phase-sensitive (±2x per sample) — a single
+# in-run number from either is meaningless alone; the house rule is
+# "judge by the MIN of >=3 isolated runs" (SCALE.md §9). Until r11 the
+# exonerating triplets lived in SCALE.md prose; _bimodal_triplets puts
+# them in the committed artifact itself (VERDICT r11 #2).
+_BIMODAL_FLOORS = {
+    "dedup_minhash_keep": 8.0,       # keep family, band 8-18
+    "dedup_minhash_keep_best": 8.0,
+    "dedup_minhash_keep_star": 8.0,
+    "dedup_policy_sweep": 8.0,
+    "dedup_cluster_stats": 8.0,      # keep-substrate audits, band 8-28
+    "dedup_manifest": 8.0,
+    "dedup_keep_source": 8.0,
+    "link_prediction_auto": 15.0,    # wedge-join heavy, band 15-27
+    "coreness_parts": 3.0,           # full-graph superstep, band 3-14
+    "fastrp_parts": 2.0,             # RA/embeddedness family, band 2-13
+}
+
+
+def _bimodal_triplets(
+    timings: dict[str, float],
+    run_child,
+    budget_left,
+    extra_runs: int = 2,
+    max_children: int = 14,
+) -> dict[str, dict]:
+    """Machine-readable bimodal exoneration (VERDICT r11 #2): for each
+    documented-bimodal query whose committed row exceeds 1.5x its
+    SCALE.md family-band floor, append isolated private-JVM re-measures
+    until the artifact carries >= 3 samples, record the full triplet in
+    ``contention_remeasures`` as ``isolated_triplet`` (in-run sample
+    first), and commit the MIN — the steady-state fast-mode cost a
+    long-lived cluster session sees. Queries the cost bands run in
+    SHARED sessions get ``extra_runs`` + 1 isolated children (their
+    in-run sample is not isolated); already-isolated (>=18s, unbanded)
+    queries get ``extra_runs``. Worst exceedance first; total extra
+    children capped by ``max_children`` and the remaining wall budget,
+    so a budget-squeezed run degrades to fewer triplets, never to a
+    dead artifact."""
+    banded = set().union(*(names for names, _, _ in _BANDS))
+    ranked = sorted(
+        (
+            (t / (1.5 * _BIMODAL_FLOORS[n]), n)
+            for n, t in timings.items()
+            if n in _BIMODAL_FLOORS
+            and t > 1.5 * _BIMODAL_FLOORS[n]
+        ),
+        reverse=True,
+    )
+    out: dict[str, dict] = {}
+    spent = 0
+    for _, name in ranked:
+        runs = extra_runs + (1 if name in banded else 0)
+        samples: list[float] = []
+        for _ in range(runs):
+            if budget_left() <= 0 or spent >= max_children:
+                break
+            rt = run_child(name).get(name, -1.0)
+            spent += 1
+            if rt > 0:
+                samples.append(rt)
+        if samples:
+            out[name] = {
+                "in_run": timings[name],
+                "isolated_triplet": [timings[name]] + samples,
+            }
+            timings[name] = min([timings[name]] + samples)
+    return out
+
+
 def _contention_guard(
     timings: dict[str, float],
     cal_start: float,
@@ -761,6 +841,18 @@ def main() -> None:
         lambda: budget - (time.time() - t_start),
         expected=_expected,
     )
+    # Bimodal triplets next (VERDICT r11 #2): runs on the band-guard-
+    # corrected timings; a query both guards touched keeps the band
+    # guard's in_run/remeasure pair and gains the isolated_triplet.
+    for _k, _v in _bimodal_triplets(
+        timings, _run_child, lambda: budget - (time.time() - t_start)
+    ).items():
+        if _k in contention_remeasures:
+            contention_remeasures[_k]["isolated_triplet"] = _v[
+                "isolated_triplet"
+            ]
+        else:
+            contention_remeasures[_k] = _v
     # The calibration guard's worst case (5 x 60s waits + 5 re-measure
     # children) only runs when budget headroom remains; a budget-squeezed
     # run keeps its bracketing calibrations so inflation is still

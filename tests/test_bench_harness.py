@@ -216,3 +216,92 @@ def test_bucket_names_resolve():
     for i, a in enumerate(buckets):
         for b in buckets[i + 1:]:
             assert not (a & b), sorted(a & b)
+
+
+def _fake_children_seq(schedule):
+    """run_child stub popping successive samples per query (triplets)."""
+
+    def run_child(name):
+        seq = schedule.get(name)
+        return {name: seq.pop(0) if seq else -1.0}
+
+    return run_child
+
+
+def test_bimodal_triplets_banded_query_gets_three_isolated_runs():
+    """A shared-session (banded) bimodal row over 1.5x its family floor
+    gets 3 isolated samples (its in-run number is not isolated); the
+    full triplet lands in the artifact and the MIN is committed."""
+    timings = {"dedup_minhash_keep": 20.0}  # floor 8 -> trigger > 12
+    out = bench._bimodal_triplets(
+        timings,
+        _fake_children_seq({"dedup_minhash_keep": [27.8, 20.8, 13.7]}),
+        lambda: 1000.0,
+    )
+    assert out == {
+        "dedup_minhash_keep": {
+            "in_run": 20.0,
+            "isolated_triplet": [20.0, 27.8, 20.8, 13.7],
+        }
+    }
+    assert timings["dedup_minhash_keep"] == 13.7
+
+
+def test_bimodal_triplets_isolated_query_gets_two_extra_runs():
+    """An unbanded (already-isolated) bimodal row counts its private-JVM
+    in-run number as sample #1: only extra_runs more children."""
+    assert bench._band_cap("dedup_cluster_stats") is None
+    timings = {"dedup_cluster_stats": 26.4}  # floor 8 -> trigger
+    sched = {"dedup_cluster_stats": [15.7, 14.8, 99.0]}
+    out = bench._bimodal_triplets(
+        timings, _fake_children_seq(sched), lambda: 1000.0
+    )
+    trip = out["dedup_cluster_stats"]["isolated_triplet"]
+    assert trip == [26.4, 15.7, 14.8]
+    assert sched["dedup_cluster_stats"] == [99.0]  # third child never ran
+    assert timings["dedup_cluster_stats"] == 14.8
+
+
+def test_bimodal_triplets_quiet_below_threshold_and_budget_capped():
+    # fast-mode rows (<= 1.5x floor) and non-bimodal rows: untouched
+    timings = {"dedup_minhash_keep": 11.9, "tpch_q1": 50.0}
+    assert (
+        bench._bimodal_triplets(
+            timings, _fake_children_seq({}), lambda: 1000.0
+        )
+        == {}
+    )
+    assert timings == {"dedup_minhash_keep": 11.9, "tpch_q1": 50.0}
+    # exhausted budget -> no children, no record
+    t2 = {"dedup_minhash_keep": 20.0}
+    assert (
+        bench._bimodal_triplets(
+            t2,
+            _fake_children_seq({"dedup_minhash_keep": [1.0]}),
+            lambda: 0.0,
+        )
+        == {}
+    )
+    assert t2 == {"dedup_minhash_keep": 20.0}
+
+
+def test_bimodal_triplets_worst_exceedance_first_under_child_cap():
+    """When the child cap binds, the worst offender (by exceedance
+    ratio) gets its triplet first."""
+    timings = {
+        "dedup_minhash_keep": 13.0,       # 13/12 = 1.08x over
+        "link_prediction_auto": 60.0,     # 60/22.5 = 2.7x over
+    }
+    sched = {
+        "link_prediction_auto": [17.3, 16.2],
+        "dedup_minhash_keep": [12.0, 12.0, 12.0],
+    }
+    out = bench._bimodal_triplets(
+        timings,
+        _fake_children_seq(sched),
+        lambda: 1000.0,
+        max_children=2,
+    )
+    assert set(out) == {"link_prediction_auto"}
+    assert timings["link_prediction_auto"] == 16.2
+    assert timings["dedup_minhash_keep"] == 13.0
