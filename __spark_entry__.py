@@ -7974,6 +7974,28 @@ def q_weighted_effdiam_trade(spark, sf_dir):
     )
 
 
+def q_attribution_events(spark, sf_dir):
+    """U-shaped multi-touch purchase attribution
+    (events.multi_touch_attribution, new r12): per touch type, the
+    exact-ppm credit ledger of the purchases it preceded — 40% to the
+    first touch, 40% to the last, 20% shared by the middles (integer
+    floor, remainder to the first middle), touches assigned to their
+    user's NEXT purchase. Conservation invariant: Σ credit_ppm =
+    10⁶ × attributed conversions, bit-for-bit. Two per-user window
+    passes + a two-level map-side aggregation — the per-channel answer
+    funnel counts can't give. Oracle: the same running-sum/rank
+    windows and integer CASE credits in DuckDB."""
+    from akka_graph_db_spark.functions.events import (
+        multi_touch_attribution,
+    )
+
+    return multi_touch_attribution(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        conversion_type="purchase",
+        model="u_shaped",
+    ).orderBy("event_type")
+
+
 def q_drift_alarm_docs(spark, sf_dir):
     """Per-source drift alarms with changepoint localization
     (profile.drift_alarms, new r11 — VERDICT r10 #7): for each source,
@@ -8006,21 +8028,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
     # entries only. Round-12 rotation (VERDICT r11 #1 + #4): the window
-    # (a) certifies the THREE new oracles -- weighted_ecc_trade,
+    # (a) certifies the FOUR new oracles -- weighted_ecc_trade,
     # weighted_closeness_trade, and weighted_effdiam_trade (the
     # weighted landmark-centrality family completed on the certified
-    # weighted_landmark_costs substrate), (b) drains the five-query
-    # deferred queue from r11 (vocabulary, weighted_sample_docs,
-    # tpch_q3, text_repetition, salted_join_orders -- the r5-era rows
-    # that yielded their slots to the r11 oracles), and (c) spends the
-    # remaining 42 slots on the OLDEST surviving certifications: 41
-    # r6-era rows plus the single oldest r7 row (min-age-maximizing,
-    # ages recomputed from CORRECTNESS_r02..r11.json this session).
+    # weighted_landmark_costs substrate) plus attribution_events
+    # (exact-ppm multi-touch conversion attribution), (b) drains the
+    # five-query deferred queue from r11 (vocabulary,
+    # weighted_sample_docs, tpch_q3, text_repetition,
+    # salted_join_orders -- the r5-era rows that yielded their slots to
+    # the r11 oracles), and (c) spends the remaining 41 slots on the
+    # OLDEST surviving certifications: the 41 r6-era rows
+    # (min-age-maximizing, ages recomputed from
+    # CORRECTNESS_r02..r11.json this session; tpch_q8, the single r7
+    # row, yielded its slot to attribution_events and heads the tail).
     # Every window entry passed the exact local hash gate at sf0.01
     # this session.
         "weighted_ecc_trade": q_weighted_ecc_trade,
         "weighted_closeness_trade": q_weighted_closeness_trade,
         "weighted_effdiam_trade": q_weighted_effdiam_trade,
+        "attribution_events": q_attribution_events,
         "vocabulary": q_vocabulary,
         "weighted_sample_docs": q_weighted_sample_docs,
         "tpch_q3": q_tpch_q3,
@@ -8067,11 +8093,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
         "tpch_q7": q_tpch_q7,
-        "tpch_q8": q_tpch_q8,
     # --- certification window ends here (50 entries). ---
     # Certified tail: every entry below has a green driver row in
     # CORRECTNESS_r02..r11.json (cumulative union 286/286 green before
-    # this round's three additions).
+    # this round's four additions). tpch_q8 (r7-certified) yielded its
+    # window slot to the fourth r12 oracle, attribution_events, and
+    # heads the tail.
+        "tpch_q8": q_tpch_q8,
         "drift_alarm_docs": q_drift_alarm_docs,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
         "remove_edges_predicate": q_remove_edges_predicate,
@@ -15322,6 +15350,60 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS eff_cost_ppm
             FROM itp
             WHERE cnth IS NOT NULL AND cnth > 0
+        """,
+        # Multi-touch attribution: the same per-user running-sum /
+        # rank / count windows ((ts, event_id) total order), the same
+        # integer u-shaped CASE credits (40/20/40, floor remainders to
+        # the first middle), and the same two-level aggregation so
+        # n_conversions is a COUNT of inner groups, not a
+        # count-distinct.
+        "attribution_events": """
+            WITH tagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS c,
+                     SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id) AS tot
+              FROM events
+            ),
+            touches AS (
+              SELECT user_id, event_type, c + 1 AS conv_no, ts, event_id
+              FROM tagged
+              WHERE event_type <> 'purchase' AND c + 1 <= tot
+            ),
+            scored AS (
+              SELECT user_id, conv_no, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, conv_no
+                                        ORDER BY ts, event_id) AS pos,
+                     COUNT(*) OVER (PARTITION BY user_id, conv_no) AS k
+              FROM touches
+            ),
+            credited AS (
+              SELECT event_type, user_id, conv_no,
+                CASE WHEN k = 1 THEN 1000000
+                     WHEN k = 2 THEN 500000
+                     WHEN pos = 1 OR pos = k THEN 400000
+                     ELSE (200000 // (k - 2))
+                          + CASE WHEN pos = 2
+                                 THEN 200000
+                                      - (k - 2) * (200000 // (k - 2))
+                                 ELSE 0 END
+                END AS credit
+              FROM scored
+            ),
+            per_conv AS (
+              SELECT event_type, user_id, conv_no,
+                     COUNT(*) AS n_t, SUM(credit) AS cr
+              FROM credited GROUP BY 1, 2, 3
+            )
+            SELECT event_type,
+                   CAST(SUM(n_t) AS BIGINT) AS n_touches,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                   CAST(SUM(cr) AS BIGINT) AS credit_ppm
+            FROM per_conv GROUP BY 1 ORDER BY 1
         """,
         # Same int64 grid quantization (ROUND half-away), same BIGINT
         # permille scoring, same (score DESC, id) greedy unrolled.

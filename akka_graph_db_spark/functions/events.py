@@ -1174,3 +1174,103 @@ def cusum_changepoints(
             F.col("_w._dev").cast("bigint").alias("deviation"),
         )
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    model: str = "linear",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch conversion attribution: split each conversion's
+    credit across the touch events (all non-conversion events) that
+    preceded it in the same user's timeline since the previous
+    conversion, under the standard marketing models — ``first`` /
+    ``last`` (position single-touch), ``linear`` (equal split), or
+    ``u_shaped`` (40% first, 40% last, 20% shared by the middles) —
+    then report per touch type. "Which channel actually drives
+    purchases" is unanswerable from funnel counts alone; this is the
+    per-conversion credit ledger behind it.
+
+    Credits are EXACT integer ppm: every attributed conversion hands
+    out exactly 1 000 000 ppm (integer floor division; the remainder
+    goes to the deterministic first position — first touch for linear,
+    first middle for u_shaped), so Σ credit_ppm over the output equals
+    10⁶ × the number of attributed conversions bit-for-bit in any
+    engine — the conservation invariant the tests pin. Touches are
+    assigned to the NEXT conversion of their user (ties broken by
+    ``id_col`` — a total order); touches after the user's last
+    conversion, and conversions with no preceding touch (nothing to
+    attribute), are excluded. Returns one row per touch type:
+    (``type_col``, n_touches, n_conversions, credit_ppm), where
+    n_conversions counts the distinct conversions the type touched.
+
+    Scale shape: two window passes partitioned by user then by (user,
+    conversion ordinal) — the sort is per-user, never global — and a
+    two-level map-side-combinable aggregation ((type, user, conv) →
+    type), which also makes "distinct conversions per type" a plain
+    COUNT of the inner groups, no count-distinct state. At 100 TB the
+    user key is the natural partitioner and AQE absorbs power-user
+    skew; nothing data-sized crosses the driver.
+    """
+    from pyspark.sql import Window
+
+    if model not in ("first", "last", "linear", "u_shaped"):
+        raise ValueError(f"unknown attribution model: {model}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wu = Window.partitionBy(user_col)
+    is_conv = F.when(F.col(type_col) == conversion_type, 1).otherwise(0)
+    tagged = events.select(
+        user_col,
+        ts_col,
+        id_col,
+        type_col,
+        F.sum(is_conv).over(w).alias("_c"),
+    ).withColumn("_tot", F.max("_c").over(wu))
+    touches = (
+        tagged.where(F.col(type_col) != conversion_type)
+        .withColumn("_conv_no", F.col("_c") + 1)
+        .where(F.col("_conv_no") <= F.col("_tot"))
+    )
+    wg = Window.partitionBy(user_col, "_conv_no").orderBy(ts_col, id_col)
+    wga = Window.partitionBy(user_col, "_conv_no")
+    pos = F.row_number().over(wg)
+    k = F.count(F.lit(1)).over(wga)
+    scored = touches.select(
+        user_col, "_conv_no", type_col, pos.alias("_pos"), k.alias("_k")
+    )
+    p, n = F.col("_pos"), F.col("_k")
+    if model == "first":
+        credit = F.when(p == 1, F.lit(1000000)).otherwise(F.lit(0))
+    elif model == "last":
+        credit = F.when(p == n, F.lit(1000000)).otherwise(F.lit(0))
+    elif model == "linear":
+        base = F.expr("1000000 div _k")
+        credit = base + F.when(p == 1, F.lit(1000000) - n * base).otherwise(
+            F.lit(0)
+        )
+    else:  # u_shaped: 40/20/40 with the k<=2 degenerate forms
+        mbase = F.expr("200000 div (_k - 2)")
+        mrem = F.lit(200000) - (n - 2) * mbase
+        credit = (
+            F.when(n == 1, F.lit(1000000))
+            .when(n == 2, F.lit(500000))
+            .when((p == 1) | (p == n), F.lit(400000))
+            .otherwise(mbase + F.when(p == 2, mrem).otherwise(F.lit(0)))
+        )
+    per_conv = (
+        scored.withColumn("_credit", credit)
+        .groupBy(type_col, user_col, "_conv_no")
+        .agg(
+            F.count(F.lit(1)).alias("_n_t"),
+            F.sum("_credit").alias("_cr"),
+        )
+    )
+    return per_conv.groupBy(type_col).agg(
+        F.sum("_n_t").cast("bigint").alias("n_touches"),
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("_cr").cast("bigint").alias("credit_ppm"),
+    )

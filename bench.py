@@ -276,6 +276,7 @@ HEADLINE = [
     "weighted_ecc_trade",     # weighted bounded eccentricity from landmarks
     "weighted_closeness_trade",  # exact-integer weighted closeness
     "weighted_effdiam_trade",  # interpolated weighted effective diameter
+    "attribution_events",     # exact-ppm multi-touch credit ledger
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
     "get_node",               # point lookup canary
@@ -317,7 +318,8 @@ HEADLINE = [
 # 3.1 land 1.5-4s). The three r12 weighted-centrality queries were
 # placed by isolated subset-bench measures at sf0.1 (weighted_ecc_trade
 # 6.8, weighted_closeness_trade 4.9, weighted_effdiam_trade 7.1 — all
-# 4-8s band). r12 regen audit (VERDICT r11 #5): re-deriving membership
+# 4-8s band; attribution_events 1.0 lands <1.5s). r12 regen audit
+# (VERDICT r11 #5): re-deriving membership
 # from the driver's r11 record (227/227, 912s) was evaluated and
 # REJECTED — it repacks to 50 children with 10 isolated (worse density:
 # the bimodal heavies' slow-mode in-run numbers promote them to
@@ -326,6 +328,7 @@ HEADLINE = [
 # drifted rows had. The _bimodal_triplets guard now pins those rows'
 # fast-mode costs in the artifact instead.
 _BATCH10 = {
+    "attribution_events",
     "asof_purchase_click", "asof_view_next_purchase", "benford_orders",
     "blocklist_report", "bloom_prune_report", "bpe_pair_counts",
     "budget_trim_docs", "cms_heavy_hitters", "codec_roundtrip",

@@ -132,3 +132,117 @@ def test_drift_alarms_null_group_survives_join(spark):
     )
     groups = {r.src for r in out.collect()}
     assert groups == {"a", None}
+
+
+@pytest.fixture(scope="module")
+def touch_events(spark):
+    """One user, two purchases: conv 1 sees [view, click], conv 2 sees
+    [click, error, signup]; the trailing view has no next purchase."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i + 1), 100 + i, t)
+        for i, t in enumerate(
+            ["view", "click", "purchase", "click", "error",
+             "signup", "purchase", "view"]
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint,"
+        " event_type string"
+    )
+
+
+def _attr(df, model):
+    from akka_graph_db_spark.functions.events import (
+        multi_touch_attribution,
+    )
+
+    return {
+        r.event_type: (r.n_touches, r.n_conversions, r.credit_ppm)
+        for r in multi_touch_attribution(
+            df, "purchase", model=model
+        ).collect()
+    }
+
+
+def test_attribution_linear_hand_values(touch_events):
+    # conv1 k=2: 500000 each; conv2 k=3: 333333 each, remainder 1 to
+    # the first touch (click)
+    assert _attr(touch_events, "linear") == {
+        "view": (1, 1, 500000),
+        "click": (2, 2, 833334),
+        "error": (1, 1, 333333),
+        "signup": (1, 1, 333333),
+    }
+
+
+def test_attribution_u_shaped_first_last(touch_events):
+    assert _attr(touch_events, "u_shaped") == {
+        "view": (1, 1, 500000),
+        "click": (2, 2, 900000),   # 500000 (k=2) + 400000 (first of 3)
+        "error": (1, 1, 200000),   # sole middle
+        "signup": (1, 1, 400000),  # last of 3
+    }
+    assert _attr(touch_events, "first") == {
+        "view": (1, 1, 1000000),
+        "click": (2, 2, 1000000),
+        "error": (1, 1, 0),
+        "signup": (1, 1, 0),
+    }
+    assert _attr(touch_events, "last") == {
+        "view": (1, 1, 0),
+        "click": (2, 2, 1000000),
+        "error": (1, 1, 0),
+        "signup": (1, 1, 1000000),
+    }
+
+
+def test_attribution_conservation_on_real_events(spark):
+    """Every attributed conversion hands out exactly 1e6 ppm: the
+    credit total must equal 1e6 x the number of purchases preceded by
+    at least one touch, for every model, on the real fixture."""
+    from pyspark.sql import Window
+    from akka_graph_db_spark.functions.events import (
+        multi_touch_attribution,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    # a conversion is attributable iff >= 1 touch maps to ITS ordinal
+    # (a touch belongs to the conversion after it, within the user) —
+    # "some earlier event exists" is NOT enough: in [view, p1, p2] the
+    # view belongs to p1, leaving p2 unattributed
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .over(w)
+        .alias("_c"),
+    ).withColumn("_tot", F.max("_c").over(wu))
+    attributable = (
+        tagged.where(F.col("event_type") != "purchase")
+        .where(F.col("_c") + 1 <= F.col("_tot"))
+        .select("user_id", (F.col("_c") + 1).alias("_conv"))
+        .distinct()
+        .count()
+    )
+    for model in ("first", "last", "linear", "u_shaped"):
+        total = (
+            multi_touch_attribution(ev, "purchase", model=model)
+            .agg(F.sum("credit_ppm"))
+            .collect()[0][0]
+        )
+        assert total == 1000000 * attributable, model
+
+
+def test_attribution_rejects_unknown_model(touch_events):
+    from akka_graph_db_spark.functions.events import (
+        multi_touch_attribution,
+    )
+
+    with pytest.raises(ValueError):
+        multi_touch_attribution(touch_events, "purchase", model="decay")

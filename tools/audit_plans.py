@@ -195,6 +195,10 @@ AUDITED = [
     ("kcenter_weighted_trade", "cost-relaxation supersteps + 1-row argmax"),
     ("weighted_voronoi_trade", "one multi-seed relaxation sweep, min-struct"),
     ("weighted_harmonic_trade", "per-landmark relax + integer reciprocal agg"),
+    ("weighted_ecc_trade", "per-landmark relax + MAX/COUNT eccentricity agg"),
+    ("weighted_closeness_trade", "per-landmark relax + SUM + integer division"),
+    ("weighted_effdiam_trade", "global_rank order statistic + interpolation"),
+    ("attribution_events", "per-user credit windows + two-level agg"),
     ("dedup_minhash_keep_star", "planted star: band buckets + CC, no pairs"),
 ]
 
