@@ -7974,6 +7974,29 @@ def q_weighted_effdiam_trade(spark, sf_dir):
     )
 
 
+def q_weighted_modularity_trade(spark, sf_dir):
+    """Weight-aware modularity of the cheapest-hub Voronoi partition
+    (analytics.weighted_modularity, new r12): how well the certified
+    weighted_nearest_seed assignment (3 smallest-id nations as hubs)
+    cuts the trade graph when edges count by corridor VOLUME — the
+    affinity-weighted Newman Q the hop-form modularity_geo can't give
+    (cutting one heavy corridor must cost more than ten trivial ones).
+    Exact DECIMAL(38,0) aggregates, one double division + round(6),
+    composing two certified substrates (voronoi assignment r11, the
+    canonical weighted edges). Oracle: the same v0..v4 lexicographic
+    (cost, seed) unroll feeding the same integer modularity sums."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_modularity,
+        weighted_nearest_seed,
+    )
+
+    w, seeds = _trade_landmark_seeds(spark, sf_dir)
+    asg = weighted_nearest_seed(w, seeds=seeds, max_rounds=4).select(
+        "id", F.col("seed").alias("community")
+    )
+    return weighted_modularity(w, asg)
+
+
 def q_attribution_events(spark, sf_dir):
     """U-shaped multi-touch purchase attribution
     (events.multi_touch_attribution, new r12): per touch type, the
@@ -8028,24 +8051,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
     # entries only. Round-12 rotation (VERDICT r11 #1 + #4): the window
-    # (a) certifies the FOUR new oracles -- weighted_ecc_trade,
+    # (a) certifies the FIVE new oracles -- weighted_ecc_trade,
     # weighted_closeness_trade, and weighted_effdiam_trade (the
     # weighted landmark-centrality family completed on the certified
-    # weighted_landmark_costs substrate) plus attribution_events
-    # (exact-ppm multi-touch conversion attribution), (b) drains the
-    # five-query deferred queue from r11 (vocabulary,
-    # weighted_sample_docs, tpch_q3, text_repetition,
+    # weighted_landmark_costs substrate), weighted_modularity_trade
+    # (affinity-weighted Newman Q of the certified Voronoi partition),
+    # and attribution_events (exact-ppm multi-touch conversion
+    # attribution), (b) drains the five-query deferred queue from r11
+    # (vocabulary, weighted_sample_docs, tpch_q3, text_repetition,
     # salted_join_orders -- the r5-era rows that yielded their slots to
-    # the r11 oracles), and (c) spends the remaining 41 slots on the
-    # OLDEST surviving certifications: the 41 r6-era rows
-    # (min-age-maximizing, ages recomputed from
-    # CORRECTNESS_r02..r11.json this session; tpch_q8, the single r7
-    # row, yielded its slot to attribution_events and heads the tail).
-    # Every window entry passed the exact local hash gate at sf0.01
-    # this session.
+    # the r11 oracles), and (c) spends the remaining 40 slots on the
+    # OLDEST surviving certifications, all r6-era (min-age-maximizing,
+    # ages recomputed from CORRECTNESS_r02..r11.json this session;
+    # tpch_q7 (r6) and tpch_q8 (r7), the youngest former occupants,
+    # yielded their slots and head the tail). Every window entry passed
+    # the exact local hash gate at sf0.01 this session.
         "weighted_ecc_trade": q_weighted_ecc_trade,
         "weighted_closeness_trade": q_weighted_closeness_trade,
         "weighted_effdiam_trade": q_weighted_effdiam_trade,
+        "weighted_modularity_trade": q_weighted_modularity_trade,
         "attribution_events": q_attribution_events,
         "vocabulary": q_vocabulary,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -8092,13 +8116,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": q_revenue_concentration,
         "conversion_latency": q_conversion_latency,
         "weekly_revenue_growth": q_weekly_revenue_growth,
-        "tpch_q7": q_tpch_q7,
     # --- certification window ends here (50 entries). ---
     # Certified tail: every entry below has a green driver row in
     # CORRECTNESS_r02..r11.json (cumulative union 286/286 green before
-    # this round's four additions). tpch_q8 (r7-certified) yielded its
-    # window slot to the fourth r12 oracle, attribution_events, and
-    # heads the tail.
+    # this round's five additions). tpch_q7 (r6) and tpch_q8 (r7)
+    # yielded their window slots to the fifth and fourth r12 oracles
+    # (weighted_modularity_trade, attribution_events) and head the
+    # tail.
+        "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "drift_alarm_docs": q_drift_alarm_docs,
         "dedup_minhash_keep_star": q_dedup_minhash_keep_star,
@@ -15350,6 +15375,88 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS eff_cost_ppm
             FROM itp
             WHERE cnth IS NOT NULL AND cnth > 0
+        """,
+        # Weighted modularity of the Voronoi partition: the certified
+        # v0..v4 lexicographic (cost, seed) unroll supplies the
+        # assignment; then the same exact integer sums (DuckDB SUM over
+        # BIGINT widens to HUGEINT, matching Spark's DECIMAL(38,0)) and
+        # the same single double division + ROUND(6).
+        "weighted_modularity_trade": """
+            WITH twe AS MATERIALIZED (
+              SELECT a, b, CAST(q * 100 AS BIGINT) AS w FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            wund AS MATERIALIZED (
+              SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MIN(w) AS w
+              FROM twe WHERE a <> b GROUP BY 1, 2
+            ),
+            wsym AS MATERIALIZED (
+              SELECT a, b, w FROM wund
+              UNION ALL SELECT b, a, w FROM wund
+            ),
+            wn AS MATERIALIZED (SELECT DISTINCT a FROM wsym),
+            sd AS MATERIALIZED (SELECT a AS id FROM wn ORDER BY a LIMIT 3),
+            v0 AS (SELECT id, CAST(0 AS BIGINT) AS d, id AS seed FROM sd),
+            v1 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v0
+                    UNION ALL
+                    SELECT wsym.b, v0.d + wsym.w, v0.seed FROM v0
+                    JOIN wsym ON wsym.a = v0.id)) WHERE rn = 1),
+            v2 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v1
+                    UNION ALL
+                    SELECT wsym.b, v1.d + wsym.w, v1.seed FROM v1
+                    JOIN wsym ON wsym.a = v1.id)) WHERE rn = 1),
+            v3 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v2
+                    UNION ALL
+                    SELECT wsym.b, v2.d + wsym.w, v2.seed FROM v2
+                    JOIN wsym ON wsym.a = v2.id)) WHERE rn = 1),
+            v4 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v3
+                    UNION ALL
+                    SELECT wsym.b, v3.d + wsym.w, v3.seed FROM v3
+                    JOIN wsym ON wsym.a = v3.id)) WHERE rn = 1),
+            asg AS MATERIALIZED (
+              SELECT v4.id AS id, v4.seed AS community
+              FROM v4 JOIN wn ON wn.a = v4.id
+            ),
+            tg AS MATERIALIZED (
+              SELECT s.w AS w, ca.community AS ca, cb.community AS cb
+              FROM wsym s
+              JOIN asg ca ON ca.id = s.a
+              JOIN asg cb ON cb.id = s.b
+            ),
+            ar AS (SELECT SUM(w) AS aw,
+                          SUM(CASE WHEN ca = cb THEN w ELSE 0 END) AS ww
+                   FROM tg),
+            ds AS (SELECT SUM(sc * sc) AS s2, COUNT(*) AS nc FROM
+                   (SELECT ca, SUM(w) AS sc FROM tg GROUP BY 1))
+            SELECT CAST(aw // 2 AS BIGINT) AS total_weight,
+                   CAST(nc AS BIGINT) AS n_communities,
+                   ROUND(CAST(aw * ww - s2 AS DOUBLE)
+                         / CAST(aw * aw AS DOUBLE), 6) AS modularity
+            FROM ar, ds
         """,
         # Multi-touch attribution: the same per-user running-sum /
         # rank / count windows ((ts, event_id) total order), the same

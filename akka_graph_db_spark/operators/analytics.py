@@ -4999,6 +4999,76 @@ def weighted_effective_diameter(
     )
 
 
+def weighted_modularity(
+    wpairs: DataFrame, assignment: DataFrame
+) -> DataFrame:
+    """Weight-aware Newman-Girvan modularity Q of a community
+    ``assignment`` (id, community) over a weighted undirected (a, b, w)
+    frame — the affinity-weighted twin of :func:`community_modularity`
+    (Newman 2004, "Analysis of weighted networks"): edges count by
+    weight, so a partition that cuts one heavy corridor scores worse
+    than one that cuts ten trivial ones.
+
+        Q = Σ_c [ W_c/W − (S_c / 2W)² ]
+
+    (W_c = intra-community weight, S_c = community weighted degree,
+    W = total undirected weight). Exactness design, same contract as
+    the unweighted form: with A = 2W symmetric arc weight and
+    In = intra-community arc weight, Q = (A·In − Σ_c S_c²) / A² —
+    numerator and denominator are exact integer aggregates carried as
+    DECIMAL(38,0); one double division + an agreed round(6) at the
+    end, so a SQL oracle reproduces Q bit-for-bit. Edges canonicalize
+    undirected with MIN weight (the :func:`_canonical_weighted`
+    substrate); arcs with an UNASSIGNED endpoint are excluded from
+    both numerator and denominator (document the universe, don't
+    guess it). Returns ONE row (total_weight, n_communities,
+    modularity).
+
+    Plan shape: two equi-joins tag each arc endpoint with its
+    community (AQE broadcasts a small assignment side), then one
+    per-community weight aggregation and two scalar aggregates crossed
+    as broadcast 1-row frames — nothing quadratic, no collect.
+    """
+    _, sym = _canonical_weighted(wpairs)
+    asg = assignment.select("id", "community")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tagged = sym.join(
+        asg.select(F.col("id").alias("a"), F.col("community").alias("ca")),
+        "a",
+    ).join(
+        asg.select(F.col("id").alias("b"), F.col("community").alias("cb")),
+        "b",
+    )
+    arcs = tagged.agg(
+        F.sum(dec(F.col("w"))).alias("_arcs_w"),
+        F.sum(
+            F.when(F.col("ca") == F.col("cb"), F.col("w")).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("_within_w"),
+    )
+    # S_c² summed over communities: each symmetric arc charges its full
+    # weight to its SOURCE community, so the per-community sum IS the
+    # weighted degree sum — no per-node intermediate needed.
+    dsq = (
+        tagged.groupBy("ca")
+        .agg(F.sum(dec(F.col("w"))).alias("_sc"))
+        .agg(
+            F.sum(F.col("_sc") * F.col("_sc")).alias("_sum_sc2"),
+            F.count(F.lit(1)).alias("_n_comm"),
+        )
+    )
+    j = arcs.crossJoin(F.broadcast(dsq))  # two 1-row frames
+    a_ = F.col("_arcs_w")
+    num = (a_ * F.col("_within_w") - F.col("_sum_sc2")).cast("double")
+    den = (a_ * a_).cast("double")
+    return j.select(
+        (F.col("_arcs_w") / 2).cast("long").alias("total_weight"),
+        F.col("_n_comm").cast("long").alias("n_communities"),
+        F.round(num / den, 6).alias("modularity"),
+    )
+
+
 def kcenter_landmarks_weighted(
     wpairs: DataFrame,
     k: int = 3,

@@ -276,6 +276,7 @@ HEADLINE = [
     "weighted_ecc_trade",     # weighted bounded eccentricity from landmarks
     "weighted_closeness_trade",  # exact-integer weighted closeness
     "weighted_effdiam_trade",  # interpolated weighted effective diameter
+    "weighted_modularity_trade",  # affinity-weighted Newman Q of Voronoi
     "attribution_events",     # exact-ppm multi-touch credit ledger
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
@@ -318,7 +319,8 @@ HEADLINE = [
 # 3.1 land 1.5-4s). The three r12 weighted-centrality queries were
 # placed by isolated subset-bench measures at sf0.1 (weighted_ecc_trade
 # 6.8, weighted_closeness_trade 4.9, weighted_effdiam_trade 7.1 — all
-# 4-8s band; attribution_events 1.0 lands <1.5s). r12 regen audit
+# 4-8s band; weighted_modularity_trade 4.8 joins them; attribution_events
+# 1.0 lands <1.5s). r12 regen audit
 # (VERDICT r11 #5): re-deriving membership
 # from the driver's r11 record (227/227, 912s) was evaluated and
 # REJECTED — it repacks to 50 children with 10 isolated (worse density:
@@ -382,7 +384,7 @@ _BATCH4 = {
 }
 _BATCH2 = {
     "weighted_ecc_trade", "weighted_closeness_trade",
-    "weighted_effdiam_trade",
+    "weighted_effdiam_trade", "weighted_modularity_trade",
     "assortativity_coorder", "cdc_chunks", "clique_profile_parts",
     "clustering_coefficient", "coverage_curve_docs", "customer_similarity",
     "dag_layers_graph", "dedup_containment", "dedup_containment_prune",

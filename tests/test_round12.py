@@ -246,3 +246,48 @@ def test_attribution_rejects_unknown_model(touch_events):
 
     with pytest.raises(ValueError):
         multi_touch_attribution(touch_events, "purchase", model="decay")
+
+
+def test_weighted_modularity_hand_values(spark, wgraph):
+    """Hand graph, assignment {1,2}=A {3,4}=B: W=85, A=170, intra arcs
+    = 2*10 + 2*5 = 30, S_A = 60+30 = 90, S_B = 75+5 = 80:
+    Q = (170*30 - (8100+6400)) / 170^2 = -9400/28900 = -0.32526."""
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_modularity,
+    )
+
+    asg = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "id bigint, community string",
+    )
+    row = weighted_modularity(wgraph, asg).collect()[0]
+    assert (row.total_weight, row.n_communities, row.modularity) == (
+        85,
+        2,
+        -0.32526,
+    )
+
+
+def test_weighted_modularity_perfect_split_and_unassigned(spark):
+    from akka_graph_db_spark.operators.analytics import (
+        weighted_modularity,
+    )
+
+    w2 = spark.createDataFrame(
+        [(1, 2, 10), (3, 4, 10)], "a bigint, b bigint, w bigint"
+    )
+    asg = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "id bigint, community string",
+    )
+    row = weighted_modularity(w2, asg).collect()[0]
+    # two components, each its own community: Q = 1 - 1/2 = 0.5
+    assert (row.total_weight, row.modularity) == (20, 0.5)
+    # arcs with an unassigned endpoint are EXCLUDED from the universe:
+    # dropping 3 and 4 from the assignment leaves only the 1-2 edge
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "A")], "id bigint, community string"
+    )
+    row2 = weighted_modularity(w2, part).collect()[0]
+    assert (row2.total_weight, row2.n_communities) == (10, 1)
+    assert row2.modularity == 0.0  # single community: W_c/W - 1 = 0

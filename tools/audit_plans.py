@@ -199,6 +199,7 @@ AUDITED = [
     ("weighted_closeness_trade", "per-landmark relax + SUM + integer division"),
     ("weighted_effdiam_trade", "global_rank order statistic + interpolation"),
     ("attribution_events", "per-user credit windows + two-level agg"),
+    ("weighted_modularity_trade", "community-tag joins + 1-row scalar cross"),
     ("dedup_minhash_keep_star", "planted star: band buckets + CC, no pairs"),
 ]
 
