@@ -7991,10 +7991,39 @@ def q_weighted_modularity_trade(spark, sf_dir):
     )
 
     w, seeds = _trade_landmark_seeds(spark, sf_dir)
-    asg = weighted_nearest_seed(w, seeds=seeds, max_rounds=4).select(
-        "id", F.col("seed").alias("community")
+    # checkpoint the assignment ONCE: modularity references it in both
+    # tag joins and two derived aggregates — without this the whole
+    # 4-superstep relax lineage re-evaluates per reference
+    asg = (
+        weighted_nearest_seed(w, seeds=seeds, max_rounds=4)
+        .select("id", F.col("seed").alias("community"))
+        .localCheckpoint(eager=True)
     )
     return weighted_modularity(w, asg)
+
+
+def q_conductance_trade(spark, sf_dir):
+    """Per-hub weighted conductance of the cheapest-hub Voronoi
+    partition (analytics.community_conductance, new r12): for each of
+    the 3 hub communities, cut weight / min-side volume in exact ppm —
+    the "is this trade bloc a bottleneck or a blob" cut-quality score
+    that complements the single-number weighted modularity. One BIGINT
+    floor division per community; same certified v0..v4 assignment
+    unroll and tagged-arc substrate as weighted_modularity_trade."""
+    from akka_graph_db_spark.operators.analytics import (
+        community_conductance,
+        weighted_nearest_seed,
+    )
+
+    w, seeds = _trade_landmark_seeds(spark, sf_dir)
+    # checkpoint the assignment ONCE (same reason as the modularity
+    # query: it is referenced by both tag joins and the per/tot pair)
+    asg = (
+        weighted_nearest_seed(w, seeds=seeds, max_rounds=4)
+        .select("id", F.col("seed").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    return community_conductance(w, asg).orderBy("community")
 
 
 def q_attribution_events(spark, sf_dir):
@@ -8051,25 +8080,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Order matters: the correctness driver certifies the FIRST 50
     # entries only. Round-12 rotation (VERDICT r11 #1 + #4): the window
-    # (a) certifies the FIVE new oracles -- weighted_ecc_trade,
+    # (a) certifies the SIX new oracles -- weighted_ecc_trade,
     # weighted_closeness_trade, and weighted_effdiam_trade (the
     # weighted landmark-centrality family completed on the certified
     # weighted_landmark_costs substrate), weighted_modularity_trade
     # (affinity-weighted Newman Q of the certified Voronoi partition),
-    # and attribution_events (exact-ppm multi-touch conversion
+    # conductance_trade (its per-community cut-quality companion), and
+    # attribution_events (exact-ppm multi-touch conversion
     # attribution), (b) drains the five-query deferred queue from r11
     # (vocabulary, weighted_sample_docs, tpch_q3, text_repetition,
     # salted_join_orders -- the r5-era rows that yielded their slots to
-    # the r11 oracles), and (c) spends the remaining 40 slots on the
+    # the r11 oracles), and (c) spends the remaining 39 slots on the
     # OLDEST surviving certifications, all r6-era (min-age-maximizing,
     # ages recomputed from CORRECTNESS_r02..r11.json this session;
-    # tpch_q7 (r6) and tpch_q8 (r7), the youngest former occupants,
-    # yielded their slots and head the tail). Every window entry passed
-    # the exact local hash gate at sf0.01 this session.
+    # weekly_revenue_growth (r6), tpch_q7 (r6), and tpch_q8 (r7), the
+    # youngest former occupants, yielded their slots and head the
+    # tail). Every window entry passed the exact local hash gate at
+    # sf0.01 this session.
         "weighted_ecc_trade": q_weighted_ecc_trade,
         "weighted_closeness_trade": q_weighted_closeness_trade,
         "weighted_effdiam_trade": q_weighted_effdiam_trade,
         "weighted_modularity_trade": q_weighted_modularity_trade,
+        "conductance_trade": q_conductance_trade,
         "attribution_events": q_attribution_events,
         "vocabulary": q_vocabulary,
         "weighted_sample_docs": q_weighted_sample_docs,
@@ -8115,14 +8147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_heatmap": q_activity_heatmap,
         "revenue_concentration": q_revenue_concentration,
         "conversion_latency": q_conversion_latency,
-        "weekly_revenue_growth": q_weekly_revenue_growth,
     # --- certification window ends here (50 entries). ---
     # Certified tail: every entry below has a green driver row in
     # CORRECTNESS_r02..r11.json (cumulative union 286/286 green before
-    # this round's five additions). tpch_q7 (r6) and tpch_q8 (r7)
-    # yielded their window slots to the fifth and fourth r12 oracles
-    # (weighted_modularity_trade, attribution_events) and head the
-    # tail.
+    # this round's six additions). weekly_revenue_growth (r6), tpch_q7
+    # (r6), and tpch_q8 (r7) yielded their window slots to the sixth,
+    # fifth, and fourth r12 oracles (conductance_trade,
+    # weighted_modularity_trade, attribution_events) and head the tail.
+        "weekly_revenue_growth": q_weekly_revenue_growth,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "drift_alarm_docs": q_drift_alarm_docs,
@@ -15457,6 +15489,95 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(aw * ww - s2 AS DOUBLE)
                          / CAST(aw * aw AS DOUBLE), 6) AS modularity
             FROM ar, ds
+        """,
+        # Per-community conductance: the same v0..v4 assignment unroll
+        # and tagged arcs, per-community SUM/COUNT-DISTINCT, one BIGINT
+        # floor division (min-side volume), 0 by convention when there
+        # is no outside.
+        "conductance_trade": """
+            WITH twe AS MATERIALIZED (
+              SELECT a, b, CAST(q * 100 AS BIGINT) AS w FROM (
+                SELECT s.s_nationkey AS a, c.c_nationkey AS b,
+                       SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS q
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY 1, 2
+              ) ORDER BY q DESC, a, b LIMIT 40
+            ),
+            wund AS MATERIALIZED (
+              SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MIN(w) AS w
+              FROM twe WHERE a <> b GROUP BY 1, 2
+            ),
+            wsym AS MATERIALIZED (
+              SELECT a, b, w FROM wund
+              UNION ALL SELECT b, a, w FROM wund
+            ),
+            wn AS MATERIALIZED (SELECT DISTINCT a FROM wsym),
+            sd AS MATERIALIZED (SELECT a AS id FROM wn ORDER BY a LIMIT 3),
+            v0 AS (SELECT id, CAST(0 AS BIGINT) AS d, id AS seed FROM sd),
+            v1 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v0
+                    UNION ALL
+                    SELECT wsym.b, v0.d + wsym.w, v0.seed FROM v0
+                    JOIN wsym ON wsym.a = v0.id)) WHERE rn = 1),
+            v2 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v1
+                    UNION ALL
+                    SELECT wsym.b, v1.d + wsym.w, v1.seed FROM v1
+                    JOIN wsym ON wsym.a = v1.id)) WHERE rn = 1),
+            v3 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v2
+                    UNION ALL
+                    SELECT wsym.b, v2.d + wsym.w, v2.seed FROM v2
+                    JOIN wsym ON wsym.a = v2.id)) WHERE rn = 1),
+            v4 AS (SELECT id, d, seed FROM (
+              SELECT id, d, seed,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY d, seed) AS rn
+              FROM (SELECT id, d, seed FROM v3
+                    UNION ALL
+                    SELECT wsym.b, v3.d + wsym.w, v3.seed FROM v3
+                    JOIN wsym ON wsym.a = v3.id)) WHERE rn = 1),
+            asg AS MATERIALIZED (
+              SELECT v4.id AS id, v4.seed AS community
+              FROM v4 JOIN wn ON wn.a = v4.id
+            ),
+            tg AS MATERIALIZED (
+              SELECT s.a AS a, s.w AS w,
+                     ca.community AS ca, cb.community AS cb
+              FROM wsym s
+              JOIN asg ca ON ca.id = s.a
+              JOIN asg cb ON cb.id = s.b
+            ),
+            per AS (
+              SELECT ca AS community,
+                     COUNT(DISTINCT a) AS n_nodes,
+                     SUM(w) AS vol_w,
+                     SUM(CASE WHEN ca <> cb THEN w ELSE 0 END) AS cut_w
+              FROM tg GROUP BY 1
+            ),
+            tot AS (SELECT SUM(vol_w) AS aw FROM per)
+            SELECT CAST(community AS BIGINT) AS community,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(vol_w AS BIGINT) AS vol_w,
+                   CAST(cut_w AS BIGINT) AS cut_w,
+                   CAST(CASE WHEN LEAST(vol_w, aw - vol_w) = 0 THEN 0
+                        ELSE (cut_w * 1000000)
+                             // LEAST(vol_w, aw - vol_w) END
+                        AS BIGINT) AS conductance_ppm
+            FROM per, tot ORDER BY community
         """,
         # Multi-touch attribution: the same per-user running-sum /
         # rank / count windows ((ts, event_id) total order), the same

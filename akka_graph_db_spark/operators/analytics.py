@@ -5069,6 +5069,71 @@ def weighted_modularity(
     )
 
 
+def community_conductance(
+    wpairs: DataFrame, assignment: DataFrame
+) -> DataFrame:
+    """Per-community weighted conductance — the cut-quality companion
+    to :func:`weighted_modularity` (Kannan-Vempala-Vetta 2004; the
+    standard "is this cluster a bottleneck or a blob" score):
+
+        φ(C) = cut(C) / min(vol(C), vol(V∖C))
+
+    with cut(C) = total weight of edges leaving C and vol(C) = total
+    weighted degree of C's nodes, both measured in symmetric-arc weight
+    (each undirected edge contributes 2w to volumes, w to each
+    endpoint; a cut edge contributes w to each side's cut — the
+    arc-weight convention makes every quantity a plain SUM). Low φ =
+    well-separated community; φ = 0 is a disconnected component.
+
+    Exactness: all sums are integer arc weights; conductance_ppm =
+    (cut_w · 10⁶) div min(vol_w, A − vol_w) is one BIGINT floor
+    division (A = total arc weight) — bit-reproducible anywhere.
+    Communities with min(vol, A−vol) = 0 (a community holding EVERY
+    assigned arc) report φ_ppm = 0 by convention (no outside to leak
+    to). Arcs with an unassigned endpoint are excluded from the
+    universe, same contract as :func:`weighted_modularity`. Returns
+    (community, n_nodes, vol_w, cut_w, conductance_ppm).
+
+    Plan shape: the same two community-tag equi-joins as
+    weighted_modularity, one |communities|-row aggregation crossed
+    with a broadcast 1-row total — nothing quadratic, no collect.
+    """
+    _, sym = _canonical_weighted(wpairs)
+    asg = assignment.select("id", "community")
+    tagged = sym.join(
+        asg.select(F.col("id").alias("a"), F.col("community").alias("ca")),
+        "a",
+    ).join(
+        asg.select(F.col("id").alias("b"), F.col("community").alias("cb")),
+        "b",
+    )
+    per = tagged.groupBy(F.col("ca").alias("community")).agg(
+        F.count_distinct(F.col("a")).cast("bigint").alias("n_nodes"),
+        F.sum("w").cast("bigint").alias("vol_w"),
+        F.sum(
+            F.when(F.col("ca") != F.col("cb"), F.col("w")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cut_w"),
+    )
+    tot = per.agg(F.sum("vol_w").alias("_aw"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "vol_w",
+            "cut_w",
+            F.when(F.least("vol_w", F.expr("_aw - vol_w")) == 0, F.lit(0))
+            .otherwise(
+                F.expr("(cut_w * 1000000) div least(vol_w, _aw - vol_w)")
+            )
+            .cast("bigint")
+            .alias("conductance_ppm"),
+        )
+    )
+
+
 def kcenter_landmarks_weighted(
     wpairs: DataFrame,
     k: int = 3,

@@ -277,6 +277,7 @@ HEADLINE = [
     "weighted_closeness_trade",  # exact-integer weighted closeness
     "weighted_effdiam_trade",  # interpolated weighted effective diameter
     "weighted_modularity_trade",  # affinity-weighted Newman Q of Voronoi
+    "conductance_trade",      # per-community cut-quality (exact ppm)
     "attribution_events",     # exact-ppm multi-touch credit ledger
     # sub-second canaries (sample of the scan/CRUD tail: if these drift,
     # the fixed per-child session cost drifted, not a query plan)
@@ -319,7 +320,10 @@ HEADLINE = [
 # 3.1 land 1.5-4s). The three r12 weighted-centrality queries were
 # placed by isolated subset-bench measures at sf0.1 (weighted_ecc_trade
 # 6.8, weighted_closeness_trade 4.9, weighted_effdiam_trade 7.1 — all
-# 4-8s band; weighted_modularity_trade 4.8 joins them; attribution_events
+# 4-8s band; weighted_modularity_trade 4.8 and conductance_trade 4.6
+# join them — both after checkpointing the shared Voronoi assignment
+# once in the query, which cut conductance from a measured 23.5s of
+# repeated relax-lineage evaluation; attribution_events
 # 1.0 lands <1.5s). r12 regen audit
 # (VERDICT r11 #5): re-deriving membership
 # from the driver's r11 record (227/227, 912s) was evaluated and
@@ -385,6 +389,7 @@ _BATCH4 = {
 _BATCH2 = {
     "weighted_ecc_trade", "weighted_closeness_trade",
     "weighted_effdiam_trade", "weighted_modularity_trade",
+    "conductance_trade",
     "assortativity_coorder", "cdc_chunks", "clique_profile_parts",
     "clustering_coefficient", "coverage_curve_docs", "customer_similarity",
     "dag_layers_graph", "dedup_containment", "dedup_containment_prune",

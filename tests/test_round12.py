@@ -291,3 +291,48 @@ def test_weighted_modularity_perfect_split_and_unassigned(spark):
     row2 = weighted_modularity(w2, part).collect()[0]
     assert (row2.total_weight, row2.n_communities) == (10, 1)
     assert row2.modularity == 0.0  # single community: W_c/W - 1 = 0
+
+
+def test_community_conductance_hand_values(spark, wgraph):
+    """Assignment {1,2}=A {3,4}=B on the hand graph: vol_A = 90,
+    vol_B = 80, cut = 70 both sides (arcs 2-3 w20 + 1-3 w50):
+    phi_A = 70e6 div min(90, 80) = 875000 = phi_B."""
+    from akka_graph_db_spark.operators.analytics import (
+        community_conductance,
+    )
+
+    asg = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "id bigint, community string",
+    )
+    rows = {
+        r.community: (r.n_nodes, r.vol_w, r.cut_w, r.conductance_ppm)
+        for r in community_conductance(wgraph, asg).collect()
+    }
+    assert rows == {"A": (2, 90, 70, 875000), "B": (2, 80, 70, 875000)}
+
+
+def test_community_conductance_disconnected_and_whole(spark, wgraph):
+    from akka_graph_db_spark.operators.analytics import (
+        community_conductance,
+    )
+
+    w2 = spark.createDataFrame(
+        [(1, 2, 10), (3, 4, 10)], "a bigint, b bigint, w bigint"
+    )
+    asg = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "id bigint, community string",
+    )
+    # separate components: zero cut, phi = 0
+    assert all(
+        r.conductance_ppm == 0 and r.cut_w == 0
+        for r in community_conductance(w2, asg).collect()
+    )
+    # one community holding everything: min-side volume 0 -> phi = 0
+    # by convention, not a divide-by-zero
+    one = spark.createDataFrame(
+        [(i, "A") for i in (1, 2, 3, 4)], "id bigint, community string"
+    )
+    row = community_conductance(wgraph, one).collect()
+    assert len(row) == 1 and row[0].conductance_ppm == 0

@@ -200,6 +200,7 @@ AUDITED = [
     ("weighted_effdiam_trade", "global_rank order statistic + interpolation"),
     ("attribution_events", "per-user credit windows + two-level agg"),
     ("weighted_modularity_trade", "community-tag joins + 1-row scalar cross"),
+    ("conductance_trade", "per-community cut/volume sums + broadcast total"),
     ("dedup_minhash_keep_star", "planted star: band buckets + CC, no pairs"),
 ]
 
