@@ -7910,16 +7910,18 @@ def _trade_landmark_seeds(spark, sf_dir):
 
 
 def q_weighted_ecc_trade(spark, sf_dir):
-    """Weighted bounded eccentricity from landmarks
+    """Weighted bounded eccentricity estimate from landmarks
     (analytics.weighted_eccentricity, new r12 — VERDICT r11 #4): per
     nation, the MAX bounded cheapest cost to any of the 3 smallest-id
     landmark nations (corridor quantity cents, 4 Bellman-Ford
-    supersteps) — the per-node weighted diameter lower bound, exact
-    BIGINT. Completes the landmark-centrality family's weighted twins
-    alongside harmonic (r11): same certified weighted_landmark_costs
-    substrate, one extra MAX/COUNT aggregation. Oracle: the h0..h4
-    per-(id, landmark) min-cost unroll with MAX/COUNT (self cost-0
-    rows INCLUDED in n_reached — they never move the max)."""
+    supersteps), exact BIGINT — an ESTIMATE, not a bound: the landmark
+    sample under-shoots the max while the round bound over-shoots each
+    cost (see the operator docstring). Completes the landmark-
+    centrality family's weighted twins alongside harmonic (r11): same
+    certified weighted_landmark_costs substrate, one extra MAX/COUNT
+    aggregation. Oracle: the h0..h4 per-(id, landmark) min-cost unroll
+    with MAX/COUNT (self cost-0 rows INCLUDED in n_reached — they
+    never move the max)."""
     from akka_graph_db_spark.operators.analytics import (
         weighted_eccentricity,
     )
@@ -15268,7 +15270,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN wsym ON wsym.a = h3.id) GROUP BY 1, 2)
             SELECT CAST(h4.id AS BIGINT) AS id,
                    CAST(COUNT(*) AS BIGINT) AS n_reached,
-                   CAST(MAX(h4.d) AS BIGINT) AS ecc_lb
+                   CAST(MAX(h4.d) AS BIGINT) AS ecc_est
             FROM h4 JOIN wn ON wn.a = h4.id
             GROUP BY 1 ORDER BY 1
         """,

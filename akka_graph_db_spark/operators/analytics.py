@@ -4854,17 +4854,25 @@ def weighted_eccentricity(
     landmarks: "Sequence[int]",
     max_rounds: int = 4,
 ) -> DataFrame:
-    """Weighted bounded eccentricity from a landmark sample — the
-    edge-cost twin of the hop-metric landmark eccentricity (same
+    """Weighted bounded eccentricity ESTIMATE from a landmark sample —
+    the edge-cost twin of the hop-metric landmark eccentricity (same
     Eppstein-Wang landmark-sampling substrate): per node, the MAX
     bounded cheapest cost to any landmark it reaches within
-    ``max_rounds`` edges, a lower bound on the node's true weighted
-    eccentricity (more landmarks → tighter; exact when landmarks = all
-    nodes and max_rounds ≥ |V|−1). Returns (id, n_reached, ecc_lb) in
-    exact BIGINT; ``n_reached`` counts all (node, landmark) pairs
-    within the bound INCLUDING the node-is-landmark cost-0 self pair
-    (which never moves the max). Nodes reaching no landmark are
-    omitted.
+    ``max_rounds`` edges. Returns (id, n_reached, ecc_est) in exact
+    BIGINT; ``n_reached`` counts all (node, landmark) pairs within the
+    bound INCLUDING the node-is-landmark cost-0 self pair (which never
+    moves the max). Nodes reaching no landmark are omitted.
+
+    Estimator contract — deliberately NOT named a lower bound: the
+    landmark SAMPLE lower-bounds the max while the bounded-round cost
+    UPPER-bounds each distance (round r holds the exact min over
+    ≤r-edge paths, so a cheap many-edge path outside the bound is not
+    seen — unlike the hop metric, where bounded BFS distance is exact
+    for every reached node and the max is a true lower bound).
+    ``ecc_est`` equals the classic landmark eccentricity lower bound
+    exactly when ``max_rounds`` covers the cheapest paths to the
+    landmarks (e.g. max_rounds ≥ the graph's hop diameter); raise
+    rounds, not landmarks, to converge it.
 
     Scale shape: one :func:`weighted_landmark_costs` sweep (all
     landmarks advance in the same superstep join, state |touched| ×
@@ -4874,7 +4882,7 @@ def weighted_eccentricity(
     c = weighted_landmark_costs(wpairs, landmarks, max_rounds)
     return c.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_reached"),
-        F.max("cost").cast("bigint").alias("ecc_lb"),
+        F.max("cost").cast("bigint").alias("ecc_est"),
     )
 
 
@@ -4953,13 +4961,16 @@ def weighted_effective_diameter(
     from akka_graph_db_spark.functions.ranking import global_rank
 
     c = weighted_landmark_costs(wpairs, landmarks, max_rounds)
-    tot = c.agg(
-        F.count(F.lit(1)).alias("_n"), F.max("cost").alias("_mx")
-    )
     # the t-th smallest cost IS "the smallest cost whose cumulative
     # count reaches t": one distributed order statistic, no cost-CDF
-    # materialization
+    # materialization. global_rank returns its output eagerly
+    # checkpointed, so EVERY downstream read (tot, hit, parts) comes
+    # off that materialization — the relax sweep behind `c` runs
+    # exactly once per call.
     ranked = global_rank(c, ["cost", "id", "landmark"], rank_col="_rn")
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("cost").alias("_mx")
+    )
     hit = (
         ranked.crossJoin(F.broadcast(tot))
         .where(
@@ -4969,7 +4980,8 @@ def weighted_effective_diameter(
         .select(F.col("cost").alias("_hd"), "_n", "_mx")
     )
     parts = (
-        c.crossJoin(F.broadcast(hit))
+        ranked.select("cost")
+        .crossJoin(F.broadcast(hit))
         .groupBy("_hd", "_n", "_mx")
         .agg(
             F.max(
@@ -5025,9 +5037,14 @@ def weighted_modularity(
     modularity).
 
     Plan shape: two equi-joins tag each arc endpoint with its
-    community (AQE broadcasts a small assignment side), then one
-    per-community weight aggregation and two scalar aggregates crossed
-    as broadcast 1-row frames — nothing quadratic, no collect.
+    community (AQE broadcasts a small assignment side), then ONE
+    per-community weight aggregation — the data-sized tagged-arc frame
+    is read exactly once; A, In, Σ S_c², and the community count all
+    derive from the |communities|-row result in a second tiny
+    aggregation. Nothing quadratic, no collect. All weight sums run in
+    DECIMAL(38,0) from the first partial aggregate (a BIGINT
+    accumulator could wrap past 2⁶³ total weight — the exactness
+    contract forbids that).
     """
     _, sym = _canonical_weighted(wpairs)
     asg = assignment.select("id", "community")
@@ -5039,26 +5056,22 @@ def weighted_modularity(
         asg.select(F.col("id").alias("b"), F.col("community").alias("cb")),
         "b",
     )
-    arcs = tagged.agg(
-        F.sum(dec(F.col("w"))).alias("_arcs_w"),
+    # S_c (weighted degree sum) and W_c (intra weight): each symmetric
+    # arc charges its full weight to its SOURCE community, so ONE
+    # groupBy over the tagged arcs yields both — no per-node
+    # intermediate, and no second pass over the data-sized frame.
+    per = tagged.groupBy("ca").agg(
+        F.sum(dec(F.col("w"))).alias("_sc"),
         F.sum(
-            F.when(F.col("ca") == F.col("cb"), F.col("w")).otherwise(0)
-        )
-        .cast("decimal(38,0)")
-        .alias("_within_w"),
+            dec(F.when(F.col("ca") == F.col("cb"), F.col("w")).otherwise(0))
+        ).alias("_wc"),
     )
-    # S_c² summed over communities: each symmetric arc charges its full
-    # weight to its SOURCE community, so the per-community sum IS the
-    # weighted degree sum — no per-node intermediate needed.
-    dsq = (
-        tagged.groupBy("ca")
-        .agg(F.sum(dec(F.col("w"))).alias("_sc"))
-        .agg(
-            F.sum(F.col("_sc") * F.col("_sc")).alias("_sum_sc2"),
-            F.count(F.lit(1)).alias("_n_comm"),
-        )
+    j = per.agg(
+        F.sum("_sc").alias("_arcs_w"),
+        F.sum("_wc").alias("_within_w"),
+        F.sum(F.col("_sc") * F.col("_sc")).alias("_sum_sc2"),
+        F.count(F.lit(1)).alias("_n_comm"),
     )
-    j = arcs.crossJoin(F.broadcast(dsq))  # two 1-row frames
     a_ = F.col("_arcs_w")
     num = (a_ * F.col("_within_w") - F.col("_sum_sc2")).cast("double")
     den = (a_ * a_).cast("double")
@@ -5095,8 +5108,12 @@ def community_conductance(
     (community, n_nodes, vol_w, cut_w, conductance_ppm).
 
     Plan shape: the same two community-tag equi-joins as
-    weighted_modularity, one |communities|-row aggregation crossed
-    with a broadcast 1-row total — nothing quadratic, no collect.
+    weighted_modularity, one |communities|-row aggregation — the
+    data-sized tagged-arc frame is read exactly once (the per-community
+    result checkpoints eagerly, communities-row tiny, so the 1-row
+    total and the final projection both come off the materialization,
+    never re-running the joins) — crossed with a broadcast 1-row
+    total. Nothing quadratic, no collect.
     """
     _, sym = _canonical_weighted(wpairs)
     asg = assignment.select("id", "community")
@@ -5107,14 +5124,18 @@ def community_conductance(
         asg.select(F.col("id").alias("b"), F.col("community").alias("cb")),
         "b",
     )
-    per = tagged.groupBy(F.col("ca").alias("community")).agg(
-        F.count_distinct(F.col("a")).cast("bigint").alias("n_nodes"),
-        F.sum("w").cast("bigint").alias("vol_w"),
-        F.sum(
-            F.when(F.col("ca") != F.col("cb"), F.col("w")).otherwise(0)
+    per = (
+        tagged.groupBy(F.col("ca").alias("community"))
+        .agg(
+            F.count_distinct(F.col("a")).cast("bigint").alias("n_nodes"),
+            F.sum("w").cast("bigint").alias("vol_w"),
+            F.sum(
+                F.when(F.col("ca") != F.col("cb"), F.col("w")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cut_w"),
         )
-        .cast("bigint")
-        .alias("cut_w"),
+        .localCheckpoint(eager=True)
     )
     tot = per.agg(F.sum("vol_w").alias("_aw"))
     return (

@@ -230,8 +230,9 @@ def _fake_children_seq(schedule):
 
 def test_bimodal_triplets_banded_query_gets_three_isolated_runs():
     """A shared-session (banded) bimodal row over 1.5x its family floor
-    gets 3 isolated samples (its in-run number is not isolated); the
-    full triplet lands in the artifact and the MIN is committed."""
+    gets 3 isolated samples; the triplet holds ONLY those (the in-run
+    number is not isolated and must not masquerade as one) and the MIN
+    of everything observed is committed."""
     timings = {"dedup_minhash_keep": 20.0}  # floor 8 -> trigger > 12
     out = bench._bimodal_triplets(
         timings,
@@ -241,10 +242,30 @@ def test_bimodal_triplets_banded_query_gets_three_isolated_runs():
     assert out == {
         "dedup_minhash_keep": {
             "in_run": 20.0,
-            "isolated_triplet": [20.0, 27.8, 20.8, 13.7],
+            "isolated_triplet": [27.8, 20.8, 13.7],
         }
     }
     assert timings["dedup_minhash_keep"] == 13.7
+
+
+def test_bimodal_triplets_in_run_override_survives_band_guard():
+    """When the band guard already corrected a row, the triplet entry
+    must still record the GENUINE first measurement as in_run, not the
+    guard-corrected min."""
+    timings = {"dedup_minhash_keep": 14.0}  # post-band-guard value
+    out = bench._bimodal_triplets(
+        timings,
+        _fake_children_seq({"dedup_minhash_keep": [13.0, 12.5, 13.2]}),
+        lambda: 1000.0,
+        in_run_override={"dedup_minhash_keep": 24.0},
+    )
+    assert out["dedup_minhash_keep"]["in_run"] == 24.0
+    assert out["dedup_minhash_keep"]["isolated_triplet"] == [
+        13.0,
+        12.5,
+        13.2,
+    ]
+    assert timings["dedup_minhash_keep"] == 12.5
 
 
 def test_bimodal_triplets_isolated_query_gets_two_extra_runs():

@@ -31,7 +31,7 @@ def wgraph(spark):
 
 def test_weighted_eccentricity_hand_values(wgraph):
     rows = {
-        r.id: (r.n_reached, r.ecc_lb)
+        r.id: (r.n_reached, r.ecc_est)
         for r in weighted_eccentricity(wgraph, [1, 2]).collect()
     }
     # max over landmark costs; self cost-0 pairs counted in n_reached
