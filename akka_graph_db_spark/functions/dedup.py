@@ -85,7 +85,12 @@ def minhash_signatures_arrow(
     hash per shingle + a splitmix64 permutation family, min-reduced in one
     numpy matrix op per document. 5-10x the interpreted higher-order-
     function expression path (Spark does not codegen HOF lambdas), at the
-    cost of the Arrow transfer. Returns (_id BIGINT, _sig ARRAY<BIGINT>).
+    cost of the Arrow transfer. Returns (_id BIGINT, _sig ARRAY<BIGINT>,
+    _n INT) — ``_n`` is the shingle-set cardinality (min 1: the JVM
+    shingle path represents an empty document as the [""] singleton), so
+    size-prefilter consumers need no extra join against the shingle
+    frame; it matches :func:`_shingle_sets`'s ``_n`` up to 64-bit hash
+    collisions (that frame counts distinct xxhash64 values).
 
     Hash family differs from :func:`minhash_signature` (expression path);
     either feeds the SAME banding/verification downstream. Exact
@@ -127,6 +132,7 @@ def minhash_signatures_arrow(
         with np.errstate(over="ignore"):
             for pdf in batches:
                 out = []
+                ns = []
                 for text in pdf[text_col]:
                     toks = [t for t in (text or "").lower().split() if t]
                     if shingle_n > 1:
@@ -139,6 +145,7 @@ def minhash_signatures_arrow(
                             sh = {" ".join(toks)}
                     else:
                         sh = set(toks)
+                    ns.append(max(len(sh), 1))
                     if not sh:
                         out.append(empty_sig)
                         continue
@@ -157,10 +164,12 @@ def minhash_signatures_arrow(
                     )
                     m = splitmix64(base[None, :] ^ seeds[:, None]).min(axis=1)
                     out.append(m.astype(np.int64).tolist())
-                yield pd.DataFrame({"_id": pdf[id_col], "_sig": out})
+                yield pd.DataFrame(
+                    {"_id": pdf[id_col], "_sig": out, "_n": ns}
+                )
 
     return df.select(id_col, text_col).mapInPandas(
-        _sigs, schema="_id bigint, _sig array<bigint>"
+        _sigs, schema="_id bigint, _sig array<bigint>, _n int"
     )
 
 
@@ -172,8 +181,13 @@ def _signatures(
     shingle_n: int,
     arrow: bool,
 ) -> DataFrame:
-    """(_id, _sig) frame, repartitioned + materialized (see class note on
-    projection collapse)."""
+    """(_id, _sig, _n) frame, repartitioned + materialized (see class
+    note on projection collapse). ``_n`` (shingle-set cardinality, min 1
+    — the [""] singleton for empty docs) rides along so the size-ratio
+    prefilter never needs a join against the shingle frame: a join there
+    poisons the planner's size estimate (a 249 KiB signature checkpoint
+    joined to a 194 KiB size frame was estimated at 191 GiB, forcing
+    every downstream band join to sort-merge)."""
     npart = df.sparkSession.sparkContext.defaultParallelism
     if arrow:
         sigs = minhash_signatures_arrow(
@@ -184,6 +198,9 @@ def _signatures(
             shingle_n,
         )
     else:
+        sh = F.array_distinct(
+            shingles(tokens(F.col("_t")), shingle_n)
+        )
         sigs = (
             df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
             .repartition(npart, F.col("_id"))
@@ -192,6 +209,7 @@ def _signatures(
                 minhash_signature(F.col("_t"), num_perm, shingle_n).alias(
                     "_sig"
                 ),
+                F.greatest(F.size(sh), F.lit(1)).alias("_n"),
             )
         )
     return sigs.localCheckpoint(eager=True)
@@ -225,7 +243,11 @@ def corpus_sketch(
         npart, F.col("_sid")
     )
     return (
-        sigs.join(sh.withColumnRenamed("_sid", "_id"), "_id")
+        # the sketch's _n is the shingle frame's (distinct xxhash64
+        # count) — drop the signature pass's twin to keep the join
+        # unambiguous
+        sigs.drop("_n")
+        .join(sh.withColumnRenamed("_sid", "_id"), "_id")
         .select(
             "_id",
             # Build parameters ride along as column metadata so sketch
@@ -276,13 +298,50 @@ def _sketch_subset(sketch: DataFrame, ids: DataFrame, id_col: str):
 
 
 def _banded_candidates(
-    sigs: DataFrame, num_perm: int, bands: int
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Candidate pairs (a_id < b_id) from a materialized (_id, _sig)
-    signature frame: band-hash explode + self-equi-join on the bucket key."""
+    signature frame — each colliding pair emitted EXACTLY ONCE, at the
+    FIRST band where the two signatures agree.
+
+    ``threshold`` (with a ``_n`` column on ``sigs`` — shingle-set
+    cardinalities) pushes the deterministically-safe size-ratio
+    prefilter (J(A,B) >= t implies min/max >= t — see
+    :func:`minhash_dedup_pairs`) into the band-join stage itself:
+    candidates that cannot verify are dropped BEFORE the distinct ever
+    sees them (measured at sf0.1, shingle_n=1: the filter keeps 3.57M
+    of 9.67M candidate pairs, and the distinct's hash maps — the
+    pipeline's spill mode — shrink with it), and the post-hoc
+    size-prefilter join this replaces disappears. ``_n`` must ride on
+    the signature frame itself, NOT be joined in here: a join poisons
+    the planner's size estimate (measured: 249 KiB ⋈ 194 KiB estimated
+    at 191 GiB), which forces the band join below to sort-merge.
+
+    The planner picks the join strategy from real (checkpoint-origin)
+    stats: a band table under the broadcast threshold makes this a
+    map-side hash join whose output emission is balanced by the probe
+    side's id-derived partitioning (a hot bucket's pairs stream from
+    every partition holding a member, never from one key-owner task);
+    past the threshold it is a shuffle join and AQE's skew-join
+    splitting handles oversized buckets.
+
+    (Two rejected rewrites, both output-identical but slower at sf0.1:
+    a per-band statically-unrolled join union — 16 broadcast exchanges
+    per plan execution of constant overhead, 36 BHJ total, re-paid by
+    every consumer materialization — and a first-matching-band CASE
+    filter over the joined stream carrying both band arrays — the
+    16-branch CASE over array indexing evaluated at ~23s for the
+    ~100M-row stream vs 3.7s for join+distinct; the distinct is NOT the
+    bottleneck once the size filter halves its input.)
+    """
     r = num_perm // bands
+    use_size = threshold is not None and "_n" in sigs.columns
     banded = sigs.select(
         "_id",
+        *(["_n"] if use_size else []),
         F.posexplode(
             F.array(
                 *[
@@ -293,14 +352,26 @@ def _banded_candidates(
         ).alias("band_idx", "band_hash"),
     )
     left = banded.select(
-        F.col("_id").alias("a_id"), "band_idx", "band_hash"
+        F.col("_id").alias("a_id"),
+        *([F.col("_n").alias("_na")] if use_size else []),
+        "band_idx",
+        "band_hash",
     )
     right = banded.select(
-        F.col("_id").alias("b_id"), "band_idx", "band_hash"
+        F.col("_id").alias("b_id"),
+        *([F.col("_n").alias("_nb")] if use_size else []),
+        "band_idx",
+        "band_hash",
     )
+    cond = F.col("a_id") < F.col("b_id")
+    if use_size:
+        cond = cond & (
+            (F.least("_na", "_nb") / F.greatest("_na", "_nb"))
+            >= F.lit(threshold)
+        )
     return (
         left.join(right, ["band_idx", "band_hash"], "inner")
-        .where(F.col("a_id") < F.col("b_id"))
+        .where(cond)
         .select("a_id", "b_id")
         .distinct()
     )
@@ -427,26 +498,23 @@ def minhash_dedup_pairs(
         raise ValueError("num_perm must be divisible by bands")
     if sketch is not None:
         _validate_sketch(sketch, num_perm, shingle_n)
-        # Materialize the subset ONCE: five consumers (banding, size
-        # prefilter, both verify sides x payload) would otherwise each
-        # re-run the semi-join and re-shuffle the _sh arrays — measured
-        # 132s vs ~40s for the 3-policy sweep at sf0.1 without this.
+        # Materialize the subset ONCE: the banding and both verify sides
+        # would otherwise each re-run the semi-join and re-shuffle the
+        # _sh arrays — measured 132s vs ~40s for the 3-policy sweep at
+        # sf0.1 without this.
         sub = _sketch_subset(sketch, df, id_col).localCheckpoint(
             eager=False
         )
-        sigs = sub.select("_id", "_sig")
+        sigs = sub.select("_id", "_sig", "_n")
         sh = sub.select(F.col("_id").alias("_sid"), "_sh", "_n")
-        cands = _banded_candidates(sigs, num_perm, bands)
     else:
         sigs = _signatures(df, text_col, id_col, num_perm, shingle_n, arrow)
-        cands = _banded_candidates(sigs, num_perm, bands)
-
-        # Compute the hashed shingle sets ONCE and materialize: three
-        # consumers (size prefilter + both verify sides) would otherwise
-        # each re-scan the source and re-run the tokenize/hash pass
-        # (projection collapse re-inlines it). The hashed-set frame is
-        # ~num_shingles longs per doc — far smaller than the corpus text —
-        # so materializing it is the cheap side of the trade at any scale.
+        # Compute the hashed shingle sets ONCE and materialize: the size
+        # prefilter and both verify sides would otherwise each re-scan
+        # the source and re-run the tokenize/hash pass (projection
+        # collapse re-inlines it). The hashed-set frame is ~num_shingles
+        # longs per doc — far smaller than the corpus text — so
+        # materializing it is the cheap side of the trade at any scale.
         # Repartition first: a small parquet input may arrive as 1-few
         # partitions while the per-doc work is CPU-bound.
         npart = df.sparkSession.sparkContext.defaultParallelism
@@ -455,6 +523,17 @@ def minhash_dedup_pairs(
             .repartition(npart, F.col("_sid"))
             .localCheckpoint(eager=False)
         )
+    # Size-ratio prefilter, deterministically safe at the boundary BY
+    # CONSTRUCTION: the verify admits fl(|∩|/|∪|) >= t, and |∩|/|∪| <=
+    # min/max in the reals, so with correctly-rounded (monotone) double
+    # division fl(min/max) >= fl(|∩|/|∪|) — the filter admits a superset
+    # of what the verify admits, equality at the threshold included.
+    # (The earlier `min >= t*max - 1e-9` form had a real failure mode:
+    # t*max can round UP past an integer min even when fl(min/max) == t.)
+    # It is pushed INTO the band-join stage (threshold= + the signature
+    # frame's own _n column), so non-verifiable candidates are dropped
+    # before they are ever materialized.
+    cands = _banded_candidates(sigs, num_perm, bands, threshold=threshold)
     use_est = est_margin is not None
     min_match = 0
     if use_est:
@@ -466,46 +545,31 @@ def minhash_dedup_pairs(
         # (t - margin) * num_perm) — no float-boundary ambiguity
         min_match = math.ceil((threshold - est_margin) * num_perm)
         use_est = min_match > 0
-
-    # one slim prefilter join per side: sizes (+ signatures when est is on)
-    slim = sh.select("_sid", "_n")
     if use_est:
-        slim = slim.join(
-            sigs.select(F.col("_id").alias("_sid"), "_sig"), "_sid"
-        )
-    slim_a = slim.select(
-        F.col("_sid").alias("a_id"),
-        F.col("_n").alias("_na"),
-        *([F.col("_sig").alias("_siga")] if use_est else []),
-    )
-    slim_b = slim.select(
-        F.col("_sid").alias("b_id"),
-        F.col("_n").alias("_nb"),
-        *([F.col("_sig").alias("_sigb")] if use_est else []),
-    )
-    # Deterministically safe at the boundary BY CONSTRUCTION: the verify
-    # admits fl(|∩|/|∪|) >= t, and |∩|/|∪| <= min/max in the reals, so
-    # with correctly-rounded (monotone) double division fl(min/max) >=
-    # fl(|∩|/|∪|) — this filter admits a superset of what the verify
-    # admits, equality at the threshold included. The earlier
-    # `min >= t*max - 1e-9` form had a real failure mode: t*max can
-    # round UP past an integer min even when fl(min/max) == t.
-    cond = (
-        F.least("_na", "_nb") / F.greatest("_na", "_nb")
-    ) >= F.lit(threshold)
-    if use_est:
+        # signature-estimate prefilter (opt-in): one slim join per side
+        # over the already-size-filtered candidates.
+        slim = sigs.select(F.col("_id").alias("_sid"), "_sig")
         matches = F.aggregate(
             F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
             F.lit(0),
             lambda acc, v: acc + v,
         )
-        cond = cond & (matches >= F.lit(int(min_match)))
-    cands = (
-        cands.join(slim_a, "a_id")
-        .join(slim_b, "b_id")
-        .where(cond)
-        .select("a_id", "b_id")
-    )
+        cands = (
+            cands.join(
+                slim.select(
+                    F.col("_sid").alias("a_id"), F.col("_sig").alias("_siga")
+                ),
+                "a_id",
+            )
+            .join(
+                slim.select(
+                    F.col("_sid").alias("b_id"), F.col("_sig").alias("_sigb")
+                ),
+                "b_id",
+            )
+            .where(matches >= F.lit(int(min_match)))
+            .select("a_id", "b_id")
+        )
 
     a = sh.select(F.col("_sid").alias("a_id"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_sid").alias("b_id"), F.col("_sh").alias("_shb"))
