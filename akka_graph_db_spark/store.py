@@ -495,6 +495,12 @@ def delta_from_graphs(old: PropertyGraph, new: PropertyGraph) -> GraphDelta:
     is O(changes): at 100 TB the scan is cheap parallel work while the
     rewrite it replaces is the cost that matters. Satisfies the per-delta
     id contract by construction (``save_delta(..., validate=False)`` safe).
+
+    Each side's join is filtered to the O(changes) changed-row set and
+    materialized ONCE (lazy localCheckpoint): the upsert and delete
+    frames are separate write actions in :func:`save_delta` (plus
+    validation jobs when enabled), and without the barrier every one of
+    them re-ran its side's full O(old+new) diff join.
     """
 
     def _diff(o: DataFrame, n: DataFrame, cols: tuple[str, ...]):
@@ -517,10 +523,14 @@ def delta_from_graphs(old: PropertyGraph, new: PropertyGraph) -> GraphDelta:
                 for c in cmp_cols
             ],
         )
-        ups = j.where(
-            F.col("n_id").isNotNull() & (F.col("o_id").isNull() | changed)
-        ).select(*[F.col(f"n_{c}").alias(c) for c in cols])
-        dels = j.where(F.col("n_id").isNull()).select(
+        # upserts ∪ deletes — everything any consumer reads; O(changes)
+        touched = j.where(
+            F.col("o_id").isNull() | F.col("n_id").isNull() | changed
+        ).localCheckpoint(eager=False)
+        ups = touched.where(F.col("n_id").isNotNull()).select(
+            *[F.col(f"n_{c}").alias(c) for c in cols]
+        )
+        dels = touched.where(F.col("n_id").isNull()).select(
             F.col("o_id").alias("id")
         )
         return ups, dels
