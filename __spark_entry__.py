@@ -3819,11 +3819,17 @@ def q_streaming_fold(spark, sf_dir):
         (5, "update", "node", 95_000_001, None, None, None, {"v": "10"}),
         (6, "remove", "node", 95_000_003, None, None, None, None),
     ]
+    import json as _json
+
     tmp = tempfile.mkdtemp(prefix="fold_")
     log_dir = os.path.join(tmp, "log")
-    spark.createDataFrame(log_rows, MUTATION_SCHEMA).repartition(3).write.json(
-        log_dir
-    )
+    # driver-written JSON lines (the q_streaming_store_sink pattern):
+    # six fixture rows need no Spark write job
+    os.makedirs(log_dir)
+    cols = ("seq", "op", "kind", "id", "label", "src", "dst", "props")
+    with open(os.path.join(log_dir, "00.json"), "w") as fh:
+        for r in log_rows:
+            fh.write(_json.dumps(dict(zip(cols, r))) + "\n")
     stream = spark.readStream.schema(MUTATION_SCHEMA).json(log_dir)
     fold = StreamingGraphFold(g)
     final = fold.run(stream, os.path.join(tmp, "ckpt"))
@@ -3938,21 +3944,22 @@ def q_streaming_interval_join(spark, sf_dir):
 
     from akka_graph_db_spark.streaming import windows as sw
 
-    ev_df = read_events(spark, sf_dir)
+    import pyarrow.compute as pc
+
+    ev = _events_arrow(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
     tmp = tempfile.mkdtemp(prefix="sijoin_")
     lsrc = os.path.join(tmp, "clicks")
     rsrc = os.path.join(tmp, "purchases")
-    ev_df.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("l_ts"),
-        "user_id",
-    ).repartition(2).write.parquet(lsrc)
-    ev_df.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("r_ts"),
-        "user_id",
-        F.col("value").alias("purchase_value"),
-    ).repartition(2).write.parquet(rsrc)
+    clicks_t = ev.filter(pc.equal(ev["event_type"], "click")).select(
+        ["event_id", "ts", "user_id"]
+    ).rename_columns(["click_id", "l_ts", "user_id"])
+    purch_t = ev.filter(pc.equal(ev["event_type"], "purchase")).select(
+        ["event_id", "ts", "user_id", "value"]
+    ).rename_columns(["purchase_id", "r_ts", "user_id", "purchase_value"])
+    _stage_arrow_files(clicks_t, lsrc, n_files=2)
+    _stage_arrow_files(purch_t, rsrc, n_files=2)
     clicks = (
         spark.readStream.schema(
             "click_id bigint, l_ts timestamp, user_id bigint"
@@ -4010,12 +4017,14 @@ def q_streaming_dedup(spark, sf_dir):
 
     from akka_graph_db_spark.streaming import windows as sw
 
-    ev_df = read_events(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value"
+    import pyarrow as pa
+
+    ev = _events_arrow(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
     )
     tmp = tempfile.mkdtemp(prefix="sdedup_")
     src = os.path.join(tmp, "src")
-    ev_df.unionByName(ev_df).repartition(4).write.parquet(src)
+    _stage_arrow_files(pa.concat_tables([ev, ev]), src, n_files=4)
     # Duplicates share identical event times, so the 10-minute watermark
     # only provably retains their state if all 4 source files land in ONE
     # micro-batch. Pin that assumption explicitly instead of relying on
@@ -4117,12 +4126,10 @@ def q_streaming_cms(spark, sf_dir):
     from akka_graph_db_spark.functions import search
     from akka_graph_db_spark.streaming.sketch import StreamingCMS
 
-    ev_df = read_events(spark, sf_dir).select(
-        F.col("event_type").alias("term")
-    )
+    ev_t = _events_arrow(sf_dir, ["event_type"]).rename_columns(["term"])
     tmp = tempfile.mkdtemp(prefix="scms_")
     src = os.path.join(tmp, "src")
-    ev_df.repartition(4).write.parquet(src)
+    _stage_arrow_files(ev_t, src, n_files=4)
     stream = (
         spark.readStream.schema("term string")
         .option("maxFilesPerTrigger", 1)
@@ -4130,7 +4137,9 @@ def q_streaming_cms(spark, sf_dir):
     )
     cms = StreamingCMS(term_col="term", width=1024, depth=4)
     sketch = cms.run(stream, os.path.join(tmp, "ckpt"))
-    terms = ev_df.select("term").distinct()
+    terms = read_events(spark, sf_dir).select(
+        F.col("event_type").alias("term")
+    ).distinct()
     return search.cms_estimate(sketch, terms, width=1024, depth=4)
 
 
@@ -4147,10 +4156,9 @@ def q_streaming_hll(spark, sf_dir):
     from akka_graph_db_spark.functions import search
     from akka_graph_db_spark.streaming.sketch import StreamingHLL
 
-    ev_df = read_events(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="shll_")
     src = os.path.join(tmp, "src")
-    ev_df.select("event_id").repartition(4).write.parquet(src)
+    _stage_arrow_files(_events_arrow(sf_dir, ["event_id"]), src, n_files=4)
     stream = (
         spark.readStream.schema("event_id bigint")
         .option("maxFilesPerTrigger", 1)
@@ -4159,10 +4167,70 @@ def q_streaming_hll(spark, sf_dir):
     hll = StreamingHLL(value_col="event_id", p=10)
     sketch = hll.run(stream, os.path.join(tmp, "ckpt"))
     est = search.hll_estimate(sketch, p=10)
-    exact = ev_df.agg(F.countDistinct("event_id").alias("n_exact"))
+    exact = read_events(spark, sf_dir).agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
     return exact.crossJoin(est).select(
         "n_exact", F.round("hll_estimate", 4).alias("hll_estimate")
     )
+
+
+def _events_arrow(sf_dir, columns):
+    """Events slice as a pyarrow table, honoring read_events' ts
+    contract (UTC micros: nanos-fixture longs truncated by integer
+    division, micros-fixture naive timestamps stamped UTC — both
+    value-identical to the Spark reader under the pinned-UTC session).
+
+    Streaming queries stage their file-stream sources from this instead
+    of Spark write jobs: the sources are fixed ~2 MB fixture slices plus
+    sentinel rows, and driver-side pyarrow writes replace 1-3 Spark
+    jobs of single-task encode + commit overhead per query (measured
+    11.0s of q_streaming_session's ~20s at sf0.1). Pure column
+    slices/filters only — anything arithmetic (rounding-mode-sensitive)
+    stays on the Spark writer.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=columns)
+    if "ts" in tbl.column_names:
+        ts = tbl["ts"]
+        if pa.types.is_int64(ts.type):
+            ts = pc.cast(
+                pc.divide(ts, pa.scalar(1000, pa.int64())),
+                pa.timestamp("us", tz="UTC"),
+            )
+        else:
+            if ts.type.tz is None:
+                ts = pc.assume_timezone(ts, "UTC")
+            ts = pc.cast(ts, pa.timestamp("us", tz="UTC"))
+        idx = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            idx, pa.field("ts", pa.timestamp("us", tz="UTC")), ts
+        )
+    return tbl
+
+
+def _stage_arrow_files(tbl, src, n_files=1, base_mtime=1_600_000_000):
+    """Write a pyarrow table as ``n_files`` contiguous row slices under
+    ``src`` with deterministic one-minute-apart mtimes (the file
+    source's modification-time ordering must never be clock-tick luck).
+    Consumers are slice-invariant by construction (their docstrings
+    argue micro-batch invariance); contiguous slices are MORE
+    deterministic than the hash repartition this replaces."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(src, exist_ok=True)
+    step = max(1, math.ceil(tbl.num_rows / n_files))
+    for i in range(n_files):
+        part = tbl.slice(i * step, step)
+        dest = os.path.join(src, f"part-{i:02d}.parquet")
+        pq.write_table(part, dest)
+        os.utime(dest, (base_mtime + 60 * i,) * 2)
 
 
 def q_streaming_session(spark, sf_dir):
@@ -4176,38 +4244,55 @@ def q_streaming_session(spark, sf_dir):
     deterministically: one real-data file plus two far-future sentinel
     files (user_id = -1, +1/+2 days), pinned to one-file-per-micro-batch
     with explicit mtimes — batch 2 advances the watermark past every real
-    session, batch 3 flushes them. Sentinels filter out of the result."""
-    import glob
+    session, batch 3 flushes them. Sentinels filter out of the result.
+
+    The staging files are written DRIVER-SIDE with pyarrow: the source
+    slice is a fixed ~2 MB fixture plus two 1-row sentinels, and the
+    three coalesce(1) Spark write jobs this replaces were pure overhead
+    (measured 11.0s of the query's ~20s at sf0.1 — single-task encode +
+    commit per job for driver-sized data). Value-exact: the fixture
+    stores ts as TIMESTAMP(MICROS) without the UTC flag; stamping the
+    UTC zone onto the naive micros is exactly read_events' NTZ→LTZ cast
+    under the pinned-UTC session, and max/+days sentinel arithmetic is
+    integer micros both ways. (The pre-nanos fixture branch mirrors
+    read_events' `ts div 1000` truncation.)"""
     import os
-    import shutil
     import tempfile
     import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     from akka_graph_db_spark.streaming import windows as sw
 
     ensure_query_conf(spark)
-    ev_df = read_events(spark, sf_dir).select("ts", "user_id", "value")
     tmp = tempfile.mkdtemp(prefix="ssess_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
-    max_ts = ev_df.agg(F.max("ts")).collect()[0][0]
 
-    def _one_file(df, name, mtime):
-        d = os.path.join(tmp, f"_{name}")
-        df.coalesce(1).write.parquet(d)
-        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+    real = _events_arrow(sf_dir, ["ts", "user_id", "value"])
+    lfz = pa.timestamp("us", tz="UTC")
+    base_mtime = 1_600_000_000
+    max_us = pc.max(real["ts"]).cast(pa.int64()).as_py()
+    day_us = 86_400_000_000
+
+    def _one_file(tbl, name, mtime):
         dest = os.path.join(src, f"{name}.parquet")
-        shutil.copy(part, dest)
+        pq.write_table(tbl, dest)
         os.utime(dest, (mtime, mtime))
 
-    import datetime
-
-    base_mtime = 1_600_000_000
-    _one_file(ev_df, "00_real", base_mtime)
+    _one_file(real, "00_real", base_mtime)
     for i, days in enumerate((1, 2), start=1):
-        sentinel = spark.createDataFrame(
-            [(max_ts + datetime.timedelta(days=days), -1, 0.0)],
-            "ts timestamp, user_id bigint, value double",
+        sentinel = pa.table(
+            {
+                "ts": pa.array([max_us + days * day_us], pa.int64()).cast(
+                    lfz
+                ),
+                "user_id": pa.array([-1], pa.int64()),
+                "value": pa.array([0.0], pa.float64()),
+            },
+            schema=real.schema,
         )
         _one_file(sentinel, f"0{i}_sentinel", base_mtime + 10 * i)
 
@@ -6328,13 +6413,20 @@ def q_streaming_static_join(spark, sf_dir):
     import tempfile
     import uuid
 
+    import pyarrow.compute as pc
+
     ensure_query_conf(spark)
     ev_df = read_events(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="ssjoin_")
     src = os.path.join(tmp, "purchases")
-    ev_df.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "value"
-    ).repartition(2).write.parquet(src)
+    ev = _events_arrow(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    _stage_arrow_files(
+        ev.filter(pc.equal(ev["event_type"], "purchase")).select(
+            ["event_id", "user_id", "value"]
+        ),
+        src,
+        n_files=2,
+    )
     user_clicks = (
         ev_df.where(F.col("event_type") == "click")
         .groupBy("user_id")
@@ -7310,12 +7402,25 @@ def q_streaming_dedup_ingest(spark, sf_dir):
 
     from akka_graph_db_spark.streaming.ingest import StreamingCrossDedup
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     docs = read_documents(spark, sf_dir)
     new = docs.where(F.col("doc_id") % 10 >= 8)
     base = docs.where(F.col("doc_id") % 10 < 8)
     tmp = tempfile.mkdtemp(prefix="sxdedup_")
     src = os.path.join(tmp, "src")
-    new.repartition(4).write.parquet(src)
+    dt = pq.read_table(f"{sf_dir}/documents.parquet")
+    ten = pa.scalar(10, pa.int64())
+    # doc_id % 10 (pyarrow.compute has no mod; ids are non-negative, so
+    # truncating integer divide matches Spark's % here)
+    rem = pc.subtract(
+        dt["doc_id"], pc.multiply(pc.divide(dt["doc_id"], ten), ten)
+    )
+    _stage_arrow_files(
+        dt.filter(pc.greater_equal(rem, 8)), src, n_files=4
+    )
     stream = (
         spark.readStream.schema(new.schema)
         .option("maxFilesPerTrigger", 1)
@@ -7528,10 +7633,9 @@ def q_streaming_histogram(spark, sf_dir):
 
     from akka_graph_db_spark.streaming.sketch import StreamingHistogram
 
-    ev_df = read_events(spark, sf_dir).select("value")
     tmp = tempfile.mkdtemp(prefix="shist_")
     src = os.path.join(tmp, "src")
-    ev_df.repartition(4).write.parquet(src)
+    _stage_arrow_files(_events_arrow(sf_dir, ["value"]), src, n_files=4)
     stream = (
         spark.readStream.schema("value double")
         .option("maxFilesPerTrigger", 1)
