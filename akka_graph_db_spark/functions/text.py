@@ -1124,26 +1124,38 @@ def doc_novelty(
 
     Same first-occurrence decomposition as :func:`search.vocab_growth`:
     "first seen at" is min(id) per shingle — one map-side-combinable
-    aggregation — so novelty needs no ordered scan and no pairwise
-    comparison: one explode, one min-agg, one equi-join back on the
-    shingle, one per-doc count. All shuffles are keyed by shingle or id;
-    nothing is corpus-quadratic.
+    aggregation. Novelty then needs NO join back on the shingle: a
+    doc's novel count is simply how many shingles have it as their
+    first occurrence (count per _first over the firsts aggregate), and
+    its total shingle count is size(array_distinct(shingles)) computed
+    in the same narrow scan that feeds the explode. The former shape
+    (explode scanned twice + an equi-join keyed by the shingle STRINGS
+    carrying every exploded row) re-shuffled the whole shingle corpus a
+    second time for information the min-aggregate already held; now
+    the only shingle-keyed shuffle is the single min-agg, and the
+    join-back touches one aggregate row per document.
     """
     tok = tokens(F.col(text_col))
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(tok, shingle_n))).alias("_sh"),
     )
-    firsts = sh.groupBy("_sh").agg(F.min("id").alias("_first"))
-    return (
-        sh.join(firsts, "_sh")
+    novel = (
+        sh.groupBy("_sh")
+        .agg(F.min("id").alias("id"))
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(
-                F.when(F.col("_first") == F.col("id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles(tok, shingle_n)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    return sizes.join(novel, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
     )
 
 
