@@ -341,6 +341,7 @@ _BATCH10 = {
     "cohort_retention", "collocations", "corpus_diff", "corpus_drift_tvd",
     "cusum_events", "dedup_exact", "dedup_exact_spans", "dedup_simhash",
     "degrees", "distinctive_terms", "doc_chunks", "doc_length_percentiles",
+    "doc_novelty",
     "drift_alarm_docs", "egress_edges", "embedding_dim_profile",
     "event_rate_features", "event_transitions", "event_trends",
     "events_outliers", "events_rollup_multi", "events_session",
@@ -394,6 +395,12 @@ _BATCH2 = {
     "clustering_coefficient", "coverage_curve_docs", "customer_similarity",
     "dag_layers_graph", "dedup_containment", "dedup_containment_prune",
     "dedup_minhash", "dedup_minhash_keep_star", "eccentricity_parts",
+    # r12 optimization band moves (both have PLAN changes, per this
+    # file's own rule): streaming_session's three staging write jobs
+    # moved driver-side (14.7 -> 4.4s isolated), so it leaves _BATCH2H;
+    # doc_novelty lost its shingle join-back (10.8 -> 0.55s) and moved
+    # to _BATCH10.
+    "streaming_session",
     "hits_top20", "hyperanf_trade", "katz_parts", "kcenter_weighted_trade",
     "kcore_parts", "knn_components", "ktruss_parts",
     "link_prediction_parts", "matching_parts", "modularity_geo",
@@ -416,13 +423,13 @@ _BATCH2H = {
     "betweenness_parts", "closeness_parts",
     "connected_components_two_phase_geo", "coreness_parts",
     "dedup_minhash_keep", "dedup_minhash_keep_best", "dedup_policy_sweep",
-    "dedup_recall_eval", "doc_novelty", "edge_betweenness_parts",
+    "dedup_recall_eval", "edge_betweenness_parts",
     "edge_embeddedness", "fastrp_parts", "harmonic_parts",
     "induced_subgraph_parts", "kcenter_trade", "local_clustering_parts",
     "negative_edges_coorder", "node2vec_parts", "node2vec_skipgrams",
     "ppr_customer", "random_walks_parts", "similarity_lsh",
     "store_version_diff", "store_version_summary", "streaming_cms",
-    "streaming_dedup_ingest", "streaming_session", "streaming_store_sink",
+    "streaming_dedup_ingest", "streaming_store_sink",
     "winnow_pairs",
 }
 
