@@ -658,7 +658,12 @@ def _bimodal_triplets(
     until the artifact carries >= 3 ISOLATED samples, record them in
     ``contention_remeasures`` as ``isolated_triplet``, and commit the
     MIN of everything observed — the steady-state fast-mode cost a
-    long-lived cluster session sees. Queries the cost bands run in
+    long-lived cluster session sees. The MEDIAN of the same observation
+    set rides along as ``median`` (VERDICT r12 #4: min-of-everything is
+    a one-sided estimator, so the artifact must carry a two-sided
+    summary next to it), and a triplet min NEVER justifies a band move
+    on its own — the repack rule stands: band membership only moves
+    with a PLAN change (see the _BANDS comment). Queries the cost bands run in
     SHARED sessions get ``extra_runs`` + 1 isolated children and their
     triplet holds ONLY those children (the in-run sample is not
     isolated and must not masquerade as one); already-isolated
@@ -697,11 +702,20 @@ def _bimodal_triplets(
             triplet = (
                 samples if name in banded else [timings[name]] + samples
             )
+            observed = [timings[name]] + samples
+            srt = sorted(observed)
+            mid = len(srt) // 2
+            med = (
+                srt[mid]
+                if len(srt) % 2
+                else round((srt[mid - 1] + srt[mid]) / 2, 3)
+            )
             out[name] = {
                 "in_run": in_run_override.get(name, timings[name]),
                 "isolated_triplet": triplet,
+                "median": med,
             }
-            timings[name] = min([timings[name]] + samples)
+            timings[name] = min(observed)
     return out
 
 
@@ -922,20 +936,36 @@ def main() -> None:
         "contention_remeasures": contention_remeasures,
         "sf": sf,
     }
-    # Per-query map goes to a sidecar file + an EARLY stdout line: the
+    # Per-query map goes to sidecar files + an EARLY stdout line: the
     # driver records only a 2000-char tail of stdout, and r5's 76-query
     # single-line JSON (~2.2 KB) was decapitated (BENCH_r05.json
-    # parsed: null). The FINAL line is a compact headline (~250 chars)
-    # that always fits the tail window.
+    # parsed: null) — so the full contract line (metric/value/unit/
+    # queries/sf) prints FIRST and the FINAL line is a compact headline
+    # (~300 chars) that always fits the tail window.
     # Subset runs (SPARK_GRAFT_BENCH_QUERIES) write a sidecar so local
     # iteration can never clobber the committed full-run record (this
     # bit both us and the judge in r7).
+    # VERDICT r12 #5 contract repair: each run ALSO writes a per-core-
+    # count artifact (BENCH_DETAIL_c{cpus}.json) so the driver's low-core
+    # scaling run can no longer clobber the 32-core per-query detail —
+    # PERF's round-over-round and scaling tables both need the per-query
+    # maps of BOTH runs to survive on disk.
     detail_name = (
         "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
     )
-    with open(os.path.join(REPO, detail_name), "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-    print(f"# full per-query detail: {detail_name}", flush=True)
+    detail_c_name = (
+        f"BENCH_DETAIL_SUBSET_c{cpus}.json"
+        if subset
+        else f"BENCH_DETAIL_c{cpus}.json"
+    )
+    detail["cpus"] = cpus
+    for name in (detail_name, detail_c_name):
+        with open(os.path.join(REPO, name), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    print(
+        f"# full per-query detail: {detail_name} + {detail_c_name}",
+        flush=True,
+    )
     print(json.dumps(detail), flush=True)
     print(
         json.dumps(
@@ -949,7 +979,9 @@ def main() -> None:
                 "graph_ingest_sec": ingest,
                 "calibration_sec": {"start": cal_start, "end": cal_end},
                 "sf": sf,
+                "cpus": cpus,
                 "detail": detail_name,
+                "detail_c": detail_c_name,
             }
         ),
         flush=True,

@@ -243,6 +243,10 @@ def test_bimodal_triplets_banded_query_gets_three_isolated_runs():
         "dedup_minhash_keep": {
             "in_run": 20.0,
             "isolated_triplet": [27.8, 20.8, 13.7],
+            # median over everything observed (in_run + isolated
+            # samples) rides along: the committed min is one-sided
+            # (VERDICT r12 #4), the artifact carries both.
+            "median": 20.4,
         }
     }
     assert timings["dedup_minhash_keep"] == 13.7
@@ -265,6 +269,9 @@ def test_bimodal_triplets_in_run_override_survives_band_guard():
         12.5,
         13.2,
     ]
+    # median computed over the OBSERVED set (the post-guard timings
+    # value 14.0 + samples), not the override
+    assert out["dedup_minhash_keep"]["median"] == 13.1
     assert timings["dedup_minhash_keep"] == 12.5
 
 
@@ -279,6 +286,7 @@ def test_bimodal_triplets_isolated_query_gets_two_extra_runs():
     )
     trip = out["dedup_cluster_stats"]["isolated_triplet"]
     assert trip == [26.4, 15.7, 14.8]
+    assert out["dedup_cluster_stats"]["median"] == 15.7
     assert sched["dedup_cluster_stats"] == [99.0]  # third child never ran
     assert timings["dedup_cluster_stats"] == 14.8
 
