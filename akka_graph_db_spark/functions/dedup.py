@@ -86,11 +86,20 @@ def minhash_signatures_arrow(
     numpy matrix op per document. 5-10x the interpreted higher-order-
     function expression path (Spark does not codegen HOF lambdas), at the
     cost of the Arrow transfer. Returns (_id BIGINT, _sig ARRAY<BIGINT>,
-    _n INT) — ``_n`` is the shingle-set cardinality (min 1: the JVM
-    shingle path represents an empty document as the [""] singleton), so
-    size-prefilter consumers need no extra join against the shingle
-    frame; it matches :func:`_shingle_sets`'s ``_n`` up to 64-bit hash
-    collisions (that frame counts distinct xxhash64 values).
+    _n INT) — ``_n`` equals :func:`_shingle_sets`'s ``_n`` EXACTLY, so
+    the size-ratio prefilter and the exact verify count elements of the
+    same sets with no cross-family collision caveat (VERDICT r12 #2),
+    and size-prefilter consumers need no join against the shingle
+    frame. Concretely: for ``shingle_n == 1`` it is the distinct-
+    XXHASH64 token count (the verify frame stores
+    ``array_distinct(transform(tokens, xxhash64))``), computed with the
+    numpy Spark-parity XXH64
+    (:func:`~akka_graph_db_spark.functions.hashing.xxhash64_bytes_np`);
+    for ``shingle_n > 1`` it is the distinct STRING shingle count (the
+    verify frame hashes AFTER array_distinct there, so duplicates from
+    a hash collision stay in its array and raw count IS its size).
+    Min 1 both ways: the JVM shingle path represents an empty document
+    as the [""] singleton.
 
     Hash family differs from :func:`minhash_signature` (expression path);
     either feeds the SAME banding/verification downstream. Exact
@@ -109,6 +118,8 @@ def minhash_signatures_arrow(
 
         import numpy as np
         import pandas as pd
+
+        from akka_graph_db_spark.functions.hashing import xxhash64_bytes_np
 
         mask = np.uint64(0xFFFFFFFFFFFFFFFF)
         seeds = np.array(
@@ -132,7 +143,13 @@ def minhash_signatures_arrow(
         with np.errstate(over="ignore"):
             for pdf in batches:
                 out = []
-                ns = []
+                ns: list = []
+                # shingle_n == 1: flat UTF-8 tokens + per-doc offsets —
+                # one vectorized Spark-parity XXH64 pass per batch gives
+                # every doc its distinct-HASHED count (== the verify
+                # frame's _n; see the docstring)
+                flat: list = []
+                bounds = [0]
                 for text in pdf[text_col]:
                     toks = [t for t in (text or "").lower().split() if t]
                     if shingle_n > 1:
@@ -143,27 +160,37 @@ def minhash_signatures_arrow(
                             }
                         else:
                             sh = {" ".join(toks)}
+                        ns.append(max(len(sh), 1))
+                        enc = [s.encode() for s in sh]
                     else:
                         sh = set(toks)
-                    ns.append(max(len(sh), 1))
+                        enc = [s.encode() for s in sh]
+                        flat.extend(enc)
+                        bounds.append(len(flat))
                     if not sh:
                         out.append(empty_sig)
                         continue
                     base = np.fromiter(
                         (
                             int.from_bytes(
-                                hashlib.blake2b(
-                                    s.encode(), digest_size=8
-                                ).digest(),
+                                hashlib.blake2b(e, digest_size=8).digest(),
                                 "big",
                             )
-                            for s in sh
+                            for e in enc
                         ),
                         dtype=np.uint64,
-                        count=len(sh),
+                        count=len(enc),
                     )
                     m = splitmix64(base[None, :] ^ seeds[:, None]).min(axis=1)
                     out.append(m.astype(np.int64).tolist())
+                if shingle_n == 1:
+                    xx = xxhash64_bytes_np(flat)
+                    ns = [
+                        max(
+                            len(np.unique(xx[bounds[i]:bounds[i + 1]])), 1
+                        )
+                        for i in range(len(bounds) - 1)
+                    ]
                 yield pd.DataFrame(
                     {"_id": pdf[id_col], "_sig": out, "_n": ns}
                 )
@@ -182,12 +209,15 @@ def _signatures(
     arrow: bool,
 ) -> DataFrame:
     """(_id, _sig, _n) frame, repartitioned + materialized (see class
-    note on projection collapse). ``_n`` (shingle-set cardinality, min 1
-    — the [""] singleton for empty docs) rides along so the size-ratio
+    note on projection collapse). ``_n`` rides along so the size-ratio
     prefilter never needs a join against the shingle frame: a join there
     poisons the planner's size estimate (a 249 KiB signature checkpoint
     joined to a 194 KiB size frame was estimated at 191 GiB, forcing
-    every downstream band join to sort-merge)."""
+    every downstream band join to sort-merge). Both paths define ``_n``
+    as EXACTLY :func:`_shingle_sets`'s ``_n`` (the verify frame's set
+    size — min 1 via the [""] singleton for empty docs), so the
+    prefilter and the verify agree with no collision caveat (VERDICT
+    r12 #2)."""
     npart = df.sparkSession.sparkContext.defaultParallelism
     if arrow:
         sigs = minhash_signatures_arrow(
@@ -198,9 +228,7 @@ def _signatures(
             shingle_n,
         )
     else:
-        sh = F.array_distinct(
-            shingles(tokens(F.col("_t")), shingle_n)
-        )
+        sh = _hashed_shingles(F.col("_t"), shingle_n)
         sigs = (
             df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
             .repartition(npart, F.col("_id"))
@@ -209,7 +237,7 @@ def _signatures(
                 minhash_signature(F.col("_t"), num_perm, shingle_n).alias(
                     "_sig"
                 ),
-                F.greatest(F.size(sh), F.lit(1)).alias("_n"),
+                F.size(sh).alias("_n"),
             )
         )
     return sigs.localCheckpoint(eager=True)
@@ -403,6 +431,31 @@ def minhash_candidates(
     return _banded_candidates(sigs, num_perm, bands)
 
 
+def _hashed_shingles(text: Column, shingle_n: int) -> Column:
+    """The xxhash64-hashed per-doc shingle array the verify join
+    intersects — shared between :func:`_shingle_sets` (which stores it)
+    and :func:`_signatures` (whose ``_n`` must be ITS size, so the
+    size-ratio prefilter counts elements of the same sets the verify
+    measures).
+
+    For ``shingle_n=1`` hashes tokens directly and then dedups the
+    longs — same set up to collisions as hashing the string shingles,
+    but ~10× cheaper than the generic sequence/slice/concat shingle
+    construction (HOF lambdas are interpreted, not codegen'd). The
+    empty-doc case keeps the generic path's [""]-singleton semantics.
+    """
+    tok = tokens(text)
+    if shingle_n == 1:
+        return F.when(
+            F.size(tok) >= 1,
+            F.array_distinct(F.transform(tok, lambda s: F.xxhash64(s))),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", tok))))
+    return F.transform(
+        F.array_distinct(shingles(tok, shingle_n)),
+        lambda s: F.xxhash64(s),
+    )
+
+
 def _shingle_sets(
     df: DataFrame,
     text_col: str,
@@ -412,28 +465,17 @@ def _shingle_sets(
 ) -> DataFrame:
     """(_sid, _sh, _n): distinct shingle set per doc + its cardinality.
 
-    ``hashed=True`` stores xxhash64 of each shingle instead of the string:
-    set semantics (and so exact Jaccard) are preserved up to 64-bit hash
-    collisions (P ≈ |corpus vocab|²/2⁶⁵ — ~1e-11 at 100k distinct
-    shingles), while the verify join shuffles 8-byte longs instead of
-    whole shingle strings and intersects on long equality.
-
-    For ``shingle_n=1`` the hashed path hashes tokens directly and then
-    dedups the longs — same set up to collisions as hashing the string
-    shingles, but ~10× cheaper than the generic sequence/slice/concat
-    shingle construction (HOF lambdas are interpreted, not codegen'd).
-    The empty-doc case keeps the generic path's [""]-singleton semantics.
+    ``hashed=True`` stores xxhash64 of each shingle instead of the string
+    (:func:`_hashed_shingles`): set semantics (and so exact Jaccard) are
+    preserved up to 64-bit hash collisions (P ≈ |corpus vocab|²/2⁶⁵ —
+    ~1e-11 at 100k distinct shingles), while the verify join shuffles
+    8-byte longs instead of whole shingle strings and intersects on long
+    equality.
     """
-    tok = tokens(F.col(text_col))
-    if hashed and shingle_n == 1:
-        sh = F.when(
-            F.size(tok) >= 1,
-            F.array_distinct(F.transform(tok, lambda s: F.xxhash64(s))),
-        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", tok))))
+    if hashed:
+        sh = _hashed_shingles(F.col(text_col), shingle_n)
     else:
-        sh = F.array_distinct(shingles(tok, shingle_n))
-        if hashed:
-            sh = F.transform(sh, lambda s: F.xxhash64(s))
+        sh = F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))
     return df.select(
         F.col(id_col).alias("_sid"),
         sh.alias("_sh"),
@@ -1595,6 +1637,7 @@ def dedup_recall_eval(
     a_side = sh.select(
         F.col("_sid").alias("a_id"),
         F.col("_sh").alias("_sha"),
+        F.col("_n").alias("_na"),
         bucket.alias("_i"),
         F.explode(
             F.sequence(F.lit(0), F.lit(grid - 1))
@@ -1603,14 +1646,29 @@ def dedup_recall_eval(
     b_side = sh.select(
         F.col("_sid").alias("b_id"),
         F.col("_sh").alias("_shb"),
+        F.col("_n").alias("_nb"),
         F.explode(
             F.sequence(F.lit(0), F.lit(grid - 1))
         ).alias("_i"),
         bucket.alias("_j"),
     )
+    # Size-ratio prefilter INSIDE the grid join (VERDICT r12 next-round
+    # #4, same boundary-safe construction as minhash_dedup_pairs):
+    # J(A,B) ≥ t ⟹ min(|A|,|B|)/max ≥ t with correctly-rounded double
+    # division, and _n here is the SIZE OF THE VERY ARRAYS the verify
+    # intersects (the _shingle_sets frame), so the filter admits a
+    # superset of what the exact-Jaccard predicate admits — truth-pair
+    # output is byte-identical while the k²/2 array intersections
+    # shrink to the size-compatible pairs.
     true_pairs = (
         a_side.join(b_side, ["_i", "_j"])
-        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                (F.least("_na", "_nb") / F.greatest("_na", "_nb"))
+                >= F.lit(threshold)
+            )
+        )
         .where(jaccard(F.col("_sha"), F.col("_shb")) >= threshold)
         .select("a_id", "b_id")
         .localCheckpoint(eager=False)

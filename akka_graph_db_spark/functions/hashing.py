@@ -63,3 +63,106 @@ def token_hash(c: Column, hash_family: str) -> Column:
     if hash_family == "md5":
         return md5_64(c)
     raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
+# ---------------------------------------------------------------------------
+# Spark-parity XXH64 in numpy (no JVM, no third-party xxhash dependency)
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_U64_MASK = (1 << 64) - 1
+
+
+def _xxh64_fixed_np(mat, ln: int, seed: int):
+    """XXH64 of every ROW of a C-contiguous (k, ln) uint8 matrix,
+    vectorized across rows (one fixed byte length per call). Returns a
+    uint64 array of length k. Reference XXH64 algorithm (Collet) — the
+    same bytes-in/bits-out function Spark's ``xxhash64`` applies to a
+    string's UTF-8 bytes."""
+    import numpy as np
+
+    U = np.uint64
+    P1, P2, P3, P4, P5 = (
+        U(_XXP1), U(_XXP2), U(_XXP3), U(_XXP4), U(_XXP5)
+    )
+    k = mat.shape[0]
+
+    def rotl(x, r):
+        return (x << U(r)) | (x >> U(64 - r))
+
+    def u64(i):
+        return mat[:, i:i + 8].copy().view("<u8").ravel()
+
+    i = 0
+    if ln >= 32:
+        v1 = np.full(k, (seed + _XXP1 + _XXP2) & _U64_MASK, U)
+        v2 = np.full(k, (seed + _XXP2) & _U64_MASK, U)
+        v3 = np.full(k, seed & _U64_MASK, U)
+        v4 = np.full(k, (seed - _XXP1) & _U64_MASK, U)
+        while i + 32 <= ln:
+            v1 = rotl(v1 + u64(i) * P2, 31) * P1
+            v2 = rotl(v2 + u64(i + 8) * P2, 31) * P1
+            v3 = rotl(v3 + u64(i + 16) * P2, 31) * P1
+            v4 = rotl(v4 + u64(i + 24) * P2, 31) * P1
+            i += 32
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+    else:
+        h = np.full(k, (seed + _XXP5) & _U64_MASK, U)
+    h = h + U(ln)
+    while i + 8 <= ln:
+        h = rotl(h ^ (rotl(u64(i) * P2, 31) * P1), 27) * P1 + P4
+        i += 8
+    if i + 4 <= ln:
+        w = mat[:, i:i + 4].copy().view("<u4").ravel().astype(U)
+        h = rotl(h ^ (w * P1), 23) * P2 + P3
+        i += 4
+    while i < ln:
+        h = rotl(h ^ (mat[:, i].astype(U) * P5), 11) * P1
+        i += 1
+    h ^= h >> U(33)
+    h *= P2
+    h ^= h >> U(29)
+    h *= P3
+    h ^= h >> U(32)
+    return h
+
+
+def xxhash64_bytes_np(data, seed: int = 42):
+    """XXH64 of every byte string in ``data`` — BIT-IDENTICAL to Spark's
+    ``xxhash64(string_col)`` on the string's UTF-8 bytes (Spark's default
+    seed is 42). Vectorized by length class with numpy; returns an int64
+    array aligned with the input order (the signed two's-complement view
+    Spark's BIGINT carries).
+
+    Exists so Python-side (Arrow) operators can reproduce quantities the
+    JVM expression path derives with ``F.xxhash64`` — e.g. the distinct
+    HASHED shingle count that the dedup size-ratio prefilter must share
+    with the exact-verify frame (VERDICT r12 #2) — without a JVM round
+    trip. Parity is pinned in tests against Spark's own xxhash64 over
+    fixture corpus tokens plus adversarial lengths (0..100 bytes,
+    non-ASCII)."""
+    import numpy as np
+
+    out = np.empty(len(data), dtype=np.uint64)
+    if not len(data):
+        return out.view(np.int64)
+    by_len: dict = {}
+    for i, b in enumerate(data):
+        by_len.setdefault(len(b), []).append(i)
+    with np.errstate(over="ignore"):
+        for ln, idxs in by_len.items():
+            if ln == 0:
+                mat = np.empty((len(idxs), 0), dtype=np.uint8)
+            else:
+                flat = np.frombuffer(
+                    b"".join(data[i] for i in idxs), dtype=np.uint8
+                )
+                mat = flat.reshape(len(idxs), ln)
+            out[np.asarray(idxs)] = _xxh64_fixed_np(mat, ln, seed)
+    return out.view(np.int64)
