@@ -3946,20 +3946,44 @@ def q_streaming_interval_join(spark, sf_dir):
 
     import pyarrow.compute as pc
 
-    ev = _events_arrow(
-        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
-    )
     tmp = tempfile.mkdtemp(prefix="sijoin_")
     lsrc = os.path.join(tmp, "clicks")
     rsrc = os.path.join(tmp, "purchases")
-    clicks_t = ev.filter(pc.equal(ev["event_type"], "click")).select(
-        ["event_id", "ts", "user_id"]
-    ).rename_columns(["click_id", "l_ts", "user_id"])
-    purch_t = ev.filter(pc.equal(ev["event_type"], "purchase")).select(
-        ["event_id", "ts", "user_id", "value"]
-    ).rename_columns(["purchase_id", "r_ts", "user_id", "purchase_value"])
-    _stage_arrow_files(clicks_t, lsrc, n_files=2)
-    _stage_arrow_files(purch_t, rsrc, n_files=2)
+    if _stage_needs_spark(f"{sf_dir}/events.parquet"):
+        ev_df = read_events(spark, sf_dir)
+        _stage_spark_files(
+            ev_df.where(F.col("event_type") == "click").select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("l_ts"),
+                "user_id",
+            ),
+            lsrc,
+            n_files=2,
+        )
+        _stage_spark_files(
+            ev_df.where(F.col("event_type") == "purchase").select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("r_ts"),
+                "user_id",
+                F.col("value").alias("purchase_value"),
+            ),
+            rsrc,
+            n_files=2,
+        )
+    else:
+        ev = _events_arrow(
+            sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        clicks_t = ev.filter(pc.equal(ev["event_type"], "click")).select(
+            ["event_id", "ts", "user_id"]
+        ).rename_columns(["click_id", "l_ts", "user_id"])
+        purch_t = ev.filter(pc.equal(ev["event_type"], "purchase")).select(
+            ["event_id", "ts", "user_id", "value"]
+        ).rename_columns(
+            ["purchase_id", "r_ts", "user_id", "purchase_value"]
+        )
+        _stage_arrow_files(clicks_t, lsrc, n_files=2)
+        _stage_arrow_files(purch_t, rsrc, n_files=2)
     clicks = (
         spark.readStream.schema(
             "click_id bigint, l_ts timestamp, user_id bigint"
@@ -4019,12 +4043,18 @@ def q_streaming_dedup(spark, sf_dir):
 
     import pyarrow as pa
 
-    ev = _events_arrow(
-        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
-    )
     tmp = tempfile.mkdtemp(prefix="sdedup_")
     src = os.path.join(tmp, "src")
-    _stage_arrow_files(pa.concat_tables([ev, ev]), src, n_files=4)
+    if _stage_needs_spark(f"{sf_dir}/events.parquet"):
+        ev_df = read_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        _stage_spark_files(ev_df.unionByName(ev_df), src, n_files=4)
+    else:
+        ev = _events_arrow(
+            sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        _stage_arrow_files(pa.concat_tables([ev, ev]), src, n_files=4)
     # Duplicates share identical event times, so the 10-minute watermark
     # only provably retains their state if all 4 source files land in ONE
     # micro-batch. Pin that assumption explicitly instead of relying on
@@ -4126,10 +4156,21 @@ def q_streaming_cms(spark, sf_dir):
     from akka_graph_db_spark.functions import search
     from akka_graph_db_spark.streaming.sketch import StreamingCMS
 
-    ev_t = _events_arrow(sf_dir, ["event_type"]).rename_columns(["term"])
     tmp = tempfile.mkdtemp(prefix="scms_")
     src = os.path.join(tmp, "src")
-    _stage_arrow_files(ev_t, src, n_files=4)
+    if _stage_needs_spark(f"{sf_dir}/events.parquet"):
+        _stage_spark_files(
+            read_events(spark, sf_dir).select(
+                F.col("event_type").alias("term")
+            ),
+            src,
+            n_files=4,
+        )
+    else:
+        ev_t = _events_arrow(sf_dir, ["event_type"]).rename_columns(
+            ["term"]
+        )
+        _stage_arrow_files(ev_t, src, n_files=4)
     stream = (
         spark.readStream.schema("term string")
         .option("maxFilesPerTrigger", 1)
@@ -4158,7 +4199,14 @@ def q_streaming_hll(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="shll_")
     src = os.path.join(tmp, "src")
-    _stage_arrow_files(_events_arrow(sf_dir, ["event_id"]), src, n_files=4)
+    if _stage_needs_spark(f"{sf_dir}/events.parquet"):
+        _stage_spark_files(
+            read_events(spark, sf_dir).select("event_id"), src, n_files=4
+        )
+    else:
+        _stage_arrow_files(
+            _events_arrow(sf_dir, ["event_id"]), src, n_files=4
+        )
     stream = (
         spark.readStream.schema("event_id bigint")
         .option("maxFilesPerTrigger", 1)
@@ -4188,6 +4236,11 @@ def _events_arrow(sf_dir, columns):
     11.0s of q_streaming_session's ~20s at sf0.1). Pure column
     slices/filters only — anything arithmetic (rounding-mode-sensitive)
     stays on the Spark writer.
+
+    This reads the WHOLE projected table into driver memory, so every
+    call site gates on :func:`_stage_needs_spark` and falls back to
+    :func:`_stage_spark_files` (distributed write jobs) past the
+    driver-size guard (VERDICT r12 #1).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -4233,6 +4286,52 @@ def _stage_arrow_files(tbl, src, n_files=1, base_mtime=1_600_000_000):
         os.utime(dest, (base_mtime + 60 * i,) * 2)
 
 
+# Driver-size guard for the pyarrow staging fast path (VERDICT r12 #1):
+# _events_arrow/_stage_arrow_files read the WHOLE source into driver
+# memory — fine for the ~2 MB fixture slices they exist for, a driver
+# OOM at a real scale factor. Past this byte size every staging site
+# falls back to distributed Spark write jobs (the pre-r12 shape).
+_STAGE_DRIVER_MAX_BYTES = 256 << 20
+
+
+def _stage_needs_spark(path):
+    """True when ``path`` is too large for driver-side pyarrow staging
+    (> $SPARK_GRAFT_STAGE_DRIVER_MAX_BYTES, default 256 MiB) and the
+    staging site must use its Spark-writer fallback. The env override
+    exists so tests can pin the fallback without a huge fixture."""
+    import os
+
+    limit = int(
+        os.environ.get(
+            "SPARK_GRAFT_STAGE_DRIVER_MAX_BYTES", _STAGE_DRIVER_MAX_BYTES
+        )
+    )
+    return os.path.getsize(path) > limit
+
+
+def _stage_spark_files(df, src, n_files=1, base_mtime=1_600_000_000):
+    """Spark-writer staging fallback for sources past the driver-size
+    guard: write ``df`` as ``n_files`` parquet files under ``src`` with
+    the same deterministic mtime ladder as :func:`_stage_arrow_files`.
+    Row-to-file assignment is round-robin instead of contiguous slices —
+    every consumer is micro-batch/slice-invariant by its own docstring
+    argument, so the staged STREAM result is identical."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="stage_spark_")
+    df.repartition(n_files).write.mode("overwrite").parquet(out)
+    parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    os.makedirs(src, exist_ok=True)
+    for i, p in enumerate(parts):
+        dest = os.path.join(src, f"part-{i:02d}.parquet")
+        shutil.move(p, dest)
+        os.utime(dest, (base_mtime + 60 * i,) * 2)
+    shutil.rmtree(out, ignore_errors=True)
+
+
 def q_streaming_session(spark, sf_dir):
     """§2.9 streaming session windows, batch-equivalence oracle: the
     events table runs as a watermarked file stream through
@@ -4271,10 +4370,11 @@ def q_streaming_session(spark, sf_dir):
     src = os.path.join(tmp, "src")
     os.makedirs(src)
 
-    real = _events_arrow(sf_dir, ["ts", "user_id", "value"])
     lfz = pa.timestamp("us", tz="UTC")
+    sentinel_schema = pa.schema(
+        [("ts", lfz), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
     base_mtime = 1_600_000_000
-    max_us = pc.max(real["ts"]).cast(pa.int64()).as_py()
     day_us = 86_400_000_000
 
     def _one_file(tbl, name, mtime):
@@ -4282,7 +4382,20 @@ def q_streaming_session(spark, sf_dir):
         pq.write_table(tbl, dest)
         os.utime(dest, (mtime, mtime))
 
-    _one_file(real, "00_real", base_mtime)
+    if _stage_needs_spark(f"{sf_dir}/events.parquet"):
+        real_df = read_events(spark, sf_dir).select(
+            "ts", "user_id", "value"
+        )
+        max_us = real_df.agg(
+            F.unix_micros(F.max("ts")).alias("m")
+        ).collect()[0]["m"]
+        _stage_spark_files(real_df, src, n_files=1, base_mtime=base_mtime)
+    else:
+        real = _events_arrow(sf_dir, ["ts", "user_id", "value"])
+        max_us = pc.max(real["ts"]).cast(pa.int64()).as_py()
+        _one_file(real, "00_real", base_mtime)
+    # the 1-row far-future sentinels are driver-sized by definition and
+    # stay pyarrow-written on both paths
     for i, days in enumerate((1, 2), start=1):
         sentinel = pa.table(
             {
@@ -4292,7 +4405,7 @@ def q_streaming_session(spark, sf_dir):
                 "user_id": pa.array([-1], pa.int64()),
                 "value": pa.array([0.0], pa.float64()),
             },
-            schema=real.schema,
+            schema=sentinel_schema,
         )
         _one_file(sentinel, f"0{i}_sentinel", base_mtime + 10 * i)
 
@@ -4548,7 +4661,10 @@ def q_link_prediction_auto(spark, sf_dir):
     cap-100 row, which silently drops >half the centers — p50 > 100).
     That is the honest exact cost on a hubless graph; on the power-law
     graphs the cap exists for, p99.9 excludes the hubs that carry the
-    quadratic."""
+    quadratic. Since r13 the Σdeg² work runs as broadcast-CSR
+    intersection inside mapInArrow below the 10M-edge gate
+    (analytics._lp_intersect_scored — no wedge exchange at all;
+    measured 21.1 → 11.4s isolated), and as the wedge join past it."""
     scored = analytics.link_prediction_jaccard(
         _coorder_pairs(spark, sf_dir), top_k=50, min_common=2,
         max_degree="auto",
@@ -6419,14 +6535,25 @@ def q_streaming_static_join(spark, sf_dir):
     ev_df = read_events(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="ssjoin_")
     src = os.path.join(tmp, "purchases")
-    ev = _events_arrow(sf_dir, ["event_id", "user_id", "event_type", "value"])
-    _stage_arrow_files(
-        ev.filter(pc.equal(ev["event_type"], "purchase")).select(
-            ["event_id", "user_id", "value"]
-        ),
-        src,
-        n_files=2,
-    )
+    if _stage_needs_spark(f"{sf_dir}/events.parquet"):
+        _stage_spark_files(
+            ev_df.where(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "value"
+            ),
+            src,
+            n_files=2,
+        )
+    else:
+        ev = _events_arrow(
+            sf_dir, ["event_id", "user_id", "event_type", "value"]
+        )
+        _stage_arrow_files(
+            ev.filter(pc.equal(ev["event_type"], "purchase")).select(
+                ["event_id", "user_id", "value"]
+            ),
+            src,
+            n_files=2,
+        )
     user_clicks = (
         ev_df.where(F.col("event_type") == "click")
         .groupBy("user_id")
@@ -7411,16 +7538,19 @@ def q_streaming_dedup_ingest(spark, sf_dir):
     base = docs.where(F.col("doc_id") % 10 < 8)
     tmp = tempfile.mkdtemp(prefix="sxdedup_")
     src = os.path.join(tmp, "src")
-    dt = pq.read_table(f"{sf_dir}/documents.parquet")
-    ten = pa.scalar(10, pa.int64())
-    # doc_id % 10 (pyarrow.compute has no mod; ids are non-negative, so
-    # truncating integer divide matches Spark's % here)
-    rem = pc.subtract(
-        dt["doc_id"], pc.multiply(pc.divide(dt["doc_id"], ten), ten)
-    )
-    _stage_arrow_files(
-        dt.filter(pc.greater_equal(rem, 8)), src, n_files=4
-    )
+    if _stage_needs_spark(f"{sf_dir}/documents.parquet"):
+        _stage_spark_files(new, src, n_files=4)
+    else:
+        dt = pq.read_table(f"{sf_dir}/documents.parquet")
+        ten = pa.scalar(10, pa.int64())
+        # doc_id % 10 (pyarrow.compute has no mod; ids are non-negative,
+        # so truncating integer divide matches Spark's % here)
+        rem = pc.subtract(
+            dt["doc_id"], pc.multiply(pc.divide(dt["doc_id"], ten), ten)
+        )
+        _stage_arrow_files(
+            dt.filter(pc.greater_equal(rem, 8)), src, n_files=4
+        )
     stream = (
         spark.readStream.schema(new.schema)
         .option("maxFilesPerTrigger", 1)
@@ -7635,7 +7765,14 @@ def q_streaming_histogram(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="shist_")
     src = os.path.join(tmp, "src")
-    _stage_arrow_files(_events_arrow(sf_dir, ["value"]), src, n_files=4)
+    if _stage_needs_spark(f"{sf_dir}/events.parquet"):
+        _stage_spark_files(
+            read_events(spark, sf_dir).select("value"), src, n_files=4
+        )
+    else:
+        _stage_arrow_files(
+            _events_arrow(sf_dir, ["value"]), src, n_files=4
+        )
     stream = (
         spark.readStream.schema("value double")
         .option("maxFilesPerTrigger", 1)
