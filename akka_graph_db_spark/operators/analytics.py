@@ -1671,6 +1671,32 @@ _WALK_BROADCAST_MAX_SEEDS = 65_536
 _AUTO_MAX_DEGREE_FLOOR = 64
 
 
+# Test hook: force link_prediction_jaccard onto one execution path
+# ("intersect" | "wedge" | None = size-gated choice). The equality tests
+# in tests/test_round13.py pin the two paths row-identical.
+_FORCE_LP_PATH: "str | None" = None
+
+
+def _auto_max_degree_np(degs, q: float = 0.999) -> int:
+    """:func:`_auto_max_degree` over an in-memory numpy degree array —
+    the SAME integer-rank derivation (per-degree histogram → running sum
+    → smallest degree covering ceil(q·n) nodes → floor), so the
+    broadcast-adjacency path below and the wedge path derive identical
+    caps from identical degree multisets (pinned by the path-equality
+    tests)."""
+    import numpy as np
+
+    if len(degs) == 0:
+        return _AUTO_MAX_DEGREE_FLOOR
+    vals, cnts = np.unique(degs, return_counts=True)
+    n_nodes = int(cnts.sum())
+    need = -(-round(q * 1000) * n_nodes // 1000)  # ceil(q*n) in integers
+    cum = np.cumsum(cnts)
+    pos = int(np.searchsorted(cum, need))
+    cap = int(vals[min(pos, len(vals) - 1)])
+    return max(cap, _AUTO_MAX_DEGREE_FLOOR)
+
+
 def _auto_max_degree(deg: DataFrame, q: float = 0.999) -> int:
     """Derive the wedge cap from the degree HISTOGRAM: the smallest
     degree d such that >= ceil(q * n_nodes) nodes have degree <= d
@@ -1706,6 +1732,206 @@ def _auto_max_degree(deg: DataFrame, q: float = 0.999) -> int:
             cap = d
             break
     return max(cap, _AUTO_MAX_DEGREE_FLOOR)
+
+
+def _lp_intersect_scored(
+    e: DataFrame,
+    n_edges: int,
+    top_k: int,
+    min_common: int,
+    max_degree: "int | str | None",
+    endpoints_below: "int | None",
+) -> DataFrame:
+    """Candidate scoring for :func:`link_prediction_jaccard` by
+    broadcast-adjacency intersection inside ``mapInArrow`` (guide
+    §2.3/§4.2, VERDICT r12 next-round #1) — replaces the deg²-row wedge
+    explode + packed-key exchange with NO shuffle at all.
+
+    The canonical edge list (already known to fit the same
+    ``_WEDGE_BROADCAST_MAX_EDGES`` driver gate the wedge path's
+    broadcast join implies) is collected once via Arrow and broadcast as
+    a dense-remapped CSR. Each task owns a slice of the node range and,
+    for each node u, counts every v > u sharing a CAPPED common neighbor
+    by expanding the capped neighbors' adjacency segments and
+    run-length-counting one sorted packed-key array — for pair (u, v),
+    |N(u) ∩ N(v) ∩ capped| is exactly the number of capped x adjacent to
+    both, and every such x is a neighbor of u, so the count completes at
+    u's partition with no cross-task merge. Non-adjacency is a
+    searchsorted probe of the canonical edge keys; Jaccard is the same
+    common/(deg_a + deg_b − common) IEEE double; per-task top-k by the
+    final (jaccard desc, common desc, a, b) order keeps the global
+    top-k exact. Work is the same Σ over capped centers of deg² the
+    wedge join pays — moved from a 10⁸-row exchange into vectorized
+    numpy over broadcast arrays.
+
+    Semantics are pinned row-identical to the wedge path (counts, IEEE
+    doubles, ordering) by tests/test_round13.py on both the plain and
+    bipartite (``endpoints_below``) modes and for the auto cap
+    (:func:`_auto_max_degree_np` reproduces the exact integer-rank
+    derivation).
+    """
+    import numpy as np
+
+    spark = e.sparkSession
+    tbl = e.toArrow()
+    a = tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = len(nodes)
+    ai = inv[:n_edges]
+    bi = inv[n_edges:]
+    # canonical (a < b ⇒ ai < bi under the order-preserving dense remap)
+    # edge keys for the non-adjacency probe; packing uses + (bits are
+    # disjoint: both halves non-negative < 2³¹) — on this host's numpy,
+    # add is markedly cheaper than bitwise-or on fresh pages
+    edge_keys = np.sort((ai << 32) + bi)
+    # symmetric CSR sorted by (node, neighbor) via ONE packed int64
+    # sort (a 4-pass lexsort re-faults four index arrays): indices
+    # within a node's segment ascend, so membership probes could
+    # binary-search
+    packed = np.concatenate([(ai << 32) + bi, (bi << 32) + ai])
+    packed.sort()
+    degs = np.bincount(packed >> 32, minlength=m).astype(np.int64)
+    dst = (packed & 0xFFFFFFFF).astype(np.int32)
+    indptr = np.zeros(m + 1, np.int64)
+    np.cumsum(degs, out=indptr[1:])
+    if max_degree == "auto":
+        max_degree = _auto_max_degree_np(degs)
+    capped = (
+        degs <= max_degree
+        if max_degree is not None
+        else np.ones(m, dtype=bool)
+    )
+    bound = m
+    if endpoints_below is not None:
+        # bipartite projection: only HIGH-band centers, only LOW-band
+        # endpoints (u iterates the low band; v is masked below)
+        bound = int(np.searchsorted(nodes, endpoints_below))
+        capped &= np.arange(m) >= bound
+    bc = spark.sparkContext.broadcast(
+        (nodes, indptr, dst, degs, capped, edge_keys, bound)
+    )
+    bip = endpoints_below is not None
+    k, mc = int(top_k), int(min_common)
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        nodes, indptr, indices, degs, capped, edge_keys, bound = bc.value
+        # Per-chunk expansion budget: this host pays a brutal
+        # first-touch cost on fresh large anonymous pages (measured
+        # ~10-600µs/page under parallel workers) and glibc munmaps
+        # buffers past the adaptive mmap threshold (≤32 MB), so arrays
+        # bigger than that re-fault on EVERY chunk. 2M int64 elements
+        # keeps every temporary ~16 MB — allocator-arena-resident and
+        # page-warm after the first chunk.
+        chunk_budget = 2_000_000
+
+        def _gather(starts, cnts, total):
+            """indices[starts[i] : starts[i]+cnts[i]] concatenated."""
+            shift = np.cumsum(cnts) - cnts
+            idx = np.arange(total, dtype=np.int64) + np.repeat(
+                starts - shift, cnts
+            )
+            return indices[idx]
+
+        for rb in batches:
+            us_all = rb.column(0).to_numpy(zero_copy_only=False)
+            if not len(us_all):
+                continue
+            outs = []
+            # first-level fanout for the whole batch, then chunk the
+            # node range by SECOND-level (capped Σdeg) weight so every
+            # chunk's expansion arrays hit the budget
+            cnt_u_all = degs[us_all]
+            ends = np.cumsum(cnt_u_all)
+            starts_off = ends - cnt_u_all
+            xs_all = _gather(indptr[us_all], cnt_u_all, int(ends[-1]))
+            keep_all = capped[xs_all]
+            w_elem = np.where(keep_all, degs[xs_all], 0)
+            cw = np.concatenate(([0], np.cumsum(w_elem)))
+            w_u = cw[ends] - cw[starts_off]
+            wcum = np.cumsum(w_u)
+            n_cuts = int(wcum[-1]) // chunk_budget + 1
+            cuts = np.searchsorted(
+                wcum, np.arange(1, n_cuts) * chunk_budget
+            )
+            splits = np.unique(cuts)
+            splits = splits[(splits > 0) & (splits < len(us_all))]
+            bounds = [0, *splits.tolist(), len(us_all)]
+            for i0, i1 in zip(bounds, bounds[1:]):
+                if i0 == i1:
+                    continue
+                us = us_all[i0:i1]
+                e0, e1 = int(starts_off[i0]), int(ends[i1 - 1])
+                xs = xs_all[e0:e1]
+                keep = keep_all[e0:e1]
+                u_of_x = np.repeat(us, cnt_u_all[i0:i1])
+                xs, u_of_x = xs[keep], u_of_x[keep]
+                cnt_x = degs[xs]
+                tot2 = int(cnt_x.sum())
+                if not tot2:
+                    continue
+                vs = _gather(indptr[xs], cnt_x, tot2)
+                us2 = np.repeat(u_of_x, cnt_x)
+                mask = vs > us2
+                if bip:
+                    mask &= vs < bound
+                keys = (us2[mask].astype(np.int64) << 32) + vs[mask]
+                if not len(keys):
+                    continue
+                keys.sort()
+                is_start = np.empty(len(keys), dtype=bool)
+                is_start[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=is_start[1:])
+                starts_i = np.flatnonzero(is_start)
+                common = np.diff(np.append(starts_i, len(keys)))
+                uk = keys[starts_i]
+                sel = common >= mc
+                uk, common = uk[sel], common[sel]
+                if len(uk) and len(edge_keys):
+                    pos = np.minimum(
+                        np.searchsorted(edge_keys, uk),
+                        len(edge_keys) - 1,
+                    )
+                    nonadj = edge_keys[pos] != uk
+                    uk, common = uk[nonadj], common[nonadj]
+                if not len(uk):
+                    continue
+                ui = (uk >> 32).astype(np.int64)
+                vi = (uk & 0xFFFFFFFF).astype(np.int64)
+                jac = common / (degs[ui] + degs[vi] - common)
+                # top-k needs the full (jac desc, common desc, a, b)
+                # order only over rows that can still place: keep
+                # jac >= the k-th largest jac (ties included — any row
+                # below it is beaten by k rows outright), then lexsort
+                # the small survivor set instead of every candidate
+                if len(jac) > 4 * k:
+                    thr = np.partition(jac, len(jac) - k)[len(jac) - k]
+                    keep_top = jac >= thr
+                    ui, vi = ui[keep_top], vi[keep_top]
+                    common, jac = common[keep_top], jac[keep_top]
+                a_out, b_out = nodes[ui], nodes[vi]
+                top = np.lexsort((b_out, a_out, -common, -jac))[:k]
+                outs.append(
+                    (a_out[top], b_out[top], common[top], jac[top])
+                )
+            if outs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate([o[i] for o in outs]))
+                        for i in range(4)
+                    ],
+                    ["a", "b", "common", "jaccard"],
+                )
+
+    return (
+        spark.range(0, bound, 1, spark.sparkContext.defaultParallelism)
+        .mapInArrow(
+            _score, "a long, b long, common long, jaccard double"
+        )
+    )
 
 
 def link_prediction_jaccard(
@@ -1744,14 +1970,39 @@ def link_prediction_jaccard(
     centers are dropped before the self-join since their wedges could
     only produce the discarded mirror pairs.
 
-    Shape: one wedge self-join (volume sum over kept centers of deg²),
-    one broadcastable degree join, one anti-join against the edge set.
-    orderBy+limit compiles to TakeOrdered (per-partition top-k, no global
-    sort).
+    Shape: below ``_WEDGE_BROADCAST_MAX_EDGES`` canonical edges — the
+    same driver-size gate the broadcast join already implied — the
+    adjacency is collected once and scored by broadcast-CSR intersection
+    inside ``mapInArrow`` (:func:`_lp_intersect_scored`): no wedge
+    exchange at all, one collect + one shuffle-free scoring pass +
+    TakeOrdered. Past the gate, the original shape: one wedge self-join
+    (volume sum over kept centers of deg²), one broadcastable degree
+    join, one anti-join against the edge set. orderBy+limit compiles to
+    TakeOrdered (per-partition top-k, no global sort).
     """
     e = canonical_undirected(pairs).persist(StorageLevel.MEMORY_AND_DISK)
     sym = None
     try:
+        # materializes the persist either way; the count gates the path
+        n_edges = e.count()
+        use_intersect = 2 * n_edges <= _WEDGE_BROADCAST_MAX_EDGES
+        if _FORCE_LP_PATH is not None:
+            use_intersect = _FORCE_LP_PATH == "intersect"
+        if use_intersect:
+            scored = _lp_intersect_scored(
+                e, n_edges, top_k, min_common, max_degree,
+                endpoints_below,
+            )
+            return (
+                scored.orderBy(
+                    F.col("jaccard").desc(),
+                    F.col("common").desc(),
+                    "a",
+                    "b",
+                )
+                .limit(top_k)
+                .localCheckpoint(eager=True)
+            )
         sym = e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
