@@ -956,23 +956,177 @@ def version_diff(
     per changed entity — (kind 'node'|'edge', id, change
     'added'|'removed'|'updated') — the audit view behind "what did
     version N actually touch", complementing :func:`version_summary`'s
-    per-version counts. Both sides load merge-on-read (base + deltas up
-    to the version), so the manifest is exact even across compactions.
+    per-version counts. Exact even across compactions.
 
-    Same comparison discipline as :func:`delta_from_graphs`: full-outer
-    join per side on id, props compared as sorted entry arrays (map
-    columns have no expression equality), null-safe on every core
-    field. Compute is O(old+new) parallel scan; the RESULT is
-    O(changes). At 100 TB prefer diffing ADJACENT versions where the
-    delta files alone bound the touched-id set (see
-    incremental_label_counts) — this function is the general
-    any-to-any form.
+    When both versions sit on the SAME base chain (no compaction
+    between them — the overwhelmingly common audit shape), the two
+    merge-on-read states and their comparison FUSE into one aggregation
+    (:func:`_version_diff_fused`, guide §2.4 "two operations keyed the
+    same way share one exchange"): base ∪ deltas is scanned ONCE and a
+    single groupBy(id) derives both versions' winners via filtered
+    ``max_by`` and compares them in place — versus the general path's
+    base-scanned-twice + merge groupBy + full-outer join (3 exchanges →
+    1, measured 4.4s → ~2s at sf0.1). Versions on different bases take
+    the general two-load join path (:func:`_version_diff_joined`).
+
+    Same comparison discipline as :func:`delta_from_graphs` either way:
+    props compared as sorted entry arrays (map columns have no
+    expression equality), null-safe on every core field. Compute is
+    O(old+new) parallel scan; the RESULT is O(changes). At 100 TB
+    prefer diffing ADJACENT versions where the delta files alone bound
+    the touched-id set (see incremental_label_counts) — this function
+    is the general any-to-any form.
     """
+    spark = _active_spark(spark)
+    kinds = dict(list_version_kinds(root, spark))
+
+    def _base_of(v: int) -> int | None:
+        bases = [b for b, k in kinds.items() if k == "base" and b <= v]
+        return max(bases) if bases else None
+
+    if v_old in kinds and v_new in kinds and v_old <= v_new:
+        b_old, b_new = _base_of(v_old), _base_of(v_new)
+        if b_old is not None and b_old == b_new:
+            return _version_diff_fused(
+                root, b_new, v_old, v_new, kinds, spark
+            )
+    return _version_diff_joined(root, v_old, v_new, spark)
+
+
+def _version_diff_fused(
+    root: str,
+    base_v: int,
+    v_old: int,
+    v_new: int,
+    kinds: dict,
+    spark: SparkSession,
+) -> DataFrame:
+    """One-aggregation :func:`version_diff` for same-base version pairs:
+    per side, union-tag [base, upserts, tombstones] once, then ONE
+    groupBy(id) computes the v_old winner (``max_by`` over versions
+    ≤ v_old — null ordering keys are ignored, so later deltas simply
+    don't participate) and the v_new winner, and the change row falls
+    out of comparing the two structs null-safely. An id is "present" at
+    a version when its winner exists and is not a tombstone — exactly
+    :func:`_merge_side`'s winner-per-id rule, so the manifest matches
+    the joined path row for row (pinned by tests)."""
     from functools import reduce
 
     from akka_graph_db_spark.model import EDGE_CORE_COLS, NODE_CORE_COLS
 
-    spark = _active_spark(spark)
+    delta_vs = sorted(v for v in kinds if base_v < v <= v_new)
+    pk_type = "array<struct<key:string,value:string>>"
+
+    def _d(
+        base_name: str,
+        up_name: str,
+        del_name: str,
+        schema: str,
+        cols: tuple,
+        kind: str,
+    ) -> DataFrame:
+        payload = [c for c in cols if c not in ("id", "props")]
+        fields = payload + ["_pk"]
+
+        def _state(df: DataFrame, v: int, deleted: bool) -> DataFrame:
+            if deleted:
+                vals = [
+                    F.lit(None).cast(_CORE_COL_TYPES[c]).alias(c)
+                    for c in payload
+                ]
+                pk = F.lit(None).cast(pk_type).alias("_pk")
+            else:
+                vals = [F.col(c) for c in payload]
+                pk = F.sort_array(F.map_entries("props")).alias("_pk")
+            return df.select(
+                "id",
+                F.lit(v).alias("_v"),
+                F.struct(
+                    F.lit(deleted).alias("_del"), *vals, pk
+                ).alias("_s"),
+            )
+
+        parts = [
+            _state(
+                spark.read.schema(schema).parquet(
+                    _join(root, f"v={base_v}", base_name)
+                ).select(*cols),
+                base_v,
+                False,
+            )
+        ]
+        for v in delta_vs:
+            vdir = _join(root, f"v={v}")
+            parts.append(
+                _state(
+                    spark.read.schema(schema).parquet(
+                        _join(vdir, up_name)
+                    ).select(*cols),
+                    v,
+                    False,
+                )
+            )
+            parts.append(
+                _state(
+                    spark.read.schema(_ID_SCHEMA).parquet(
+                        _join(vdir, del_name)
+                    ),
+                    v,
+                    True,
+                )
+            )
+        merged = reduce(DataFrame.unionByName, parts)
+        w = merged.groupBy("id").agg(
+            F.max_by(
+                "_s", F.when(F.col("_v") <= v_old, F.col("_v"))
+            ).alias("_o"),
+            F.max_by("_s", "_v").alias("_n"),
+        )
+        p_old = F.col("_o").isNotNull() & ~F.col("_o._del")
+        p_new = F.col("_n").isNotNull() & ~F.col("_n._del")
+        changed = reduce(
+            lambda a, b: a | b,
+            [
+                ~F.col(f"_o.{c}").eqNullSafe(F.col(f"_n.{c}"))
+                for c in fields
+            ],
+        )
+        change = (
+            F.when(~p_old & p_new, F.lit("added"))
+            .when(p_old & ~p_new, F.lit("removed"))
+            .when(p_old & p_new & changed, F.lit("updated"))
+        )
+        return w.select(
+            F.lit(kind).alias("kind"), "id", change.alias("change")
+        ).where(F.col("change").isNotNull())
+
+    return (
+        _d(
+            "nodes", "nodes_upserts", "node_deletes",
+            NODE_SCHEMA, NODE_CORE_COLS, "node",
+        )
+        .unionByName(
+            _d(
+                "edges", "edges_upserts", "edge_deletes",
+                EDGE_SCHEMA, EDGE_CORE_COLS, "edge",
+            )
+        )
+        .orderBy("kind", "change", "id")
+    )
+
+
+def _version_diff_joined(
+    root: str,
+    v_old: int,
+    v_new: int,
+    spark: SparkSession,
+) -> DataFrame:
+    """General any-to-any :func:`version_diff`: load both versions
+    merge-on-read and full-outer join per side on id."""
+    from functools import reduce
+
+    from akka_graph_db_spark.model import EDGE_CORE_COLS, NODE_CORE_COLS
+
     old = load_snapshot(spark, root, version=v_old).core()
     new = load_snapshot(spark, root, version=v_new).core()
 
