@@ -10,6 +10,12 @@ the frame is constructed; the captured plan is the final returned frame's
 physical plan — the same artifact PLANS.md audits, kept verbatim here so
 plan-shape claims (join strategy, exchange count, pushed filters) are
 checkable without running Spark.
+
+Each dump also carries a "# jobs during build: N" header (VERDICT r12
+#3): streaming queries run their staging + drain jobs while the builder
+constructs the frame, and their returned batch frame's .explain is just
+a LocalTableScan — the job count is the evidence a band move can cite
+when the plan text cannot change.
 """
 
 from __future__ import annotations
@@ -34,8 +40,24 @@ def main() -> None:
 
     spark = get_spark(app_name="explain", cpus=32, shuffle_partitions=32)
     qs = entry.queries()
+    def _total_jobs() -> int:
+        """App-lifetime job count from the JVM status store (counts
+        streaming micro-batch jobs too, which run on stream-execution
+        threads and dodge thread-local job groups). -1 when the
+        reflective call is unavailable."""
+        try:
+            return (
+                spark.sparkContext._jsc.sc().statusStore()
+                .jobsList(None).size()
+            )
+        except Exception:
+            return -1
+
     for name in names:
+        before = _total_jobs()
         df = qs[name](spark, SF_DIR)
+        after = _total_jobs()
+        n_jobs = after - before if before >= 0 and after >= 0 else -1
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -44,6 +66,7 @@ def main() -> None:
         )
         with open(path, "w") as fh:
             fh.write(f"# {name} @ {SF_DIR}\n")
+            fh.write(f"# jobs during build: {n_jobs}\n")
             fh.write(buf.getvalue())
         print(f"wrote {path}", flush=True)
     spark.stop()
