@@ -366,6 +366,11 @@ _BATCH10 = {
     "window_rank_customers",
 }
 _BATCH4 = {
+    # r13 band move (plan change per the repack rule: the whole
+    # link-prediction family now scores via broadcast-CSR intersection
+    # in mapInArrow below the edge gate — customer_similarity 6.3 ->
+    # 3.1s isolated)
+    "customer_similarity",
     "weighted_voronoi_trade",
     "weighted_harmonic_trade",
     "balanced_shards_docs", "basket_lift", "basket_triples", "bm25_search",
@@ -391,8 +396,12 @@ _BATCH2 = {
     "weighted_ecc_trade", "weighted_closeness_trade",
     "weighted_effdiam_trade", "weighted_modularity_trade",
     "conductance_trade",
+    # r13 band move (plan change per the repack rule: the size-ratio
+    # prefilter moved inside the truth leg's grid join — 10.6 -> 6.6s
+    # isolated)
+    "dedup_recall_eval",
     "assortativity_coorder", "cdc_chunks", "clique_profile_parts",
-    "clustering_coefficient", "coverage_curve_docs", "customer_similarity",
+    "clustering_coefficient", "coverage_curve_docs",
     "dag_layers_graph", "dedup_containment", "dedup_containment_prune",
     "dedup_minhash", "dedup_minhash_keep_star", "eccentricity_parts",
     # r12 optimization band moves (both have PLAN changes, per this
@@ -420,10 +429,15 @@ _BATCH2H = {
     # shed the cheap tail (r10 run 1: 152 of 223 skipped); the band-
     # exceedance guard re-measures anything a shared session distorts.
     # >=18s queries keep private JVMs.
+    # r13 band move (plan change per the repack rule: the wedge
+    # explode + packed-key exchange is replaced by broadcast-CSR
+    # intersection in mapInArrow, jobs-during-build 24 -> 8 — 21.1 ->
+    # 11.4s isolated), leaving the unlisted-isolated set
+    "link_prediction_auto",
     "betweenness_parts", "closeness_parts",
     "connected_components_two_phase_geo", "coreness_parts",
     "dedup_minhash_keep", "dedup_minhash_keep_best", "dedup_policy_sweep",
-    "dedup_recall_eval", "edge_betweenness_parts",
+    "edge_betweenness_parts",
     "edge_embeddedness", "fastrp_parts", "harmonic_parts",
     "induced_subgraph_parts", "kcenter_trade", "local_clustering_parts",
     "negative_edges_coorder", "node2vec_parts", "node2vec_skipgrams",
@@ -444,11 +458,18 @@ _BATCH2H = {
 # threshold: max(2 x the query's last recorded cost, band cap) when a
 # BENCH_DETAIL record exists, 2 x cap as the fallback for queries absent
 # from the record — see _band_guard's docstring (the authoritative rule).
+# r13 densification (VERDICT r12 #6 / builder queue #4): the r12 driver
+# run shed 31 queries and the r13 baseline shed 11 — each child costs
+# ~25-50s of untimed JVM+warmup+rerun wall, so one extra query per
+# child buys back several hundred seconds of budget and the full 233
+# fit again. Distortion risk from the denser sessions is the band
+# guard's job (it re-measures anything >max(2x record, band cap) in a
+# private JVM and commits the min — exactly what it exists for).
 _BANDS = [
-    (_BATCH2H, 18.0, 3),
-    (_BATCH2, 8.0, 4),
-    (_BATCH4, 4.0, 6),
-    (_BATCH10, 1.5, 10),
+    (_BATCH2H, 18.0, 4),
+    (_BATCH2, 8.0, 5),
+    (_BATCH4, 4.0, 8),
+    (_BATCH10, 1.5, 12),
 ]
 
 
@@ -638,9 +659,18 @@ _BIMODAL_FLOORS = {
     "dedup_cluster_stats": 8.0,      # keep-substrate audits, band 8-28
     "dedup_manifest": 8.0,
     "dedup_keep_source": 8.0,
-    "link_prediction_auto": 15.0,    # wedge-join heavy, band 15-27
-    "coreness_parts": 3.0,           # full-graph superstep, band 3-14
-    "fastrp_parts": 2.0,             # RA/embeddedness family, band 2-13
+    # r13: broadcast-CSR intersection path below the 10M-edge gate
+    # (band 7-16; the wedge-join 15-27 regime applies past the gate)
+    "link_prediction_auto": 7.0,
+    # r13 floor recalibration: the r10-era floors (3.0 / 2.0) dated
+    # from a fast phase these fixpoints no longer show — r12/r13
+    # isolated triplets put steady state at 12.8-13.2 (coreness) and
+    # 8.8-9.7 (fastrp), so the old floors made HEALTHY samples outrank
+    # the genuinely bimodal dedup audit trio in the worst-exceedance-
+    # first queue and starved it of triplet children under budget
+    # pressure (observed in the r13 full runs).
+    "coreness_parts": 10.0,
+    "fastrp_parts": 7.0,
 }
 
 
